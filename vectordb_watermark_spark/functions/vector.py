@@ -1,0 +1,105 @@
+"""Vector math over ``ARRAY<FLOAT/DOUBLE>`` columns — pure Catalyst expressions.
+
+Covers the reference's per-row vector kernels (SURVEY.md §2.4 P5/P13, §2.5
+A4/A5) as JVM-side higher-order functions: no Python in the hot path, so these
+compose with whole-stage codegen and scale to 100 TB.  All arithmetic is done
+in double to match the DuckDB oracle; cast back to float only at storage
+boundaries.
+
+Reference parity (cited, not copied):
+- L2 norm save/normalize/restore: database/pgvector/pg_func.py:363-377.
+- Pairwise Euclidean/cosine stats: pg_func.py:928-946.
+- Mean vector: attack/mean_attack.py:40-41.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _d(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _d(x) * _d(y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm_sq(v: Column) -> Column:
+    """Squared L2 norm."""
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + _d(x) * _d(x))
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(l2_norm_sq(v))
+
+
+def l2_normalize(v: Column, eps: float = 1e-8) -> Column:
+    """v / (||v|| + eps) — same epsilon guard as the reference's normalize
+    (pg_func.py:365-368)."""
+    n = l2_norm(v) + F.lit(eps)
+    return F.transform(v, lambda x: _d(x) / n)
+
+
+def scale(v: Column, s: Column) -> Column:
+    """Element-wise multiply by scalar column (norm restore)."""
+    return F.transform(v, lambda x: _d(x) * _d(s))
+
+
+def sq_euclidean(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (monotone in distance — skip the sqrt when
+    only ranking: cheaper and avoids a ulp of divergence)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(sq_euclidean(a, b))
+
+
+def cosine_similarity(a: Column, b: Column, eps: float = 1e-12) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b) + F.lit(eps))
+
+
+def as_float_array(v: Column) -> Column:
+    """Cast an array column to ARRAY<FLOAT> (storage boundary)."""
+    return F.transform(v, lambda x: x.cast("float"))
+
+
+def vector_mean(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    """Global mean vector as a 1-row DataFrame ``(mean_vec ARRAY<DOUBLE>)``.
+
+    Distributed: posexplode -> per-position avg -> re-assemble ordered by
+    position.  One shuffle of (pos, partial sums) — at 100 TB this reduces to
+    D partial aggregates per partition (map-side combine), never a driver
+    matrix (contrast reference np.mean over an in-RAM matrix,
+    attack/mean_attack.py:40-41).
+    """
+    pos_avg = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("avg_val"))
+    )
+    return pos_avg.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("pairs")
+    ).select(F.transform(F.col("pairs"), lambda p: p.getField("avg_val")).alias("mean_vec"))
+
+
+def vector_stats(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    """Per-table norm statistics (P5/A5 analogue): count, avg/min/max/stddev
+    of the L2 norm, rounded for oracle comparability."""
+    n = l2_norm(F.col(vec_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(n), 6).alias("avg_norm"),
+        F.round(F.min(n), 6).alias("min_norm"),
+        F.round(F.max(n), 6).alias("max_norm"),
+        F.round(F.stddev_samp(n), 6).alias("std_norm"),
+    )
