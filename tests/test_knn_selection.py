@@ -1,0 +1,171 @@
+"""M1: kNN graph, in-degrees, topk helpers, carrier selection (+ DuckDB oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY, load
+from vectordb_watermark_spark.operators import knn as K
+from vectordb_watermark_spark.operators import selection as S
+from vectordb_watermark_spark.operators.topk import global_row_number, topk_by_coarse_key
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def exact_edges_np(emb):
+    """Brute-force float64 kNN with (dist2, dst) tie-break, as ground truth."""
+    pdf = emb.toPandas()
+    ids = pdf["id"].to_numpy(np.int64)
+    X = np.stack(pdf["emb"].map(lambda a: np.asarray(a, np.float64)))
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    edges = {}
+    for i in range(len(ids)):
+        order = np.lexsort((ids, d2[i]))[:16]
+        edges[ids[i]] = [(int(ids[j]), float(d2[i, j])) for j in order]
+    return edges
+
+
+def test_knn_exact_matches_bruteforce(emb, exact_edges_np):
+    got = K.knn_edges_exact(emb, k=16).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, []).append((r.rank, r.dst, r.dist2))
+    assert set(by_src) == set(exact_edges_np)
+    for src, lst in by_src.items():
+        lst.sort()
+        expect = exact_edges_np[src]
+        assert [d for _, d, _ in lst] == [d for d, _ in expect], f"src {src}"
+        for (_, _, got_d2), (_, exp_d2) in zip(lst, expect):
+            assert abs(got_d2 - exp_d2) < 1e-9
+
+
+def test_knn_broadcast_matches_exact(emb, exact_edges_np):
+    got = K.knn_edges_broadcast(emb, k=16).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, []).append((r.rank, r.dst))
+    # allow ulp-level rank flips on near-ties: compare edge sets
+    agree = total = 0
+    for src, lst in by_src.items():
+        got_set = {d for _, d in lst}
+        exp_set = {d for d, _ in exact_edges_np[src]}
+        agree += len(got_set & exp_set)
+        total += 16
+    assert agree / total > 0.999
+
+
+def test_knn_lsh_recall(emb, exact_edges_np):
+    got = K.knn_edges_lsh(emb, k=16, key="t", n_tables=12, n_bits=4, dim=64).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, set()).add(r.dst)
+    hit = total = 0
+    for src, expect in exact_edges_np.items():
+        exp_set = {d for d, _ in expect}
+        hit += len(by_src.get(src, set()) & exp_set)
+        total += len(exp_set)
+    recall = hit / total
+    assert recall > 0.55, f"LSH recall {recall:.3f} too low"
+
+
+def test_in_degrees_sum_and_zero_fill(spark, emb):
+    edges = K.knn_edges_exact(emb, k=16)
+    deg = K.in_degrees(emb, edges).cache()
+    n = emb.count()
+    assert deg.count() == n  # every id present
+    total_deg = deg.agg(F.sum("degree")).first()[0]
+    assert total_deg == n * 16  # each node emits 16 out-edges
+    assert deg.filter(F.col("degree") < 0).count() == 0
+
+
+def test_topk_by_coarse_key_matches_sort(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, random.randint(0, 5)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, degree long")
+    for k in [1, 17, 250, 499, 500, 600]:
+        got = topk_by_coarse_key(df, k, "degree", ["id"]).collect()
+        expect = sorted(rows, key=lambda r: (r[1], r[0]))[:k]
+        assert sorted((r.id, r.degree) for r in got) == sorted(expect), f"k={k}"
+
+
+def test_global_row_number_matches_sort(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, random.randint(0, 99)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(7)
+    out = {r.id: r.rn for r in global_row_number(df, ["v", "id"]).collect()}
+    expect = {row[0]: i + 1 for i, row in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))}
+    assert out == expect
+
+
+def test_candidate_pool_size_step_function():
+    # ratio <= 0.1 -> 50% buffer
+    assert S.candidate_pool_size(1000, 100) == 150
+    # ratio 0.3 -> 30%
+    assert S.candidate_pool_size(1000, 300) == 390
+    # ratio 0.5 -> 20%
+    assert S.candidate_pool_size(1000, 500) == 600
+    # ratio 0.7 -> 15%
+    assert S.candidate_pool_size(1000, 700) == 805
+    # ratio 0.85 -> 10%
+    assert S.candidate_pool_size(1000, 850) == 935
+    # ratio 1.0 -> clamped to total
+    assert S.candidate_pool_size(1000, 1000) == 1000
+
+
+@pytest.fixture(scope="module")
+def degrees(emb):
+    return K.in_degrees(emb, K.knn_edges_exact(emb, k=16)).cache()
+
+
+def test_select_carriers_count_and_determinism(degrees):
+    sel1 = S.select_carriers(degrees, key="test-key-1", rate=0.1)
+    n = degrees.count()
+    target = max(int(n * 0.1), 16)
+    rows1 = sorted((r.id, r.selection_order, r.blk) for r in sel1.collect())
+    assert len(rows1) == target
+    # determinism under different partitioning
+    sel2 = S.select_carriers(degrees.repartition(13), key="test-key-1", rate=0.1)
+    rows2 = sorted((r.id, r.selection_order, r.blk) for r in sel2.collect())
+    assert rows1 == rows2
+    # different key -> different set
+    sel3 = S.select_carriers(degrees, key="other-key", rate=0.1)
+    assert sorted(r.id for r in sel3.collect()) != [r[0] for r in rows1]
+
+
+def test_select_carriers_block_balance(degrees):
+    sel = S.select_carriers(degrees, key="test-key-1", rate=0.5)
+    counts = {r.blk: r.cnt for r in sel.groupBy("blk").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == set(range(16))
+    assert max(counts.values()) - min(counts.values()) <= 1  # round-robin balance
+
+
+def test_select_carriers_prefers_low_degree(degrees):
+    sel = S.select_carriers(degrees, key="test-key-1", rate=0.1)
+    sel_avg = sel.agg(F.avg("degree")).first()[0]
+    all_avg = degrees.agg(F.avg("degree")).first()[0]
+    assert sel_avg < all_avg
+
+
+def test_select_carriers_matches_duckdb_oracle(spark, degrees, duck):
+    sel = S.select_carriers(degrees, key="test-key-1", rate=0.1)
+    got = sorted((r.id, r.degree, r.selection_order, r.blk) for r in sel.collect())
+
+    deg_pdf = degrees.toPandas()
+    duck.register("deg_input", deg_pdf)
+    sql = S.carrier_selection_oracle_sql("SELECT id, degree FROM deg_input", "test-key-1", 0.1)
+    expect = sorted(tuple(t) for t in duck.execute(sql).fetchall())
+    duck.unregister("deg_input")
+    assert got == expect
