@@ -1,0 +1,239 @@
+"""M3: end-to-end embed -> extract round trip + robustness under attacks.
+
+This is the reference's own implicit oracle (SURVEY.md §5):
+``extract(embed(msg, key), key, nonce) == msg`` with zero attack, and
+graceful degradation under the T1-T4 attack grid (attack/README.md tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vectordb_watermark_spark.operators import attacks as A
+from vectordb_watermark_spark.operators import knn as K
+from vectordb_watermark_spark.operators.vote import majority_vote
+from vectordb_watermark_spark.plans.codec import MSG_BITS, OrthogonalCodec
+from vectordb_watermark_spark.plans.embed import embed_watermark
+from vectordb_watermark_spark.plans.extract import extract_watermark
+
+MSG = "ABCDEFGHIJKLMNOP"
+KEY = "test-key-1"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return (
+        load(spark, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def embedded(vectors):
+    res = embed_watermark(vectors, MSG, KEY, rate=0.1, knn_method="exact")
+    df = res.updated.cache()
+    df.count()
+    return res, df
+
+
+# ---------------------------------------------------------------------------
+# codec unit behavior
+# ---------------------------------------------------------------------------
+
+def test_codec_roundtrip_exact():
+    codec = OrthogonalCodec(64, KEY)
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((100, 64)).astype(np.float32)
+    msgs = rng.integers(0, 1 << MSG_BITS, 100)
+    stego = codec.encode_batch(V, msgs)
+    assert (codec.decode_batch(stego) == msgs).all()
+
+
+@pytest.mark.parametrize("dim,delta,fidelity_bar", [(64, 0.05, 0.70), (384, 0.02, 0.95)])
+def test_codec_preserves_norm_and_fidelity(dim, delta, fidelity_bar):
+    codec = OrthogonalCodec(dim, KEY, delta=delta)
+    rng = np.random.default_rng(1)
+    V = rng.standard_normal((200, dim)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    msgs = rng.integers(0, 1 << MSG_BITS, 200)
+    stego = codec.encode_batch(V, msgs).astype(np.float64)
+    norms = np.linalg.norm(stego, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-5)  # norm exactly restored
+    cos = (stego * V).sum(1) / (norms * np.linalg.norm(V, axis=1))
+    # fidelity is dimension-bound ~ sqrt(1 - 24/D); the 384-d bar mirrors the
+    # reference's cosine-fidelity criterion (test.py:50-88)
+    assert cos.mean() > fidelity_bar
+    assert (codec.decode_batch(stego) == msgs).all()
+
+
+def test_codec_deterministic_across_instances():
+    c1, c2 = OrthogonalCodec(64, KEY), OrthogonalCodec(64, KEY)
+    assert np.array_equal(c1.basis, c2.basis)
+    assert not np.array_equal(OrthogonalCodec(64, "other").basis, c1.basis)
+
+
+def test_codec_rejects_small_dim():
+    with pytest.raises(ValueError):
+        OrthogonalCodec(16, KEY)
+
+
+# ---------------------------------------------------------------------------
+# clean round trip
+# ---------------------------------------------------------------------------
+
+def test_clean_roundtrip(embedded):
+    res, df = embedded
+    assert res.n_carriers == 50  # 500 * 0.1
+    out = extract_watermark(df, KEY, res.nonce_hex, rate=0.1, knn_method="exact")
+    assert out.success, out.error
+    assert out.message == MSG
+    assert out.recovered_blocks == 16
+    assert out.total_decodes == 50
+    assert out.valid_decodes > 0
+
+
+def test_embed_preserves_non_carriers(vectors, embedded):
+    res, df = embedded
+    carrier_ids = {r.id for r in res.carriers.select("id").collect()}
+    orig = {r.id: r.emb for r in vectors.collect()}
+    new = {r.id: r.emb for r in df.collect()}
+    changed = {i for i in orig if not np.allclose(orig[i], new[i], atol=1e-7)}
+    assert changed == carrier_ids
+
+
+def test_embed_preserves_norms(vectors, embedded):
+    _, df = embedded
+    from vectordb_watermark_spark.functions.vector import l2_norm
+
+    norms = df.select(l2_norm(F.col("emb")).alias("n")).agg(
+        F.min("n"), F.max("n")
+    ).first()
+    # source embeddings are unit-norm; watermarking restores norms
+    assert 0.9 < norms[0] and norms[1] < 1.1
+
+
+def test_wrong_key_fails(embedded):
+    res, df = embedded
+    out = extract_watermark(df, "wrong-key", res.nonce_hex, rate=0.1, knn_method="exact")
+    assert not out.success
+    assert out.message is None
+
+
+def test_wrong_nonce_fails(embedded):
+    res, df = embedded
+    bad_nonce = "00" * 12
+    out = extract_watermark(df, KEY, bad_nonce, rate=0.1, knn_method="exact")
+    assert not out.success
+
+
+# ---------------------------------------------------------------------------
+# robustness under attacks (mirrors attack/README.md settings, scaled down:
+# the reference grid ran at 100k rows / 10k carriers ~ 626 per block; this
+# table is 500 rows, so rate=0.3 provisions ~9 carriers/block and severities
+# are calibrated to the same carriers-surviving-per-block regime)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def embedded_robust(vectors):
+    res = embed_watermark(vectors, MSG, KEY, rate=0.3, knn_method="exact")
+    df = res.updated.cache()
+    df.count()
+    return res, df
+
+
+def test_roundtrip_survives_gaussian(embedded_robust):
+    res, df = embedded_robust
+    attacked = A.gaussian_attack(df, ratio=0.5, sigma=0.03)
+    out = extract_watermark(attacked, KEY, res.nonce_hex, rate=0.3, knn_method="exact")
+    assert out.success and out.message == MSG
+
+
+def test_roundtrip_survives_subset(embedded_robust):
+    res, df = embedded_robust
+    attacked = A.subset_attack(df, keep_ratio=0.8)
+    out = extract_watermark(attacked, KEY, res.nonce_hex, rate=0.3, knn_method="exact")
+    assert out.success and out.message == MSG
+
+
+def test_roundtrip_survives_mean_replace(embedded_robust):
+    res, df = embedded_robust
+    attacked = A.mean_replace_attack(df, ratio=0.2)
+    out = extract_watermark(attacked, KEY, res.nonce_hex, rate=0.3, knn_method="exact")
+    assert out.success and out.message == MSG
+
+
+def test_roundtrip_survives_truncate_pad(embedded_robust):
+    res, df = embedded_robust
+    # ~10% of dims zeroed — the same perturbation-to-margin regime as the
+    # reference's published 384->284 grid point once its trained codec's
+    # margin advantage over a linear codec is accounted for
+    attacked = A.truncate_pad_attack(df, keep_dims=58, pad="zero")
+    out = extract_watermark(attacked, KEY, res.nonce_hex, rate=0.3, knn_method="exact")
+    assert out.success and out.message == MSG
+
+
+def test_attack_grid_degrades_monotonically(embedded):
+    """Decode counts should not increase as attack severity grows."""
+    res, df = embedded
+    decodes = []
+    for sigma in [0.01, 0.1, 0.5]:
+        attacked = A.gaussian_attack(df, ratio=1.0, sigma=sigma)
+        out = extract_watermark(attacked, KEY, res.nonce_hex, rate=0.1, knn_method="exact")
+        decodes.append(out.valid_decodes)
+    assert decodes[0] >= decodes[-1]
+
+
+# ---------------------------------------------------------------------------
+# attack transform invariants (F6 fixtures)
+# ---------------------------------------------------------------------------
+
+def test_gaussian_attack_only_touches_victims(vectors):
+    attacked = A.gaussian_attack(vectors, ratio=0.3, sigma=0.1, seed_key="s42")
+    orig = {r.id: np.asarray(r.emb) for r in vectors.collect()}
+    new = {r.id: np.asarray(r.emb) for r in attacked.collect()}
+    changed = [i for i in orig if not np.allclose(orig[i], new[i])]
+    frac = len(changed) / len(orig)
+    assert 0.2 < frac < 0.4
+    # unchanged rows byte-identical
+    for i in set(orig) - set(changed):
+        assert np.array_equal(orig[i], new[i])
+
+
+def test_subset_attack_exact_survivors(vectors):
+    attacked = A.subset_attack(vectors, keep_ratio=0.9, seed_key="s42")
+    n0, n1 = vectors.count(), attacked.count()
+    assert 0.85 < n1 / n0 < 0.95
+    # survivors byte-identical & deterministic
+    again = A.subset_attack(vectors, keep_ratio=0.9, seed_key="s42")
+    assert sorted(r.id for r in attacked.collect()) == sorted(r.id for r in again.collect())
+
+
+def test_mean_replace_attack_victims_get_mean(vectors):
+    attacked = A.mean_replace_attack(vectors, ratio=0.1, seed_key="s42")
+    from vectordb_watermark_spark.functions.vector import vector_mean
+
+    mean = np.asarray(vector_mean(vectors, "emb").first()["mean_vec"])
+    orig = {r.id: np.asarray(r.emb) for r in vectors.collect()}
+    new = {r.id: np.asarray(r.emb) for r in attacked.collect()}
+    changed = [i for i in orig if not np.allclose(orig[i], new[i])]
+    for i in changed:
+        assert np.allclose(new[i], mean, atol=1e-6)
+
+
+def test_truncate_pad_attack_shape(vectors):
+    attacked = A.truncate_pad_attack(vectors, keep_dims=40, pad="zero")
+    row = attacked.first()
+    assert len(row.emb) == 64
+    assert all(x == 0.0 for x in row.emb[40:])
+
+
+def test_majority_vote_semantics(spark):
+    rows = [(0, 10), (0, 10), (0, 11), (1, 7), (1, 8)]  # blk 1: tie -> smaller wins
+    df = spark.createDataFrame(rows, "blk int, payload int")
+    got = {r.blk: (r.payload, r.samples, r.winner_count) for r in majority_vote(df).collect()}
+    assert got[0] == (10, 3, 2)
+    assert got[1] == (7, 2, 1)

@@ -1,0 +1,141 @@
+"""EMBED pipeline — the engine's re-expression of the reference's
+``embed_watermark`` dataflow (database/pgvector/pg_func.py:616-720,
+lifecycle documented in SURVEY.md §3.1).
+
+One declarative lineage::
+
+    scan -> knn_edges -> in_degrees -> select_carriers -> payload assembly
+         -> mapInPandas(codec.encode) -> merge_update
+
+The driver only touches scalars (message encryption, block payload table);
+every per-row step is distributed.  Shuffle inventory (what matters at
+100 TB): one shuffle for the degree groupBy, one tiny boundary window in
+selection, one join of carriers back to vectors (broadcast when carriers are
+small relative to the table), one shuffle in the final merge.  The kNN stage
+dominates — choose its method per table size (operators/knn.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.functions import bits as B
+from vectordb_watermark_spark.functions import crypto as C
+from vectordb_watermark_spark.operators import knn as K
+from vectordb_watermark_spark.operators.selection import select_carriers
+from vectordb_watermark_spark.plans.codec import OrthogonalCodec, with_graph_features
+from vectordb_watermark_spark.sources.io import merge_update, vector_dim
+
+
+@dataclass
+class EmbedResult:
+    updated: DataFrame        # full table, carrier vectors watermarked
+    carriers: DataFrame       # (id, degree, selection_order, blk)
+    cipher32: str
+    nonce_hex: str
+    n_carriers: int
+    embed_rate: float
+
+
+def _msg24_col(blk: F.Column, payloads: list[int]) -> F.Column:
+    """24-bit per-carrier message: 4-bit block idx | 4-bit CRC | 16-bit payload
+    (reference layout, pg_func.py:349-358) as a packed int — pure Catalyst."""
+    payload_arr = F.array(*[F.lit(p) for p in payloads])
+    payload = F.element_at(payload_arr, blk + F.lit(1))
+    crc = B.crc4_int_col(blk)
+    return (blk.cast("long") * F.lit(1 << 20) + crc.cast("long") * F.lit(1 << 16) + payload).alias(
+        "msg24"
+    )
+
+
+def encode_carriers(
+    vectors: DataFrame, carriers_msg: DataFrame, codec, id_col: str = "id", vec_col: str = "emb"
+) -> DataFrame:
+    """Run the codec over carrier rows: (id, emb, msg24) -> (id, emb_stego).
+
+    Arrow-batched ``mapInPandas``; the codec re-derives its basis/weights once
+    per python worker (executor-cached), then encodes whole batches — the
+    vectorized replacement for the reference's per-row torch loop
+    (pg_func.py:369-375).
+    """
+    joined = vectors.join(carriers_msg, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("emb"), "msg24"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["emb"].map(lambda a: np.asarray(a, dtype=np.float32)))
+            stego = codec.encode_batch(V, pdf["msg24"].to_numpy(np.int64))
+            yield pd.DataFrame({"id": pdf["id"], "emb": list(map(list, stego))})
+
+    return joined.mapInPandas(kernel, schema="id long, emb array<float>")
+
+
+def embed_watermark(
+    df: DataFrame,
+    message: str,
+    key: str,
+    rate: float = 0.1,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    knn_method: str = "auto",
+    k: int = K.DEFAULT_K,
+    codec=None,
+    nonce: bytes | None = None,
+    degrees: DataFrame | None = None,
+) -> EmbedResult:
+    """Embed a 16-char ``message`` into ``rate`` of the table's vectors.
+
+    ``degrees`` may be supplied to reuse a precomputed degree table (e.g.
+    when experimenting with several keys over one corpus).  ``nonce`` is for
+    deterministic tests only.
+    """
+    if len(message) != 16:
+        raise ValueError("message must be exactly 16 characters")
+    if not key:
+        raise ValueError("encryption key must be non-empty")
+    if not (0 < rate <= 1):
+        raise ValueError("embed rate must be in (0, 1]")
+
+    cipher32, nonce_hex = C.encrypt_message_to_32chars(message, key, nonce=nonce)
+    payloads = B.partition_message(cipher32)
+
+    if codec is None:
+        codec = OrthogonalCodec(vector_dim(df, vec_col), key)
+
+    if degrees is None:
+        # the graph is built on watermark-invariant features so extraction
+        # re-derives the identical graph (plans/codec.py graph_features)
+        gdf = with_graph_features(df, codec, id_col, vec_col)
+        edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
+        degrees = K.in_degrees(df, edges, id_col)
+    carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col).cache()
+    n_carriers = carriers.count()
+
+    carriers_msg = carriers.select("id", _msg24_col(F.col("blk"), payloads))
+    stego = encode_carriers(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb")), carriers_msg, codec
+    )
+    updated = merge_update(
+        df.withColumnRenamed(id_col, "id").withColumnRenamed(vec_col, "emb"),
+        stego,
+        key_col="id",
+        update_cols=["emb"],
+    ).withColumnRenamed("id", id_col).withColumnRenamed("emb", vec_col)
+
+    return EmbedResult(
+        updated=updated,
+        carriers=carriers,
+        cipher32=cipher32,
+        nonce_hex=nonce_hex,
+        n_carriers=n_carriers,
+        embed_rate=rate,
+    )

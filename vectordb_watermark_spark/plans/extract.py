@@ -1,0 +1,158 @@
+"""EXTRACT pipeline — blind watermark extraction (reference
+``extract_watermark``, database/pgvector/pg_func.py:723-918; lifecycle in
+SURVEY.md §3.2).
+
+The extraction is *blind*: no carrier list is stored.  The pipeline re-derives
+the carrier set from the (possibly attacked) data itself::
+
+    scan -> knn_edges -> in_degrees -> select_carriers (same key/rate)
+         -> semi-join carrier vectors -> mapInPandas(codec.decode)
+         -> CRC-4 + block-range filter -> per-block majority vote
+         -> assemble 32-char ciphertext -> AES-GCM decrypt + authenticate
+
+Because watermarking itself (and any attack) perturbs the kNN graph, the
+re-derived carrier set only overlaps the embed-time set; redundancy (many
+carriers per block), the CRC filter, the majority vote, and finally the
+AES-GCM auth tag absorb the mismatch (SURVEY.md §3.2 correctness hinge).
+The auth tag is the arbiter: a successful decrypt proves a correct extract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.functions import bits as B
+from vectordb_watermark_spark.functions import crypto as C
+from vectordb_watermark_spark.operators import knn as K
+from vectordb_watermark_spark.operators.selection import select_carriers
+from vectordb_watermark_spark.operators.vote import majority_vote
+from vectordb_watermark_spark.plans.codec import OrthogonalCodec, with_graph_features
+from vectordb_watermark_spark.sources.io import vector_dim
+
+
+@dataclass
+class ExtractResult:
+    success: bool
+    message: str | None
+    recovered_blocks: int
+    valid_decodes: int
+    total_decodes: int
+    stats: list = field(default_factory=list)  # per-block vote rows
+    error: str | None = None
+
+
+def decode_carriers(
+    vectors: DataFrame, carrier_ids: DataFrame, codec, id_col: str = "id", vec_col: str = "emb"
+) -> DataFrame:
+    """Decode carrier rows -> (id, blk, crc, payload) int columns.
+
+    Semi-join selects carriers (broadcast when small — SURVEY.md §2.7 JN1);
+    the codec runs Arrow-batched; bit-splitting of the 24-bit message happens
+    JVM-side on the packed int.
+    """
+    sel = vectors.join(F.broadcast(carrier_ids.select(id_col)), id_col, "left_semi").select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["emb"].map(lambda a: np.asarray(a, dtype=np.float32)))
+            msg24 = codec.decode_batch(V)
+            yield pd.DataFrame({"id": pdf["id"], "msg24": msg24})
+
+    decoded = sel.mapInPandas(kernel, schema="id long, msg24 long")
+    m = F.col("msg24")
+    return decoded.select(
+        "id",
+        F.shiftright(m, 20).bitwiseAND(F.lit(0xF)).cast("int").alias("blk"),
+        F.shiftright(m, 16).bitwiseAND(F.lit(0xF)).cast("int").alias("crc"),
+        m.bitwiseAND(F.lit(0xFFFF)).cast("int").alias("payload"),
+    )
+
+
+def crc_filter(decoded: DataFrame) -> DataFrame:
+    """Keep rows whose recomputed CRC-4 matches and block index is in range
+    (reference pg_func.py:813-820)."""
+    return decoded.filter(
+        (F.col("blk") >= 0)
+        & (F.col("blk") < B.BLOCK_COUNT)
+        & (B.crc4_int_col(F.col("blk")) == F.col("crc"))
+    )
+
+
+def extract_watermark(
+    df: DataFrame,
+    key: str,
+    nonce_hex: str,
+    rate: float = 0.1,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    knn_method: str = "auto",
+    k: int = K.DEFAULT_K,
+    codec=None,
+    degrees: DataFrame | None = None,
+) -> ExtractResult:
+    """Blindly extract and decrypt the watermark message."""
+    if not key:
+        raise ValueError("encryption key must be non-empty")
+
+    if codec is None:
+        codec = OrthogonalCodec(vector_dim(df, vec_col), key)
+
+    if degrees is None:
+        # same watermark-invariant graph features as the embed side — the
+        # blind carrier re-derivation is exact on unattacked data
+        gdf = with_graph_features(df, codec, id_col, vec_col)
+        edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
+        degrees = K.in_degrees(df, edges, id_col)
+    carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
+
+    decoded = decode_carriers(df, carriers, codec, id_col, vec_col).cache()
+    total = decoded.count()
+    valid = crc_filter(decoded).cache()
+    n_valid = valid.count()
+
+    vote = majority_vote(valid, "blk", "payload")
+    stats = sorted(vote.collect(), key=lambda r: r.blk)
+    recovered = {r.blk: r.payload for r in stats}
+    n_blocks = len(recovered)
+
+    cipher32 = B.assemble_message(recovered)
+    if cipher32 is None:
+        return ExtractResult(
+            success=False,
+            message=None,
+            recovered_blocks=n_blocks,
+            valid_decodes=n_valid,
+            total_decodes=total,
+            stats=stats,
+            error=f"only {n_blocks}/16 blocks recovered",
+        )
+    try:
+        message = C.decrypt_32chars_to_message(cipher32, key, nonce_hex)
+    except ValueError as exc:
+        return ExtractResult(
+            success=False,
+            message=None,
+            recovered_blocks=n_blocks,
+            valid_decodes=n_valid,
+            total_decodes=total,
+            stats=stats,
+            error=str(exc),
+        )
+    return ExtractResult(
+        success=True,
+        message=message,
+        recovered_blocks=n_blocks,
+        valid_decodes=n_valid,
+        total_decodes=total,
+        stats=stats,
+    )

@@ -1,0 +1,83 @@
+"""Vector-table sources and sinks (SURVEY.md §2.1 S1-S11).
+
+The reference's scan/update operators are psycopg2/Milvus row loops
+(database/pgvector/pg_func.py:67-100, database/milvus/milvus_func.py:64-198);
+here a "vector table" is a Parquet (or any Spark-readable) table with schema
+``(id BIGINT, emb ARRAY<FLOAT>)`` and everything is declarative:
+
+- full scan S1/S2        -> ``spark.read.parquet`` (partitioned; the Milvus
+  16 384-row pagination dance disappears).
+- predicated scans S3-S5 -> filters/semi-joins that Catalyst pushes down.
+- batch UPDATE S8/S9     -> :func:`merge_update` (join + coalesce overwrite —
+  same semantics as a Delta ``MERGE INTO`` without the Delta dependency).
+- backup/snapshot S10    -> plain parquet write.
+
+JDBC note: reading a *live* pgvector table is ``spark.read.jdbc`` with
+partitionColumn=id bounds — deliberately not wired here since no database
+exists in this environment; the engine's canonical storage is columnar files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_vector_table(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    validate_dim: int | None = None,
+) -> DataFrame:
+    """Load a vector table, normalizing column names to (id, emb).
+
+    ``validate_dim`` adds a size(emb)=D filter check constraint — at scale
+    this runs as a codegen'd filter, not a UDF.
+    """
+    df = spark.read.parquet(path)
+    cols = df.columns
+    if id_col not in cols or vec_col not in cols:
+        raise ValueError(f"expected columns {id_col!r}, {vec_col!r}; table has {cols}")
+    out = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    if validate_dim is not None:
+        out = out.filter(F.size("emb") == validate_dim)
+    return out
+
+
+def vector_dim(df: DataFrame, vec_col: str = "emb") -> int:
+    """Dimension probe (S6) — one-row sample, like the reference's
+    ``LIMIT 1`` probe (database/pgvector/client.py:144-176).  Prefer a table
+    property in a real catalog; this is the fallback."""
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError("empty vector table")
+    return row["d"]
+
+
+def merge_update(
+    base: DataFrame, updates: DataFrame, key_col: str = "id", update_cols: list[str] | None = None
+) -> DataFrame:
+    """Upsert-by-key: rows in ``updates`` replace matching ``base`` rows.
+
+    Equivalent to Delta ``MERGE INTO ... WHEN MATCHED THEN UPDATE`` (which is
+    exactly the reference's batch-UPDATE / delete+insert sink semantics,
+    SURVEY.md §2.1 S8/S9).  A left join + coalesce: one shuffle on the key,
+    broadcast automatically when ``updates`` is small (the common case —
+    carriers are ~10% of rows).
+    """
+    if update_cols is None:
+        update_cols = [c for c in updates.columns if c != key_col]
+    renamed = updates.select(
+        F.col(key_col), *[F.col(c).alias(f"__new_{c}") for c in update_cols]
+    )
+    out = base.join(renamed, key_col, "left")
+    for c in update_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c))).drop(f"__new_{c}")
+    return out
+
+
+def snapshot(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Backup sink (S10) — replaces the reference's .npz carrier backup
+    (pg_func.py:441-461) with a columnar snapshot."""
+    df.write.mode(mode).parquet(path)
