@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship embed->extract watermark round trip on
+sf0.001.  ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions); ``oracle_sql()``
+gives the DuckDB twin for every SQL-expressible one.  Column names and types
+are aligned on both sides; doubles are rounded (5-6 dp) so value hashes match
+across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +13,683 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+EMB = "{sf}/embeddings.parquet"
+KEY = "graft-key"
+RATE = 0.1
+KNN_K = 16
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; read it as raw nanosecond longs (ts_ns BIGINT) and do event-time
+    arithmetic integrally — exactly reproducible in the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumnRenamed("ts", "ts_ns")
+
+
+def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectordb_watermark_spark.operators import knn as K
+
+    df = _vectors(spark, sf_dir)
+    edges = K.knn_edges_exact(df, k=KNN_K)
+    return K.in_degrees(df, edges)
+
+
+#: DuckDB SQL for the exact-kNN degree table over `embeddings` — the oracle
+#: twin of operators/knn.knn_edges_exact + in_degrees.
+_DEGREES_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst,
+         list_sum(list_transform(list_zip(a.e, b.e), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+  FROM v a JOIN v b ON a.id <> b.id
+),
+ranked AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist2, dst) AS rk
+  FROM pairs
+),
+deg AS (
+  SELECT dst, count(*) AS c FROM ranked WHERE rk <= {KNN_K} GROUP BY dst
+)
+SELECT v.id AS id, CAST(coalesce(deg.c, 0) AS BIGINT) AS degree
+FROM v LEFT JOIN deg ON v.id = deg.dst
+"""
+
+_NORM_SQL = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _attacked_norm_sql(emb_expr: str) -> str:
+    return f"round(sqrt(list_sum(list_transform({emb_expr}, x -> x * x))), 5) + 0.0"
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full blind-watermark round trip on sf0.001 — embed a message
+    into the embeddings table, extract it back, return the per-block vote
+    stats plus recovery summary (stable schema, >= 1 row)."""
+    from vectordb_watermark_spark.plans.embed import embed_watermark
+    from vectordb_watermark_spark.plans.extract import extract_watermark
 
+    df = _vectors(spark, "/root/testdata/sf0.001")
+    msg = "SPARK-GRAFT-2026"
+    res = embed_watermark(df, msg, KEY, rate=0.2, knn_method="exact")
+    out = extract_watermark(res.updated, KEY, res.nonce_hex, rate=0.2, knn_method="exact")
+    rows = [
+        (
+            int(r["blk"]),
+            int(r["payload"]),
+            int(r["samples"]),
+            int(r["winner_count"]),
+            bool(out.success),
+            out.message if out.success else None,
+        )
+        for r in out.stats
+    ]
+    return spark.createDataFrame(
+        rows, "blk int, payload int, samples bigint, winner_count bigint, success boolean, message string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vectordb_watermark_spark.functions import bits as B
+    from vectordb_watermark_spark.functions import text as T
+    from vectordb_watermark_spark.functions import vector as V
+    from vectordb_watermark_spark.operators import attacks as A
+    from vectordb_watermark_spark.operators import dedup as D
+    from vectordb_watermark_spark.operators import similarity as S
+    from vectordb_watermark_spark.operators.selection import select_carriers
+    from vectordb_watermark_spark.operators.topk import topk_by_coarse_key
+    from vectordb_watermark_spark.operators.vote import majority_vote
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- watermark-engine operators (SURVEY.md §2) ----
+
+    def vector_scan(spark, sf):  # S1 + S6 + P5
+        return _vectors(spark, sf).select(
+            "id",
+            F.size("emb").cast("long").alias("dim"),
+            (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"),
+        )
+
+    def vector_stats(spark, sf):  # A5/A8
+        return V.vector_stats(_vectors(spark, sf), "emb")
+
+    def vector_mean(spark, sf):  # A4
+        return V.vector_mean(_vectors(spark, sf), "emb").select(
+            F.transform("mean_vec", lambda x: F.round(x, 6) + F.lit(0.0)).alias("mean_vec")
+        )
+
+    def knn_degrees(spark, sf):  # J1 + J2/A1
+        return _degrees(spark, sf)
+
+    def degree_histogram(spark, sf):  # A9-style tally over the graph
+        return (
+            _degrees(spark, sf)
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_ids"))
+        )
+
+    def carrier_selection(spark, sf):  # J3 + J4 + J5 + P4
+        return select_carriers(_degrees(spark, sf), key=KEY, rate=RATE)
+
+    def topk_degree_pool(spark, sf):  # O1 + O3
+        return topk_by_coarse_key(
+            _degrees(spark, sf), 100, coarse_col="degree", fine_cols=["id"]
+        )
+
+    def crc4_table(spark, sf):  # P2
+        return spark.range(16).select(
+            F.col("id").cast("int").alias("blk"),
+            B.crc4_int_col(F.col("id").cast("int")).cast("int").alias("crc"),
+        )
+
+    def majority_vote_events(spark, sf):  # A2 on a synthetic decode table
+        ev = _events(spark, sf)
+        decoded = ev.select(
+            (F.col("user_id") % 16).cast("int").alias("blk"),
+            (
+                F.conv(F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 8), 16, 10)
+                .cast("long") % 64
+            ).cast("int").alias("payload"),
+        )
+        return majority_vote(decoded)
+
+    def sample_keyed(spark, sf):  # O5 keyed-hash deterministic sample
+        from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+        return (
+            _vectors(spark, sf)
+            .filter(keyed_uniform("sample-42", "v", F.col("id")) < F.lit(0.2))
+            .select("id")
+        )
+
+    def semi_join_carriers(spark, sf):  # JN1/S3: semi-join carrier fetch
+        carriers = select_carriers(_degrees(spark, sf), key=KEY, rate=RATE)
+        return (
+            _vectors(spark, sf)
+            .join(F.broadcast(carriers.select("id")), "id", "left_semi")
+            .select("id", (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"))
+        )
+
+    def anti_join_subset(spark, sf):  # JN2: rows deleted by subset attack
+        survivors = A.subset_attack(_vectors(spark, sf), keep_ratio=0.7, seed_key="attack-42")
+        return (
+            _vectors(spark, sf)
+            .join(survivors.select("id"), "id", "left_anti")
+            .select("id")
+        )
+
+    # ---- attack transforms (T1-T4) ----
+
+    def attack_gaussian(spark, sf):
+        out = A.gaussian_attack(_vectors(spark, sf), ratio=0.3, sigma=0.1, seed_key="attack-42")
+        return out.select("id", (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"))
+
+    def attack_subset(spark, sf):
+        return A.subset_attack(_vectors(spark, sf), keep_ratio=0.7, seed_key="attack-42").select("id")
+
+    def attack_mean_replace(spark, sf):
+        out = A.mean_replace_attack(_vectors(spark, sf), ratio=0.2, seed_key="attack-42")
+        return out.select("id", (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"))
+
+    def attack_truncate_pad(spark, sf):
+        out = A.truncate_pad_attack(_vectors(spark, sf), keep_dims=48, pad="zero")
+        return out.select(
+            "id",
+            F.size("emb").cast("long").alias("dim"),
+            (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"),
+        )
+
+    # ---- relational / aggregation coverage (TPC-H-ish) ----
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                    ),
+                    2,
+                ).alias("sum_charge"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q3_shipping_priority(spark, sf):
+        cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
+    def q5_nation_revenue(spark, sf):
+        orders = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        nat = _t(spark, sf, "nation")
+        reg = _t(spark, sf, "region")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                )
+            )
+        )
+
+    def events_hourly(spark, sf):
+        ev = _events(spark, sf)
+        # integer arithmetic end-to-end: double would lose ns precision at 2^60
+        sec = F.expr("ts_ns DIV 1000000000")
+        hour_epoch = (sec - (sec % 3600)).alias("hour_epoch")
+        return (
+            ev.groupBy(hour_epoch, "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    def events_json_extract(spark, sf):
+        ev = _events(spark, sf)
+        return (
+            ev.select(
+                "event_type",
+                F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def events_user_rollup(spark, sf):  # window functions: rank within user
+        from pyspark.sql.window import Window
+
+        ev = _events(spark, sf)
+        w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+        return (
+            ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("user_id", "event_id", F.round("value", 2).alias("value"), F.col("rk").cast("long").alias("rk"))
+        )
+
+    # ---- training-data pipeline: dedup ----
+
+    def dedup_exact_groups(spark, sf):
+        return D.exact_dup_groups(_docs(spark, sf))
+
+    def dedup_minhash_signatures(spark, sf):
+        return D.minhash_signatures(_docs(spark, sf)).select(
+            "id", F.col("sig").cast("array<long>").alias("sig")
+        )
+
+    def dedup_minhash_pairs(spark, sf):
+        return D.minhash_candidate_pairs(_docs(spark, sf))
+
+    def dedup_jaccard_pairs(spark, sf):
+        return D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35)
+
+    def dedup_simhash(spark, sf):
+        return D.simhash(_docs(spark, sf))
+
+    def dedup_simhash_pairs(spark, sf):
+        return D.simhash_near_pairs(D.simhash(_docs(spark, sf)), max_hamming=12)
+
+    # ---- training-data pipeline: text analysis ----
+
+    def text_stats(spark, sf):
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.word_count_regex(F.col("text")).alias("n_words_re"),
+            T.punct_count(F.col("text")).alias("n_punct"),
+            T.stopword_count(F.col("text")).alias("n_stopwords"),
+            (T.quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
+        )
+
+    def lang_id(spark, sf):
+        d = _docs(spark, sf)
+        return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+    def doc_fingerprints(spark, sf):
+        d = _docs(spark, sf)
+        return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+    # ---- training-data pipeline: similarity search ----
+
+    def ann_topk_cosine(spark, sf):
+        df = _vectors(spark, sf)
+        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+        return S.topk_cosine(df.filter(F.col("id") != 0), qv, k=10)
+
+    def cosine_neardup(spark, sf):
+        return S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
+
+    # ---- non-SQL-expressible (rows-only checks) ----
+
+    def knn_lsh_edges(spark, sf):  # approximate: contract-tested, not oracled
+        from vectordb_watermark_spark.operators import knn as K
+
+        df = _vectors(spark, sf)
+        # n_bits sized so N / 2^n_bits ~ 8 candidates per bucket at this SF
+        return K.knn_edges_lsh(df, k=KNN_K, key=KEY, dim=64, n_bits=6)
+
+    def watermark_roundtrip(spark, sf):  # P6/P7/P8/P11/P12 composite
+        from vectordb_watermark_spark.plans.embed import embed_watermark
+        from vectordb_watermark_spark.plans.extract import extract_watermark
+
+        df = _vectors(spark, sf)
+        res = embed_watermark(df, "SPARK-GRAFT-2026", KEY, rate=0.2, knn_method="exact")
+        out = extract_watermark(res.updated, KEY, res.nonce_hex, rate=0.2, knn_method="exact")
+        return spark.createDataFrame(
+            [(bool(out.success), out.message, int(out.recovered_blocks),
+              int(out.valid_decodes), int(out.total_decodes))],
+            "success boolean, message string, recovered_blocks int, valid_decodes int, total_decodes int",
+        )
+
+    def ivf_topk(spark, sf):  # approximate ANN: rows-only
+        df = _vectors(spark, sf)
+        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+        return S.ivf_topk_cosine(df.filter(F.col("id") != 0), qv, k=10)
+
+    return {
+        "vector_scan": vector_scan,
+        "vector_stats": vector_stats,
+        "vector_mean": vector_mean,
+        "knn_degrees": knn_degrees,
+        "degree_histogram": degree_histogram,
+        "carrier_selection": carrier_selection,
+        "topk_degree_pool": topk_degree_pool,
+        "crc4_table": crc4_table,
+        "majority_vote_events": majority_vote_events,
+        "sample_keyed": sample_keyed,
+        "semi_join_carriers": semi_join_carriers,
+        "anti_join_subset": anti_join_subset,
+        "attack_gaussian": attack_gaussian,
+        "attack_subset": attack_subset,
+        "attack_mean_replace": attack_mean_replace,
+        "attack_truncate_pad": attack_truncate_pad,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "events_hourly": events_hourly,
+        "events_json_extract": events_json_extract,
+        "events_user_rollup": events_user_rollup,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_cosine": ann_topk_cosine,
+        "cosine_neardup": cosine_neardup,
+        "knn_lsh_edges": knn_lsh_edges,
+        "watermark_roundtrip": watermark_roundtrip,
+        "ivf_topk": ivf_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vectordb_watermark_spark.functions import text as T
+    from vectordb_watermark_spark.functions.bits import crc4_table_sql
+    from vectordb_watermark_spark.functions.hashing import (
+        sql_hash_gauss,
+        sql_keyed_hash_hex,
+        sql_keyed_uniform,
+    )
+    from vectordb_watermark_spark.operators.dedup import BAND_SIZE, N_MINHASH, SIMHASH_BITS
+    from vectordb_watermark_spark.operators.selection import carrier_selection_oracle_sql
+
+    u_attack = sql_keyed_uniform("'attack-42'", "'v'", "vec_id")
+    u_sample = sql_keyed_uniform("'sample-42'", "'v'", "vec_id")
+
+    # mirror as_float_array: the Spark attack stores FLOAT elements, so the
+    # oracle rounds through FLOAT before the double-precision norm
+    gauss_elem = (
+        "list_transform(list_zip(embedding, generate_series(0, len(embedding) - 1)), "
+        "p -> CAST(CAST(CAST(p[1] AS DOUBLE) + 0.1 * "
+        + sql_hash_gauss(sql_keyed_hash_hex("'attack-42'", "'g'", "vec_id", "p[2]"))
+        + " AS FLOAT) AS DOUBLE))"
+    )
+
+    mean_vec_sql = """
+    (SELECT list(avg_val ORDER BY pos) FROM (
+       SELECT pos, avg(CAST(val AS DOUBLE)) AS avg_val FROM (
+         SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+         FROM embeddings
+       ) GROUP BY pos
+    ))"""
+
+    toks = T.sql_tokens("lower(text)")
+    toks_set = f"list_distinct({toks})"
+    mh_cols = ", ".join(
+        "CAST(list_min(list_transform(toks, t -> CAST(CAST(('0x' || substr(sha256('mh%d|' || t), 1, 8)) AS UBIGINT) AS BIGINT))) AS BIGINT) AS mh%d"
+        % (i, i)
+        for i in range(N_MINHASH)
+    )
+    band_exprs = []
+    for b in range(N_MINHASH // BAND_SIZE):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        band_exprs.append(f"ROW({b}, md5({cols}))")
+
+    sim_bit_hash = "CAST(CAST(('0x' || substr(sha256(tok), 1, 12)) AS UBIGINT) AS BIGINT)"
+
+    return {
+        "vector_scan": f"""
+            SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
+                   round({_NORM_SQL}, 5) + 0.0 AS norm
+            FROM embeddings""",
+        "vector_stats": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(avg(n), 6) AS avg_norm, round(min(n), 6) AS min_norm,
+                   round(max(n), 6) AS max_norm, round(stddev_samp(n), 6) AS std_norm
+            FROM (SELECT {_NORM_SQL} AS n FROM embeddings)""",
+        "vector_mean": """
+            SELECT list(round(avg_val, 6) + 0.0 ORDER BY pos) AS mean_vec FROM (
+              SELECT pos, avg(CAST(val AS DOUBLE)) AS avg_val FROM (
+                SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+                FROM embeddings
+              ) GROUP BY pos)""",
+        "knn_degrees": _DEGREES_SQL,
+        "degree_histogram": f"""
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_ids
+            FROM ({_DEGREES_SQL}) GROUP BY degree""",
+        "carrier_selection": carrier_selection_oracle_sql(_DEGREES_SQL, KEY, RATE),
+        "topk_degree_pool": f"""
+            SELECT id, degree FROM ({_DEGREES_SQL})
+            ORDER BY degree, id LIMIT 100""",
+        "crc4_table": f"""
+            SELECT CAST(i AS INT) AS blk, CAST({crc4_table_sql('i')} AS INT) AS crc
+            FROM generate_series(0, 15) AS t(i)""",
+        "majority_vote_events": """
+            WITH decoded AS (
+              SELECT CAST(user_id % 16 AS INT) AS blk,
+                     CAST(CAST(CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 64 AS INT) AS payload
+              FROM events
+            ),
+            counts AS (SELECT blk, payload, count(*) AS cnt FROM decoded GROUP BY blk, payload),
+            totals AS (SELECT blk, sum(cnt) AS samples FROM counts GROUP BY blk),
+            winners AS (
+              SELECT blk, payload, cnt FROM (
+                SELECT blk, payload, cnt,
+                       row_number() OVER (PARTITION BY blk ORDER BY cnt DESC, payload ASC) AS rk
+                FROM counts) WHERE rk = 1
+            )
+            SELECT w.blk, w.payload, CAST(t.samples AS BIGINT) AS samples,
+                   CAST(w.cnt AS BIGINT) AS winner_count,
+                   round(w.cnt * 100.0 / t.samples, 4) AS winner_pct
+            FROM winners w JOIN totals t ON w.blk = t.blk""",
+        "sample_keyed": f"SELECT vec_id AS id FROM embeddings WHERE {u_sample} < 0.2",
+        "semi_join_carriers": f"""
+            WITH carriers AS ({carrier_selection_oracle_sql(_DEGREES_SQL, KEY, RATE)})
+            SELECT e.vec_id AS id, round({_NORM_SQL}, 5) + 0.0 AS norm
+            FROM embeddings e WHERE e.vec_id IN (SELECT id FROM carriers)""",
+        "anti_join_subset": f"""
+            SELECT vec_id AS id FROM embeddings WHERE NOT ({u_attack} < 0.7)""",
+        "attack_gaussian": f"""
+            SELECT vec_id AS id,
+                   CASE WHEN {u_attack} < 0.3
+                        THEN {_attacked_norm_sql(gauss_elem)}
+                        ELSE round({_NORM_SQL}, 5) + 0.0 END AS norm
+            FROM embeddings""",
+        "attack_subset": f"SELECT vec_id AS id FROM embeddings WHERE {u_attack} < 0.7",
+        "attack_mean_replace": f"""
+            SELECT vec_id AS id,
+                   CASE WHEN {u_attack} < 0.2
+                        THEN {_attacked_norm_sql(f"list_transform({mean_vec_sql}, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))")}
+                        ELSE round({_NORM_SQL}, 5) + 0.0 END AS norm
+            FROM embeddings""",
+        "attack_truncate_pad": f"""
+            SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
+                   round(sqrt(list_sum(list_transform(embedding[1:48],
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) + 0.0 AS norm
+            FROM embeddings""",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+            SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "q5_nation_revenue": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name""",
+        "events_hourly": """
+            SELECT CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT) AS hour_epoch, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 6) AS avg_value,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "events_json_extract": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type""",
+        "events_user_rollup": """
+            SELECT user_id, event_id, round(value, 2) AS value, CAST(rk AS BIGINT) AS rk FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rk
+              FROM events) WHERE rk <= 3""",
+        "dedup_exact_groups": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(text)""",
+        "dedup_minhash_signatures": f"""
+            SELECT doc_id AS id, [{', '.join(f'mh{i}' for i in range(N_MINHASH))}] AS sig
+            FROM (SELECT doc_id, {mh_cols} FROM
+                   (SELECT doc_id, {toks_set} AS toks FROM documents))""",
+        "dedup_minhash_pairs": f"""
+            WITH sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {toks_set} AS toks FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+            WHERE x.doc_id < y.doc_id""",
+        "dedup_jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, {toks_set} AS toks FROM documents)
+            SELECT a, b, jaccard FROM (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     round(CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(list_distinct(x.toks || y.toks))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM t x JOIN t y ON x.doc_id < y.doc_id
+            ) WHERE jaccard >= 0.35""",
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest({toks_set}) AS tok FROM documents
+            ),
+            bits AS (
+              SELECT id, bit,
+                     CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS s
+              FROM (SELECT id, {sim_bit_hash} AS h FROM toks),
+                   (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+            ),
+            sums AS (SELECT id, bit, sum(s) AS ssum FROM bits GROUP BY id, bit)
+            SELECT id, CAST(sum(CASE WHEN ssum > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+            FROM sums GROUP BY id""",
+        "text_stats": f"""
+            SELECT doc_id,
+                   {T.sql_token_count('text')} AS n_tokens,
+                   {T.sql_word_count_regex('text')} AS n_words_re,
+                   {T.sql_punct_count('text')} AS n_punct,
+                   {T.sql_stopword_count('text')} AS n_stopwords,
+                   {T.sql_quality_score('text')} + 0.0 AS quality
+            FROM documents""",
+        "lang_id": f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
+        "doc_fingerprints": f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
+        "ann_topk_cosine": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT vec_id AS id,
+                     round(
+                       list_sum(list_transform(list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv), p -> p[1] * p[2]))
+                       / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(qv, x -> x * x))) + 1e-12), 6) AS cos
+              FROM embeddings, q WHERE vec_id <> 0
+            )
+            SELECT id, cos, CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS INT) AS rank
+            FROM scored ORDER BY cos DESC, id ASC LIMIT 10""",
+        "cosine_neardup": """
+            WITH v AS (
+              SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            )
+            SELECT a.id AS a, b.id AS b,
+                   round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                            * sqrt(list_sum(list_transform(b.e, x -> x * x))) + 1e-12), 6) AS cos
+            FROM v a JOIN v b ON a.id < b.id
+            WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                        / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                           * sqrt(list_sum(list_transform(b.e, x -> x * x))) + 1e-12), 6) >= 0.35""",
+    }

@@ -1,0 +1,112 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1}
+
+Query set: the engine's flagship watermark round trip (embed -> blind extract
+on the embeddings table) plus representative operators from every family —
+kNN graph + degrees + carrier selection, relational aggregates/joins
+(TPC-H-ish q1/q3/q5), event-time rollups, dedup (MinHash-LSH, SimHash), text
+analysis, and similarity search.  Everything runs on local[$SPARK_GRAFT_CPUS]
+with AQE on — the same plans that would ship to a real cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = 0.1
+    for tag in ("0.001", "0.01", "0.1"):
+        if f"sf{tag}" in sf_dir:
+            sf = float(tag)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from vectordb_watermark_spark import get_spark
+    from vectordb_watermark_spark.operators import knn as K
+    from vectordb_watermark_spark.operators.selection import select_carriers
+    from vectordb_watermark_spark.plans.embed import embed_watermark
+    from vectordb_watermark_spark.plans.extract import extract_watermark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM/session so q1 doesn't pay session startup
+    spark.range(1000).count()
+
+    def q(name):  # driver-contract query by name, materialized
+        return lambda: qs[name](spark, sf_dir).count()
+
+    def wm_roundtrip():
+        df = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        )
+        res = embed_watermark(df, "SPARK-GRAFT-2026", "bench-key", rate=0.1,
+                              knn_method="broadcast")
+        out = extract_watermark(res.updated, "bench-key", res.nonce_hex, rate=0.1,
+                                knn_method="broadcast")
+        assert out.success, out.error
+
+    def knn_degrees_broadcast():
+        df = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        )
+        edges = K.knn_edges_broadcast(df, k=16)
+        K.in_degrees(df, edges).count()
+
+    def carrier_sel():
+        df = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        )
+        edges = K.knn_edges_broadcast(df, k=16)
+        select_carriers(K.in_degrees(df, edges), key="bench-key", rate=0.1).count()
+
+    run("wm_roundtrip", wm_roundtrip)
+    run("knn_degrees", knn_degrees_broadcast)
+    run("carrier_selection", carrier_sel)
+    run("q1_pricing_summary", q("q1_pricing_summary"))
+    run("q3_shipping_priority", q("q3_shipping_priority"))
+    run("q5_nation_revenue", q("q5_nation_revenue"))
+    run("events_hourly", q("events_hourly"))
+    run("events_user_rollup", q("events_user_rollup"))
+    run("dedup_minhash_pairs", q("dedup_minhash_pairs"))
+    run("dedup_simhash", q("dedup_simhash"))
+    run("text_stats", q("text_stats"))
+    run("lang_id", q("lang_id"))
+    run("ann_topk_cosine", q("ann_topk_cosine"))
+    run("cosine_neardup", q("cosine_neardup"))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

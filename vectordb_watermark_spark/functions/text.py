@@ -1,0 +1,203 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Beyond reference parity (the reference has no text ops), these are the
+document-pipeline operators a 100 TB curation job needs: token counting,
+quality scoring, language ID, and fingerprinting.  Everything is built-in
+Catalyst expressions (split / transform / aggregate / sha2) — no Python in
+the hot path — and every operator has an exact DuckDB SQL twin so the
+driver's oracle gate hash-checks it.
+
+Design notes for scale:
+- all per-document: embarrassingly parallel, no shuffle at all;
+- tokenization is ``split`` on whitespace + a lowercase filter, not a UDF;
+- hashes are sha2/md5 (JVM intrinsics, identical in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and deterministic: language ID at scale is
+#: a scoring argmax, the lexicon is a tuning knob.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "he2", "wo3", "ta1"],
+}
+
+#: generic stopword list for quality scoring (subset of en markers + fillers)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "on", "for", "as"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-string removal (split on runs of
+    whitespace leaves '' for leading separators)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count as BIGINT."""
+    return F.size(tokens(text)).cast("long")
+
+
+def word_count_regex(text: Column) -> Column:
+    """BPE-ish token count: alphabetic runs, digit runs, and single
+    non-space symbols each count as one token."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)).cast(
+        "long"
+    )
+
+
+def punct_count(text: Column) -> Column:
+    """Number of .,!?; characters — computed by length difference, which is
+    cheap and engine-agnostic (no regex dialect drift)."""
+    stripped = text
+    for ch in ".,!?;":
+        stripped = F.replace(stripped, F.lit(ch), F.lit(""))
+    return (F.length(text) - F.length(stripped)).cast("long")
+
+
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Count of tokens that are stopwords (case-insensitive)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]:
+
+    0.4 * length_score (saturating at 1000 chars)
+    + 0.3 * (1 - punct_ratio_clamped)
+    + 0.3 * stopword_presence (saturating at 10 stopwords)
+
+    The exact formula is an engine choice (the reference has no text ops);
+    what matters is determinism + monotonicity in the underlying signals.
+    """
+    n = F.length(text).cast("double")
+    length_score = F.least(n / F.lit(1000.0), F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(n, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))
+    sw_score = F.least(stopword_count(text).cast("double") / F.lit(10.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * punct_score + F.lit(0.3) * sw_score, 6
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over lowercase tokens."""
+    toks = tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t))).cast("long")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker score; ties break alphabetically; all-zero
+    scores -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l")) for lang in sorted(LANG_MARKERS)]
+    )
+    # array_sort on (s desc, l asc): sort by struct is (s asc, l asc), so sort
+    # by negated score
+    neg = F.array(
+        *[
+            F.struct((-scores[lang]).alias("ns"), F.lit(lang).alias("l"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.element_at(F.array_sort(neg), 1)
+    return F.when(best.getField("ns") == 0, F.lit("und")).otherwise(best.getField("l"))
+
+
+def shingle_hashes(text: Column, width: int = 8) -> Column:
+    """Array of 32-bit hashes of all character ``width``-grams — the basis of
+    rolling-hash document fingerprints and MinHash.  sha2-derived so DuckDB
+    reproduces it exactly."""
+    n = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(width - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.sha2(text.substr(i, F.lit(width)), 256), 1, 8), 16, 10
+        ).cast("long"),
+    )
+
+
+def fingerprint(text: Column, width: int = 8) -> Column:
+    """Document fingerprint: min shingle hash (winnowing-lite).  Two documents
+    sharing their minimal ``width``-gram hash are near-dup candidates."""
+    return F.array_min(shingle_hashes(text, width)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins (text_col is a raw SQL expression)
+# ---------------------------------------------------------------------------
+
+def sql_tokens(text_col: str) -> str:
+    return f"list_filter(string_split_regex({text_col}, '\\s+'), t -> t <> '')"
+
+
+def sql_token_count(text_col: str) -> str:
+    return f"CAST(len({sql_tokens(text_col)}) AS BIGINT)"
+
+
+def sql_word_count_regex(text_col: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)"
+    )
+
+
+def sql_punct_count(text_col: str) -> str:
+    expr = text_col
+    for ch in ".,!?;":
+        lit = "'!'" if ch == "!" else f"'{ch}'"
+        expr = f"replace({expr}, {lit}, '')"
+    return f"CAST(length({text_col}) - length({expr}) AS BIGINT)"
+
+
+def sql_stopword_count(text_col: str, stopwords: list[str] | None = None) -> str:
+    sw = ", ".join(f"'{s}'" for s in (stopwords or STOPWORDS))
+    return (
+        f"CAST(len(list_filter({sql_tokens(f'lower({text_col})')}, "
+        f"t -> list_contains([{sw}], t))) AS BIGINT)"
+    )
+
+
+def sql_quality_score(text_col: str) -> str:
+    n = f"CAST(length({text_col}) AS DOUBLE)"
+    length_score = f"least({n} / 1000.0, 1.0)"
+    punct_ratio = f"CAST({sql_punct_count(text_col)} AS DOUBLE) / greatest({n}, 1.0)"
+    punct_score = f"(1.0 - least({punct_ratio} * 10.0, 1.0))"
+    sw_score = f"least(CAST({sql_stopword_count(text_col)} AS DOUBLE) / 10.0, 1.0)"
+    return f"round(0.4 * {length_score} + 0.3 * {punct_score} + 0.3 * {sw_score}, 6)"
+
+
+def sql_lang_id(text_col: str) -> str:
+    toks = sql_tokens(f"lower({text_col})")
+    cases = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        cases.append(
+            f"ROW(-CAST(len(list_filter({toks}, t -> list_contains([{markers}], t))) AS BIGINT),"
+            f" '{lang}')"
+        )
+    arr = f"[{', '.join(cases)}]"
+    best = f"list_sort({arr})[1]"
+    return f"CASE WHEN ({best})[1] = 0 THEN 'und' ELSE ({best})[2] END"
+
+
+def sql_shingle_hashes(text_col: str, width: int = 8) -> str:
+    idx = f"generate_series(1, greatest(length({text_col}) - {width - 1}, 1))"
+    h = f"CAST(CAST(('0x' || substr(sha256(substr({text_col}, CAST(i AS INT), {width})), 1, 8)) AS UBIGINT) AS BIGINT)"
+    return f"list_transform({idx}, i -> {h})"
+
+
+def sql_fingerprint(text_col: str, width: int = 8) -> str:
+    return f"CAST(list_min({sql_shingle_hashes(text_col, width)}) AS BIGINT)"

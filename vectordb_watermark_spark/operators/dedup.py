@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The north-star extension set (BASELINE.json): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.  All designed
+Spark-first for 100 TB:
+
+- **exact**: one hash-groupBy shuffle on md5(text) — map-side combined.
+- **minhash**: signatures are per-row JVM expressions (no shuffle); LSH
+  banding turns near-dup detection into an equi-join on (band, band_hash) —
+  the only shuffle, AQE-skew-safe; candidate pairs are then verified with
+  exact Jaccard.  This is the canonical shuffle-minimal near-dup plan: no
+  O(N^2) stage anywhere.
+- **simhash**: 48-bit signature via explode -> per-bit sign aggregate; near
+  dups share the signature (or a band of it).
+- **ngram jaccard**: exact pairwise verify used on candidate pairs (or
+  standalone at small N / within blocking keys).
+- **embedding cosine**: see operators/similarity.py (cosine_neardup_pairs).
+
+Every operator is keyed-hash deterministic and has a DuckDB SQL twin in
+__spark_entry__.py for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.functions.text import tokens
+
+N_MINHASH = 16  # hash functions per signature
+BAND_SIZE = 4   # rows per LSH band -> 4 bands
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: ``(text_hash, canonical_id, dup_count)``.
+
+    One groupBy shuffle on the 128-bit content hash; canonical row is the
+    minimum id (deterministic).  Dedup itself is then a semi-join of
+    ``canonical_id`` back to the table.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id"))
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per exact text duplicate group."""
+    keep = exact_dup_groups(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _minhash_col(toks: F.Column, i: int) -> F.Column:
+    """Min over tokens of a 32-bit keyed hash — one MinHash coordinate.
+    Pure Catalyst: transform + array_min over the token array."""
+    return F.array_min(
+        F.transform(
+            toks,
+            lambda t: F.conv(
+                F.substring(F.sha2(F.concat(F.lit(f"mh{i}|"), t), 256), 1, 8), 16, 10
+            ).cast("long"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """``(id, sig ARRAY<BIGINT>[n_hashes])`` MinHash signatures over lowercase
+    whitespace-token sets.  No shuffle — per-row expressions only."""
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    sig = F.array(*[_minhash_col(toks, i) for i in range(n_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_bands(
+    sigs: DataFrame, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Explode signatures into ``(id, band, band_hash)`` LSH bucket keys.
+    Documents sharing any (band, band_hash) are near-dup candidates."""
+    n = N_MINHASH  # length is fixed by minhash_signatures
+    bands = []
+    for b in range(n // band_size):
+        seg = F.slice(F.col("sig"), b * band_size + 1, band_size)
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[F.element_at(seg, j + 1).cast("string") for j in range(band_size)])).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        "id", F.explode(F.array(*bands)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """LSH candidate pairs ``(a, b)`` with a < b — the scale path for near-dup
+    detection: signature (no shuffle) -> band equi-join (one shuffle) ->
+    distinct pairs."""
+    bands = minhash_bands(minhash_signatures(df, id_col, text_col, n_hashes), band_size)
+    left = bands.select("band", "band_hash", F.col("id").alias("a"))
+    right = bands.select("band", "band_hash", F.col("id").alias("b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard ``(a, b, jaccard)`` for candidate ``pairs``
+    (or all pairs when None — O(N^2), small N / intra-block only).
+
+    Verification stage of MinHash-LSH dedup; also standalone n-gram Jaccard.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("toks"),
+    )
+    if pairs is None:
+        a = toks.select(F.col("id").alias("a"), F.col("toks").alias("ta"))
+        b = toks.select(F.col("id").alias("b"), F.col("toks").alias("tb"))
+        joined = a.join(b, F.col("a") < F.col("b"))
+    else:
+        joined = (
+            pairs.join(toks.withColumnRenamed("id", "a").withColumnRenamed("toks", "ta"), "a")
+            .join(toks.withColumnRenamed("id", "b").withColumnRenamed("toks", "tb"), "b")
+        )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
+    union = F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("double")
+    j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("a", "b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48  # fits signed BIGINT with headroom; 48 bits is plenty at 5k docs
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(id, simhash BIGINT)`` 48-bit SimHash over distinct lowercase tokens.
+
+    Spark-first: explode tokens -> per-(id,bit) sign sums -> pack.  Two
+    shuffles of (id, bit) partial aggregates — map-side combined, linear in
+    token count, no N^2 anywhere.  Bit b of sha256(token) contributes +1/-1
+    to coordinate b; signature bit is 1 iff the sum is positive.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    # 48 bits from the first 12 hex chars of sha256(token)
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 12), 16, 10).cast("long")
+    bits = toks.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        h.alias("h"),
+    ).select(
+        "id",
+        "bit",
+        F.expr(
+            "CASE WHEN shiftright(h, CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END"
+        ).alias("s"),
+    )
+    sums = bits.groupBy("id", "bit").agg(F.sum("s").alias("ssum"))
+    packed = sums.groupBy("id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN ssum > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("simhash")
+    )
+    return packed.select("id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Scale path: band the 48-bit signature into (max_hamming+1) segments —
+    by pigeonhole, any pair within the Hamming budget shares at least one
+    exact segment — equi-join on (segment index, segment value), then verify
+    the full Hamming distance with bit_count.  One shuffle, no N^2.
+    """
+    n_seg = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_seg
+    segs = []
+    for s in range(n_seg):
+        width = seg_bits if s < n_seg - 1 else SIMHASH_BITS - seg_bits * (n_seg - 1)
+        val = F.shiftright(F.col("simhash"), s * seg_bits).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        segs.append(F.struct(F.lit(s).alias("seg"), val.alias("segval")))
+    exploded = sigs.select(
+        F.col("id"), F.col("simhash"), F.explode(F.array(*segs)).alias("sv")
+    ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
+    a = exploded.select("seg", "segval", F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    b = exploded.select("seg", "segval", F.col("id").alias("b"), F.col("simhash").alias("hb"))
+    cand = (
+        a.join(b, ["seg", "segval"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns — ANN for training-data pipelines.
+
+Extension set beyond reference parity (the reference's only similarity
+machinery is the HNSW proximity graph, which operators/knn.py re-expresses).
+Here: query-style top-k and near-dup pairs over an ``ARRAY<FLOAT>`` column.
+
+Scale design:
+- **brute-force top-k** (baseline): one pass over the table computing the
+  JVM-side cosine against a broadcast query vector, then ``ORDER BY LIMIT k``
+  — Catalyst turns that into TakeOrderedAndProject (per-partition top-k +
+  driver merge of k*partitions rows, never a global sort).
+- **LSH-bucketed top-k** (scale path): sign-LSH prefilter via
+  operators/knn.lsh_signatures — probe only buckets matching the query
+  signature, then exact re-rank.  Probes a ~2^-n_bits fraction of the table
+  per hash table.
+- **cosine near-dup pairs**: exact O(N^2) verify for small N / within
+  blocking keys; at scale feed candidates from knn_edges_lsh instead.
+- **IVF top-k**: keyed-hash-seeded k-means-lite (Lloyd iterations as
+  DataFrame aggregations), then probe the nearest ``n_probe`` partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vectordb_watermark_spark.functions.vector import cosine_similarity, sq_euclidean
+
+
+def _vec_lit(vec: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Brute-force cosine top-k: ``(id, cos, rank)``, rank 1 = most similar.
+
+    The query vector is a literal (broadcast in the plan); the scan computes
+    cosine in whole-stage codegen; ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — the correct distributed top-k plan.
+    """
+    q = _vec_lit(query_vec)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cos"),
+    )
+    ranked = scored.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
+    return ranked.select(
+        "id", "cos",
+        F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("id").asc())).alias("rank"),
+    )
+
+
+def topk_euclidean(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Brute-force Euclidean top-k: ``(id, dist2, rank)``."""
+    q = _vec_lit(query_vec)
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(sq_euclidean(F.col(vec_col), q), 6).alias("dist2"),
+    )
+    ranked = scored.orderBy(F.col("dist2").asc(), F.col("id").asc()).limit(k)
+    return ranked.select(
+        "id", "dist2",
+        F.row_number().over(Window.orderBy(F.col("dist2").asc(), F.col("id").asc())).alias("rank"),
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Embedding near-dup pairs ``(a, b, cos)`` with cos >= threshold, a < b.
+
+    Exact all-pairs — O(N^2), for small N or within blocking keys.  At scale,
+    replace the pair generator with knn_edges_lsh candidates and keep the
+    same verify expression.
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    key: str = "ivf",
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means-lite with keyed-hash-seeded centroids.
+
+    Seeds are the ``n_centroids`` rows with the smallest sha2(key|id) — a
+    deterministic, order-free "random" sample.  Each Lloyd iteration is one
+    assignment pass (JVM-side distances against centroid literals) + one
+    posexplode mean aggregation.  Returns (assignments ``(id, centroid)``,
+    centroid list).  Centroid count is small (driver-side list) — the 100 TB
+    scaling dimension is rows, not centroids.
+    """
+    from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
+
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  keyed_hash_hex(key, "seed", F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [list(map(float, r["v"])) for r in seeds]
+
+    def assign(cents: list[list[float]]) -> DataFrame:
+        dists = [
+            sq_euclidean(F.col(vec_col), _vec_lit(c)).alias(f"d{i}") for i, c in enumerate(cents)
+        ]
+        structs = F.array(
+            *[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("c")) for i in range(len(cents))]
+        )
+        return (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *dists)
+            .select("id", "v", F.element_at(F.array_sort(structs), 1).getField("c").alias("centroid"))
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select("centroid", F.transform("pairs", lambda p: p.getField("m")).alias("mean"))
+            .collect()
+        )
+        new = {r["centroid"]: list(map(float, r["mean"])) for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+
+    return assign(centroids).select("id", "centroid"), centroids
+
+
+def ivf_topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    key: str = "ivf",
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """IVF-pruned cosine top-k: probe only the ``n_probe`` centroids nearest
+    the query, then exact re-rank inside those partitions.  Approximate
+    (recall is a tested contract); scans ~n_probe/n_centroids of the data."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(df, n_centroids, key=key, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cdist = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (cdist[i], i))[:n_probe]
+    sub = df.join(
+        F.broadcast(assigned.filter(F.col("centroid").isin(probe)).select(F.col("id").alias(id_col))),
+        id_col,
+        "left_semi",
+    )
+    return topk_cosine(sub, query_vec, k, id_col, vec_col)
