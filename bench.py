@@ -63,9 +63,14 @@ def main() -> None:
         )
         res = embed_watermark(df, "SPARK-GRAFT-2026", "bench-key", rate=0.1,
                               knn_method="broadcast")
-        out = extract_watermark(res.updated, "bench-key", res.nonce_hex, rate=0.1,
+        # materialize the watermarked table once (a real pipeline writes it
+        # back to storage between embed and extract)
+        updated = res.updated.cache()
+        updated.count()
+        out = extract_watermark(updated, "bench-key", res.nonce_hex, rate=0.1,
                                 knn_method="broadcast")
         assert out.success, out.error
+        updated.unpersist()
 
     def knn_degrees_broadcast():
         df = (

@@ -36,6 +36,9 @@ def topk_by_coarse_key(
     """
     if k <= 0:
         return df.limit(0)
+    # the input feeds both the histogram action and the below/boundary scans;
+    # cache so an expensive upstream lineage (e.g. a kNN build) runs once
+    df = df.cache()
     hist = (
         df.groupBy(coarse_col)
         .count()

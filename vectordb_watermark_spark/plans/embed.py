@@ -113,10 +113,13 @@ def embed_watermark(
 
     if degrees is None:
         # the graph is built on watermark-invariant features so extraction
-        # re-derives the identical graph (plans/codec.py graph_features)
-        gdf = with_graph_features(df, codec, id_col, vec_col)
+        # re-derives the identical graph (plans/codec.py graph_features).
+        # gfeat is cached because the kNN build reads it twice (build side +
+        # probe side); degrees is cached because carrier selection issues
+        # several small driver actions (count, degree histogram) over it.
+        gdf = with_graph_features(df, codec, id_col, vec_col).cache()
         edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
-        degrees = K.in_degrees(df, edges, id_col)
+        degrees = K.in_degrees(df, edges, id_col).cache()
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col).cache()
     n_carriers = carriers.count()
 

@@ -110,9 +110,9 @@ def extract_watermark(
     if degrees is None:
         # same watermark-invariant graph features as the embed side — the
         # blind carrier re-derivation is exact on unattacked data
-        gdf = with_graph_features(df, codec, id_col, vec_col)
+        gdf = with_graph_features(df, codec, id_col, vec_col).cache()
         edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
-        degrees = K.in_degrees(df, edges, id_col)
+        degrees = K.in_degrees(df, edges, id_col).cache()
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
 
     decoded = decode_carriers(df, carriers, codec, id_col, vec_col).cache()
