@@ -382,6 +382,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cosine_neardup(spark, sf):
         return S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
 
+    def events_sessionize(spark, sf):  # streaming sessionization, batch twin
+        from vectordb_watermark_spark.streaming.events import sessionize_batch
+
+        return sessionize_batch(_events(spark, sf).withColumnRenamed("ts_ns", "ts"),
+                                gap_seconds=900)
+
+    def media_metadata(spark, sf):  # multimodal binary-column plumbing
+        from vectordb_watermark_spark.operators.multimodal import media_metadata as mm
+
+        d = _docs(spark, sf).select(
+            F.col("doc_id").alias("id"), F.encode(F.col("text"), "UTF-8").alias("media")
+        )
+        return mm(d)
+
     # ---- non-SQL-expressible (rows-only checks) ----
 
     def knn_lsh_edges(spark, sf):  # approximate: contract-tested, not oracled
@@ -443,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "ann_topk_cosine": ann_topk_cosine,
         "cosine_neardup": cosine_neardup,
+        "events_sessionize": events_sessionize,
+        "media_metadata": media_metadata,
         "knn_lsh_edges": knn_lsh_edges,
         "watermark_roundtrip": watermark_roundtrip,
         "ivf_topk": ivf_topk,
@@ -496,7 +512,16 @@ def oracle_sql() -> dict[str, str]:
 
     sim_bit_hash = "CAST(CAST(('0x' || substr(sha256(tok), 1, 12)) AS UBIGINT) AS BIGINT)"
 
+    from vectordb_watermark_spark.streaming.events import sessionize_batch_oracle_sql
+
     return {
+        "events_sessionize": sessionize_batch_oracle_sql(gap_seconds=900),
+        "media_metadata": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                   sha256(text) AS content_hash,
+                   'unknown' AS media_type
+            FROM documents""",
         "vector_scan": f"""
             SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
                    round({_NORM_SQL}, 5) + 0.0 AS norm

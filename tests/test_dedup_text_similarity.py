@@ -1,0 +1,227 @@
+"""Contract tests for the training-data-pipeline extensions:
+dedup (exact / MinHash-LSH / SimHash / Jaccard), text analysis, and
+similarity search.  Exact oracle parity is covered by the driver gate
+(__spark_entry__.oracle_sql, mirrored in tools/check_oracle.py); these tests
+pin the *semantic* contracts: MinHash approximates Jaccard, SimHash Hamming
+tracks similarity, LSH candidates achieve recall, IVF top-k recalls the
+brute-force top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from vectordb_watermark_spark.functions import text as T
+from vectordb_watermark_spark.operators import dedup as D
+from vectordb_watermark_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return (
+        load(spark, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        .cache()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_with_planted_duplicates(spark, docs):
+    # plant exact duplicates with fresh ids; dedup must keep the originals
+    dupes = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dupes = docs.unionByName(dupes)
+    deduped = D.dedup_exact(with_dupes)
+    assert deduped.count() == docs.count()
+    # canonical = min id -> all original ids survive
+    assert deduped.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+    groups = D.exact_dup_groups(with_dupes)
+    assert groups.filter(F.col("dup_count") == 2).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# MinHash / Jaccard
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimates_jaccard(spark):
+    rows = []
+    base = [f"tok{i}" for i in range(40)]
+    rows.append((0, " ".join(base)))
+    rows.append((1, " ".join(base[:30] + [f"x{i}" for i in range(10)])))  # J ~= 0.6
+    rows.append((2, " ".join(f"y{i}" for i in range(40))))  # J = 0 vs doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+    est01 = np.mean([a == b for a, b in zip(sigs[0], sigs[1])])
+    est02 = np.mean([a == b for a, b in zip(sigs[0], sigs[2])])
+    true01 = 30 / 50
+    assert abs(est01 - true01) < 0.35  # 16 hashes -> coarse but centered
+    assert est02 == 0.0
+
+
+def test_minhash_lsh_recall_on_neardups(spark):
+    # identical docs must always collide in every band
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    rows += [(10 + i, f"unrelated{i} " + " ".join(f"w{i}{j}" for j in range(6))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]) for r in D.minhash_candidate_pairs(df).collect()}
+    for i in range(5):
+        for j in range(i + 1, 5):
+            assert (i, j) in pairs
+
+
+def test_jaccard_pairs_values(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")], "doc_id long, text string"
+    )
+    got = {(r["a"], r["b"]): r["jaccard"] for r in D.jaccard_pairs(df, threshold=0.0).collect()}
+    assert got[(0, 1)] == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+    assert got[(0, 2)] == 0.0
+    # verify stage on explicit candidate pairs matches the all-pairs path
+    cand = spark.createDataFrame([(0, 1)], "a long, b long")
+    via_cand = D.jaccard_pairs(df, pairs=cand, threshold=0.0).collect()
+    assert len(via_cand) == 1 and via_cand[0]["jaccard"] == 0.6
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_identical_docs_equal_and_near_pairs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sigs[0] == sigs[1]
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham02 > 5  # unrelated docs differ substantially
+
+    near = D.simhash_near_pairs(D.simhash(df), max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in near.collect()}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) not in got
+
+
+def test_simhash_banding_is_lossless_within_budget(spark, docs):
+    """Pigeonhole banding must find ALL pairs within the Hamming budget
+    (it is exact, not probabilistic)."""
+    sigs = D.simhash(docs.limit(60)).cache()
+    rows = sigs.collect()
+    budget = 6
+    expected = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if bin(a["simhash"] ^ b["simhash"]).count("1") <= budget:
+                key = (min(a["id"], b["id"]), max(a["id"], b["id"]))
+                expected.add(key)
+    got = {
+        (r["a"], r["b"]) for r in D.simhash_near_pairs(sigs, max_hamming=budget).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_and_punct_counts(spark):
+    df = spark.createDataFrame([(0, "Hello, world! This is   a test.")], "id long, text string")
+    row = df.select(
+        T.token_count(F.col("text")).alias("nt"),
+        T.punct_count(F.col("text")).alias("np"),
+        T.stopword_count(F.col("text")).alias("ns"),
+    ).first()
+    assert row["nt"] == 6
+    assert row["np"] == 3  # comma, bang, period
+    assert row["ns"] == 2  # 'is', 'a'
+
+
+def test_quality_score_monotone_in_length(spark):
+    df = spark.createDataFrame(
+        [(0, "short text"), (1, "the " * 300)], "id long, text string"
+    )
+    rows = {r["id"]: r["q"] for r in df.select("id", T.quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= rows[0] <= 1.0 and 0.0 <= rows[1] <= 1.0
+    assert rows[1] > rows[0]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat of the mat and it is that"),
+            (1, "le chat est un animal et la maison est une"),
+            (2, "der hund ist ein tier und das haus ist nicht"),
+            (3, "zzz qqq www"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", T.lang_id(F.col("text")).alias("l")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "fr"
+    assert got[2] == "de"
+    assert got[3] == "und"
+
+
+def test_fingerprint_deterministic_and_shift_sensitive(spark, docs):
+    a = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    b = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert a == b
+    # identical text -> identical fingerprint
+    df = spark.createDataFrame([(0, "abcdefghij klmno"), (1, "abcdefghij klmno")], "doc_id long, text string")
+    f = [r["fp"] for r in df.select(T.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert f[0] == f[1]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_topk_cosine_matches_numpy(spark, vectors):
+    rows = vectors.collect()
+    mat = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in rows])
+    ids = np.array([r["id"] for r in rows])
+    q = mat[ids.tolist().index(0)]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + 1e-12)
+    mask = ids != 0
+    order = sorted(zip(np.round(-cos[mask], 6), ids[mask]))
+    expected = [int(i) for _, i in order[:10]]
+    got = [r["id"] for r in S.topk_cosine(vectors.filter(F.col("id") != 0),
+                                          [float(x) for x in q], k=10).collect()]
+    assert got == expected
+
+
+def test_ivf_topk_recall(spark, vectors):
+    rows = vectors.collect()
+    q = [float(x) for x in rows[0]["emb"]]
+    qid = rows[0]["id"]
+    brute = {r["id"] for r in S.topk_cosine(vectors.filter(F.col("id") != qid), q, k=10).collect()}
+    approx = {r["id"] for r in S.ivf_topk_cosine(
+        vectors.filter(F.col("id") != qid), q, k=10, n_centroids=8, n_probe=4
+    ).collect()}
+    # probing half the centroids must recover most of the true top-10
+    assert len(brute & approx) >= 5
+
+
+def test_gemm_neardup_matches_expr_path(spark, vectors):
+    sub = vectors.limit(100)
+    a = {(r["a"], r["b"]): r["cos"] for r in
+         S.cosine_neardup_pairs(sub, threshold=0.3, method="gemm").collect()}
+    b = {(r["a"], r["b"]): r["cos"] for r in
+         S.cosine_neardup_pairs(sub, threshold=0.3, method="expr").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9

@@ -1,0 +1,171 @@
+"""Multimodal plumbing + streaming operator tests.
+
+Multimodal: the codecs are stubbed (no image libs here), but the Spark-side
+plumbing — binary schemas, Arrow batch shapes, mapInPandas kernels, per-frame
+fan-out — runs for real against deterministic fake formats.
+
+Streaming: file-source stream of the events table; windowed counts must equal
+the batch computation; stateful sessionization must match the batch twin on
+closed sessions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY, load
+from vectordb_watermark_spark.operators import multimodal as M
+from vectordb_watermark_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, M.make_fake_image(b"img0", 16, 12, 3)),
+        (1, M.make_fake_image(b"img1", 8, 8, 1)),
+        (2, M.make_fake_audio(b"aud0", 512, 8000)),
+        (3, M.make_fake_video(b"vid0", 6, 8, 6)),
+        (4, b"\xff\xd8\xff\xe0fakejpegbody"),
+    ]
+    return spark.createDataFrame(rows, "id long, media binary").cache()
+
+
+def test_media_metadata_sniffs_types(media):
+    got = {r["id"]: r for r in M.media_metadata(media).collect()}
+    assert got[0]["media_type"] == "image/fake"
+    assert got[2]["media_type"] == "audio/fake"
+    assert got[3]["media_type"] == "video/fake"
+    assert got[4]["media_type"] == "image/jpeg"
+    assert all(len(r["content_hash"]) == 64 for r in got.values())
+    assert got[1]["byte_len"] == len(M.make_fake_image(b"img1", 8, 8, 1))
+
+
+def test_decode_resize_features_pipeline(media):
+    imgs = media.filter(F.col("id") < 2)
+    decoded = M.decode_images(imgs)
+    rows = {r["id"]: r for r in decoded.collect()}
+    assert (rows[0]["width"], rows[0]["height"], rows[0]["channels"]) == (16, 12, 3)
+    assert len(bytes(rows[0]["pixels"])) == 16 * 12 * 3
+
+    resized = M.resize_images(decoded, 4, 3)
+    rrows = {r["id"]: r for r in resized.collect()}
+    assert (rrows[0]["width"], rrows[0]["height"]) == (4, 3)
+    assert len(bytes(rrows[0]["pixels"])) == 4 * 3 * 3
+
+    feats = {r["id"]: r["features"] for r in M.image_features(decoded).collect()}
+    assert len(feats[0]) == 6  # 3 channels x (mean, std)
+    assert len(feats[1]) == 2
+    assert all(0.0 <= f <= 1.0 for f in feats[0])
+
+
+def test_decode_real_format_raises_stub_error(spark, media):
+    jpeg = media.filter(F.col("id") == 4)
+    with pytest.raises(Exception, match="NotImplementedError|image/jpeg"):
+        M.decode_images(jpeg).collect()
+
+
+def test_video_frame_sampling(media):
+    vids = media.filter(F.col("id") == 3)
+    frames = M.sample_video_frames(vids, every_k=2).collect()
+    assert [f["frame_idx"] for f in frames] == [0, 2, 4]
+    assert all(len(bytes(f["pixels"])) == 8 * 6 for f in frames)
+
+
+def test_audio_features(media):
+    aud = media.filter(F.col("id") == 2)
+    feats = M.audio_features(aud).collect()[0]["features"]
+    assert len(feats) == 3
+    assert 0.0 < feats[0] < 1.0  # RMS of a keystream is mid-range
+    assert feats[2] == 8000.0
+
+
+# ---------------------------------------------------------------------------
+# streaming
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_TINY}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_stream_dir):
+    stream = SE.stream_events(spark, events_stream_dir)
+    q = (
+        SE.windowed_event_counts(stream, "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(SE.EVENTS_SCHEMA).parquet(events_stream_dir)
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000")))
+    )
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in SE.windowed_event_counts(batch).collect()
+    }
+    assert got == expected
+    assert len(got) > 10
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, events_stream_dir):
+    stream = SE.stream_events(spark, events_stream_dir)
+    q = (
+        SE.sessionize_stream(stream, gap_seconds=900)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start_sec"], r["session_end_sec"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.schema(SE.EVENTS_SCHEMA).parquet(events_stream_dir)
+    expected_all = {
+        (r["user_id"], r["session_start_sec"], r["session_end_sec"], r["n_events"])
+        for r in SE.sessionize_batch(batch, gap_seconds=900).collect()
+    }
+    # the stream emits sessions closed by a subsequent event or state timeout;
+    # trailing open sessions may be withheld — everything emitted must be a
+    # real session, and most sessions must have been emitted
+    assert got <= expected_all
+    assert len(got) >= 0.5 * len(expected_all)
+
+
+def test_sessionize_batch_semantics(spark):
+    ns = 1_000_000_000
+    rows = [
+        (1, 0 * ns, 7, "a", 0.0, "{}"),
+        (2, 100 * ns, 7, "a", 0.0, "{}"),
+        (3, 5000 * ns, 7, "a", 0.0, "{}"),  # gap > 1800s -> new session
+        (4, 50 * ns, 8, "a", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["session_start_sec"], r["session_end_sec"], r["n_events"])
+        for r in SE.sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    assert got[(7, 1)] == (0, 100, 2)
+    assert got[(7, 2)] == (5000, 5000, 1)
+    assert got[(8, 1)] == (50, 50, 1)

@@ -1,0 +1,227 @@
+"""Structured Streaming over the events table — engine extensions.
+
+The reference has no streaming surface (SURVEY.md §2.10); these operators are
+the incremental/event-time extensions a production deployment of the engine
+needs, built on Structured Streaming:
+
+- :func:`stream_events` — file-source stream of the events schema.
+- :func:`windowed_event_counts` — event-time tumbling-window aggregation with
+  a (temporal) watermark for late data.
+- :func:`sessionize_stream` — custom stateful sessionization via
+  ``applyInPandasWithState`` (gap-based sessions per user).
+- :func:`sessionize_batch` — the deterministic batch twin (lag + cumulative
+  window), which is the DuckDB-oracle-checkable definition of a session.
+- :func:`incremental_embed` — ``foreachBatch`` glue that runs the watermark
+  EMBED pipeline over newly arrived vector rows per micro-batch.
+
+Scale notes: windowed aggs shuffle on (window, key) with partial aggregation;
+sessionization state is per-user and bounded by the watermark timeout; the
+batch twin is one window function over a (user_id, ts) range-partitioned
+sort — no single-partition global window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: events.parquet stores TIMESTAMP(NANOS); streamed via nanosAsLong + cast
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+DEFAULT_GAP_SECONDS = 1800  # 30-minute session gap
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of events with a proper event-time column
+    (``event_time`` TIMESTAMP derived from the nanosecond epoch)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return raw.withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type with late-data
+    handling: ``(window_start, window_end, event_type, n_events, sum_value)``.
+
+    Works on both a stream (stateful, watermark-bounded) and a batch frame
+    (the watermark is a no-op in batch) — one definition, two execution modes.
+    """
+    src = events.withWatermark("event_time", watermark_delay) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("event_time", window_duration), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS
+) -> DataFrame:
+    """Gap-based sessionization, batch definition:
+    ``(user_id, session_id, session_start_sec, session_end_sec, n_events)``.
+
+    A new session starts when the gap to the previous event of the same user
+    exceeds ``gap_seconds``.  Expressed as lag + running sum over a window
+    partitioned by user — shuffles once on user_id, no global sort.  This is
+    the oracle-checkable twin of :func:`sessionize_stream`.
+    """
+    sec = F.expr("ts DIV 1000000000")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    marked = (
+        events.select("user_id", "event_id", sec.alias("sec"))
+        .withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_sec").isNull()
+                | ((F.col("sec") - F.col("prev_sec")) > gap_seconds),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+    )
+    return marked.groupBy("user_id", "session_id").agg(
+        F.min("sec").alias("session_start_sec"),
+        F.max("sec").alias("session_end_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sessionize_batch_oracle_sql(gap_seconds: int = DEFAULT_GAP_SECONDS) -> str:
+    """DuckDB twin of :func:`sessionize_batch` over the ``events`` view."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+marked AS (
+  SELECT user_id, event_id, sec,
+         CASE WHEN lag(sec) OVER w IS NULL
+                   OR sec - lag(sec) OVER w > {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, sec,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(min(sec) AS BIGINT) AS session_start_sec,
+       CAST(max(sec) AS BIGINT) AS session_end_sec,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via ``applyInPandasWithState`` — the custom
+    stateful operator shape (SURVEY.md §2.10 extension).
+
+    State per user: (open-session start, last event sec, count).  A session
+    is emitted when the gap is exceeded by a new event or when the state
+    times out past the watermark.  Output schema matches
+    :func:`sessionize_batch` minus the deterministic session_id (streaming
+    emission order is inherently arrival-dependent).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start_sec long, session_end_sec long, n_events long"
+    )
+    state_schema = "start_sec long, last_sec long, n long"
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start, last, n)],
+                columns=["user_id", "session_start_sec", "session_end_sec", "n_events"],
+            )
+            return
+        secs = []
+        for pdf in pdf_iter:
+            secs.extend((pdf["ts"] // 1_000_000_000).tolist())
+        secs.sort()
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed = []
+        for s in secs:
+            if start is None:
+                start, last, n = s, s, 1
+            elif s - last > gap_seconds:
+                closed.append((user_id, start, last, n))
+                start, last, n = s, s, 1
+            else:
+                last, n = s, n + 1
+        if start is not None:
+            state.update((start, last, n))
+            state.setTimeoutTimestamp(last * 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_sec", "session_end_sec", "n_events"],
+            )
+
+    return (
+        events.withWatermark("event_time", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def incremental_embed(
+    stream: DataFrame,
+    message: str,
+    key: str,
+    output_path: str,
+    checkpoint_path: str,
+    rate: float = 0.1,
+):
+    """Incremental watermark EMBED over newly arrived vector rows: each
+    micro-batch runs the batch embed pipeline and appends the watermarked
+    rows to ``output_path``.  ``foreachBatch`` is the canonical bridge from
+    Structured Streaming to a batch dataflow (SURVEY.md §2.10 extension —
+    the reference's embed is batch-only)."""
+    from vectordb_watermark_spark.plans.embed import embed_watermark
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        res = embed_watermark(batch_df, message, key, rate=rate)
+        res.updated.write.mode("append").parquet(output_path)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+    )
