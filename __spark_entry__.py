@@ -382,6 +382,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cosine_neardup(spark, sf):
         return S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
 
+    def carriers_by_threshold(spark, sf):  # J6 legacy threshold selection
+        from vectordb_watermark_spark.operators.selection import select_by_threshold
+
+        return select_by_threshold(_degrees(spark, sf), max_degree=10)
+
+    def pairwise_viz_stats(spark, sf):  # P13/A5/M-viz stats over keyed sample
+        from vectordb_watermark_spark.operators.viz import pairwise_stats
+
+        return pairwise_stats(_vectors(spark, sf), max_rows=200, seed_key="viz-42")
+
+    def pca_projection(spark, sf):  # M1 2-D projection (rows-only: eigensign
+        from vectordb_watermark_spark.operators.viz import project_2d
+
+        return project_2d(_vectors(spark, sf), max_rows=200, seed_key="viz-42")
+
     def events_sessionize(spark, sf):  # streaming sessionization, batch twin
         from vectordb_watermark_spark.streaming.events import sessionize_batch
 
@@ -459,6 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": cosine_neardup,
         "events_sessionize": events_sessionize,
         "media_metadata": media_metadata,
+        "carriers_by_threshold": carriers_by_threshold,
+        "pairwise_viz_stats": pairwise_viz_stats,
+        "pca_projection": pca_projection,
         "knn_lsh_edges": knn_lsh_edges,
         "watermark_roundtrip": watermark_roundtrip,
         "ivf_topk": ivf_topk,
@@ -514,7 +532,31 @@ def oracle_sql() -> dict[str, str]:
 
     from vectordb_watermark_spark.streaming.events import sessionize_batch_oracle_sql
 
+    u_viz = sql_keyed_uniform("'viz-42'", "'s'", "vec_id")
+    viz_frac = "least(1.0, 200.0 / greatest((SELECT count(*) FROM embeddings), 1))"
+    e_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
     return {
+        "carriers_by_threshold": f"""
+            SELECT id, degree FROM ({_DEGREES_SQL}) WHERE degree <= 10""",
+        "pairwise_viz_stats": f"""
+            WITH s AS (
+              SELECT vec_id AS id, {e_dbl} AS e FROM embeddings
+              WHERE {u_viz} < ({viz_frac})
+            ),
+            p AS (
+              SELECT sqrt(list_sum(list_transform(list_zip(a.e, b.e),
+                          q -> (q[1] - q[2]) * (q[1] - q[2])))) AS dist,
+                     list_sum(list_transform(list_zip(a.e, b.e), q -> q[1] * q[2]))
+                       / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.e, x -> x * x))) + 1e-12) AS cos
+              FROM s a JOIN s b ON a.id < b.id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(avg(dist), 6) AS mean_dist, round(max(dist), 6) AS max_dist,
+                   round(avg(cos), 6) AS mean_cos, round(min(cos), 6) AS min_cos,
+                   round(max(cos), 6) AS max_cos, round(stddev_samp(cos), 6) AS std_cos
+            FROM p""",
         "events_sessionize": sessionize_batch_oracle_sql(gap_seconds=900),
         "media_metadata": """
             SELECT doc_id AS id,

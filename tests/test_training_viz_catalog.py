@@ -1,0 +1,141 @@
+"""Tests for the training/calibration path (M4), visualization operators
+(M5), catalog introspection (C1-C6), and legacy selection (J6/J7)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_TINY, load
+from vectordb_watermark_spark import training as TR
+from vectordb_watermark_spark.operators import viz as VZ
+from vectordb_watermark_spark.operators.knn import in_degrees, knn_edges_exact
+from vectordb_watermark_spark.operators.selection import (
+    load_carriers,
+    save_carriers,
+    select_by_threshold,
+    select_carriers,
+)
+from vectordb_watermark_spark.sources import catalog as C
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return (
+        load(spark, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        .cache()
+    )
+
+
+# ---------------------------------------------------------------------------
+# training / calibration
+# ---------------------------------------------------------------------------
+
+def test_train_codec_writes_checkpoint_and_loads(spark, vectors, tmp_path):
+    ckpt = TR.train_codec(vectors, key="train-key", results_dir=str(tmp_path))
+    assert ckpt["dim"] == 64
+    assert ckpt["grade"] in ("excellent", "good", "poor")
+    assert ckpt["val_ber"] <= 0.08  # clean+mild-noise curriculum on 64d
+    assert TR.model_exists(64, str(tmp_path))
+    codec = TR.load_codec(64, "train-key", str(tmp_path))
+    assert codec.delta == ckpt["delta"]
+    # history covers the adaptive grid, BER reported per delta
+    assert len(ckpt["history"]) >= 3
+    assert all(0.0 <= h["val_ber"] <= 0.5 for h in ckpt["history"])
+
+
+def test_load_codec_without_checkpoint_falls_back(tmp_path):
+    codec = TR.load_codec(64, "k", str(tmp_path / "nope"))
+    assert codec.delta == pytest.approx(0.08)
+
+
+def test_adaptive_params_scale_with_dim():
+    p64, p384 = TR.adaptive_params(64), TR.adaptive_params(384)
+    assert max(p64["delta_grid"]) > max(p384["delta_grid"])
+
+
+def test_torch_trainer_is_import_gated():
+    with pytest.raises((ImportError, NotImplementedError)):
+        TR.TorchTrainer()
+
+
+# ---------------------------------------------------------------------------
+# viz
+# ---------------------------------------------------------------------------
+
+def test_pairwise_stats_shape_and_bounds(vectors):
+    row = VZ.pairwise_stats(vectors, max_rows=200).first()
+    assert row["n_pairs"] > 100
+    assert row["mean_dist"] > 0
+    assert -1.0 <= row["min_cos"] <= row["mean_cos"] <= row["max_cos"] <= 1.0
+
+
+def test_distributed_pca_matches_numpy(spark, vectors):
+    mean, comps = VZ.distributed_pca(vectors, k=2)
+    X = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in vectors.collect()])
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    top2 = vecs[:, np.argsort(vals)[::-1][:2]]
+    # compare up to sign
+    for c in range(2):
+        dot = abs(float(top2[:, c] @ comps[:, c]))
+        assert dot > 0.999
+
+
+def test_project_2d_deterministic(vectors):
+    a = {r["id"]: (r["x"], r["y"]) for r in VZ.project_2d(vectors, max_rows=100).collect()}
+    b = {r["id"]: (r["x"], r["y"]) for r in VZ.project_2d(vectors, max_rows=100).collect()}
+    assert a == b
+    assert len(a) > 30
+
+
+def test_tsne_import_gated(vectors):
+    try:
+        import sklearn  # noqa: F401
+        pytest.skip("sklearn present; t-SNE path exercised implicitly")
+    except ImportError:
+        with pytest.raises(ImportError, match="scikit-learn"):
+            VZ.project_2d(vectors, method="tsne")
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+def test_catalog_register_and_introspect(spark):
+    names = C.register_dir(spark, SF_TINY)
+    assert "embeddings" in names and "lineitem" in names
+    assert set(names) <= set(C.list_tables(spark))
+    assert C.list_vector_columns(spark, "embeddings") == ["embedding"]
+    assert C.list_vector_columns(spark, "lineitem") == []
+    keys = C.list_key_candidates(spark, "embeddings")
+    assert "vec_id" in keys
+    assert C.is_unique_key(spark, "embeddings", "vec_id")
+    assert not C.is_unique_key(spark, "lineitem", "l_orderkey")
+    assert C.vector_dimension(spark, "embeddings", "embedding") == 64
+    desc = {r["table"]: r for r in C.describe_catalog(spark).collect()}
+    assert desc["embeddings"]["vector_columns"] == ["embedding"]
+
+
+# ---------------------------------------------------------------------------
+# legacy selection + persistence
+# ---------------------------------------------------------------------------
+
+def test_select_by_threshold_and_persistence(spark, vectors, tmp_path):
+    degrees = in_degrees(vectors, knn_edges_exact(vectors, k=8)).cache()
+    legacy = select_by_threshold(degrees, max_degree=5)
+    rows = legacy.collect()
+    assert all(r["degree"] <= 5 for r in rows)
+    ordered = [(r["degree"], r["id"]) for r in rows]
+    assert ordered == sorted(ordered)
+
+    carriers = select_carriers(degrees, key="k", rate=0.1)
+    path = str(tmp_path / "carriers")
+    save_carriers(carriers, path)
+    back = load_carriers(spark, path)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in carriers.select("id", "degree", "selection_order", "blk").collect()
+    }

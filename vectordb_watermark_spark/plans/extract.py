@@ -31,7 +31,7 @@ from vectordb_watermark_spark.functions import bits as B
 from vectordb_watermark_spark.functions import crypto as C
 from vectordb_watermark_spark.operators import knn as K
 from vectordb_watermark_spark.operators.selection import select_carriers
-from vectordb_watermark_spark.operators.vote import majority_vote
+from vectordb_watermark_spark.operators.vote import robust_vote
 from vectordb_watermark_spark.plans.codec import OrthogonalCodec, with_graph_features
 from vectordb_watermark_spark.sources.io import vector_dim
 
@@ -120,7 +120,7 @@ def extract_watermark(
     valid = crc_filter(decoded).cache()
     n_valid = valid.count()
 
-    vote = majority_vote(valid, "blk", "payload")
+    vote = robust_vote(valid, "blk", "payload")
     stats = sorted(vote.collect(), key=lambda r: r.blk)
     recovered = {r.blk: r.payload for r in stats}
     n_blocks = len(recovered)
