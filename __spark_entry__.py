@@ -141,6 +141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"),
         )
 
+    def point_lookup(spark, sf):  # S4 PK point lookup
+        return _vectors(spark, sf).filter(F.col("id") == 42).select(
+            "id", F.size("emb").cast("long").alias("dim"),
+            (F.round(V.l2_norm(F.col("emb")), 5) + F.lit(0.0)).alias("norm"),
+        )
+
     def vector_stats(spark, sf):  # A5/A8
         return V.vector_stats(_vectors(spark, sf), "emb")
 
@@ -439,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.ivf_topk_cosine(df.filter(F.col("id") != 0), qv, k=10)
 
     return {
+        "point_lookup": point_lookup,
         "vector_scan": vector_scan,
         "vector_stats": vector_stats,
         "vector_mean": vector_mean,
@@ -564,6 +571,10 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_hash,
                    'unknown' AS media_type
             FROM documents""",
+        "point_lookup": f"""
+            SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
+                   round({_NORM_SQL}, 5) + 0.0 AS norm
+            FROM embeddings WHERE vec_id = 42""",
         "vector_scan": f"""
             SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
                    round({_NORM_SQL}, 5) + 0.0 AS norm

@@ -139,3 +139,46 @@ def test_select_by_threshold_and_persistence(spark, vectors, tmp_path):
     assert {tuple(r) for r in back.collect()} == {
         tuple(r) for r in carriers.select("id", "degree", "selection_order", "blk").collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# io helpers (S7/S11/P14) + union viz (JN5)
+# ---------------------------------------------------------------------------
+
+def test_load_npy_roundtrip(spark, tmp_path):
+    import numpy as np
+    from vectordb_watermark_spark.sources.io import load_npy
+
+    mat = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "m.npy")
+    np.save(p, mat)
+    df = load_npy(spark, p)
+    rows = {r["id"]: r["emb"] for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[1] == [0.0, 1.0, 2.0, 3.0]
+    assert df.schema.simpleString() == "struct<id:bigint,emb:array<float>>"
+
+
+def test_truncate_and_identifier(spark, vectors):
+    from vectordb_watermark_spark.sources.io import truncate_table, validate_identifier
+
+    assert truncate_table(vectors).count() == 0
+    assert truncate_table(vectors).schema == vectors.schema
+    assert validate_identifier("ok_name1") == "ok_name1"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        validate_identifier("bad;drop")
+
+
+def test_project_2d_compare_shared_basis(spark, vectors):
+    from vectordb_watermark_spark.operators.viz import project_2d_compare
+
+    shifted = vectors.withColumn("emb", F.transform("emb", lambda x: x + F.lit(0.5)))
+    out = project_2d_compare(vectors, shifted, max_rows=120)
+    rows = out.collect()
+    srcs = {r["source"] for r in rows}
+    assert srcs == {"original", "watermarked"}
+    # shared basis: the constant shift must separate the two clouds' means
+    import numpy as np
+    xs = {s: np.mean([r["x"] for r in rows if r["source"] == s]) for s in srcs}
+    assert abs(xs["original"] - xs["watermarked"]) > 0.01

@@ -146,6 +146,10 @@ def project_2d(
         return df.sparkSession.createDataFrame(out, f"{id_col} long, x double, y double")
 
     mean, comps = distributed_pca(sample, vec_col, k=2)
+    return _project_with_basis(sample, mean, comps, id_col, vec_col)
+
+
+def _project_with_basis(sample, mean, comps, id_col, vec_col, extra_cols=()):
     mean_lit = F.array(*[F.lit(float(v)) for v in mean])
     centered = F.zip_with(F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m)
     px = F.array(*[F.lit(float(v)) for v in comps[:, 0]])
@@ -155,6 +159,33 @@ def project_2d(
     )
     return sample.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.round(dot(centered, px), 6).alias("x"),
         F.round(dot(centered, py), 6).alias("y"),
     )
+
+
+def project_2d_compare(
+    before: DataFrame,
+    after: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    max_rows: int = VIZ_SAMPLE_BUDGET,
+    seed_key: str = "viz-42",
+) -> DataFrame:
+    """JN5 union-for-viz (reference np.vstack([orig, embedded]),
+    pg_func.py:963): project original and watermarked tables into ONE shared
+    PCA basis with a ``source`` tag — ``(id, source, x, y)``.  The basis is
+    fit on the union so both clouds live in the same 2-D frame."""
+    tagged = before.select(
+        F.col(id_col), F.col(vec_col), F.lit("original").alias("source")
+    ).unionByName(
+        after.select(F.col(id_col), F.col(vec_col), F.lit("watermarked").alias("source"))
+    )
+    total = before.count() + after.count()
+    frac = min(1.0, max_rows / max(total, 1))
+    sample = tagged.filter(
+        keyed_uniform(seed_key, "s", F.col(id_col), F.col("source")) < F.lit(frac)
+    )
+    mean, comps = distributed_pca(sample, vec_col, k=2)
+    return _project_with_basis(sample, mean, comps, id_col, vec_col, extra_cols=("source",))

@@ -81,3 +81,35 @@ def snapshot(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Backup sink (S10) — replaces the reference's .npz carrier backup
     (pg_func.py:441-461) with a columnar snapshot."""
     df.write.mode(mode).parquet(path)
+
+
+def load_npy(spark: SparkSession, path: str, id_start: int = 1) -> DataFrame:
+    """S7 bulk load: a ``.npy`` (N, D) float matrix -> vector table
+    ``(id, emb)`` with sequential ids (reference
+    database/pgvector/docker/insert.py:27-79 loads the same shape via
+    execute_values).  The file is memory-mapped on the driver and shipped in
+    row chunks; for files beyond driver memory convert to parquet once and
+    use the columnar scan instead."""
+    import numpy as np
+
+    mat = np.load(path, mmap_mode="r")
+    if mat.ndim != 2:
+        raise ValueError(f"expected (N, D) matrix, got shape {mat.shape}")
+    rows = (
+        (id_start + i, [float(x) for x in mat[i]]) for i in range(mat.shape[0])
+    )
+    return spark.createDataFrame(rows, "id long, emb array<float>")
+
+
+def truncate_table(df: DataFrame) -> DataFrame:
+    """S11 table truncate (reference attack/clear.py:16 `DELETE FROM t`):
+    an empty frame with the same schema — write it with mode='overwrite'."""
+    return df.limit(0)
+
+
+def validate_identifier(name: str) -> str:
+    """P14 SQL-identifier hygiene (reference insert.py:21-25): alnum and
+    underscores only; returns the name or raises."""
+    if not name or not name.replace("_", "").isalnum():
+        raise ValueError(f"invalid identifier: {name!r}")
+    return name
