@@ -40,6 +40,32 @@ def majority_vote(
     )
 
 
+def _bitwise_from_counts(
+    counts: DataFrame, blk_col: str, payload_col: str, n_bits: int
+) -> DataFrame:
+    """``(blk, payload)`` per-bit weighted majority over pre-aggregated
+    ``(blk, payload, cnt)`` rows; bit is 1 iff strictly more than half the
+    weight has it set (ties -> 0)."""
+    bits = counts.select(
+        F.col(blk_col),
+        F.col("cnt"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        F.col(payload_col).alias("__p"),
+    ).select(
+        blk_col,
+        "bit",
+        F.expr("CASE WHEN shiftright(__p, CAST(bit AS INT)) & 1 = 1 "
+               "THEN cnt ELSE -cnt END").alias("s"),
+    )
+    sums = bits.groupBy(blk_col, "bit").agg(F.sum("s").alias("ssum"))
+    return sums.groupBy(blk_col).agg(
+        F.sum(
+            F.expr("CASE WHEN ssum > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
+                   "ELSE CAST(0 AS BIGINT) END")
+        ).cast("int").alias(payload_col)
+    )
+
+
 def bitwise_majority_vote(
     decoded: DataFrame,
     blk_col: str = "blk",
@@ -53,24 +79,9 @@ def bitwise_majority_vote(
     More robust than bitstring mode when no single intact payload repeats —
     single-bit errors average out instead of fragmenting the vote.
     """
-    bits = decoded.select(
-        F.col(blk_col),
-        F.col(payload_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
-    ).select(
-        blk_col,
-        "bit",
-        F.expr(f"CASE WHEN shiftright({payload_col}, CAST(bit AS INT)) & 1 = 1 "
-               "THEN 1 ELSE -1 END").alias("s"),
-    )
-    sums = bits.groupBy(blk_col, "bit").agg(F.sum("s").alias("ssum"))
-    packed = sums.groupBy(blk_col).agg(
-        F.sum(
-            F.expr("CASE WHEN ssum > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-                   "ELSE CAST(0 AS BIGINT) END")
-        ).cast("int").alias(payload_col)
-    )
-    totals = decoded.groupBy(blk_col).agg(F.count(F.lit(1)).alias("samples"))
+    counts = decoded.groupBy(blk_col, payload_col).agg(F.count(F.lit(1)).alias("cnt"))
+    packed = _bitwise_from_counts(counts, blk_col, payload_col, n_bits)
+    totals = counts.groupBy(blk_col).agg(F.sum("cnt").alias("samples"))
     return packed.join(totals, blk_col).select(blk_col, payload_col, "samples")
 
 
@@ -79,31 +90,87 @@ def robust_vote(
     blk_col: str = "blk",
     payload_col: str = "payload",
     n_bits: int = 16,
-    min_support: int = 2,
+    trim_radius: int | None = None,
 ) -> DataFrame:
-    """Pollution-resistant per-block vote used by blind extraction.
+    """Trimmed Hamming-centroid per-block vote used by blind extraction.
 
-    CRC-surviving false carriers (pollution from blind carrier re-derivation
-    drift) carry *random* payloads — they essentially never duplicate.  True
-    carriers duplicate their block payload heavily.  So: take the bitstring
-    mode when its winner repeats (``winner_count >= min_support`` — then it
-    is almost surely the true payload), else fall back to the bitwise
-    majority, which tolerates unique-but-near-correct samples better than a
-    fragmented mode.  Schema matches :func:`majority_vote`.
+    Two passes, both pure DataFrame aggregations over the tiny
+    ``(blk, payload, cnt)`` count table:
+
+    1. **Trim**: compute the per-bit weighted majority ``m0`` over all of a
+       block's samples and drop samples with ``popcount(payload ^ m0) >
+       trim_radius`` (default ``n_bits // 4``).  CRC-lucky false carriers
+       from blind carrier re-derivation drift carry *random* payloads —
+       Hamming ~``n_bits/2`` from everything — and one such outlier can tie
+       or tip a close vote among the true samples; trimming removes it
+       without touching near-correct true samples (attack noise flips only a
+       few bits).  Blocks where trimming would drop everything keep all
+       samples (pollution-only blocks still vote; the AES-GCM tag is the
+       final arbiter).
+    2. **Centroid vote** over the survivors: winner = the candidate payload
+       minimizing the multiplicity-weighted total Hamming distance to the
+       block's surviving samples (ties -> smaller payload).  Candidates are
+       the surviving payloads plus their bitwise majority, which can
+       synthesize the centroid when every sample carries a different
+       single-bit error.  This subsumes the bitstring mode (zero distance to
+       duplicates) and handles *correlated* single-bit errors (an attack
+       suppressing one basis direction flips the same bit across carriers,
+       creating mode ties that plain tie-breaks get wrong).
+
+    ``samples`` / ``winner_pct`` report over the **untrimmed** block so
+    stats match the reference's tallies.  Schema matches
+    :func:`majority_vote`.
     """
-    mode = majority_vote(decoded, blk_col, payload_col)
-    bitwise = bitwise_majority_vote(decoded, blk_col, payload_col, n_bits).select(
-        blk_col, F.col(payload_col).alias("__bw_payload")
+    if trim_radius is None:
+        trim_radius = max(1, n_bits // 4)
+    counts = decoded.groupBy(blk_col, payload_col).agg(F.count(F.lit(1)).alias("cnt"))
+
+    m0 = _bitwise_from_counts(counts, blk_col, payload_col, n_bits).select(
+        blk_col, F.col(payload_col).alias("__m0")
     )
+    flagged = counts.join(m0, blk_col).withColumn(
+        "__keep",
+        F.bit_count(F.col(payload_col).bitwiseXOR(F.col("__m0"))) <= F.lit(trim_radius),
+    )
+    any_kept = Window.partitionBy(blk_col)
+    trimmed = (
+        flagged.withColumn("__n_kept", F.sum(F.col("__keep").cast("int")).over(any_kept))
+        .filter(F.col("__keep") | (F.col("__n_kept") == 0))
+        .select(blk_col, payload_col, "cnt")
+    )
+
+    bw = _bitwise_from_counts(trimmed, blk_col, payload_col, n_bits)
+    candidates = trimmed.select(blk_col, payload_col).unionByName(bw).distinct().select(
+        F.col(blk_col), F.col(payload_col).alias("__cand")
+    )
+    scored = (
+        candidates.join(trimmed, blk_col)
+        .groupBy(blk_col, "__cand")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.bit_count(F.col("__cand").bitwiseXOR(F.col(payload_col)))
+            ).alias("__total_ham")
+        )
+    )
+    w = Window.partitionBy(blk_col).orderBy(F.col("__total_ham").asc(), F.col("__cand").asc())
+    winners = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(blk_col), F.col("__cand").alias(payload_col))
+    )
+    totals = counts.groupBy(blk_col).agg(F.sum("cnt").alias("samples"))
+    exact = counts.select(blk_col, payload_col, F.col("cnt").alias("__exact"))
     return (
-        mode.join(bitwise, blk_col)
+        winners.join(totals, blk_col)
+        .join(exact, [blk_col, payload_col], "left")
         .select(
-            blk_col,
-            F.when(F.col("winner_count") >= min_support, F.col(payload_col))
-            .otherwise(F.col("__bw_payload"))
-            .alias(payload_col),
-            "samples",
-            "winner_count",
-            "winner_pct",
+            F.col(blk_col),
+            F.col(payload_col),
+            F.col("samples"),
+            F.coalesce(F.col("__exact"), F.lit(0)).cast("long").alias("winner_count"),
+            F.round(F.coalesce(F.col("__exact"), F.lit(0)) * 100.0 / F.col("samples"), 4).alias(
+                "winner_pct"
+            ),
         )
     )

@@ -50,6 +50,30 @@ def _bits_to_msg(bits: np.ndarray) -> np.ndarray:
     return (bits.astype(np.int64) << shifts[None, :]).sum(axis=1)
 
 
+_DET_CHUNK = 512
+
+
+def _det_dot(V: np.ndarray, U: np.ndarray) -> np.ndarray:
+    """(B, D) x (D, K) -> (B, K), **batch-shape-independent**.
+
+    BLAS GEMM picks blocking/accumulation order by matrix shape, so the same
+    row can round differently depending on who shares its Arrow batch — which
+    makes decode signs of near-zero projections flip between runs (batch
+    boundaries vary with AQE).  Summing each row over the LAST axis of a
+    C-contiguous temp uses numpy's per-row pairwise reduction — identical for
+    a row regardless of batch composition.  Chunked to bound the (c, K, D)
+    temp (~c*K*D*8 bytes).
+    """
+    B, D = V.shape
+    K = U.shape[1]
+    out = np.empty((B, K), dtype=np.float64)
+    Ut = np.ascontiguousarray(U.T)  # (K, D)
+    for s in range(0, B, _DET_CHUNK):
+        c = V[s : s + _DET_CHUNK]
+        out[s : s + _DET_CHUNK] = (c[:, None, :] * Ut[None, :, :]).sum(axis=-1)
+    return out
+
+
 class OrthogonalCodec:
     """Deterministic orthogonal-subspace watermark codec.
 
@@ -99,8 +123,8 @@ class OrthogonalCodec:
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         v_n = V / (norms + 1e-8)
         coeff = (2.0 * _msg_to_bits(np.asarray(msgs)) - 1.0) * self.delta
-        proj = v_n @ U
-        w = v_n - proj @ U.T + coeff @ U.T
+        proj = _det_dot(v_n, U)
+        w = v_n - _det_dot(proj - coeff, U.T)
         # re-unit then restore the cover's norm (decode is scale-invariant:
         # it reads coefficient signs), mirroring pg_func.py:363-377
         w /= np.linalg.norm(w, axis=1, keepdims=True) + 1e-12
@@ -109,7 +133,7 @@ class OrthogonalCodec:
     def decode_batch(self, vectors: np.ndarray) -> np.ndarray:
         """(B, dim) float vectors -> (B,) packed 24-bit ints."""
         V = np.asarray(vectors, dtype=np.float64)
-        bits = (V @ self.basis) > 0.0
+        bits = _det_dot(V, self.basis) > 0.0
         return _bits_to_msg(bits)
 
     def graph_features(self, vectors: np.ndarray) -> np.ndarray:
@@ -126,7 +150,7 @@ class OrthogonalCodec:
         """
         V = np.asarray(vectors, dtype=np.float64)
         U = self.basis
-        comp = V - (V @ U) @ U.T
+        comp = V - _det_dot(_det_dot(V, U), U.T)
         norms = np.linalg.norm(comp, axis=1, keepdims=True)
         return (comp / (norms + 1e-12)).astype(np.float32)
 
