@@ -523,9 +523,12 @@ def oracle_sql() -> dict[str, str]:
 
     toks = T.sql_tokens("lower(text)")
     toks_set = f"list_distinct({toks})"
+    # coordinate i = 32-bit slice i of two keyed sha256 digests per token
+    # (matches operators/dedup.py minhash_signatures; DuckDB recomputes the
+    # digests per coordinate — oracle clarity over oracle speed)
     mh_cols = ", ".join(
-        "CAST(list_min(list_transform(toks, t -> CAST(CAST(('0x' || substr(sha256('mh%d|' || t), 1, 8)) AS UBIGINT) AS BIGINT))) AS BIGINT) AS mh%d"
-        % (i, i)
+        "CAST(list_min(list_transform(toks, t -> CAST(CAST(('0x' || substr(sha256('mh0|' || t) || sha256('mh1|' || t), %d, 8)) AS UBIGINT) AS BIGINT))) AS BIGINT) AS mh%d"
+        % (8 * i + 1, i)
         for i in range(N_MINHASH)
     )
     band_exprs = []

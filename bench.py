@@ -50,8 +50,14 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # warm the JVM/session so q1 doesn't pay session startup
+    # warm the JVM and fork the Arrow Python workers so the first query
+    # doesn't pay session startup (one-time costs, not query work)
     spark.range(1000).count()
+    import pandas as pd  # noqa: F401
+
+    spark.range(0, int(cpus) * 4, 1, int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     def q(name):  # driver-contract query by name, materialized
         return lambda: qs[name](spark, sf_dir).count()

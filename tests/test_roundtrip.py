@@ -262,6 +262,28 @@ def test_bitwise_and_robust_vote_semantics(spark):
     assert rv[1] == (30000, 4)    # intact duplicate wins the distance vote
 
 
+def test_robust_vote_counts_matches_dataframe(spark):
+    """extract_watermark uses the driver-side kernel; the DataFrame op is the
+    distributed twin — they must agree on arbitrary tallies."""
+    import random
+
+    from vectordb_watermark_spark.operators.vote import robust_vote, robust_vote_counts
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(4), rng.randrange(1 << 16)) for _ in range(300)]
+    # inject heavy duplicates so some blocks have clear winners
+    rows += [(b, 12345 + b) for b in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "blk int, payload int")
+    from collections import Counter
+
+    counts = [(b, p, c) for (b, p), c in Counter(rows).items()]
+    local = robust_vote_counts(counts)
+    dist = {
+        r.blk: (r.payload, r.samples, r.winner_count) for r in robust_vote(df).collect()
+    }
+    assert local == dist
+
+
 def test_robust_vote_correlated_bit_error(spark):
     from vectordb_watermark_spark.operators.vote import robust_vote
 

@@ -31,6 +31,17 @@ N_MINHASH = 16  # hash functions per signature
 BAND_SIZE = 4   # rows per LSH band -> 4 bands
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's parallelism when the
+    plan has fewer partitions (e.g. one small parquet file).  Keeps
+    fan-out-heavy stages parallel at small scale; no-op on inputs that are
+    already well-partitioned (the common case on a real cluster)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: ``(text_hash, canonical_id, dup_count)``.
 
@@ -53,26 +64,38 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(keep, id_col, "left_semi")
 
 
-def _minhash_col(toks: F.Column, i: int) -> F.Column:
-    """Min over tokens of a 32-bit keyed hash — one MinHash coordinate.
-    Pure Catalyst: transform + array_min over the token array."""
-    return F.array_min(
-        F.transform(
-            toks,
-            lambda t: F.conv(
-                F.substring(F.sha2(F.concat(F.lit(f"mh{i}|"), t), 256), 1, 8), 16, 10
-            ).cast("long"),
-        )
-    )
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH
 ) -> DataFrame:
     """``(id, sig ARRAY<BIGINT>[n_hashes])`` MinHash signatures over lowercase
-    whitespace-token sets.  No shuffle — per-row expressions only."""
+    whitespace-token sets.  No shuffle — per-row expressions only.
+
+    Two sha256 **per token** (not one per token x coordinate): each 256-bit
+    digest is 64 hex chars = eight 8-char slices, so two keyed digests give
+    16 independent uniform 32-bit coordinates.  The fold (``aggregate`` +
+    ``zip_with least``) keeps the digest array nested in a single expression
+    so Catalyst's projection collapse can't duplicate the sha256 evaluation
+    per coordinate — 8x fewer hashes than the naive per-coordinate form,
+    which dominated the dedup plan's runtime.
+    """
+    if n_hashes > 16:
+        raise ValueError("two sha256 digests yield at most 16 32-bit slices")
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    sig = F.array(*[_minhash_col(toks, i) for i in range(n_hashes)])
+    digests = F.transform(
+        toks,
+        lambda t: F.concat(
+            F.sha2(F.concat(F.lit("mh0|"), t), 256), F.sha2(F.concat(F.lit("mh1|"), t), 256)
+        ),
+    )
+    init = F.array_repeat(F.lit(1 << 33).cast("long"), n_hashes)  # > any 32-bit slice
+
+    def fold(acc: F.Column, d: F.Column) -> F.Column:
+        slices = F.array(
+            *[F.conv(F.substring(d, 8 * i + 1, 8), 16, 10).cast("long") for i in range(n_hashes)]
+        )
+        return F.zip_with(acc, slices, lambda x, y: F.least(x, y))
+
+    sig = F.when(F.size(toks) > 0, F.aggregate(digests, init, fold))
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
@@ -104,7 +127,12 @@ def minhash_candidate_pairs(
     detection: signature (no shuffle) -> band equi-join (one shuffle) ->
     distinct pairs."""
     bands = minhash_bands(minhash_signatures(df, id_col, text_col, n_hashes), band_size)
-    left = bands.select("band", "band_hash", F.col("id").alias("a"))
+    # the broadcast band-join fans each probe row out to its whole bucket, so
+    # probe-side parallelism bounds the pair-generation parallelism.  A small
+    # input (one parquet file -> one partition) would serialize the O(sum m^2)
+    # generation; round-robin spread is skew-proof (a hot bucket's rows land
+    # on ALL partitions).  No-op when the source is already well-partitioned.
+    left = _spread(bands).select("band", "band_hash", F.col("id").alias("a"))
     right = bands.select("band", "band_hash", F.col("id").alias("b"))
     return (
         left.join(right, ["band", "band_hash"])
@@ -209,7 +237,9 @@ def simhash_near_pairs(
     exploded = sigs.select(
         F.col("id"), F.col("simhash"), F.explode(F.array(*segs)).alias("sv")
     ).select("id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.segval").alias("segval"))
-    a = exploded.select("seg", "segval", F.col("id").alias("a"), F.col("simhash").alias("ha"))
+    a = _spread(exploded).select(
+        "seg", "segval", F.col("id").alias("a"), F.col("simhash").alias("ha")
+    )
     b = exploded.select("seg", "segval", F.col("id").alias("b"), F.col("simhash").alias("hb"))
     cand = (
         a.join(b, ["seg", "segval"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()

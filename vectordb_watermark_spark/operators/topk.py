@@ -20,6 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: below this row count the scalable paths cost more in job/stage overhead
+#: than a plain single-partition window — callers that already know N pass
+#: ``total`` and small inputs short-circuit (AQE-style adaptivity; the
+#: scalable path stays the default when N is unknown)
+SMALL_TOTAL = 2_000_000
+
 
 def topk_by_coarse_key(
     df: DataFrame,
@@ -27,6 +33,7 @@ def topk_by_coarse_key(
     coarse_col: str,
     fine_cols: list[str],
     ascending: bool = True,
+    total: int | None = None,
 ) -> DataFrame:
     """Top-``k`` rows by ``(coarse_col, *fine_cols)`` without a global sort.
 
@@ -36,6 +43,14 @@ def topk_by_coarse_key(
     """
     if k <= 0:
         return df.limit(0)
+    if total is not None and total <= SMALL_TOTAL:
+        lead = F.col(coarse_col).asc() if ascending else F.col(coarse_col).desc()
+        w = Window.orderBy(lead, *[F.col(c).asc() for c in fine_cols])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
     # the input feeds both the histogram action and the below/boundary scans;
     # cache so an expensive upstream lineage (e.g. a kNN build) runs once
     df = df.cache()
@@ -70,7 +85,11 @@ def topk_by_coarse_key(
 
 
 def global_row_number(
-    df: DataFrame, order_cols: list[str], out_col: str = "rn", num_partitions: int | None = None
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    total: int | None = None,
 ) -> DataFrame:
     """Global 1-based row number by ``order_cols`` without a single-partition
     sort.
@@ -83,6 +102,8 @@ def global_row_number(
     ordered ranges — so determinism is preserved.
     """
     cols = [F.col(c) for c in order_cols]
+    if total is not None and total <= SMALL_TOTAL:
+        return df.withColumn(out_col, F.row_number().over(Window.orderBy(*cols)))
     if num_partitions is None:
         parted = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     else:

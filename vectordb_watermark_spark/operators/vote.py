@@ -85,6 +85,56 @@ def bitwise_majority_vote(
     return packed.join(totals, blk_col).select(blk_col, payload_col, "samples")
 
 
+def robust_vote_counts(
+    counts: list[tuple[int, int, int]],
+    n_bits: int = 16,
+    trim_radius: int | None = None,
+) -> dict[int, tuple[int, int, int]]:
+    """Driver-side kernel of :func:`robust_vote` over pre-aggregated
+    ``(blk, payload, cnt)`` triples.
+
+    The count table is **bounded** — at most ``blocks x 2**n_bits`` rows
+    regardless of corpus size — so after the one distributed
+    ``groupBy(blk, payload).count()`` the vote itself is driver-scalar work
+    (same shape as AQE deciding to broadcast a provably-small side).
+    :func:`extract_watermark` uses this to avoid ~a dozen tiny shuffle
+    stages per extract.  Semantics are identical to :func:`robust_vote`
+    (property-tested against it); returns ``{blk: (payload, samples,
+    winner_count)}``.
+    """
+    if trim_radius is None:
+        trim_radius = max(1, n_bits // 4)
+    by_blk: dict[int, dict[int, int]] = {}
+    for blk, payload, cnt in counts:
+        by_blk.setdefault(blk, {})[payload] = by_blk.get(blk, {}).get(payload, 0) + cnt
+
+    def bitwise(c: dict[int, int]) -> int:
+        m = 0
+        for b in range(n_bits):
+            s = sum(cnt if (p >> b) & 1 else -cnt for p, cnt in c.items())
+            if s > 0:
+                m |= 1 << b
+        return m
+
+    out: dict[int, tuple[int, int, int]] = {}
+    for blk, c in by_blk.items():
+        samples = sum(c.values())
+        m0 = bitwise(c)
+        trimmed = {p: cnt for p, cnt in c.items() if bin(p ^ m0).count("1") <= trim_radius}
+        if not trimmed:
+            trimmed = c
+        cands = set(trimmed) | {bitwise(trimmed)}
+        winner = min(
+            cands,
+            key=lambda cand: (
+                sum(cnt * bin(cand ^ p).count("1") for p, cnt in trimmed.items()),
+                cand,
+            ),
+        )
+        out[blk] = (winner, samples, c.get(winner, 0))
+    return out
+
+
 def robust_vote(
     decoded: DataFrame,
     blk_col: str = "blk",

@@ -31,7 +31,7 @@ from vectordb_watermark_spark.functions import bits as B
 from vectordb_watermark_spark.functions import crypto as C
 from vectordb_watermark_spark.operators import knn as K
 from vectordb_watermark_spark.operators.selection import select_carriers
-from vectordb_watermark_spark.operators.vote import robust_vote
+from vectordb_watermark_spark.operators.vote import robust_vote_counts
 from vectordb_watermark_spark.plans.codec import OrthogonalCodec, with_graph_features
 from vectordb_watermark_spark.sources.io import vector_dim
 
@@ -115,14 +115,33 @@ def extract_watermark(
         degrees = K.in_degrees(df, edges, id_col).cache()
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
 
-    decoded = decode_carriers(df, carriers, codec, id_col, vec_col).cache()
-    total = decoded.count()
-    valid = crc_filter(decoded).cache()
-    n_valid = valid.count()
+    # one distributed aggregation fuses the decode-tally and the vote input:
+    # (blk, payload, crc-valid?) -> count.  The result is bounded (16 blocks
+    # x 2^16 payloads + invalid tallies) so the trim + centroid vote runs
+    # driver-side (vote.robust_vote_counts) — no further shuffles.
+    decoded = decode_carriers(df, carriers, codec, id_col, vec_col)
+    tallies = (
+        decoded.withColumn(
+            "crc_ok",
+            (F.col("blk") >= 0)
+            & (F.col("blk") < B.BLOCK_COUNT)
+            & (B.crc4_int_col(F.col("blk")) == F.col("crc")),
+        )
+        .groupBy("blk", "payload", "crc_ok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(r.cnt for r in tallies)
+    valid_counts = [(r.blk, r.payload, r.cnt) for r in tallies if r["crc_ok"]]
+    n_valid = sum(c for _, _, c in valid_counts)
 
-    vote = robust_vote(valid, "blk", "payload")
-    stats = sorted(vote.collect(), key=lambda r: r.blk)
-    recovered = {r.blk: r.payload for r in stats}
+    voted = robust_vote_counts(valid_counts)
+    stats = [
+        {"blk": blk, "payload": p, "samples": s, "winner_count": wc,
+         "winner_pct": round(wc * 100.0 / s, 4) if s else 0.0}
+        for blk, (p, s, wc) in sorted(voted.items())
+    ]
+    recovered = {blk: p for blk, (p, _, _) in voted.items()}
     n_blocks = len(recovered)
 
     cipher32 = B.assemble_message(recovered)
