@@ -190,6 +190,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return majority_vote(decoded)
 
+    def robust_vote_events(spark, sf):  # A2 engine upgrade: trimmed centroid
+        from vectordb_watermark_spark.operators.vote import robust_vote
+
+        ev = _events(spark, sf)
+        decoded = ev.select(
+            (F.col("user_id") % 16).cast("int").alias("blk"),
+            (
+                F.conv(F.substring(F.sha2(F.col("event_id").cast("string"), 256), 1, 8), 16, 10)
+                .cast("long") % 64
+            ).cast("int").alias("payload"),
+        )
+        return robust_vote(decoded)
+
     def sample_keyed(spark, sf):  # O5 keyed-hash deterministic sample
         from vectordb_watermark_spark.functions.hashing import keyed_uniform
 
@@ -455,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_degree_pool": topk_degree_pool,
         "crc4_table": crc4_table,
         "majority_vote_events": majority_vote_events,
+        "robust_vote_events": robust_vote_events,
         "sample_keyed": sample_keyed,
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
@@ -622,6 +636,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(w.cnt AS BIGINT) AS winner_count,
                    round(w.cnt * 100.0 / t.samples, 4) AS winner_pct
             FROM winners w JOIN totals t ON w.blk = t.blk""",
+        # trimmed Hamming-centroid vote (operators/vote.robust_vote, n_bits=16,
+        # trim_radius=4): per-bit weighted majority m0 -> drop samples with
+        # popcount(payload ^ m0) > 4 (keep all if that empties the block) ->
+        # winner = candidate (survivor payloads + survivor bitwise majority)
+        # minimizing weighted total Hamming distance, ties -> smaller payload
+        "robust_vote_events": """
+            WITH decoded AS (
+              SELECT CAST(user_id % 16 AS INT) AS blk,
+                     CAST(CAST(CAST(('0x' || substr(sha256(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 64 AS INT) AS payload
+              FROM events
+            ),
+            counts AS (SELECT blk, payload, count(*) AS cnt FROM decoded GROUP BY blk, payload),
+            nbits AS (SELECT unnest(generate_series(0, 15)) AS bit),
+            bits0 AS (
+              SELECT blk, bit,
+                     sum(CASE WHEN (payload >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS ssum
+              FROM counts, nbits GROUP BY blk, bit
+            ),
+            m0 AS (
+              SELECT blk, CAST(sum(CASE WHEN ssum > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS m
+              FROM bits0 GROUP BY blk
+            ),
+            flagged AS (
+              SELECT c.blk, c.payload, c.cnt,
+                     bit_count(xor(CAST(c.payload AS BIGINT), m0.m)) <= 4 AS keep
+              FROM counts c JOIN m0 ON c.blk = m0.blk
+            ),
+            kept AS (
+              SELECT blk, payload, cnt FROM (
+                SELECT f.*, sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY blk) AS nk
+                FROM flagged f) WHERE keep OR nk = 0
+            ),
+            bits1 AS (
+              SELECT blk, bit,
+                     sum(CASE WHEN (payload >> bit) & 1 = 1 THEN cnt ELSE -cnt END) AS ssum
+              FROM kept, nbits GROUP BY blk, bit
+            ),
+            bw AS (
+              SELECT blk, CAST(sum(CASE WHEN ssum > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS cand
+              FROM bits1 GROUP BY blk
+            ),
+            cands AS (
+              SELECT blk, CAST(payload AS BIGINT) AS cand FROM kept
+              UNION SELECT blk, cand FROM bw
+            ),
+            scored AS (
+              SELECT c.blk, c.cand,
+                     sum(k.cnt * bit_count(xor(c.cand, CAST(k.payload AS BIGINT)))) AS th
+              FROM cands c JOIN kept k ON c.blk = k.blk GROUP BY c.blk, c.cand
+            ),
+            win AS (
+              SELECT blk, cand FROM (
+                SELECT blk, cand, row_number() OVER (PARTITION BY blk ORDER BY th ASC, cand ASC) AS rk
+                FROM scored) WHERE rk = 1
+            ),
+            totals AS (SELECT blk, CAST(sum(cnt) AS BIGINT) AS samples FROM counts GROUP BY blk)
+            SELECT w.blk, CAST(w.cand AS INT) AS payload, t.samples,
+                   CAST(coalesce(e.cnt, 0) AS BIGINT) AS winner_count,
+                   round(coalesce(e.cnt, 0) * 100.0 / t.samples, 4) AS winner_pct
+            FROM win w JOIN totals t ON w.blk = t.blk
+            LEFT JOIN counts e ON e.blk = w.blk AND CAST(e.payload AS BIGINT) = w.cand""",
         "sample_keyed": f"SELECT vec_id AS id FROM embeddings WHERE {u_sample} < 0.2",
         "semi_join_carriers": f"""
             WITH carriers AS ({carrier_selection_oracle_sql(_DEGREES_SQL, KEY, RATE)})

@@ -31,15 +31,7 @@ N_MINHASH = 16  # hash functions per signature
 BAND_SIZE = 4   # rows per LSH band -> 4 bands
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's parallelism when the
-    plan has fewer partitions (e.g. one small parquet file).  Keeps
-    fan-out-heavy stages parallel at small scale; no-op on inputs that are
-    already well-partitioned (the common case on a real cluster)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism as _spread
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

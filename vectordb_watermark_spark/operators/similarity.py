@@ -155,6 +155,9 @@ def ivf_assign(
     """
     from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
 
+    import numpy as np
+    import pandas as pd
+
     seeds = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   keyed_hash_hex(key, "seed", F.col(id_col)).alias("h"))
@@ -165,15 +168,29 @@ def ivf_assign(
     centroids = [list(map(float, r["v"])) for r in seeds]
 
     def assign(cents: list[list[float]]) -> DataFrame:
-        dists = [
-            sq_euclidean(F.col(vec_col), _vec_lit(c)).alias(f"d{i}") for i, c in enumerate(cents)
-        ]
-        structs = F.array(
-            *[F.struct(F.col(f"d{i}").alias("d"), F.lit(i).alias("c")) for i in range(len(cents))]
-        )
-        return (
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *dists)
-            .select("id", "v", F.element_at(F.array_sort(structs), 1).getField("c").alias("centroid"))
+        # centroid-count-many literals per row would be a huge Catalyst
+        # expression tree (slow to analyze/compile); a tiny Arrow kernel
+        # against the (C, D) centroid matrix is one GEMM per batch.
+        # Ties break to the smallest centroid index (argmin).
+        C = np.asarray(cents, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+
+        def kernel(batches):
+            for pdf_in in batches:
+                if not len(pdf_in):
+                    continue
+                X = np.stack(pdf_in["v"].map(lambda a: np.asarray(a, dtype=np.float64)))
+                d2 = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf_in["id"],
+                        "v": pdf_in["v"],
+                        "centroid": d2.argmin(axis=1).astype(np.int32),
+                    }
+                )
+
+        return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+            kernel, schema="id long, v array<float>, centroid int"
         )
 
     for _ in range(n_iters):

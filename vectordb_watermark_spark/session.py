@@ -30,6 +30,12 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
         master = f"local[{cpus}]"
+    # one BLAS thread per Python worker: task-level parallelism already uses
+    # every core, so nested OpenBLAS/MKL threading (default: ncpu threads x
+    # ncpu workers) would thrash.  Set before the JVM forks the worker
+    # daemons; respected by numpy in every mapInPandas kernel.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
