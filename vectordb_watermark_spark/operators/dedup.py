@@ -116,22 +116,52 @@ def minhash_candidate_pairs(
     n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` with a < b — the scale path for near-dup
-    detection: signature (no shuffle) -> band equi-join (one shuffle) ->
-    distinct pairs."""
-    bands = minhash_bands(minhash_signatures(df, id_col, text_col, n_hashes), band_size)
-    # the broadcast band-join fans each probe row out to its whole bucket, so
-    # probe-side parallelism bounds the pair-generation parallelism.  A small
-    # input (one parquet file -> one partition) would serialize the O(sum m^2)
-    # generation; round-robin spread is skew-proof (a hot bucket's rows land
-    # on ALL partitions).  No-op when the source is already well-partitioned.
-    left = _spread(bands).select("band", "band_hash", F.col("id").alias("a"))
-    right = bands.select("band", "band_hash", F.col("id").alias("b"))
-    return (
-        left.join(right, ["band", "band_hash"])
+    detection.
+
+    Exact duplicates (identical signatures — in real corpora a huge share of
+    near-dup mass) are collapsed FIRST: one groupBy(sig) shuffle of (id, sig)
+    rows.  Within-group all-pairs come from a codegen'd self-join on the group
+    id (each pair generated exactly once — no distinct); the band equi-join +
+    distinct runs only at one-representative-per-group level, then expands
+    back through the member lists with two more equi-joins.  The naive
+    band-join formulation shuffles O(sum m^2) candidate rows through a
+    distinct — on a corpus where a million documents share one page template
+    that is a 10^12-row shuffle; here the quadratic expansion happens after
+    the last shuffle, streamed straight out of codegen'd joins.  Output set is
+    identical (the DuckDB oracle pins it).
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    groups = sigs.groupBy("sig").agg(
+        F.min("id").alias("gid"), F.collect_list("id").alias("members")
+    ).cache()
+    mem = groups.select("gid", F.explode("members").alias("id"))
+
+    # within-group all pairs; the probe side is spread so one giant duplicate
+    # group fans out across every task instead of serializing on its hash key
+    within = (
+        _spread(mem).withColumnRenamed("id", "a")
+        .join(mem.withColumnRenamed("id", "b"), "gid")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
+    )
+
+    # cross-group: band match decided once per group pair (distinct is over
+    # group pairs, not member pairs), then expanded via two equi-joins
+    rbands = minhash_bands(groups.select(F.col("gid").alias("id"), "sig"), band_size)
+    rpairs = (
+        _spread(rbands).select("band", "band_hash", F.col("id").alias("ra"))
+        .join(rbands.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
         .distinct()
     )
+    across = (
+        rpairs.join(mem.select(F.col("gid").alias("ra"), F.col("id").alias("x")), "ra")
+        .join(mem.select(F.col("gid").alias("rb"), F.col("id").alias("y")), "rb")
+        # different groups are disjoint but not ordered — normalize, don't filter
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+    )
+    return within.unionAll(across)
 
 
 def jaccard_pairs(
