@@ -59,6 +59,8 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true", help="regenerate the corpus")
     args = ap.parse_args()
 
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
     from vectordb_watermark_spark import get_spark
     from vectordb_watermark_spark.plans.embed import embed_watermark
     from vectordb_watermark_spark.plans.extract import extract_watermark
