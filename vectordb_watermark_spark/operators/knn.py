@@ -278,10 +278,13 @@ def knn_edges_lsh(
 ) -> DataFrame:
     """Approximate kNN: LSH bucket self-join -> exact re-rank -> top-k.
 
-    One shuffle on (table, bucket); candidate pairs deduped on (src, dst)
-    before the (exact, JVM-side) distance re-rank.  Recall grows with
-    n_tables; cost with bucket collision rate (tune n_bits so that
-    N / 2^n_bits ~ desired candidate count per row).
+    One shuffle on (table, bucket); the exact distance is computed *inside*
+    the join stage, so the (src, dst) dedup that follows shuffles 24-byte
+    rows, never the vectors themselves (a pair that co-buckets in several
+    tables recomputes its distance that many times — a few hundred JVM flops
+    against kilobytes of shuffle per duplicate is the right trade at scale).
+    Recall grows with n_tables; cost with bucket collision rate (tune n_bits
+    so that N / 2^n_bits ~ desired candidate count per row).
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
@@ -291,14 +294,13 @@ def knn_edges_lsh(
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", "__lv", "__rv")
-        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", sq_euclidean(F.col("__lv"), F.col("__rv")).alias("dist2"))
+        .groupBy("src", "dst")
+        .agg(F.min("dist2").alias("dist2"))
     )
-    d2 = sq_euclidean(F.col("__lv"), F.col("__rv")).alias("dist2")
     w = Window.partitionBy("src").orderBy(F.col("dist2").asc(), F.col("dst").asc())
     return (
-        cand.select("src", "dst", d2)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
