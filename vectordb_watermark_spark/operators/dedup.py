@@ -204,37 +204,49 @@ SIMHASH_BITS = 48  # fits signed BIGINT with headroom; 48 bits is plenty at 5k d
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """``(id, simhash BIGINT)`` 48-bit SimHash over distinct lowercase tokens.
 
-    Spark-first: explode tokens -> per-(id,bit) sign sums -> pack.  Two
-    shuffles of (id, bit) partial aggregates — map-side combined, linear in
-    token count, no N^2 anywhere.  Bit b of sha256(token) contributes +1/-1
-    to coordinate b; signature bit is 1 iff the sum is positive.
+    Entirely per-row expression work — ZERO shuffles.  The naive formulation
+    (explode tokens x 48 bit-rows -> groupBy(id, bit) -> groupBy(id)) shuffles
+    ~48x the token count; here a single ``aggregate`` folds each token's
+    48-lane +/-1 contribution into an array accumulator, then the signature
+    packs sign bits.  Bit b of sha256(token) contributes +1/-1 to coordinate
+    b; signature bit is 1 iff the sum is positive.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    # 48 bits from the first 12 hex chars of sha256(token); hashing happens in
+    # this transform — once per token, NOT once per (token, lane)
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 12), 16, 10).cast("long")
     )
-    # 48 bits from the first 12 hex chars of sha256(token)
-    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 12), 16, 10).cast("long")
-    bits = toks.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        h.alias("h"),
-    ).select(
-        "id",
-        "bit",
-        F.expr(
-            "CASE WHEN shiftright(h, CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END"
-        ).alias("s"),
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)).cast("long")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
     )
-    sums = bits.groupBy("id", "bit").agg(F.sum("s").alias("ssum"))
-    packed = sums.groupBy("id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN ssum > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            )
-        ).alias("simhash")
+    # pack sign bits with a doubling accumulator (no variable-width shifts,
+    # and `sums` is evaluated exactly once)
+    packed = F.aggregate(
+        sums,
+        F.struct(F.lit(0).cast("long").alias("a"), F.lit(1).cast("long").alias("p")),
+        lambda acc, s: F.struct(
+            (acc["a"] + F.when(s > 0, acc["p"]).otherwise(F.lit(0).cast("long"))).alias("a"),
+            (acc["p"] * F.lit(2)).alias("p"),
+        ),
+        lambda acc: acc["a"],
     )
-    return packed.select("id", F.col("simhash").cast("long").alias("simhash"))
+    # empty token sets produce no signature (matches the exploded formulation
+    # and the oracle, where such ids vanish at the unnest)
+    return df.select(F.col(id_col).alias("id"), F.when(F.size(toks) > 0, packed).alias("sh")) \
+        .filter(F.col("sh").isNotNull()) \
+        .select("id", F.col("sh").alias("simhash"))
 
 
 def simhash_near_pairs(

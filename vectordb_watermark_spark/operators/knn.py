@@ -228,11 +228,12 @@ def knn_edges_broadcast(
 
     from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism
 
-    # factor 2: cached inputs can carry many empty partitions (row-group
-    # structure), so matching parallelism exactly still undershoots; a 100 TB
-    # probe side has far more partitions than 2x cores -> no-op there
+    # round-robin to exactly the session parallelism: one wave of equal tasks
+    # beats 2x smaller tasks (measured — per-task kernel efficiency is flat in
+    # batch size, so extra waves only add scheduling + Arrow overhead); a
+    # 100 TB probe side has far more partitions than cores -> no-op there
     probe_df = spread_to_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), factor=2
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     )
     return probe_df.mapInPandas(probe, schema=out_schema)
 
