@@ -811,6 +811,29 @@ def oracle_sql() -> dict[str, str]:
             sums AS (SELECT id, bit, sum(s) AS ssum FROM bits GROUP BY id, bit)
             SELECT id, CAST(sum(CASE WHEN ssum > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
             FROM sums GROUP BY id""",
+        # exact oracle for the banded pairs query: the pigeonhole band join is
+        # complete for hamming <= max and the final bit_count filter is exact,
+        # so a brute-force O(n^2) self-join over the same signatures must
+        # produce the identical pair set
+        "dedup_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest({toks_set}) AS tok FROM documents
+            ),
+            bits AS (
+              SELECT id, bit,
+                     CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS s
+              FROM (SELECT id, {sim_bit_hash} AS h FROM toks),
+                   (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit)
+            ),
+            sums AS (SELECT id, bit, sum(s) AS ssum FROM bits GROUP BY id, bit),
+            sh AS (
+              SELECT id, CAST(sum(CASE WHEN ssum > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+              FROM sums GROUP BY id
+            )
+            SELECT x.id AS a, y.id AS b,
+                   bit_count(xor(x.simhash, y.simhash)) AS hamming
+            FROM sh x JOIN sh y ON x.id < y.id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 12""",
         "text_stats": f"""
             SELECT doc_id,
                    {T.sql_token_count('text')} AS n_tokens,
