@@ -158,6 +158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def knn_degrees(spark, sf):  # J1 + J2/A1
         return _degrees(spark, sf)
 
+    def gated_degrees(spark, sf):  # knn.gated_in_degrees (attack-robust J2)
+        from vectordb_watermark_spark.operators import knn as K
+
+        df = _vectors(spark, sf)
+        edges = K.knn_edges_exact(df, k=KNN_K)
+        return K.gated_in_degrees(df, edges, k=KNN_K)
+
     def degree_histogram(spark, sf):  # A9-style tally over the graph
         return (
             _degrees(spark, sf)
@@ -463,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "vector_mean": vector_mean,
         "knn_degrees": knn_degrees,
+        "gated_degrees": gated_degrees,
         "degree_histogram": degree_histogram,
         "carrier_selection": carrier_selection,
         "topk_degree_pool": topk_degree_pool,
@@ -608,6 +616,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
               ) GROUP BY pos)""",
         "knn_degrees": _DEGREES_SQL,
+        # distance-gated degrees: same exact-kNN graph, tau = 2.5x the 0.45
+        # log2-bucket quantile of dist2; srcs keeping < 8 of 16 edges, or >= 8
+        # exact-duplicate edges, are excluded
+        # (operators/knn.edge_gate_threshold + gated_in_degrees)
+        "gated_degrees": f"""
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.id AS src, b.id AS dst,
+                     list_sum(list_transform(list_zip(a.e, b.e), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+              FROM v a JOIN v b ON a.id <> b.id
+            ),
+            knn AS (
+              SELECT src, dst, dist2 FROM (
+                SELECT src, dst, dist2,
+                       row_number() OVER (PARTITION BY src ORDER BY dist2, dst) AS rk
+                FROM pairs
+              ) WHERE rk <= {KNN_K}
+            ),
+            buckets AS (
+              SELECT CAST(floor(log2(greatest(dist2, 1e-12)) * 8) AS INT) AS b, count(*) AS c
+              FROM knn GROUP BY 1
+            ),
+            tot AS (SELECT sum(c) AS t FROM buckets),
+            cdf AS (SELECT b, sum(c) OVER (ORDER BY b) AS acc FROM buckets),
+            tau AS (
+              SELECT 2.5 * pow(2.0, (min(b) + 1) / 8.0) AS tau
+              FROM cdf, tot WHERE acc >= 0.45 * t
+            ),
+            kept AS (SELECT src, dst, dist2 FROM knn, tau WHERE dist2 <= tau),
+            eligible AS (
+              SELECT src AS id FROM kept GROUP BY src
+              HAVING count(*) >= {(KNN_K + 1) // 2}
+                 AND sum(CASE WHEN dist2 <= 1e-12 THEN 1 ELSE 0 END) < {(KNN_K + 1) // 2}
+            ),
+            deg AS (SELECT dst, count(*) AS c FROM kept GROUP BY dst)
+            SELECT e.id AS id, CAST(coalesce(deg.c, 0) AS BIGINT) AS degree
+            FROM eligible e LEFT JOIN deg ON e.id = deg.dst""",
         "degree_histogram": f"""
             SELECT degree, CAST(count(*) AS BIGINT) AS n_ids
             FROM ({_DEGREES_SQL}) GROUP BY degree""",

@@ -87,6 +87,55 @@ def test_in_degrees_sum_and_zero_fill(spark, emb):
     assert deg.filter(F.col("degree") < 0).count() == 0
 
 
+def test_gated_degrees_clean_identity(emb):
+    """On clean data the gate keeps everything: gated == plain in-degrees."""
+    edges = K.knn_edges_exact(emb, k=16)
+    plain = {r["id"]: r["degree"] for r in K.in_degrees(emb, edges).collect()}
+    gated = {r["id"]: r["degree"] for r in K.gated_in_degrees(emb, edges, k=16).collect()}
+    assert gated == plain
+
+
+def test_gated_degrees_excludes_destroyed_vectors(spark):
+    """Off-manifold (destroyed) vectors must not enter the degree universe,
+    and the surviving ids' degree ranking must not be swamped by edge spray
+    from destroyed probes — the property that keeps blind carrier
+    re-derivation aligned under heavy noise (knn.gated_in_degrees)."""
+    rng = np.random.default_rng(7)
+    dim = 16
+    clean = rng.standard_normal((200, dim)) * 0.1 + rng.standard_normal((1, dim))
+    clean /= np.linalg.norm(clean, axis=1, keepdims=True)
+    destroyed = rng.standard_normal((100, dim)) * 10.0  # far off-manifold
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(clean)] + [
+        (1000 + i, [float(x) for x in v]) for i, v in enumerate(destroyed)
+    ]
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    edges = K.knn_edges_exact(df, k=8)
+    deg = K.gated_in_degrees(df, edges, k=8).collect()
+    kept_ids = {r["id"] for r in deg}
+    assert all(i < 1000 for i in kept_ids), "destroyed vectors must be excluded"
+    assert len(kept_ids) >= 190, "clean vectors must stay eligible"
+
+
+def test_gated_degrees_excludes_duplicate_blob(spark):
+    """Mean-replacement creates a clique of identical vectors; tie-breaking
+    gives the blob's in-edges to a handful of copies and leaves the rest at
+    degree ~0, flooding the low-degree carrier pool.  The dup-out rule must
+    exclude the whole blob (knn.gated_in_degrees step 4)."""
+    rng = np.random.default_rng(11)
+    dim = 16
+    clean = rng.standard_normal((300, dim))
+    clean /= np.linalg.norm(clean, axis=1, keepdims=True)
+    mean_v = [float(x) for x in clean.mean(axis=0)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(clean)] + [
+        (1000 + i, mean_v) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    edges = K.knn_edges_exact(df, k=8)
+    kept_ids = {r["id"] for r in K.gated_in_degrees(df, edges, k=8).collect()}
+    assert all(i < 1000 for i in kept_ids), "duplicate blob must be excluded"
+    assert len(kept_ids) >= 280, "clean vectors must stay eligible"
+
+
 def test_topk_by_coarse_key_matches_sort(spark):
     import random
 

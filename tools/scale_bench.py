@@ -23,9 +23,18 @@ CORPUS = ".scratch/vec100k.parquet"
 WM_OUT = ".scratch/wm100k.parquet"
 
 
-def make_corpus(spark, rows: int, dim: int, path: str) -> None:
-    """Deterministic synthetic corpus: clustered unit vectors (matches the
-    reference's NQ-QA embedding shape: L2-normalized float32)."""
+def make_corpus(spark, rows: int, dim: int, path: str, unit_norm: bool = False) -> None:
+    """Deterministic synthetic corpus: clustered vectors with MiniLM-like
+    norms (~5.5 +/- 15%).
+
+    The reference's corpus is raw, *unnormalized* sentence-transformer output
+    (nq_qa_combined_384d.npy loaded as-is — reference
+    database/pgvector/docker/insert.py:37-40); 384-d MiniLM-class embeddings
+    carry L2 norms around 4-6.  The attack sigmas in BASELINE.md are absolute,
+    so relative noise — and therefore every robustness number — depends on
+    these norms: sigma=0.05 is ~1% per-coordinate noise at norm 5.5 but ~100%
+    at unit norm.  ``--unit-norm`` keeps the harsher normalized-corpus regime
+    for stress testing."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -44,6 +53,9 @@ def make_corpus(spark, rows: int, dim: int, path: str) -> None:
                 cid = rng.integers(0, 64, n)
                 v = centers[cid] + 0.3 * rng.standard_normal((n, dim)).astype(np.float32)
                 v /= np.linalg.norm(v, axis=1, keepdims=True)
+                if not unit_norm:
+                    norms = 5.5 * np.exp(0.15 * rng.standard_normal((n, 1))).astype(np.float32)
+                    v *= norms
                 yield pd.DataFrame({"id": np.arange(lo, hi, dtype=np.int64), "emb": list(map(list, v))})
 
     base = spark.range(n_part).select(F.col("id").alias("p")).repartition(n_part, "p")
@@ -57,6 +69,8 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=384)
     ap.add_argument("--rate", type=float, default=0.1)
     ap.add_argument("--fresh", action="store_true", help="regenerate the corpus")
+    ap.add_argument("--unit-norm", action="store_true",
+                    help="L2-normalized corpus (harsher attack regime)")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
@@ -69,7 +83,7 @@ def main() -> None:
     spark = get_spark("scale-bench")
     os.makedirs(".scratch", exist_ok=True)
     if args.fresh or not os.path.exists(CORPUS):
-        make_corpus(spark, args.rows, args.dim, CORPUS)
+        make_corpus(spark, args.rows, args.dim, CORPUS, unit_norm=args.unit_norm)
 
     df = spark.read.parquet(CORPUS)
     msg, key = "ABCDEFGHIJKLMNOP", "scale-bench-key"
@@ -97,6 +111,7 @@ def main() -> None:
         "unit": "sec",
         "rows": args.rows,
         "dim": args.dim,
+        "unit_norm": args.unit_norm,
         "carriers": res.n_carriers,
         "clean_valid": ext.valid_decodes,
         "clean_total": ext.total_decodes,

@@ -355,6 +355,99 @@ def knn_edges(
     raise ValueError(f"unknown knn method {method!r}")
 
 
+def edge_gate_threshold(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -> float:
+    """Data-derived distance gate ``tau`` for kNN edges: ``slack`` times the
+    ``q``-quantile of ``dist2``, computed via an exact log2-bucket histogram
+    (deterministic under any partitioning — no approxQuantile sketch drift).
+
+    ``q`` defaults *below* the median so that a corpus where up to half the
+    vectors are destroyed (gaussian attack, mean-replacement) cannot drag the
+    quantile into the attacked mode: the threshold tracks the *clean* edge
+    population.  ``slack`` (in dist2 terms; 2.5 ~ 1.6x distance) sits between
+    the tight clean-neighbor mode and the decode-destroying noise mode:
+    measured at 100k x 384 unit-norm, clean kNN dist2 concentrates at ~0.14
+    while sigma=0.05-noised probes sit at ~0.63, and noise mild enough to
+    leave payloads decodable (sigma <= ~0.02) stays under the gate — the gate
+    adapts to exactly the noise levels that destroy payloads.
+    """
+    b = F.floor(F.log2(F.greatest(F.col("dist2"), F.lit(1e-12))) * 8).cast("int")
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in edges.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(c for _, c in hist)
+    acc = 0
+    qb = hist[-1][0]
+    for bb, c in hist:
+        acc += c
+        if acc >= q * total:
+            qb = bb
+            break
+    return slack * 2.0 ** ((qb + 1) / 8.0)
+
+
+def gated_in_degrees(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    k: int = DEFAULT_K,
+    q: float = 0.45,
+    slack: float = 2.5,
+    min_out: int | None = None,
+) -> DataFrame:
+    """Attack-robust degree signal: HNSW-like long-edge pruning + outlier
+    eligibility.  Returns ``(id, degree)`` over **eligible** ids only.
+
+    Plain kNN in-degree is an adversarial trap for carrier selection: a
+    destroyed vector (heavy gaussian noise, mean-replacement) moves far from
+    the data manifold, receives almost no in-edges, and therefore *floods the
+    low-degree carrier pool* — blind re-derivation then selects exactly the
+    vectors whose payload is gone (measured at 100k x 384: carrier overlap
+    1.7%, nearly all attacked).  HNSW does not suffer this because its
+    neighbor heuristic prunes long edges (reference Faiss IndexHNSWFlat,
+    configs/config.py:13-15); this operator restores that property on the
+    explicit kNN graph:
+
+    1. ``tau = edge_gate_threshold(edges, q, slack)`` — robust, data-derived.
+    2. Drop edges with ``dist2 > tau`` (a destroyed probe's edges all point
+       far away -> its degree *spray* disappears).
+    3. A src retaining fewer than ``min_out`` (default ``ceil(k/2)``) of its
+       ``k`` out-edges is off-manifold -> **excluded** from the returned id
+       universe entirely, so it can never enter the carrier pool.
+    4. A src with ``min_out`` or more *exact-duplicate* out-edges
+       (``dist2 <= 1e-12``) sits inside a mass-duplication blob — the
+       signature of a mean-replacement attack, whose identical copies would
+       otherwise flood the low-degree pool (only the few tie-break-favored
+       copies receive the blob's in-edges) -> excluded.  HNSW is immune to
+       this via reverse-link insertion (every inserted point receives ~M
+       in-links); this rule is the explicit-graph equivalent.
+    5. In-degree over the kept edges for the eligible ids.
+
+    Embed and extract apply the identical rule to identically-derived
+    watermark-invariant features, so on clean data the carrier set is still
+    re-derived exactly; under attack the pool stays on the intact manifold.
+    """
+    if min_out is None:
+        min_out = max(1, (k + 1) // 2)
+    edges = edges.cache()
+    tau = edge_gate_threshold(edges, q, slack)
+    kept = edges.filter(F.col("dist2") <= F.lit(float(tau)))
+    eligible = (
+        kept.groupBy(F.col("src").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("__out"),
+            F.sum((F.col("dist2") <= 1e-12).cast("int")).alias("__dup_out"),
+        )
+        .filter((F.col("__out") >= min_out) & (F.col("__dup_out") < min_out))
+        .select(id_col)
+    )
+    deg = kept.groupBy(F.col("dst").alias(id_col)).agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        eligible.join(deg, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"))
+    )
+
+
 def in_degrees(df: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
     """Per-id in-degree of the kNN graph: ``(id, degree)`` with 0 for sinks.
 

@@ -119,7 +119,11 @@ def embed_watermark(
         # several small driver actions (count, degree histogram) over it.
         gdf = with_graph_features(df, codec, id_col, vec_col).cache()
         edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
-        degrees = K.in_degrees(df, edges, id_col).cache()
+        # distance-gated degrees (knn.gated_in_degrees): long edges from
+        # off-manifold (attacked/destroyed) vectors are pruned and such
+        # vectors are excluded from the carrier pool — the same rule at
+        # embed and extract, so clean blind re-derivation stays exact
+        degrees = K.gated_in_degrees(df, edges, id_col, k=k).cache()
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col).cache()
     n_carriers = carriers.count()
 

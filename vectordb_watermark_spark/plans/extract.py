@@ -112,7 +112,10 @@ def extract_watermark(
         # blind carrier re-derivation is exact on unattacked data
         gdf = with_graph_features(df, codec, id_col, vec_col).cache()
         edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
-        degrees = K.in_degrees(df, edges, id_col).cache()
+        # same gated-degree rule as embed (knn.gated_in_degrees): destroyed
+        # vectors can't flood the low-degree pool, so the re-derived carrier
+        # set stays on the intact manifold under attack
+        degrees = K.gated_in_degrees(df, edges, id_col, k=k).cache()
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
 
     # one distributed aggregation fuses the decode-tally and the vote input:
