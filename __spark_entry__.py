@@ -545,14 +545,21 @@ def oracle_sql() -> dict[str, str]:
 
     toks = T.sql_tokens("lower(text)")
     toks_set = f"list_distinct({toks})"
-    # coordinate i = 32-bit slice i of two keyed sha256 digests per token
-    # (matches operators/dedup.py minhash_signatures; DuckDB recomputes the
-    # digests per coordinate — oracle clarity over oracle speed)
-    mh_cols = ", ".join(
-        "CAST(list_min(list_transform(toks, t -> CAST(CAST(('0x' || substr(sha256('mh0|' || t) || sha256('mh1|' || t), %d, 8)) AS UBIGINT) AS BIGINT))) AS BIGINT) AS mh%d"
-        % (8 * i + 1, i)
-        for i in range(N_MINHASH)
-    )
+    # coordinate j = a 30-bit half of 60-bit word j//2, where word i is the
+    # 15-hex-char slice i of two keyed sha256 digests per token (matches
+    # operators/dedup.py minhash_signatures; DuckDB recomputes the digests
+    # per coordinate — oracle clarity over oracle speed)
+    def _mh_coord(j: int) -> str:
+        word = (
+            "CAST(('0x' || substr(sha256('mh0|' || t) || sha256('mh1|' || t), %d, 15)) AS UBIGINT)"
+            % (15 * (j // 2) + 1)
+        )
+        lane = f"({word} >> 30)" if j % 2 == 0 else f"({word} & 1073741823)"
+        return (
+            f"CAST(list_min(list_transform(toks, t -> CAST({lane} AS BIGINT))) AS BIGINT) AS mh{j}"
+        )
+
+    mh_cols = ", ".join(_mh_coord(j) for j in range(N_MINHASH))
     band_exprs = []
     for b in range(N_MINHASH // BAND_SIZE):
         cols = " || ',' || ".join(

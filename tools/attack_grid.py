@@ -26,6 +26,13 @@ def main() -> None:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--rate", type=float, default=0.3)
     ap.add_argument("--quick", action="store_true", help="3-point grid")
+    ap.add_argument("--corpus", default=None,
+                    help="(id, emb) parquet overriding sf_dir (e.g. the 100k "
+                         "scale corpus from tools/scale_bench.py)")
+    ap.add_argument("--baseline", action="store_true",
+                    help="run the reference's exact published grid "
+                         "(attack/README.md tables mirrored in BASELINE.md)")
+    ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -35,13 +42,17 @@ def main() -> None:
     from vectordb_watermark_spark.plans.embed import embed_watermark
     from vectordb_watermark_spark.plans.extract import extract_watermark
 
-    spark = get_spark("attack-grid", master="local[8]", shuffle_partitions=16)
+    spark = get_spark("attack-grid", master=f"local[{args.cpus}]",
+                      shuffle_partitions=2 * args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    df = (
-        spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
-        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
-        .cache()
-    )
+    if args.corpus:
+        df = spark.read.parquet(args.corpus).select("id", "emb").cache()
+    else:
+        df = (
+            spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+            .cache()
+        )
     n = df.count()
     msg, key = "ABCDEFGHIJKLMNOP", "grid-key"
     res = embed_watermark(df, msg, key, rate=args.rate)
@@ -63,21 +74,32 @@ def main() -> None:
         }
 
     grid = [("none", lambda d: d)]
-    gaussian = [(0.01, 0.5), (0.03, 0.5), (0.05, 1.0)] if args.quick else [
-        (0.01, 0.1), (0.01, 1.0), (0.03, 0.5), (0.05, 0.5), (0.05, 1.0), (0.1, 1.0)
-    ]
+    dim = len(df.first()["emb"])
+    if args.baseline:
+        # the reference's published experiment points (attack/README.md:37-179;
+        # BASELINE.md table) at its 100 231 x 384-d / 10% scale
+        gaussian = [(0.01, 0.1), (0.01, 1.0), (0.05, 1.0), (0.1, 1.0),
+                    (0.2, 1.0), (0.5, 0.5)]
+        subsets = [0.9, 0.5, 0.2]
+        means = [0.1, 0.3, 0.5, 1.0]
+        truncs = [284] if dim == 384 else [int(dim * 284 / 384)]
+    else:
+        gaussian = [(0.01, 0.5), (0.03, 0.5), (0.05, 1.0)] if args.quick else [
+            (0.01, 0.1), (0.01, 1.0), (0.03, 0.5), (0.05, 0.5), (0.05, 1.0), (0.1, 1.0)
+        ]
+        subsets = [0.8, 0.5] if args.quick else [0.9, 0.8, 0.5, 0.3]
+        means = [0.2] if args.quick else [0.1, 0.3, 0.5]
+        truncs = [int(dim * f) for f in ([0.94] if args.quick else [0.97, 0.94])]
     for sigma, ratio in gaussian:
         grid.append((f"gaussian s={sigma} r={ratio}",
                      lambda d, s=sigma, r=ratio: A.gaussian_attack(d, ratio=r, sigma=s)))
-    for keep in ([0.8, 0.5] if args.quick else [0.9, 0.8, 0.5, 0.3]):
+    for keep in subsets:
         grid.append((f"subset keep={keep}",
                      lambda d, k=keep: A.subset_attack(d, keep_ratio=k)))
-    for ratio in ([0.2] if args.quick else [0.1, 0.3, 0.5]):
+    for ratio in means:
         grid.append((f"mean_replace r={ratio}",
                      lambda d, r=ratio: A.mean_replace_attack(d, ratio=r)))
-    dim = len(df.first()["emb"])
-    for keep_frac in ([0.94] if args.quick else [0.97, 0.94]):
-        kd = int(dim * keep_frac)
+    for kd in truncs:
         grid.append((f"truncate keep={kd}/{dim}",
                      lambda d, k=kd: A.truncate_pad_attack(d, keep_dims=k, pad="zero")))
 

@@ -63,31 +63,48 @@ def minhash_signatures(
     whitespace-token sets.  No shuffle — per-row expressions only.
 
     Two sha256 **per token** (not one per token x coordinate): each 256-bit
-    digest is 64 hex chars = eight 8-char slices, so two keyed digests give
-    16 independent uniform 32-bit coordinates.  The fold (``aggregate`` +
-    ``zip_with least``) keeps the digest array nested in a single expression
-    so Catalyst's projection collapse can't duplicate the sha256 evaluation
-    per coordinate — 8x fewer hashes than the naive per-coordinate form,
-    which dominated the dedup plan's runtime.
+    digest is 64 hex chars; two keyed digests concatenate to 128, sliced as
+    eight 15-char (60-bit) ``conv`` extractions that bit-split into two
+    30-bit lanes each — 16 independent uniform coordinates from 2 hashes and
+    8 string-to-int conversions per token (``conv`` on hex strings is the
+    expensive per-token op; the naive form used one per coordinate).  The
+    fold (``aggregate`` + ``zip_with least``) keeps the digest array nested
+    in a single expression so Catalyst's projection collapse can't duplicate
+    the sha256 evaluation per coordinate.
     """
     if n_hashes > 16:
-        raise ValueError("two sha256 digests yield at most 16 32-bit slices")
+        raise ValueError("two sha256 digests yield at most 16 30-bit lanes")
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    n_words = (n_hashes + 1) // 2
+    # one 8-long word array per token, conv'd exactly once (HOF lambdas are
+    # interpreted — no common-subexpression elimination — so the conv results
+    # must be materialized before the fold references each word twice)
     digests = F.transform(
         toks,
         lambda t: F.concat(
             F.sha2(F.concat(F.lit("mh0|"), t), 256), F.sha2(F.concat(F.lit("mh1|"), t), 256)
         ),
     )
-    init = F.array_repeat(F.lit(1 << 33).cast("long"), n_hashes)  # > any 32-bit slice
+    words = F.transform(
+        digests,
+        lambda d: F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.conv(d.substr(F.lit(1) + i * F.lit(15), F.lit(15)), 16, 10).cast("long"),
+        ),
+    )
+    init = F.array_repeat(F.lit(1 << 33).cast("long"), n_hashes)  # > any 30-bit lane
 
-    def fold(acc: F.Column, d: F.Column) -> F.Column:
+    def fold(acc: F.Column, w: F.Column) -> F.Column:
         slices = F.array(
-            *[F.conv(F.substring(d, 8 * i + 1, 8), 16, 10).cast("long") for i in range(n_hashes)]
+            *[
+                F.shiftright(F.element_at(w, j // 2 + 1), 30) if j % 2 == 0
+                else F.element_at(w, j // 2 + 1).bitwiseAND(F.lit((1 << 30) - 1))
+                for j in range(n_hashes)
+            ]
         )
         return F.zip_with(acc, slices, lambda x, y: F.least(x, y))
 
-    sig = F.when(F.size(toks) > 0, F.aggregate(digests, init, fold))
+    sig = F.when(F.size(toks) > 0, F.aggregate(words, init, fold))
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
