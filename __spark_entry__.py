@@ -151,8 +151,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return V.vector_stats(_vectors(spark, sf), "emb")
 
     def vector_mean(spark, sf):  # A4
-        return V.vector_mean(_vectors(spark, sf), "emb").select(
-            F.transform("mean_vec", lambda x: F.round(x, 6) + F.lit(0.0)).alias("mean_vec")
+        # exploded to (pos, mean_val) rows: the driver's canonicalizer sorts
+        # rows by every column, so oracled results must not carry array cells
+        return (
+            V.vector_mean(_vectors(spark, sf), "emb")
+            .select(F.posexplode("mean_vec").alias("pos", "val"))
+            .select(
+                F.col("pos").cast("int").alias("pos"),
+                (F.round(F.col("val"), 6) + F.lit(0.0)).alias("mean_val"),
+            )
         )
 
     def knn_degrees(spark, sf):  # J1 + J2/A1
@@ -361,8 +368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.exact_dup_groups(_docs(spark, sf))
 
     def dedup_minhash_signatures(spark, sf):
-        return D.minhash_signatures(_docs(spark, sf)).select(
-            "id", F.col("sig").cast("array<long>").alias("sig")
+        # one row per (doc, coordinate): array cells break the driver's
+        # sort_values canonicalization, so the signature is exploded
+        return (
+            D.minhash_signatures(_docs(spark, sf))
+            .select("id", F.posexplode(F.col("sig").cast("array<long>")).alias("j", "mh"))
+            .select("id", F.col("j").cast("int").alias("j"), "mh")
         )
 
     def dedup_minhash_pairs(spark, sf):
@@ -617,7 +628,7 @@ def oracle_sql() -> dict[str, str]:
                    round(max(n), 6) AS max_norm, round(stddev_samp(n), 6) AS std_norm
             FROM (SELECT {_NORM_SQL} AS n FROM embeddings)""",
         "vector_mean": """
-            SELECT list(round(avg_val, 6) + 0.0 ORDER BY pos) AS mean_vec FROM (
+            SELECT CAST(pos - 1 AS INT) AS pos, round(avg_val, 6) + 0.0 AS mean_val FROM (
               SELECT pos, avg(CAST(val AS DOUBLE)) AS avg_val FROM (
                 SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
                 FROM embeddings
@@ -829,9 +840,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS dup_count
             FROM documents GROUP BY md5(text)""",
         "dedup_minhash_signatures": f"""
-            SELECT doc_id AS id, [{', '.join(f'mh{i}' for i in range(N_MINHASH))}] AS sig
-            FROM (SELECT doc_id, {mh_cols} FROM
-                   (SELECT doc_id, {toks_set} AS toks FROM documents))""",
+            SELECT id, CAST(generate_subscripts(sig, 1) - 1 AS INT) AS j, unnest(sig) AS mh
+            FROM (
+              SELECT doc_id AS id, [{', '.join(f'mh{i}' for i in range(N_MINHASH))}] AS sig
+              FROM (SELECT doc_id, {mh_cols} FROM
+                     (SELECT doc_id, {toks_set} AS toks FROM documents)))""",
         "dedup_minhash_pairs": f"""
             WITH sigs AS (
               SELECT doc_id, {mh_cols} FROM

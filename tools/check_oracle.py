@@ -83,6 +83,14 @@ def main() -> int:
         sn, sc, sh = canon(sdf)
         on, oc, oh = canon(odf)
         status = "PASS" if (sn, sc, sh) == (on, oc, oh) else "FAIL"
+        # the DRIVER's canonicalizer sort_values over every column — list
+        # cells crash it even when the local hash compare passes
+        if status == "PASS" and len(sdf) and any(
+            isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+            for v in sdf.iloc[0]
+        ):
+            status = "FAIL"
+            print(f"WARN {name}: array-valued column would crash the driver gate")
         if status == "FAIL":
             n_fail += 1
         print(
