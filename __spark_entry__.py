@@ -40,11 +40,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects; read it as raw nanosecond longs (ts_ns BIGINT) and do event-time
-    arithmetic integrally — exactly reproducible in the oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").withColumnRenamed("ts", "ts_ns")
+    """events.parquet stores TIMESTAMP(MICROS); reading ts with an explicit
+    BIGINT schema yields raw epoch-µs, scaled to nanosecond longs (ts_ns
+    BIGINT) so event-time arithmetic is integral — exactly reproducible in
+    the oracle (epoch_ns)."""
+    from vectordb_watermark_spark.streaming.events import read_events
+
+    return read_events(spark, sf_dir + "/events.parquet").withColumnRenamed("ts", "ts_ns")
 
 
 def _degrees(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,10 +109,8 @@ def test_windowed_counts_stream_equals_batch(spark, events_stream_dir):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
-        spark.read.schema(SE.EVENTS_SCHEMA).parquet(events_stream_dir)
-        .withColumn("event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000")))
+    batch = SE.read_events(spark, events_stream_dir).withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000"))
     )
     expected = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
@@ -138,8 +136,7 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, events_stream_di
         for r in spark.sql("SELECT * FROM sessions").collect()
     }
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.schema(SE.EVENTS_SCHEMA).parquet(events_stream_dir)
+    batch = SE.read_events(spark, events_stream_dir)
     expected_all = {
         (r["user_id"], r["session_start_sec"], r["session_end_sec"], r["n_events"])
         for r in SE.sessionize_batch(batch, gap_seconds=900).collect()

@@ -20,8 +20,6 @@ from pyspark.sql import types as T
 def register_dir(spark: SparkSession, data_dir: str, suffix: str = ".parquet") -> list[str]:
     """Register every parquet table in a directory as a temp view (the
     engine's 'connect to database' — reference C5)."""
-    # tolerate TIMESTAMP(NANOS) parquet (read as raw nanosecond longs)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names = []
     for fname in sorted(os.listdir(data_dir)):
         if fname.endswith(suffix):

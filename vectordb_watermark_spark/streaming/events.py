@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: events.parquet stores TIMESTAMP(NANOS); streamed via nanosAsLong + cast
+#: events.parquet stores TIMESTAMP(MICROS); reading the column with an
+#: explicit BIGINT schema yields the raw epoch-microsecond int64, which both
+#: readers below normalize to epoch-nanoseconds (``ts`` * 1000) so every
+#: downstream operator and its DuckDB oracle (``epoch_ns``) agree exactly.
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
@@ -35,16 +38,25 @@ EVENTS_SCHEMA = (
 DEFAULT_GAP_SECONDS = 1800  # 30-minute session gap
 
 
+def _normalize_ts_ns(raw: DataFrame) -> DataFrame:
+    return raw.withColumn("ts", F.col("ts") * F.lit(1000))
+
+
+def read_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch reader for the events table with ``ts`` as epoch-nanosecond
+    BIGINT (the engine's canonical event-time unit)."""
+    return _normalize_ts_ns(spark.read.schema(EVENTS_SCHEMA).parquet(events_dir))
+
+
 def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream of events with a proper event-time column
     (``event_time`` TIMESTAMP derived from the nanosecond epoch)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
-    return raw.withColumn(
+    return _normalize_ts_ns(raw).withColumn(
         "event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000"))
     )
 
