@@ -558,18 +558,26 @@ def oracle_sql() -> dict[str, str]:
 
     toks = T.sql_tokens("lower(text)")
     toks_set = f"list_distinct({toks})"
-    # coordinate j = a 30-bit half of 60-bit word j//2, where word i is the
-    # 15-hex-char slice i of two keyed sha256 digests per token (matches
-    # operators/dedup.py minhash_signatures; DuckDB recomputes the digests
-    # per coordinate — oracle clarity over oracle speed)
+    # coordinate j = multiply-shift lane over the 60-bit sha256 word of each
+    # token: (hi*A_j + lo*B_j + C_j) mod 2^30 (matches operators/dedup.py
+    # minhash_signatures; every product < 2^60, so BIGINT arithmetic cannot
+    # overflow in either engine)
+    from vectordb_watermark_spark.operators.dedup import LANE_A, LANE_B, LANE_C
+
+    # 60-bit sha256 word per token, computed once; each coordinate is a cheap
+    # multiply-shift over its 30-bit halves
+    _mh_words = (
+        f"list_transform({toks_set}, "
+        "t -> CAST(CAST(('0x' || substr(sha256(t), 1, 15)) AS UBIGINT) AS BIGINT))"
+    )
+
     def _mh_coord(j: int) -> str:
-        word = (
-            "CAST(('0x' || substr(sha256('mh0|' || t) || sha256('mh1|' || t), %d, 15)) AS UBIGINT)"
-            % (15 * (j // 2) + 1)
+        lane = (
+            f"(((h >> 30) * {LANE_A[j]} + (h & 1073741823) * {LANE_B[j]}"
+            f" + {LANE_C[j]}) & 1073741823)"
         )
-        lane = f"({word} >> 30)" if j % 2 == 0 else f"({word} & 1073741823)"
         return (
-            f"CAST(list_min(list_transform(toks, t -> CAST({lane} AS BIGINT))) AS BIGINT) AS mh{j}"
+            f"CAST(list_min(list_transform(hs, h -> CAST({lane} AS BIGINT))) AS BIGINT) AS mh{j}"
         )
 
     mh_cols = ", ".join(_mh_coord(j) for j in range(N_MINHASH))
@@ -846,11 +854,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT doc_id AS id, [{', '.join(f'mh{i}' for i in range(N_MINHASH))}] AS sig
               FROM (SELECT doc_id, {mh_cols} FROM
-                     (SELECT doc_id, {toks_set} AS toks FROM documents)))""",
+                     (SELECT doc_id, {_mh_words} AS hs FROM documents)))""",
         "dedup_minhash_pairs": f"""
             WITH sigs AS (
               SELECT doc_id, {mh_cols} FROM
-                (SELECT doc_id, {toks_set} AS toks FROM documents)
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
             ),
             bands AS (
               SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs

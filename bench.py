@@ -62,21 +62,32 @@ def main() -> None:
     def q(name):  # driver-contract query by name, materialized
         return lambda: qs[name](spark, sf_dir).count()
 
-    def wm_roundtrip():
+    def wm_roundtrip(sf_path=None):
+        from vectordb_watermark_spark.plans.codec import OrthogonalCodec
+
         df = (
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            spark.read.parquet(f"{sf_path or sf_dir}/embeddings.parquet")
             .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
         )
+        # one codec per (dim, key) — embed and extract share it exactly as a
+        # resident service would; extraction stays blind (it re-derives the
+        # carrier set from data + key only)
+        codec = OrthogonalCodec(len(df.select("emb").first()[0]), "bench-key")
         res = embed_watermark(df, "SPARK-GRAFT-2026", "bench-key", rate=0.1,
-                              knn_method="broadcast")
+                              knn_method="broadcast", codec=codec)
         # materialize the watermarked table once (a real pipeline writes it
         # back to storage between embed and extract)
         updated = res.updated.cache()
         updated.count()
         out = extract_watermark(updated, "bench-key", res.nonce_hex, rate=0.1,
-                                knn_method="broadcast")
+                                knn_method="broadcast", codec=codec)
         assert out.success, out.error
         updated.unpersist()
+
+    # warm the pipeline's Python kernels (codec encode/decode, kNN probe) and
+    # their codegen on the tiny SF before timing — steady-state measurement,
+    # same rule as the JVM warm-up above
+    wm_roundtrip("/root/testdata/sf0.001")
 
     def knn_degrees_broadcast():
         df = (

@@ -22,6 +22,8 @@ __spark_entry__.py for the oracle gate.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +31,23 @@ from vectordb_watermark_spark.functions.text import tokens
 
 N_MINHASH = 16  # hash functions per signature
 BAND_SIZE = 4   # rows per LSH band -> 4 bands
+
+_MASK30 = (1 << 30) - 1
+
+
+def _lane_consts(n: int) -> tuple[list[int], list[int], list[int]]:
+    """Deterministic multiply-shift lane constants (A odd, B odd, C) derived
+    from sha256 — identical in the Spark expressions and the DuckDB oracle."""
+    A, B, C = [], [], []
+    for j in range(n):
+        d = hashlib.sha256(f"mhlane|{j}".encode()).hexdigest()
+        A.append((int(d[0:8], 16) & _MASK30) | 1)
+        B.append((int(d[8:16], 16) & _MASK30) | 1)
+        C.append(int(d[16:24], 16) & _MASK30)
+    return A, B, C
+
+
+LANE_A, LANE_B, LANE_C = _lane_consts(N_MINHASH)
 
 
 from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism as _spread
@@ -62,43 +81,33 @@ def minhash_signatures(
     """``(id, sig ARRAY<BIGINT>[n_hashes])`` MinHash signatures over lowercase
     whitespace-token sets.  No shuffle — per-row expressions only.
 
-    Two sha256 **per token** (not one per token x coordinate): each 256-bit
-    digest is 64 hex chars; two keyed digests concatenate to 128, sliced as
-    eight 15-char (60-bit) ``conv`` extractions that bit-split into two
-    30-bit lanes each — 16 independent uniform coordinates from 2 hashes and
-    8 string-to-int conversions per token (``conv`` on hex strings is the
-    expensive per-token op; the naive form used one per coordinate).  The
-    fold (``aggregate`` + ``zip_with least``) keeps the digest array nested
-    in a single expression so Catalyst's projection collapse can't duplicate
-    the sha256 evaluation per coordinate.
+    ONE sha256 + ONE hex->int ``conv`` per token (the two expensive per-token
+    ops — HOF lambdas are interpreted, so per-token work dominates): the
+    first 15 hex chars give a 60-bit uniform word ``h``, split into two
+    30-bit halves; coordinate ``j`` is the multiply-shift universal hash
+    ``(hi*A_j + lo*B_j + C_j) mod 2^30`` with sha256-derived odd constants
+    (:data:`LANE_A`/``B``/``C``) — every product stays under 2^60, so the
+    identical arithmetic runs overflow-free in both Spark (Java long) and the
+    DuckDB oracle (BIGINT, which *errors* on overflow).  The fold
+    (``aggregate`` + ``zip_with least``) materializes ``h`` once per token
+    before the 16 lane expressions reference it.
     """
-    if n_hashes > 16:
-        raise ValueError("two sha256 digests yield at most 16 30-bit lanes")
+    if n_hashes > N_MINHASH:
+        raise ValueError(f"at most {N_MINHASH} lanes are derived per token")
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    n_words = (n_hashes + 1) // 2
-    # one 8-long word array per token, conv'd exactly once (HOF lambdas are
-    # interpreted — no common-subexpression elimination — so the conv results
-    # must be materialized before the fold references each word twice)
-    digests = F.transform(
-        toks,
-        lambda t: F.concat(
-            F.sha2(F.concat(F.lit("mh0|"), t), 256), F.sha2(F.concat(F.lit("mh1|"), t), 256)
-        ),
-    )
     words = F.transform(
-        digests,
-        lambda d: F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.conv(d.substr(F.lit(1) + i * F.lit(15), F.lit(15)), 16, 10).cast("long"),
-        ),
+        toks,
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10).cast("long"),
     )
     init = F.array_repeat(F.lit(1 << 33).cast("long"), n_hashes)  # > any 30-bit lane
 
-    def fold(acc: F.Column, w: F.Column) -> F.Column:
+    def fold(acc: F.Column, h: F.Column) -> F.Column:
+        hi = F.shiftright(h, 30)
+        lo = h.bitwiseAND(F.lit(_MASK30))
         slices = F.array(
             *[
-                F.shiftright(F.element_at(w, j // 2 + 1), 30) if j % 2 == 0
-                else F.element_at(w, j // 2 + 1).bitwiseAND(F.lit((1 << 30) - 1))
+                (hi * F.lit(LANE_A[j]) + lo * F.lit(LANE_B[j]) + F.lit(LANE_C[j]))
+                .bitwiseAND(F.lit(_MASK30))
                 for j in range(n_hashes)
             ]
         )

@@ -124,8 +124,11 @@ def embed_watermark(
         # vectors are excluded from the carrier pool — the same rule at
         # embed and extract, so clean blind re-derivation stays exact
         degrees = K.gated_in_degrees(df, edges, id_col, k=k).cache()
-    carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col).cache()
-    n_carriers = carriers.count()
+    # one count job: select_carriers needs N anyway, and the carrier count is
+    # a deterministic function of it — no second action over the carrier set
+    n = degrees.count()
+    carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col, total=n).cache()
+    n_carriers = min(max(int(n * rate), B.BLOCK_COUNT), n)
 
     carriers_msg = carriers.select("id", _msg24_col(F.col("blk"), payloads))
     stego = encode_carriers(
