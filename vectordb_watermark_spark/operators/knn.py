@@ -234,8 +234,13 @@ def knn_edges_broadcast(
     # measures ~30% faster than exact-parallelism spread even though the
     # isolated probe is marginally slower; a 100 TB probe side has far more
     # partitions than 2x cores -> no-op there
+    # rows=n_build: probe side is the same table, so the fan-out is capped for
+    # tiny inputs (scheduling dominates sub-128-row GEMM tasks) and unchanged
+    # at scale
     probe_df = spread_to_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), factor=2
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        factor=2,
+        rows=n_build,
     )
     return probe_df.mapInPandas(probe, schema=out_schema)
 
