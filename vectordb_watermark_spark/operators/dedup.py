@@ -94,6 +94,9 @@ def minhash_signatures(
     """
     if n_hashes > N_MINHASH:
         raise ValueError(f"at most {N_MINHASH} lanes are derived per token")
+    # the per-token hash fold is the expensive per-row work — spread a
+    # single-file input across the session's cores before evaluating it
+    df = _spread(df)
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
     words = F.transform(
         toks,
@@ -160,6 +163,11 @@ def minhash_candidate_pairs(
     groups = sigs.groupBy("sig").agg(
         F.min("id").alias("gid"), F.collect_list("id").alias("members")
     ).cache()
+    # materialize the cache before the plan fans out: the within/band/across
+    # branches all read `groups`, and an unmaterialized cache would race them
+    # into concurrent full evaluations of the signature scan (true at any
+    # scale — this is the diamond-lineage barrier, not a small-N tweak)
+    groups.count()
     mem = groups.select("gid", F.explode("members").alias("id"))
 
     # within-group all pairs; the probe side is spread so one giant duplicate
@@ -237,6 +245,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     packs sign bits.  Bit b of sha256(token) contributes +1/-1 to coordinate
     b; signature bit is 1 iff the sum is positive.
     """
+    # per-row fold is the hot path — don't serialize it on a one-file input
+    df = _spread(df)
     toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
     # 48 bits from the first 12 hex chars of sha256(token); hashing happens in
     # this transform — once per token, NOT once per (token, lane)
