@@ -37,10 +37,10 @@ import hashlib
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vectordb_watermark_spark.functions.arrowmat import collect_matrix
 from vectordb_watermark_spark.functions.vector import sq_euclidean
 
 DEFAULT_K = 16  # mirrors HNSW M=16 (reference configs/config.py:13)
@@ -70,10 +70,14 @@ def knn_edges_exact(
 # broadcast: numpy blocked exact kNN (build side broadcast, probe distributed)
 # ---------------------------------------------------------------------------
 
-#: build-side column-block width for the fused GEMM+top-k probe: the (B, C)
-#: block distance matrix and its top-k index array stay L3-resident, which
-#: measures ~2x faster than one full-width GEMM + argpartition pass
-_COL_BLOCK = 4096
+#: fused GEMM+top-k probe blocking.  The probe is DRAM-bandwidth-bound when
+#: every core runs a worker: the (B, C) block distance matrix must stay
+#: cache-resident PER WORKER or 32 concurrent workers collapse to ~3x
+#: aggregate scaling (measured: B=8192/C=4096 -> 57.5 s for 64 tasks x 1562
+#: probe rows over a 100k x 384 build; B=1024/C=2048 -> 19.6 s on the same
+#: workload).  8 MB block matrix ~ a fair per-core slice of shared L3.
+_COL_BLOCK = 2048
+_PROBE_ROWS = 1024
 
 #: cap on per-worker probe scratch (block matrix + candidate arrays)
 _PROBE_TARGET_BYTES = 128 << 20
@@ -103,13 +107,24 @@ def _publish_build(sc, build_ids: np.ndarray, build_mat: np.ndarray) -> tuple[st
     d = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     ids_path = f"{d}/knnbuild_{tag}_ids.npy"
     mat_path = f"{d}/knnbuild_{tag}_mat.npy"
+    norms_path = f"{d}/knnbuild_{tag}_norms.npy"
     np.save(ids_path, build_ids, allow_pickle=False)
     # float32 build matrix: halves GEMM time and memory traffic; rank error
     # vs float64 is ~1e-6 relative — far below typical neighbor-distance
     # gaps, and carrier-set drift is absorbed by the vote redundancy
-    np.save(mat_path, np.ascontiguousarray(build_mat, dtype=np.float32), allow_pickle=False)
+    mat32 = np.ascontiguousarray(build_mat, dtype=np.float32)
+    np.save(mat_path, mat32, allow_pickle=False)
+    # norms computed ONCE here: every worker recomputing them materializes a
+    # float64 copy of the whole build side (N workers x 2x matrix bytes of
+    # pure memory traffic at job start)
+    np.save(
+        norms_path,
+        (mat32.astype(np.float64) ** 2).sum(axis=1).astype(np.float32),
+        allow_pickle=False,
+    )
     sc.addFile(ids_path)
     sc.addFile(mat_path)
+    sc.addFile(norms_path)
     return tag, d
 
 
@@ -127,8 +142,7 @@ def _load_build(tag: str, stage_dir: str):
 
         ids = np.load(_path(f"knnbuild_{tag}_ids.npy"), allow_pickle=False)
         mat = np.load(_path(f"knnbuild_{tag}_mat.npy"), mmap_mode="r", allow_pickle=False)
-        norms = np.asarray(mat, dtype=np.float64)
-        norms = (norms * norms).sum(axis=1).astype(np.float32)
+        norms = np.load(_path(f"knnbuild_{tag}_norms.npy"), allow_pickle=False)
         pos = {int(i): p for p, i in enumerate(ids)}
         _BUILD_CACHE[tag] = (ids, mat, norms, pos)
     return _BUILD_CACHE[tag]
@@ -154,33 +168,35 @@ def knn_edges_broadcast(
     The probe side is spread to the session's parallelism when the input has
     fewer partitions (a single parquet file must not serialize the probe).
     """
-    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    build_ids = pdf["id"].to_numpy(dtype=np.int64)
-    build_mat = np.stack(pdf["v"].map(lambda a: np.asarray(a, dtype=np.float64)))
+    build_ids, build_mat = collect_matrix(df, id_col, vec_col)
     n_build = len(build_ids)
     if batch_rows is None:
-        # bound both the (B, _COL_BLOCK) block matrix and the (B, k*n_blocks)
-        # candidate arrays — probe memory stays flat as the build side grows
+        # _PROBE_ROWS keeps the block matrix cache-resident under full-core
+        # concurrency; the candidate-array bound keeps probe memory flat as
+        # the build side grows
         n_blocks = (n_build + _COL_BLOCK - 1) // _COL_BLOCK
         cand_bytes = 12 * max(min(k, n_build - 1), 1) * n_blocks
-        batch_rows = max(
-            64, min(_PROBE_TARGET_BYTES // (4 * _COL_BLOCK), _PROBE_TARGET_BYTES // cand_bytes)
-        )
+        batch_rows = max(64, min(_PROBE_ROWS, _PROBE_TARGET_BYTES // cand_bytes))
     sc = df.sparkSession.sparkContext
     tag, stage_dir = _publish_build(sc, build_ids, build_mat)
 
     out_schema = "src long, dst long, dist2 double, rank int"
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
         ids_all, mat, norms, pos = _load_build(tag, stage_dir)
         n = mat.shape[0]
         n_blocks = (n + _COL_BLOCK - 1) // _COL_BLOCK
-        for pdf_in in batches:
-            for start in range(0, len(pdf_in), batch_rows):
-                chunk = pdf_in.iloc[start : start + batch_rows]
-                X = np.stack(chunk["v"].map(lambda a: np.asarray(a, dtype=np.float32)))
+        for rb in batches:
+            ids_in = rb.column(0).to_numpy().astype(np.int64, copy=False)
+            X_in = list_array_to_matrix(rb.column(1))
+            for start in range(0, len(ids_in), batch_rows):
+                X = X_in[start : start + batch_rows]
                 xn = (X.astype(np.float64) ** 2).sum(axis=1)
-                src_ids = chunk["id"].to_numpy(dtype=np.int64)
+                src_ids = ids_in[start : start + batch_rows]
                 ppos = np.array([pos.get(int(s), -1) for s in src_ids], dtype=np.int64)
                 B = len(src_ids)
                 kk = min(k, n - 1)
@@ -217,13 +233,14 @@ def knn_edges_broadcast(
                     sel_dst[i] = ids_all[cand_i[i, order]]
                     sel_d2[i] = cand_d[i, order].astype(np.float64) + xn[i]
                 np.maximum(sel_d2, 0.0, out=sel_d2)
-                yield pd.DataFrame(
-                    {
-                        "src": np.repeat(src_ids, kk),
-                        "dst": sel_dst.reshape(-1),
-                        "dist2": sel_d2.reshape(-1),
-                        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), B),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.repeat(src_ids, kk), type=pa.int64()),
+                        pa.array(sel_dst.reshape(-1), type=pa.int64()),
+                        pa.array(sel_d2.reshape(-1), type=pa.float64()),
+                        pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), B), type=pa.int32()),
+                    ],
+                    names=["src", "dst", "dist2", "rank"],
                 )
 
     from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism
@@ -242,7 +259,7 @@ def knn_edges_broadcast(
         factor=2,
         rows=n_build,
     )
-    return probe_df.mapInPandas(probe, schema=out_schema)
+    return probe_df.mapInArrow(probe, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -160,25 +160,36 @@ def with_graph_features(df, codec, id_col: str = "id", vec_col: str = "emb", out
     :meth:`OrthogonalCodec.graph_features`).  Codecs without the hook (e.g.
     a learned codec whose perturbations are negligible) fall back to the raw
     vector column."""
-    from typing import Iterator
-
-    import pandas as pd
     from pyspark.sql import functions as F
 
     if not hasattr(codec, "graph_features"):
         return df.withColumn(out_col, F.col(vec_col))
 
-    def kernel(batches: "Iterator[pd.DataFrame]"):
-        for pdf in batches:
-            if not len(pdf):
+    from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism
+
+    # the projection kernel is deterministic-but-BLAS-free (codec._det_dot)
+    # — CPU-bound per row, so a few-file input must not serialize it
+    df = spread_to_parallelism(df.select(id_col, vec_col))
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+            matrix_to_list_array,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            V = np.stack(pdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float32)))
+            V = list_array_to_matrix(rb.column(1))
             g = codec.graph_features(V)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], vec_col: pdf[vec_col], out_col: list(map(list, g))}
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), matrix_to_list_array(g)],
+                names=[id_col, vec_col, out_col],
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInArrow(
         kernel, schema=f"{id_col} long, {vec_col} array<float>, {out_col} array<float>"
     )
 

@@ -5,7 +5,7 @@ lifecycle documented in SURVEY.md §3.1).
 One declarative lineage::
 
     scan -> knn_edges -> in_degrees -> select_carriers -> payload assembly
-         -> mapInPandas(codec.encode) -> merge_update
+         -> mapInArrow(codec.encode) -> merge_update
 
 The driver only touches scalars (message encryption, block payload table);
 every per-row step is distributed.  Shuffle inventory (what matters at
@@ -21,7 +21,6 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,24 +58,34 @@ def encode_carriers(
 ) -> DataFrame:
     """Run the codec over carrier rows: (id, emb, msg24) -> (id, emb_stego).
 
-    Arrow-batched ``mapInPandas``; the codec re-derives its basis/weights once
-    per python worker (executor-cached), then encodes whole batches — the
-    vectorized replacement for the reference's per-row torch loop
-    (pg_func.py:369-375).
+    ``mapInArrow``: vectors move Arrow-buffer -> numpy matrix with no
+    per-element Python boxing (functions/arrowmat.py); the codec re-derives
+    its basis/weights once per python worker (executor-cached), then encodes
+    whole batches — the vectorized replacement for the reference's per-row
+    torch loop (pg_func.py:369-375).
     """
+    import pyarrow as pa
+
+    from vectordb_watermark_spark.functions.arrowmat import (
+        list_array_to_matrix,
+        matrix_to_list_array,
+    )
+
     joined = vectors.join(carriers_msg, id_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("emb"), "msg24"
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            V = np.stack(pdf["emb"].map(lambda a: np.asarray(a, dtype=np.float32)))
-            stego = codec.encode_batch(V, pdf["msg24"].to_numpy(np.int64))
-            yield pd.DataFrame({"id": pdf["id"], "emb": list(map(list, stego))})
+            V = list_array_to_matrix(rb.column(1))
+            stego = codec.encode_batch(V, rb.column(2).to_numpy().astype(np.int64, copy=False))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), matrix_to_list_array(stego)], names=["id", "emb"]
+            )
 
-    return joined.mapInPandas(kernel, schema="id long, emb array<float>")
+    return joined.mapInArrow(kernel, schema="id long, emb array<float>")
 
 
 def embed_watermark(

@@ -6,7 +6,7 @@ The extraction is *blind*: no carrier list is stored.  The pipeline re-derives
 the carrier set from the (possibly attacked) data itself::
 
     scan -> knn_edges -> in_degrees -> select_carriers (same key/rate)
-         -> semi-join carrier vectors -> mapInPandas(codec.decode)
+         -> semi-join carrier vectors -> mapInArrow(codec.decode)
          -> CRC-4 + block-range filter -> per-block majority vote
          -> assemble 32-char ciphertext -> AES-GCM decrypt + authenticate
 
@@ -23,7 +23,6 @@ from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,15 +59,21 @@ def decode_carriers(
         F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.stack(pdf["emb"].map(lambda a: np.asarray(a, dtype=np.float32)))
-            msg24 = codec.decode_batch(V)
-            yield pd.DataFrame({"id": pdf["id"], "msg24": msg24})
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
 
-    decoded = sel.mapInPandas(kernel, schema="id long, msg24 long")
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            V = list_array_to_matrix(rb.column(1))
+            msg24 = codec.decode_batch(V)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(msg24, type=pa.int64())], names=["id", "msg24"]
+            )
+
+    decoded = sel.mapInArrow(kernel, schema="id long, msg24 long")
     m = F.col("msg24")
     return decoded.select(
         "id",
