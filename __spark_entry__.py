@@ -307,6 +307,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def q6_forecast_revenue(spark, sf):
+        # pure filter+agg: predicate pushdown to the parquet scan, no shuffle
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
     def q5_nation_revenue(spark, sf):
         orders = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
@@ -338,6 +355,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.round(F.avg("value"), 6).alias("avg_value"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    def events_type_rollup(spark, sf):
+        # ROLLUP (grouping sets): per-(type, day), per-type, grand total
+        ev = _events(spark, sf)
+        sec = F.expr("ts_ns DIV 1000000000")
+        day_epoch = (sec - (sec % 86400)).alias("day_epoch")
+        return (
+            ev.select("event_type", day_epoch, "value")
+            .rollup("event_type", "day_epoch")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("sum_value"),
             )
         )
@@ -383,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_jaccard_pairs(spark, sf):
         return D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35)
+
+    def dedup_ngram_jaccard(spark, sf):
+        return D.ngram_jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.5)
 
     def dedup_simhash(spark, sf):
         return D.simhash(_docs(spark, sf))
@@ -500,13 +534,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "events_hourly": events_hourly,
+        "events_type_rollup": events_type_rollup,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_stats": text_stats,
@@ -820,6 +857,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "events_type_rollup": """
+            SELECT event_type,
+                   CAST((epoch_ns(ts) // 1000000000) // 86400 * 86400 AS BIGINT) AS day_epoch,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, day_epoch)""",
         "q5_nation_revenue": """
             SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
@@ -877,6 +927,20 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 0.0 END, 6) AS jaccard
               FROM t x JOIN t y ON x.doc_id < y.doc_id
             ) WHERE jaccard >= 0.35""",
+        "dedup_ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct({T.sql_shingle_hashes('lower(text)', 5)}) AS sh
+              FROM documents
+            )
+            SELECT a, b, jaccard FROM (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     round(CASE WHEN len(list_distinct(x.sh || y.sh)) > 0
+                           THEN CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                                / len(list_distinct(x.sh || y.sh))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM t x JOIN t y ON x.doc_id < y.doc_id
+            ) WHERE jaccard >= 0.5""",
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id AS id, unnest({toks_set}) AS tok FROM documents

@@ -80,6 +80,25 @@ def test_minhash_lsh_recall_on_neardups(spark):
             assert (i, j) in pairs
 
 
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # identical -> J = 1
+        (2, "fox the over jumps quick lazy brown dog the"),  # same words, reordered
+        (3, "zzzz completely unrelated charactersequence qqqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert got[(0, 1)] == 1.0
+    # reordering keeps most interior shingles but breaks word-boundary ones
+    assert 0.2 < got[(0, 2)] < 1.0
+    assert got[(0, 3)] < 0.05
+    # candidate-pair path matches the all-pairs path
+    cand = spark.createDataFrame([(0, 2)], "a long, b long")
+    via = D.ngram_jaccard_pairs(df, pairs=cand, threshold=0.0).collect()
+    assert len(via) == 1 and via[0]["jaccard"] == got[(0, 2)]
+
+
 def test_jaccard_pairs_values(spark):
     df = spark.createDataFrame(
         [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")], "doc_id long, text string"

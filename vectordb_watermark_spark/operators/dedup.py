@@ -232,6 +232,49 @@ def jaccard_pairs(
     )
 
 
+NGRAM_WIDTH = 5  # character shingle width for n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = NGRAM_WIDTH,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Character n-gram Jaccard ``(a, b, jaccard)``: token-order-insensitive
+    near-dup measure over distinct ``width``-gram shingle hashes of the
+    lowercased text (functions/text.shingle_hashes).
+
+    Same shape as :func:`jaccard_pairs`: exact verify over candidate
+    ``pairs`` (the scale path — feed MinHash-LSH or SimHash candidates), or
+    all-pairs when ``pairs`` is None (small N / within blocking keys only).
+    """
+    from vectordb_watermark_spark.functions.text import shingle_hashes
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes(F.lower(F.col(text_col)), width)).alias("sh"),
+    )
+    if pairs is None:
+        a = sh.select(F.col("id").alias("a"), F.col("sh").alias("sa"))
+        b = sh.select(F.col("id").alias("b"), F.col("sh").alias("sb"))
+        joined = _spread(a).join(b, F.col("a") < F.col("b"))
+    else:
+        joined = (
+            pairs.join(sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sa"), "a")
+            .join(sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sb"), "b")
+        )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("a", "b", F.round(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 SIMHASH_BITS = 48  # fits signed BIGINT with headroom; 48 bits is plenty at 5k docs
 
 
