@@ -566,7 +566,8 @@ def oracle_sql() -> dict[str, str]:
     from vectordb_watermark_spark.functions import text as T
     from vectordb_watermark_spark.functions.bits import crc4_table_sql
     from vectordb_watermark_spark.functions.hashing import (
-        sql_hash_gauss,
+        sql_hash_gauss_word,
+        sql_word60,
         sql_keyed_hash_hex,
         sql_keyed_uniform,
     )
@@ -577,11 +578,15 @@ def oracle_sql() -> dict[str, str]:
     u_sample = sql_keyed_uniform("'sample-42'", "'v'", "vec_id")
 
     # mirror as_float_array: the Spark attack stores FLOAT elements, so the
-    # oracle rounds through FLOAT before the double-precision norm
+    # oracle rounds through FLOAT before the double-precision norm.  Noise is
+    # one sha256 per 4 elements + one 60-bit word per element
+    # (operators/attacks.gaussian_attack / hashing.hash_gauss_word)
+    _g_digest = sql_keyed_hash_hex("'attack-42'", "'g'", "vec_id", "CAST(p[2] // 4 AS BIGINT)")
+    _g_word = sql_word60(_g_digest, offset="1 + (p[2] % 4) * 15")
     gauss_elem = (
         "list_transform(list_zip(embedding, generate_series(0, len(embedding) - 1)), "
         "p -> CAST(CAST(CAST(p[1] AS DOUBLE) + 0.1 * "
-        + sql_hash_gauss(sql_keyed_hash_hex("'attack-42'", "'g'", "vec_id", "p[2]"))
+        + sql_hash_gauss_word(_g_word)
         + " AS FLOAT) AS DOUBLE))"
     )
 

@@ -24,6 +24,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TWO_32 = 4294967296.0  # 2**32
+TWO_30 = 1073741824.0  # 2**30
+MASK30 = (1 << 30) - 1
 TWO_PI = 6.283185307179586
 
 
@@ -62,6 +64,23 @@ def keyed_uniform(*parts: Column | str) -> Column:
     return hash_uniform(keyed_hash_hex(*parts))
 
 
+def word60(hex_col: Column, offset: int = 1) -> Column:
+    """15 hex chars starting at 1-based ``offset`` -> 60-bit BIGINT word.
+    One string->int conversion yields two 30-bit uniform lanes; a 64-hex
+    sha256 digest holds four disjoint words."""
+    return F.conv(F.substring(hex_col, offset, 15), 16, 10).cast("long")
+
+
+def hash_gauss_word(word: Column) -> Column:
+    """Standard normal from a 60-bit word: Box-Muller on its 30-bit halves.
+
+    Cheaper than :func:`hash_gauss` in bulk — one hex conversion per gaussian
+    (vs two), and four gaussians per sha256 digest via :func:`word60`."""
+    u1 = (F.shiftright(word, 30).cast("double") + F.lit(0.5)) / F.lit(TWO_30)
+    u2 = (word.bitwiseAND(F.lit(MASK30)).cast("double") + F.lit(0.5)) / F.lit(TWO_30)
+    return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(TWO_PI) * u2)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL-string builders (must mirror the Column builders exactly)
 # ---------------------------------------------------------------------------
@@ -86,3 +105,15 @@ def sql_hash_gauss(hex_sql: str, offset: int = 1) -> str:
 
 def sql_keyed_uniform(*parts: str) -> str:
     return sql_hash_uniform(sql_keyed_hash_hex(*parts))
+
+
+def sql_word60(hex_sql: str, offset: str | int = 1) -> str:
+    """DuckDB SQL for :func:`word60`; ``offset`` may be a SQL expression."""
+    return f"CAST(CAST(('0x' || substr({hex_sql}, CAST({offset} AS INT), 15)) AS UBIGINT) AS BIGINT)"
+
+
+def sql_hash_gauss_word(word_sql: str) -> str:
+    """DuckDB SQL for :func:`hash_gauss_word`."""
+    u1 = f"((({word_sql}) >> 30) + 0.5) / {TWO_30!r}"
+    u2 = f"((({word_sql}) & {MASK30}) + 0.5) / {TWO_30!r}"
+    return f"(sqrt(-2.0 * ln({u1})) * cos({TWO_PI!r} * {u2}))"

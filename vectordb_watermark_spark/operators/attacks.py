@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectordb_watermark_spark.functions.hashing import (
-    hash_gauss,
+    hash_gauss_word,
     keyed_hash_hex,
     keyed_uniform,
 )
@@ -38,14 +38,41 @@ def gaussian_attack(
     """T1: add N(0, sigma^2) to every element of a keyed-hash-chosen ``ratio``
     of rows (reference attack/gaussian_attack.py:17-56).
 
-    Noise is per-(row, position): gauss(sha2(key|'g'|id|pos)) — element i of a
-    victim row always gets the same perturbation, in Spark and in the oracle.
+    Noise is per-(row, position) and identical in Spark and the oracle.  The
+    expensive per-element ops are amortized: ONE sha256 digest per 4 elements
+    (digest j = sha2(key|'g'|id|j) computed into an array first — interpreted
+    HOF lambdas have no common-subexpression elimination) and ONE hex->int
+    conversion per element (a 15-hex 60-bit word whose 30-bit halves feed
+    Box-Muller, functions/hashing.hash_gauss_word).
     """
     victim = keyed_uniform(seed_key, "v", F.col(id_col)) < F.lit(ratio)
-    noisy = F.transform(
+    n_digests = F.ceil(F.size(F.col(vec_col)) / F.lit(4)).cast("int")
+    # staged arrays so every expensive op runs exactly once (HOF lambdas are
+    # interpreted with no common-subexpression elimination — an expression
+    # referenced inside a lambda is re-evaluated per element; a lambda
+    # VARIABLE is not): digests (1 sha256 per 4 elems) -> per-digest 4
+    # gaussians (1 conv each) -> zip with the vector
+    digests = F.transform(
+        F.sequence(F.lit(0), n_digests - F.lit(1)),
+        lambda j: keyed_hash_hex(seed_key, "g", F.col(id_col), j),
+    )
+    gausses = F.flatten(
+        F.transform(
+            digests,
+            lambda d: F.array(
+                *[
+                    hash_gauss_word(
+                        F.conv(F.substring(d, 1 + 15 * w, 15), 16, 10).cast("long")
+                    )
+                    for w in range(4)
+                ]
+            ),
+        )
+    )
+    noisy = F.zip_with(
         F.col(vec_col),
-        lambda x, i: x.cast("double")
-        + F.lit(sigma) * hash_gauss(keyed_hash_hex(seed_key, "g", F.col(id_col), i)),
+        F.slice(gausses, 1, F.size(F.col(vec_col))),
+        lambda x, g: x.cast("double") + F.lit(sigma) * g,
     )
     out = F.when(victim, as_float_array(noisy)).otherwise(F.col(vec_col))
     return df.withColumn(vec_col, out)
