@@ -105,35 +105,44 @@ def cosine_neardup_pairs(
         return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)
 
     import numpy as np
-    import pandas as pd
-    from typing import Iterator
 
-    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
-    build_ids = pdf["id"].to_numpy(dtype=np.int64)
-    build_mat = np.stack(pdf["v"].map(lambda a: np.asarray(a, dtype=np.float64)))
+    from vectordb_watermark_spark.functions.arrowmat import collect_matrix
+
+    build_ids, build_mat32 = collect_matrix(df, id_col, vec_col)
+    build_mat = build_mat32.astype(np.float64)
     build_norm = np.linalg.norm(build_mat, axis=1)
     sc = df.sparkSession.sparkContext
     b_ids, b_mat, b_norm = sc.broadcast(build_ids), sc.broadcast(build_mat), sc.broadcast(build_norm)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
         ids_all, mat, norms = b_ids.value, b_mat.value, b_norm.value
-        for pdf_in in batches:
-            for start in range(0, len(pdf_in), batch_rows):
-                chunk = pdf_in.iloc[start : start + batch_rows]
-                X = np.stack(chunk["v"].map(lambda a: np.asarray(a, dtype=np.float64)))
+        for rb in batches:
+            src_all = rb.column(0).to_numpy().astype(np.int64, copy=False)
+            X_all = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            for start in range(0, len(src_all), batch_rows):
+                X = X_all[start : start + batch_rows]
+                src = src_all[start : start + batch_rows]
                 xn = np.linalg.norm(X, axis=1)
                 cos = (X @ mat.T) / (xn[:, None] * norms[None, :] + 1e-12)
                 cos = np.round(cos, 6)
-                src = chunk["id"].to_numpy(dtype=np.int64)
                 keep = (cos >= threshold) & (src[:, None] < ids_all[None, :])
                 ai, bj = np.nonzero(keep)
                 if len(ai):
-                    yield pd.DataFrame(
-                        {"a": src[ai], "b": ids_all[bj], "cos": cos[ai, bj]}
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(src[ai], type=pa.int64()),
+                            pa.array(ids_all[bj], type=pa.int64()),
+                            pa.array(cos[ai, bj], type=pa.float64()),
+                        ],
+                        names=["a", "b", "cos"],
                     )
 
     probe = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return probe.mapInPandas(kernel, schema="a long, b long, cos double")
+    return probe.mapInArrow(kernel, schema="a long, b long, cos double")
 
 
 def ivf_assign(
@@ -156,7 +165,6 @@ def ivf_assign(
     from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
 
     import numpy as np
-    import pandas as pd
 
     seeds = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
@@ -176,20 +184,25 @@ def ivf_assign(
         cn = (C * C).sum(axis=1)
 
         def kernel(batches):
-            for pdf_in in batches:
-                if not len(pdf_in):
+            import pyarrow as pa
+
+            from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+            for rb in batches:
+                if not rb.num_rows:
                     continue
-                X = np.stack(pdf_in["v"].map(lambda a: np.asarray(a, dtype=np.float64)))
+                X = list_array_to_matrix(rb.column(1), dtype=np.float64)
                 d2 = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf_in["id"],
-                        "v": pdf_in["v"],
-                        "centroid": d2.argmin(axis=1).astype(np.int32),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0),
+                        rb.column(1),
+                        pa.array(d2.argmin(axis=1).astype(np.int32), type=pa.int32()),
+                    ],
+                    names=["id", "v", "centroid"],
                 )
 
-        return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInArrow(
             kernel, schema="id long, v array<float>, centroid int"
         )
 
