@@ -722,7 +722,7 @@ def oracle_sql() -> dict[str, str]:
             eligible AS (
               SELECT src AS id FROM kept GROUP BY src
               HAVING count(*) >= {(KNN_K + 1) // 2}
-                 AND sum(CASE WHEN dist2 <= 1e-12 THEN 1 ELSE 0 END) < {(KNN_K + 1) // 2}
+                 AND sum(CASE WHEN dist2 <= 1e-4 THEN 1 ELSE 0 END) < {(KNN_K + 1) // 2}
             ),
             deg AS (SELECT dst, count(*) AS c FROM kept GROUP BY dst)
             SELECT e.id AS id, CAST(coalesce(deg.c, 0) AS BIGINT) AS degree

@@ -45,6 +45,15 @@ from vectordb_watermark_spark.functions.vector import sq_euclidean
 
 DEFAULT_K = 16  # mirrors HNSW M=16 (reference configs/config.py:13)
 
+#: dist2 at or below this is an "exact duplicate" edge for the blob rule in
+#: :func:`gated_in_degrees`.  NOT machine epsilon: the float32 probe GEMM
+#: computes |x|^2+|y|^2-2xy with catastrophic cancellation at x=y, leaving
+#: ~1e-7..1e-5 residuals on truly identical vectors (measured 2.4e-7 at
+#: 384-d unit-norm) — a 1e-12 test silently never fires on the broadcast
+#: path.  1e-4 on unit-norm graph features means cosine >= 0.99995:
+#: unambiguously the same vector, far below genuine neighbor distances.
+DUP_EPS2 = 1e-4
+
 
 # ---------------------------------------------------------------------------
 # exact: pure-Catalyst broadcast nested loop (small N, oracle anchor)
@@ -437,7 +446,7 @@ def gated_in_degrees(
        ``k`` out-edges is off-manifold -> **excluded** from the returned id
        universe entirely, so it can never enter the carrier pool.
     4. A src with ``min_out`` or more *exact-duplicate* out-edges
-       (``dist2 <= 1e-12``) sits inside a mass-duplication blob — the
+       (``dist2 <= DUP_EPS2``) sits inside a mass-duplication blob — the
        signature of a mean-replacement attack, whose identical copies would
        otherwise flood the low-degree pool (only the few tie-break-favored
        copies receive the blob's in-edges) -> excluded.  HNSW is immune to
@@ -458,7 +467,7 @@ def gated_in_degrees(
         kept.groupBy(F.col("src").alias(id_col))
         .agg(
             F.count(F.lit(1)).alias("__out"),
-            F.sum((F.col("dist2") <= 1e-12).cast("int")).alias("__dup_out"),
+            F.sum((F.col("dist2") <= DUP_EPS2).cast("int")).alias("__dup_out"),
         )
         .filter((F.col("__out") >= min_out) & (F.col("__dup_out") < min_out))
         .select(id_col)

@@ -97,7 +97,10 @@ class OrthogonalCodec:
             # perturbs each bit coefficient by ~sqrt(f/dim), so a constant
             # delta*sqrt(dim) keeps the bit SNR scale-invariant; the clamp
             # keeps fidelity cos >= ~0.95 at the reference's D=384.
-            delta = max(0.02, min(0.08, 0.64 / dim**0.5))
+            # 1.0/sqrt(D) (cos ~0.97 at 384-d, written mass 24*delta^2 ~6%)
+            # buys the truncation/noise headroom the reference gets from its
+            # learned codec; the 0.08 cap leaves low-D behavior unchanged.
+            delta = max(0.02, min(0.08, 1.0 / dim**0.5))
         self.delta = float(delta)
         self._basis = None  # lazy: derived on first use per process
 
