@@ -179,6 +179,13 @@ def degrees(emb):
     return K.in_degrees(emb, K.knn_edges_exact(emb, k=16)).cache()
 
 
+def test_select_carriers_empty_degrees(spark):
+    empty = spark.createDataFrame([], "id long, degree long")
+    sel = S.select_carriers(empty, key="k", rate=0.1)
+    assert sel.count() == 0
+    assert sel.columns == ["id", "degree", "selection_order", "blk"]
+
+
 def test_select_carriers_count_and_determinism(degrees):
     sel1 = S.select_carriers(degrees, key="test-key-1", rate=0.1)
     n = degrees.count()
