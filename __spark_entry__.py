@@ -709,8 +709,9 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rk <= {KNN_K}
             ),
             buckets AS (
+              -- non-duplicate edges only: mirrors knn.edge_gate_threshold
               SELECT CAST(floor(log2(greatest(dist2, 1e-12)) * 8) AS INT) AS b, count(*) AS c
-              FROM knn GROUP BY 1
+              FROM knn WHERE dist2 > 1e-4 GROUP BY 1
             ),
             tot AS (SELECT sum(c) AS t FROM buckets),
             cdf AS (SELECT b, sum(c) OVER (ORDER BY b) AS acc FROM buckets),

@@ -488,21 +488,36 @@ def edge_gate_threshold(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -
     ``q``-quantile of ``dist2``, computed via an exact log2-bucket histogram
     (deterministic under any partitioning — no approxQuantile sketch drift).
 
+    The quantile runs over NON-duplicate edges only (``dist2 > DUP_EPS2``):
+    a mass-duplication attack contributes a zero-distance edge mode that
+    would otherwise drag the quantile to ~0 once duplicates pass ~q of the
+    corpus, pruning every genuine edge (measured: 50% mean-replacement
+    emptied the eligible set entirely).  Duplicate edges are classified by
+    the blob rule instead (:func:`gated_in_degrees`), not by the gate.
+
     ``q`` defaults *below* the median so that a corpus where up to half the
-    vectors are destroyed (gaussian attack, mean-replacement) cannot drag the
-    quantile into the attacked mode: the threshold tracks the *clean* edge
-    population.  ``slack`` (in dist2 terms; 2.5 ~ 1.6x distance) sits between
-    the tight clean-neighbor mode and the decode-destroying noise mode:
-    measured at 100k x 384 unit-norm, clean kNN dist2 concentrates at ~0.14
-    while sigma=0.05-noised probes sit at ~0.63, and noise mild enough to
-    leave payloads decodable (sigma <= ~0.02) stays under the gate — the gate
+    vectors are destroyed (gaussian attack) cannot drag the quantile into
+    the attacked mode: the threshold tracks the *clean* edge population.
+    ``slack`` (in dist2 terms; 2.5 ~ 1.6x distance) sits between the tight
+    clean-neighbor mode and the decode-destroying noise mode: measured at
+    100k x 384 unit-norm, clean kNN dist2 concentrates at ~0.14 while
+    sigma=0.05-noised probes sit at ~0.63, and noise mild enough to leave
+    payloads decodable (sigma <= ~0.02) stays under the gate — the gate
     adapts to exactly the noise levels that destroy payloads.
+
+    An all-duplicate corpus has no non-dup edges: tau = 0 -> nothing kept ->
+    extraction fails gracefully with zero carriers.
     """
     b = F.floor(F.log2(F.greatest(F.col("dist2"), F.lit(1e-12))) * 8).cast("int")
     hist = sorted(
         (r["b"], r["c"])
-        for r in edges.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+        for r in edges.filter(F.col("dist2") > DUP_EPS2)
+        .groupBy(b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
+    if not hist:
+        return 0.0
     total = sum(c for _, c in hist)
     acc = 0
     qb = hist[-1][0]

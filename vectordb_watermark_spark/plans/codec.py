@@ -139,21 +139,45 @@ class OrthogonalCodec:
         bits = _det_dot(V, self.basis) > 0.0
         return _bits_to_msg(bits)
 
-    def graph_features(self, vectors: np.ndarray) -> np.ndarray:
-        """Watermark-invariant kNN-graph features: the L2-normalized
-        projection onto the orthogonal complement of the message subspace.
+    @property
+    def _graph_prefix(self) -> int:
+        """Leading-coordinate count the graph features live on: truncation
+        attacks that keep at least this many dimensions leave the features
+        — and therefore the whole proximity graph and carrier set — exactly
+        invariant.  D/2 by default; floored so the complement of the 24-dim
+        message subspace keeps >= 32 effective dimensions."""
+        return min(self.dim, max(self.dim // 2, MSG_BITS + 32))
 
-        The encoder only writes inside span(U) (plus a global rescale), so
-        ``normalize(v - U U^T v)`` is *identical* before and after embedding.
-        Building the proximity graph on these features makes blind carrier
-        re-derivation exact under no attack — a deliberate improvement over
-        the reference, whose HNSW graph is perturbed by its own watermark
-        and only recovers a carrier *overlap* (SURVEY.md §3.2, §7.5).
-        Attacks still perturb the complement, degrading gracefully.
+    def graph_features(self, vectors: np.ndarray) -> np.ndarray:
+        """Watermark- AND truncation-invariant kNN-graph features.
+
+        Let ``P`` be the first :attr:`_graph_prefix` coordinates and ``U_P``
+        the prefix rows of the message basis.  The feature is the
+        L2-normalized projection of ``P(v)`` onto the orthogonal complement
+        of ``span(U_P)`` within the prefix subspace:
+
+        - the encoder only writes ``delta * U c`` (plus a global rescale),
+          whose prefix lies in span(U_P) -> annihilated: embed and extract
+          derive the *identical* graph on clean data — a deliberate
+          improvement over the reference, whose HNSW graph is perturbed by
+          its own watermark and only recovers a carrier *overlap*
+          (SURVEY.md §3.2, §7.5);
+        - the feature reads only prefix coordinates, so a truncate-and-pad
+          attack keeping >= prefix dims (the reference's published T4 keeps
+          284/384 ~ 74%, reference attack/README.md:172-179) does not move a
+          single edge — carrier re-derivation under T4 is exact.
+
+        The complement projector ``I - U_P (U_P^T U_P)^{-1} U_P^T`` is
+        unique (no QR sign ambiguity); ``(U_P^T U_P)^{-1}`` is derived once
+        per process and every matrix product runs through the
+        batch-shape-independent ``_det_dot``.
         """
         V = np.asarray(vectors, dtype=np.float64)
-        U = self.basis
-        comp = V - _det_dot(_det_dot(V, U), U.T)
+        p = self._graph_prefix
+        Up = np.ascontiguousarray(self.basis[:p, :])  # (p, 24)
+        Sinv = np.linalg.inv(Up.T @ Up)               # (24, 24), derived once-equivalent
+        Vp = np.ascontiguousarray(V[:, :p])
+        comp = Vp - _det_dot(_det_dot(Vp, Up), (Sinv @ Up.T))
         norms = np.linalg.norm(comp, axis=1, keepdims=True)
         return (comp / (norms + 1e-12)).astype(np.float32)
 
