@@ -148,6 +148,33 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, events_stream_di
     assert len(got) >= 0.5 * len(expected_all)
 
 
+def test_incremental_embed_foreachbatch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "vec_in")
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    base.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, emb array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SE.incremental_embed(stream, "ABCDEFGHIJKLMNOP", "stream-key", out, ckpt, rate=0.2).start()
+    q.awaitTermination(180)
+
+    wm = spark.read.parquet(out)
+    assert wm.count() == base.count()
+    # the watermarked table differs from the source on the carrier rows
+    joined = base.withColumnRenamed("emb", "orig").join(wm, "id")
+    changed = joined.filter(F.expr("orig != emb")).count()
+    assert changed > 0
+
+
 def test_sessionize_batch_semantics(spark):
     ns = 1_000_000_000
     rows = [
