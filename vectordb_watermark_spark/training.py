@@ -66,7 +66,7 @@ def adaptive_params(dim: int) -> dict:
     """Engine analogue of the reference's dimension-adaptive hyper-parameters
     (watermark.py:12-40).  For the linear codec only delta matters; the grid
     is centered on the 1/sqrt(dim) constant-SNR scaling (plans/codec.py)."""
-    center = max(0.02, min(0.08, 0.64 / dim**0.5))
+    center = max(0.02, min(0.08, 1.0 / dim**0.5))
     return {
         "delta_grid": sorted({round(center * f, 4) for f in (0.5, 0.75, 1.0, 1.5, 2.0)}),
         "noise_sigmas": [0.0, 0.01, 0.03],  # curriculum (trainer.py:294-324)
