@@ -1,0 +1,127 @@
+"""100k-document text-pipeline scale benchmark.
+
+The driver's documents table tops out at 5k rows; this tool synthesizes a
+100k-document corpus with realistic duplicate structure (template clusters +
+token-level mutations + exact copies) and runs the dedup/text family at that
+scale: exact groups, MinHash signatures + LSH candidate pairs, SimHash +
+banded near-pairs, text stats, language ID.  Prints one JSON line.  Usage::
+
+    python tools/scale_text.py [--rows 100000] [--fresh]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+CORPUS = ".scratch/docs100k.parquet"
+
+#: ~20k-word zipf-ish vocabulary: realistic token-overlap statistics (a
+#: 38-word vocabulary makes every random pair of documents genuinely
+#: near-duplicate at the Jaccard level — the dedup answer explodes)
+VOCAB_SIZE = 20_000
+
+
+def make_corpus(spark, rows: int, path: str) -> None:
+    """Deterministic synthetic corpus: 2% template clusters (exact copies),
+    18% near-dups (template + small mutations), 80% unique documents."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_part = 32
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                p = int(row["p"])
+                lo = rows * p // n_part
+                hi = rows * (p + 1) // n_part
+                rng = np.random.default_rng(4242 + p)
+                trng = np.random.default_rng(99)  # shared template stream
+
+                def words(r, m):  # zipf-ish draw over the shared vocabulary
+                    return [f"w{v}" for v in (r.zipf(1.3, m) % VOCAB_SIZE)]
+
+                templates = [" ".join(words(trng, 40)) for _ in range(200)]
+                ids, texts = [], []
+                for i in range(lo, hi):
+                    u = rng.random()
+                    if u < 0.02:  # exact copy of a template
+                        t = templates[rng.integers(0, len(templates))]
+                    elif u < 0.20:  # near-dup: template with a few swaps
+                        toks = templates[rng.integers(0, len(templates))].split()
+                        for _ in range(rng.integers(1, 4)):
+                            toks[rng.integers(0, len(toks))] = f"w{rng.integers(VOCAB_SIZE)}"
+                        t = " ".join(toks)
+                    else:  # unique
+                        t = " ".join(words(rng, int(rng.integers(20, 60))))
+                    ids.append(i)
+                    texts.append(t)
+                yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    base = spark.range(n_part).select(F.col("id").alias("p")).repartition(n_part, "p")
+    base.mapInPandas(gen, schema="doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--fresh", action="store_true")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+
+    from pyspark.sql import functions as F
+
+    from vectordb_watermark_spark import get_spark
+    from vectordb_watermark_spark.functions import text as T
+    from vectordb_watermark_spark.operators import dedup as D
+
+    spark = get_spark("scale-text")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(".scratch", exist_ok=True)
+    if args.fresh or not os.path.exists(CORPUS):
+        make_corpus(spark, args.rows, CORPUS)
+
+    docs = spark.read.parquet(CORPUS)
+    n = docs.count()
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        counts[name] = fn()
+        timings[name] = round(time.time() - t0, 1)
+
+    run("exact_groups", lambda: D.exact_dup_groups(docs).filter(F.col("dup_count") > 1).count())
+    run("minhash_pairs", lambda: D.minhash_candidate_pairs(docs).count())
+    run("simhash_pairs", lambda: D.simhash_near_pairs(D.simhash(docs), max_hamming=6).count())
+    run(
+        "text_stats",
+        lambda: docs.select(
+            T.token_count(F.col("text")).alias("nt"),
+            T.quality_score(F.col("text")).alias("q"),
+            T.lang_id(F.col("text")).alias("lang"),
+        ).count(),
+    )
+
+    print(json.dumps({
+        "metric": "scale_text_seconds",
+        "value": round(sum(timings.values()), 1),
+        "unit": "sec",
+        "rows": n,
+        "timings": timings,
+        "counts": counts,
+    }))
+
+
+if __name__ == "__main__":
+    main()
