@@ -511,6 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
         return S.ivf_topk_cosine(df.filter(F.col("id") != 0), qv, k=10)
 
+    def lsh_topk(spark, sf):  # approximate ANN via sign-LSH prefilter: rows-only
+        df = _vectors(spark, sf)
+        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+        return S.lsh_topk_cosine(df.filter(F.col("id") != 0), qv, k=10, n_tables=12, n_bits=4)
+
     return {
         "point_lookup": point_lookup,
         "vector_scan": vector_scan,
@@ -559,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_edges": knn_lsh_edges,
         "watermark_roundtrip": watermark_roundtrip,
         "ivf_topk": ivf_topk,
+        "lsh_topk": lsh_topk,
     }
 
 

@@ -235,6 +235,17 @@ def test_ivf_topk_recall(spark, vectors):
     assert len(brute & approx) >= 5
 
 
+def test_lsh_topk_recall(spark, vectors):
+    rows = vectors.collect()
+    q = [float(x) for x in rows[0]["emb"]]
+    qid = rows[0]["id"]
+    brute = {r["id"] for r in S.topk_cosine(vectors.filter(F.col("id") != qid), q, k=10).collect()}
+    approx = {r["id"] for r in S.lsh_topk_cosine(
+        vectors.filter(F.col("id") != qid), q, k=10, n_tables=12, n_bits=4
+    ).collect()}
+    assert len(brute & approx) >= 5
+
+
 def test_gemm_neardup_matches_expr_path(spark, vectors):
     sub = vectors.limit(100)
     a = {(r["a"], r["b"]): r["cos"] for r in

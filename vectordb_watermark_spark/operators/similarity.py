@@ -77,6 +77,62 @@ def topk_euclidean(
     )
 
 
+def lsh_topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    key: str = "lsh",
+    n_tables: int = 8,
+    n_bits: int = 10,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """LSH-prefiltered cosine top-k — the scale path for single-query ANN.
+
+    The query's sign-LSH bucket is computed driver-side from the same
+    key-derived hyperplanes as :func:`operators.knn.knn_edges_lsh`; one
+    ``mapInArrow`` pass keeps only rows sharing the query's bucket in at
+    least one table (~``n_tables / 2^n_bits`` of the table scanned onward),
+    then the exact cosine re-rank runs on the survivors.  Approximate:
+    recall is a tested contract, not 100%.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+    from vectordb_watermark_spark.operators.knn import _planes_flat
+
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float32)
+    P = _planes_flat(key, dim, n_tables, n_bits)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    qs = (q @ P.T) > 0
+    q_buckets = np.array(
+        [qs[t * n_bits : (t + 1) * n_bits] @ weights for t in range(n_tables)],
+        dtype=np.int64,
+    )
+
+    def prefilter(batches):
+        Pw = _planes_flat(key, dim, n_tables, n_bits)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1))
+            S = (X @ Pw.T) > 0
+            hit = np.zeros(rb.num_rows, dtype=bool)
+            for t in range(n_tables):
+                hit |= (S[:, t * n_bits : (t + 1) * n_bits] @ weights) == q_buckets[t]
+            idx = np.nonzero(hit)[0]
+            if len(idx):
+                yield rb.take(pa.array(idx))
+
+    cand = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInArrow(prefilter, schema="id long, v array<float>")
+    )
+    return topk_cosine(cand, query_vec, k, "id", "v")
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
