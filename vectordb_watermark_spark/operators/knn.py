@@ -12,7 +12,7 @@ dist2)`` with three physical strategies:
                    100% Catalyst (no Python), so it is the correctness anchor.
 - ``broadcast``  — numpy blocked exact kNN: the (id, vec) build side is
                    collected + broadcast (like a broadcast hash join build),
-                   probe side streams through ``mapInPandas`` computing
+                   probe side streams through ``mapInArrow`` computing
                    float64 distances with BLAS.  Exact; scales in the probe
                    dimension to any N_probe, bounded by build side fitting in
                    executor memory (~1M x 384d = 1.5 GB).

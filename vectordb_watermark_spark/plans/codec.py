@@ -21,7 +21,7 @@ Torch is not available in this environment, so the engine ships:
   here).
 
 Both implement the same batch interface and run inside Arrow-batched
-``mapInPandas`` — vectorized, executor-cached, never per-row (the
+``mapInArrow`` — vectorized, executor-cached, never per-row (the
 reference's worst inefficiency was per-row CPU<->GPU transfer,
 pg_func.py:369-375; its own training loop proves the models batch fine).
 
