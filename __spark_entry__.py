@@ -418,6 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_ngram_jaccard(spark, sf):
         return D.ngram_jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.5)
 
+    def dedup_components(spark, sf):
+        # near-dup clustering: minhash candidates -> connected components
+        return D.connected_components(D.minhash_candidate_pairs(_docs(spark, sf)))
+
     def dedup_simhash(spark, sf):
         return D.simhash(_docs(spark, sf))
 
@@ -549,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_components": dedup_components,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "text_stats": text_stats,
@@ -939,6 +944,30 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 0.0 END, 6) AS jaccard
               FROM t x JOIN t y ON x.doc_id < y.doc_id
             ) WHERE jaccard >= 0.35""",
+        # connected components of the minhash candidate graph via recursive
+        # label reachability: comp(id) = min id reachable from id — identical
+        # definition to operators/dedup.connected_components' fixpoint
+        "dedup_components": f"""
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cpairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            ),
+            edges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+            reach(id, comp) AS (
+              SELECT a AS id, a AS comp FROM edges
+              UNION
+              SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            )
+            SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY id""",
         "dedup_ngram_jaccard": f"""
             WITH t AS (
               SELECT doc_id,

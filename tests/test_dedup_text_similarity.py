@@ -99,6 +99,15 @@ def test_ngram_jaccard_pairs(spark):
     assert len(via) == 1 and via[0]["jaccard"] == got[(0, 2)]
 
 
+def test_connected_components(spark):
+    # two chains and a singleton pair: {1-2-3}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)], "a long, b long"
+    )
+    got = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_jaccard_pairs_values(spark):
     df = spark.createDataFrame(
         [(0, "a b c d"), (1, "a b c e"), (2, "x y z w")], "doc_id long, text string"

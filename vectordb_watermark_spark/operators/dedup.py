@@ -232,6 +232,55 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 30
+) -> DataFrame:
+    """Group near-dup pairs into clusters: ``(id, comp)`` where ``comp`` is
+    the minimum id reachable from ``id`` — the canonical-document assignment
+    that turns a pair list into a dedup decision.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, each node takes the minimum label among itself and its
+    neighbors; converges in O(graph diameter) rounds (near-dup clusters are
+    dense — diameter is tiny).  Each round is one join + one map-side-
+    combined aggregate; ``localCheckpoint`` truncates the iterative lineage
+    so the plan does not grow with rounds (the standard Spark iterative-
+    algorithm hygiene).  Deterministic: the fixpoint is unique.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionAll(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), "comp")
+            .groupBy("id")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 NGRAM_WIDTH = 5  # character shingle width for n-gram Jaccard
 
 
