@@ -75,20 +75,116 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return df.join(keep, id_col, "left_semi")
 
 
+def _tokenize_ascii(text: str) -> list[str]:
+    """Python twin of ``tokens(F.lower(col))``: lowercase, split on ASCII
+    whitespace runs, drop empties.  ``re.ASCII`` pins ``\\s`` to the same
+    class Java regex and DuckDB's RE2 use ([ \\t\\n\\x0b\\f\\r]) so the three
+    engines tokenize identically (the oracle gate hash-checks this)."""
+    import re
+
+    return [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+
+
+def _token_words_batch(texts, memo: dict) -> list:
+    """Per-document int64 arrays of 60-bit sha256 token words (first 15 hex
+    chars) over DISTINCT tokens.  The memo (token -> word) is shared across
+    the batch: under a zipfian vocabulary most tokens repeat, so hashing cost
+    is ~vocabulary-sized, not corpus-sized.  Consumers needing a shorter
+    digest prefix shift: the 48-bit simhash word is ``w >> 12``."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    out = []
+    for text in texts:
+        words = []
+        seen = set()
+        for t in _tokenize_ascii(text):
+            if t in seen:
+                continue
+            seen.add(t)
+            w = memo.get(t)
+            if w is None:
+                w = int(_hl.sha256(t.encode()).hexdigest()[:15], 16)
+                memo[t] = w
+            words.append(w)
+        out.append(_np.array(words, dtype=_np.int64))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH
 ) -> DataFrame:
     """``(id, sig ARRAY<BIGINT>[n_hashes])`` MinHash signatures over lowercase
-    whitespace-token sets.  No shuffle — per-row expressions only.
+    whitespace-token sets — Arrow-batched numpy kernel, no shuffle.
+
+    Value-identical to :func:`minhash_signatures_expr` (and the DuckDB
+    oracle): the first 15 hex chars of sha256(token) give a 60-bit word
+    ``h``; coordinate ``j`` is the multiply-shift universal hash
+    ``(hi*A_j + lo*B_j + C_j) mod 2^30`` over the 30-bit halves with
+    sha256-derived odd constants (:data:`LANE_A`/``B``/``C``) — pure int64
+    arithmetic, bit-exact across numpy / Java long / DuckDB BIGINT.  The
+    kernel vectorizes the lane min-fold across the whole batch
+    (``minimum.reduceat`` over doc boundaries) and memoizes token hashes,
+    which the interpreted per-token HOF lambdas of the expression form
+    cannot do.
+    """
+    if n_hashes > N_MINHASH:
+        raise ValueError(f"at most {N_MINHASH} lanes are derived per token")
+    import pyarrow as pa
+
+    A = LANE_A[:n_hashes]
+    B = LANE_B[:n_hashes]
+    C = LANE_C[:n_hashes]
+
+    df = _spread(df)
+    sel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+    def kernel(batches):
+        import numpy as np
+
+        An = np.array(A, dtype=np.int64)
+        Bn = np.array(B, dtype=np.int64)
+        Cn = np.array(C, dtype=np.int64)
+        memo: dict = {}
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            texts = rb.column(1).to_pylist()
+            per_doc = _token_words_batch(texts, memo)
+            lens = np.array([len(w) for w in per_doc], dtype=np.int64)
+            nonempty = lens > 0
+            sigs: list = [None] * rb.num_rows
+            if nonempty.any():
+                W = np.concatenate([w for w in per_doc if len(w)])
+                hi = W >> 30
+                lo = W & _MASK30
+                # (T, n_hashes) lane matrix; every product < 2^60 — exact int64
+                lanes = (hi[:, None] * An[None, :] + lo[:, None] * Bn[None, :] + Cn[None, :]) & _MASK30
+                starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(lens[nonempty][:-1], out=starts[1:])
+                mins = np.minimum.reduceat(lanes, starts, axis=0)
+                k = 0
+                for i in range(rb.num_rows):
+                    if nonempty[i]:
+                        sigs[i] = mins[k].tolist()
+                        k += 1
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(sigs, type=pa.list_(pa.int64()))],
+                names=["id", "sig"],
+            )
+
+    return sel.mapInArrow(kernel, schema="id long, sig array<long>")
+
+
+def minhash_signatures_expr(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Pure-Catalyst expression twin of :func:`minhash_signatures` (the
+    original formulation; kept as a cross-engine equivalence anchor).
 
     ONE sha256 + ONE hex->int ``conv`` per token (the two expensive per-token
-    ops — HOF lambdas are interpreted, so per-token work dominates): the
-    first 15 hex chars give a 60-bit uniform word ``h``, split into two
-    30-bit halves; coordinate ``j`` is the multiply-shift universal hash
-    ``(hi*A_j + lo*B_j + C_j) mod 2^30`` with sha256-derived odd constants
-    (:data:`LANE_A`/``B``/``C``) — every product stays under 2^60, so the
-    identical arithmetic runs overflow-free in both Spark (Java long) and the
-    DuckDB oracle (BIGINT, which *errors* on overflow).  The fold
+    ops — HOF lambdas are interpreted, so per-token work dominates); the fold
     (``aggregate`` + ``zip_with least``) materializes ``h`` once per token
     before the 16 lane expressions reference it.
     """
@@ -328,14 +424,63 @@ SIMHASH_BITS = 48  # fits signed BIGINT with headroom; 48 bits is plenty at 5k d
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """``(id, simhash BIGINT)`` 48-bit SimHash over distinct lowercase tokens.
+    """``(id, simhash BIGINT)`` 48-bit SimHash over distinct lowercase tokens
+    — Arrow-batched numpy kernel, ZERO shuffles.
 
-    Entirely per-row expression work — ZERO shuffles.  The naive formulation
-    (explode tokens x 48 bit-rows -> groupBy(id, bit) -> groupBy(id)) shuffles
-    ~48x the token count; here a single ``aggregate`` folds each token's
-    48-lane +/-1 contribution into an array accumulator, then the signature
-    packs sign bits.  Bit b of sha256(token) contributes +1/-1 to coordinate
-    b; signature bit is 1 iff the sum is positive.
+    Value-identical to :func:`simhash_expr` (and the DuckDB oracle): bit
+    ``b`` of the 48-bit word from sha256(token)'s first 12 hex chars
+    contributes +1/-1 to coordinate ``b``; signature bit is 1 iff the sum is
+    positive.  The kernel extracts all 48 bit-lanes of a batch's tokens with
+    one broadcasted shift (``(W >> b) & 1``), sums per document via
+    ``add.reduceat``, and memoizes token hashes — replacing an interpreted
+    48-lane HOF fold whose codegen'd expression tree was both slow (~14 ms
+    per document) and compile-time fragile.  Documents with no tokens are
+    dropped (they vanish at the oracle's unnest too).
+    """
+    import pyarrow as pa
+
+    df = _spread(df)
+    sel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+
+    def kernel(batches):
+        import numpy as np
+
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        memo: dict = {}
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            texts = rb.column(1).to_pylist()
+            # 60-bit words shared with the minhash memo arithmetic; the top
+            # 48 bits of the first 12 hex chars == word >> 12
+            per_doc = [w >> 12 for w in _token_words_batch(texts, memo)]
+            lens = np.array([len(w) for w in per_doc], dtype=np.int64)
+            nonempty = lens > 0
+            if not nonempty.any():
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)[nonempty]
+            W = np.concatenate([w for w in per_doc if len(w)])
+            contrib = (((W[:, None] >> shifts[None, :]) & 1) * 2 - 1).astype(np.int64)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            sums = np.add.reduceat(contrib, starts, axis=0)  # (docs, 48)
+            packed = ((sums > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), pa.array(packed, type=pa.int64())],
+                names=["id", "simhash"],
+            )
+
+    return sel.mapInArrow(kernel, schema="id long, simhash long")
+
+
+def simhash_expr(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-Catalyst expression twin of :func:`simhash` (the original
+    formulation; kept as a cross-engine equivalence anchor).
+
+    The naive formulation (explode tokens x 48 bit-rows -> groupBy(id, bit)
+    -> groupBy(id)) shuffles ~48x the token count; here a single
+    ``aggregate`` folds each token's 48-lane +/-1 contribution into an array
+    accumulator, then the signature packs sign bits.
     """
     # per-row fold is the hot path — don't serialize it on a one-file input
     df = _spread(df)
