@@ -575,19 +575,34 @@ def gated_in_degrees(
     edges = edges.cache()
     tau = edge_gate_threshold(edges, q, slack)
     kept = edges.filter(F.col("dist2") <= F.lit(float(tau)))
-    eligible = (
-        kept.groupBy(F.col("src").alias(id_col))
+    # single-shuffle fusion: each kept edge contributes one src-side row
+    # (out-edge + duplicate tally) and one dst-side row (in-edge tally);
+    # one groupBy folds both, replacing two aggregations + a join — one
+    # barrier instead of three at any scale.  Every id with >= min_out >= 1
+    # kept out-edges has src rows, so eligible-but-in-degree-0 ids survive
+    # with degree 0 exactly as the join formulation produced.
+    contrib = kept.select(
+        F.col("src").alias(id_col),
+        F.lit(1).alias("__out"),
+        (F.col("dist2") <= DUP_EPS2).cast("int").alias("__dup_out"),
+        F.lit(0).alias("__in"),
+    ).unionAll(
+        kept.select(
+            F.col("dst").alias(id_col),
+            F.lit(0).alias("__out"),
+            F.lit(0).alias("__dup_out"),
+            F.lit(1).alias("__in"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("__out"),
-            F.sum((F.col("dist2") <= DUP_EPS2).cast("int")).alias("__dup_out"),
+            F.sum("__out").alias("__out"),
+            F.sum("__dup_out").alias("__dup_out"),
+            F.sum("__in").alias("degree"),
         )
         .filter((F.col("__out") >= min_out) & (F.col("__dup_out") < min_out))
-        .select(id_col)
-    )
-    deg = kept.groupBy(F.col("dst").alias(id_col)).agg(F.count(F.lit(1)).alias("degree"))
-    return (
-        eligible.join(deg, id_col, "left")
-        .select(F.col(id_col), F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"))
+        .select(F.col(id_col), F.col("degree").cast("long").alias("degree"))
     )
 
 

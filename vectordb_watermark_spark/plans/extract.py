@@ -122,6 +122,8 @@ def extract_watermark(
         # set stays on the intact manifold under attack
         degrees = K.gated_in_degrees(df, edges, id_col, k=k).cache()
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
+    # (select_carriers issues its own count when total is unknown; the count
+    # doubles as the cache materialization barrier for `degrees`)
 
     # one distributed aggregation fuses the decode-tally and the vote input:
     # (blk, payload, crc-valid?) -> count.  The result is bounded (16 blocks
