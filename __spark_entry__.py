@@ -459,6 +459,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cosine_neardup(spark, sf):
         return S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
 
+    # ---- training-data pipeline: end-to-end compositions ----
+
+    def corpus_curation(spark, sf):
+        # the curation pipeline a training-data job runs end-to-end:
+        # MinHash-LSH candidates -> exact-Jaccard verification -> connected
+        # components (keep the min-id document of each near-dup cluster) ->
+        # language ID + quality gate — one declarative lineage composing the
+        # engine's dedup and text operators.  Verification before clustering
+        # matters: the raw LSH candidate graph is (by design) permissive and
+        # would collapse the corpus into one giant component.
+        docs = _docs(spark, sf)
+        verified = D.jaccard_pairs(
+            docs, pairs=D.minhash_candidate_pairs(docs), threshold=0.5
+        ).select("a", "b")
+        labels = D.connected_components(verified)
+        canon = docs.join(
+            labels.withColumnRenamed("id", "doc_id").withColumnRenamed("comp", "canonical"),
+            "doc_id",
+            "left",
+        ).filter(F.coalesce(F.col("canonical"), F.col("doc_id")) == F.col("doc_id"))
+        return canon.select(
+            "doc_id",
+            T.lang_id(F.col("text")).alias("lang_pred"),
+            (T.quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
+            T.token_count(F.col("text")).alias("n_tokens"),
+        ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.33))
+
+    def paraphrase_candidates(spark, sf):
+        # semantically-near but lexically-distinct document pairs: embedding
+        # cosine >= 0.35 anti-joined against token-Jaccard >= 0.35 pairs —
+        # the pairs worth keeping when near-dup dedup would wrongly collapse
+        # genuine paraphrases (documents and embeddings share the id space)
+        emb_pairs = S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
+        tok_pairs = D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35).select("a", "b")
+        return emb_pairs.join(tok_pairs, ["a", "b"], "left_anti")
+
     def carriers_by_threshold(spark, sf):  # J6 legacy threshold selection
         from vectordb_watermark_spark.operators.selection import select_by_threshold
 
@@ -561,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "ann_topk_cosine": ann_topk_cosine,
         "cosine_neardup": cosine_neardup,
+        "corpus_curation": corpus_curation,
+        "paraphrase_candidates": paraphrase_candidates,
         "events_sessionize": events_sessionize,
         "media_metadata": media_metadata,
         "carriers_by_threshold": carriers_by_threshold,
@@ -968,6 +1006,78 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
             )
             SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY id""",
+        # end-to-end curation: same component derivation, then keep only
+        # canonical (min-id) documents passing the language + quality gates
+        "corpus_curation": f"""
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cpairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            ),
+            toksets AS (SELECT doc_id, {toks_set} AS toks FROM documents),
+            vpairs AS (
+              SELECT a, b FROM (
+                SELECT c.a, c.b,
+                       CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                            THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                 / len(list_distinct(x.toks || y.toks))
+                            ELSE 0.0 END AS jac
+                FROM cpairs c
+                JOIN toksets x ON x.doc_id = c.a
+                JOIN toksets y ON y.doc_id = c.b
+              ) WHERE round(jac, 6) >= 0.5
+            ),
+            edges AS (SELECT a, b FROM vpairs UNION SELECT b, a FROM vpairs),
+            reach(id, comp) AS (
+              SELECT a AS id, a AS comp FROM edges
+              UNION
+              SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+            SELECT doc_id,
+                   {T.sql_lang_id('text')} AS lang_pred,
+                   {T.sql_quality_score('text')} + 0.0 AS quality,
+                   {T.sql_token_count('text')} AS n_tokens
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+            WHERE coalesce(l.comp, d.doc_id) = d.doc_id
+              AND {T.sql_lang_id('text')} = 'en'
+              AND {T.sql_quality_score('text')} >= 0.33""",
+        # embedding-near minus token-near: candidate paraphrase pairs
+        "paraphrase_candidates": f"""
+            WITH v AS (
+              SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            ep AS (
+              SELECT a, b, cos FROM (
+                SELECT x.id AS a, y.id AS b,
+                       round(list_sum(list_transform(list_zip(x.e, y.e), p -> p[1] * p[2]))
+                             / (sqrt(list_sum(list_transform(x.e, q -> q * q)))
+                                * sqrt(list_sum(list_transform(y.e, q -> q * q))) + 1e-12), 6) AS cos
+                FROM v x JOIN v y ON x.id < y.id
+              ) WHERE cos >= 0.35
+            ),
+            t AS (SELECT doc_id, {toks_set} AS toks FROM documents),
+            tp AS (
+              SELECT a, b FROM (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       round(CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                             THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                  / len(list_distinct(x.toks || y.toks))
+                             ELSE 0.0 END, 6) AS jaccard
+                FROM t x JOIN t y ON x.doc_id < y.doc_id
+              ) WHERE jaccard >= 0.35
+            )
+            SELECT ep.a, ep.b, ep.cos FROM ep
+            WHERE NOT EXISTS (SELECT 1 FROM tp WHERE tp.a = ep.a AND tp.b = ep.b)""",
         "dedup_ngram_jaccard": f"""
             WITH t AS (
               SELECT doc_id,
