@@ -486,6 +486,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             T.token_count(F.col("text")).alias("n_tokens"),
         ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.33))
 
+    def embedding_quantize(spark, sf):
+        # int8 storage/bandwidth path for a 100 TB embedding corpus:
+        # symmetric per-vector quantization, exploded per coordinate
+        return V.quantize_int8(_vectors(spark, sf))
+
+    def top_tokens(spark, sf):
+        # corpus vocabulary: top-100 tokens by document frequency — the
+        # classic distributed word count (explode -> map-side-combined
+        # groupBy -> TakeOrderedAndProject, no global sort)
+        d = _docs(spark, sf)
+        return (
+            d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("tok").asc())
+            .limit(100)
+        )
+
     def paraphrase_candidates(spark, sf):
         # semantically-near but lexically-distinct document pairs: embedding
         # cosine >= 0.35 anti-joined against token-Jaccard >= 0.35 pairs —
@@ -599,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": cosine_neardup,
         "corpus_curation": corpus_curation,
         "paraphrase_candidates": paraphrase_candidates,
+        "embedding_quantize": embedding_quantize,
+        "top_tokens": top_tokens,
         "events_sessionize": events_sessionize,
         "media_metadata": media_metadata,
         "carriers_by_threshold": carriers_by_threshold,
@@ -1050,6 +1070,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(l.comp, d.doc_id) = d.doc_id
               AND {T.sql_lang_id('text')} = 'en'
               AND {T.sql_quality_score('text')} >= 0.33""",
+        # symmetric per-vector int8 quantization, exploded per coordinate;
+        # floor(t + 0.5) round-half-up is engine-exact on IEEE doubles
+        "embedding_quantize": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            s AS (
+              SELECT id, e,
+                     greatest(list_max(list_transform(e, x -> abs(x))), 1e-12) AS mx
+              FROM v
+            )
+            SELECT id,
+                   CAST(generate_subscripts(e, 1) - 1 AS INT) AS pos,
+                   CAST(floor(unnest(e) * 127.0 / mx + 0.5) AS INT) AS code,
+                   round(mx / 127.0, 9) + 0.0 AS scale
+            FROM s""",
+        "top_tokens": f"""
+            SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT unnest({T.sql_tokens('lower(text)')}) AS tok FROM documents
+            ) GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""",
         # embedding-near minus token-near: candidate paraphrase pairs
         "paraphrase_candidates": f"""
             WITH v AS (
