@@ -83,10 +83,13 @@ def knn_edges_exact(
 #: every core runs a worker: the (B, C) block distance matrix must stay
 #: cache-resident PER WORKER or 32 concurrent workers collapse to ~3x
 #: aggregate scaling (measured: B=8192/C=4096 -> 57.5 s for 64 tasks x 1562
-#: probe rows over a 100k x 384 build; B=1024/C=2048 -> 19.6 s on the same
-#: workload).  8 MB block matrix ~ a fair per-core slice of shared L3.
-_COL_BLOCK = 2048
-_PROBE_ROWS = 1024
+#: probe rows over a 100k x 384 build; B=2048/C=2048 -> 27.8 s).  Within the
+#: same ~8 MB L3 slice, FEWER/WIDER blocks win: each block pays an
+#: argpartition over the full (B, C) matrix plus a candidate-merge column
+#: group, so B=512/C=4096 (15.1 s) and B=256/C=8192 (15.0 s) beat
+#: B=1024/C=2048 (17.8 s) on the same workload.
+_COL_BLOCK = 4096
+_PROBE_ROWS = 512
 
 #: cap on per-worker probe scratch (block matrix + candidate arrays)
 _PROBE_TARGET_BYTES = 128 << 20
@@ -234,13 +237,15 @@ def knn_edges_broadcast(
                     if kb < kk:  # short tail block: pad with +inf sentinels
                         cand_d[:, bi * kk + kb : (bi + 1) * kk] = np.inf
                         cand_i[:, bi * kk + kb : (bi + 1) * kk] = 0
-                # per-row (dist2, dst) order over the kk*n_blocks candidates
-                sel_dst = np.empty((B, kk), dtype=np.int64)
-                sel_d2 = np.empty((B, kk), dtype=np.float64)
-                for i in range(B):
-                    order = np.lexsort((ids_all[cand_i[i]], cand_d[i]))[:kk]
-                    sel_dst[i] = ids_all[cand_i[i, order]]
-                    sel_d2[i] = cand_d[i, order].astype(np.float64) + xn[i]
+                # (dist2, dst) order over the kk*n_blocks candidates — 2-D
+                # lexsort orders along the last axis, so the whole batch
+                # merges in one C call (a per-row Python loop here cost ~15%
+                # of probe wall-clock at 100k x 384)
+                key_ids = ids_all[cand_i]  # (B, kk*n_blocks)
+                order = np.lexsort((key_ids, cand_d))[:, :kk]
+                sel_dst = np.take_along_axis(key_ids, order, axis=1)
+                sel_d2 = np.take_along_axis(cand_d, order, axis=1).astype(np.float64)
+                sel_d2 += xn[:, None]
                 np.maximum(sel_d2, 0.0, out=sel_d2)
                 yield pa.RecordBatch.from_arrays(
                     [

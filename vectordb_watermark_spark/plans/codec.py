@@ -50,7 +50,10 @@ def _bits_to_msg(bits: np.ndarray) -> np.ndarray:
     return (bits.astype(np.int64) << shifts[None, :]).sum(axis=1)
 
 
-_DET_CHUNK = 512
+#: 128 rows x 24 x D temp ~ 9 MB at D=384 — cache-friendlier than 512 (38 MB)
+#: under full-core worker concurrency; chunking does NOT affect values (the
+#: per-row pairwise reduction is row-independent, verified bitwise)
+_DET_CHUNK = 128
 
 
 def _det_dot(V: np.ndarray, U: np.ndarray) -> np.ndarray:
