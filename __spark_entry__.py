@@ -486,6 +486,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             T.token_count(F.col("text")).alias("n_tokens"),
         ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.33))
 
+    def knn_join_tables(spark, sf):
+        # general kNN similarity join between two tables: probe ids < 100
+        # against the disjoint rest of the corpus, k=4 (exact broadcast-GEMM)
+        from vectordb_watermark_spark.operators import knn as K
+
+        df = _vectors(spark, sf)
+        probe = df.filter(F.col("id") < 100)
+        build = df.filter(F.col("id") >= 100)
+        # dist2 stays internal: the float32 GEMM intermediate can land a
+        # hair off the float64 oracle at a rounding boundary; the (src, dst,
+        # rank) assignment itself is exact (same contract as knn_degrees)
+        return K.knn_join(probe, build, k=4).select(
+            "src", "dst", F.col("rank").cast("int").alias("rank")
+        )
+
     def embedding_quantize(spark, sf):
         # int8 storage/bandwidth path for a 100 TB embedding corpus:
         # symmetric per-vector quantization, exploded per coordinate
@@ -619,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paraphrase_candidates": paraphrase_candidates,
         "embedding_quantize": embedding_quantize,
         "top_tokens": top_tokens,
+        "knn_join_tables": knn_join_tables,
         "events_sessionize": events_sessionize,
         "media_metadata": media_metadata,
         "carriers_by_threshold": carriers_by_threshold,
@@ -1070,6 +1086,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(l.comp, d.doc_id) = d.doc_id
               AND {T.sql_lang_id('text')} = 'en'
               AND {T.sql_quality_score('text')} >= 0.33""",
+        # exact cross-table kNN join: brute-force in SQL with the identical
+        # (dist2, dst) deterministic tie-break
+        "knn_join_tables": """
+            WITH p AS (
+              SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id < 100
+            ),
+            b AS (
+              SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id >= 100
+            ),
+            pairs AS (
+              SELECT p.id AS src, b.id AS dst,
+                     list_sum(list_transform(list_zip(p.e, b.e), q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d2
+              FROM p, b
+            ),
+            ranked AS (
+              SELECT src, dst, d2, row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
+              FROM pairs
+            )
+            SELECT src, dst, CAST(rk AS INT) AS rank
+            FROM ranked WHERE rk <= 4""",
         # symmetric per-vector int8 quantization, exploded per coordinate;
         # floor(t + 0.5) round-half-up is engine-exact on IEEE doubles
         "embedding_quantize": """

@@ -225,3 +225,34 @@ def test_select_carriers_matches_duckdb_oracle(spark, degrees, duck):
     expect = sorted(tuple(t) for t in duck.execute(sql).fetchall())
     duck.unregister("deg_input")
     assert got == expect
+
+
+def test_knn_join_cross_table_matches_bruteforce(emb):
+    """knn_join: every probe row gets its k nearest BUILD rows; identity rows
+    are kept (dist2=0 self-match is standard join semantics)."""
+    probe = emb.filter(F.col("id") < 50)
+    build = emb.filter(F.col("id") >= 50)
+    got = {}
+    for r in K.knn_join(probe, build, k=5).collect():
+        got.setdefault(r.src, []).append((r.rank, r.dst))
+
+    pp = probe.toPandas()
+    bp = build.toPandas()
+    bids = bp["id"].to_numpy(np.int64)
+    B = np.stack(bp["emb"].map(lambda a: np.asarray(a, np.float64)))
+    for _, row in pp.iterrows():
+        x = np.asarray(row["emb"], np.float64)
+        d2 = ((B - x[None, :]) ** 2).sum(-1)
+        order = np.lexsort((bids, d2))[:5]
+        expect = [(rk + 1, int(bids[j])) for rk, j in enumerate(order)]
+        assert sorted(got[int(row["id"])]) == expect
+
+
+def test_knn_join_self_overlap_matches_at_zero(emb):
+    # a probe id also in the build side must match itself at rank 1; the
+    # float32 GEMM leaves a cancellation residue on x=y (the same effect
+    # DUP_EPS2 documents), so "zero" means <= DUP_EPS2, not == 0.0
+    sub = emb.filter(F.col("id") < 30)
+    got = K.knn_join(sub, sub, k=2).filter(F.col("rank") == 1).collect()
+    assert len(got) == 30
+    assert all(r.src == r.dst and r.dist2 <= K.DUP_EPS2 for r in got)

@@ -166,28 +166,36 @@ def knn_edges_broadcast(
     vec_col: str = "emb",
     k: int = DEFAULT_K,
     batch_rows: int | None = None,
+    build_df: DataFrame | None = None,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Exact kNN with a broadcast build side and a distributed numpy probe.
 
-    The build side (all ids+vectors) is collected to the driver and shipped
-    once per node (``sc.addFile`` + mmap — same memory contract as a
-    broadcast join build side, minus the per-worker copies).  Each probe
-    partition computes ``|x-y|^2 = |x|^2 + |y|^2 - 2 x.y`` via column-blocked
-    GEMM fused with per-block top-k; ranks are tie-broken by (dist2, dst)
-    deterministically.  ``batch_rows`` defaults to whatever keeps per-worker
-    scratch under ~128 MB — memory stays flat no matter how large the build
-    side is.
-    The probe side is spread to the session's parallelism when the input has
-    fewer partitions (a single parquet file must not serialize the probe).
+    The build side (all ids+vectors; ``build_df`` when given, else ``df``
+    itself) is collected to the driver and shipped once per node
+    (``sc.addFile`` + mmap — same memory contract as a broadcast join build
+    side, minus the per-worker copies).  Each probe partition computes
+    ``|x-y|^2 = |x|^2 + |y|^2 - 2 x.y`` via column-blocked GEMM fused with
+    per-block top-k; ranks are tie-broken by (dist2, dst) deterministically.
+    ``batch_rows`` defaults to whatever keeps per-worker scratch under
+    ~128 MB — memory stays flat no matter how large the build side is.
+    ``exclude_self`` (default: True for self-join, False when ``build_df``
+    is given) drops the probe row's own id from its neighbor list by build
+    position.  The probe side is spread to the session's parallelism when
+    the input has fewer partitions (a single parquet file must not serialize
+    the probe).
     """
-    build_ids, build_mat = collect_matrix(df, id_col, vec_col)
+    if exclude_self is None:
+        exclude_self = build_df is None
+    build_ids, build_mat = collect_matrix(build_df if build_df is not None else df, id_col, vec_col)
     n_build = len(build_ids)
+    max_k = max(n_build - 1 if exclude_self else n_build, 1)
     if batch_rows is None:
         # _PROBE_ROWS keeps the block matrix cache-resident under full-core
         # concurrency; the candidate-array bound keeps probe memory flat as
         # the build side grows
         n_blocks = (n_build + _COL_BLOCK - 1) // _COL_BLOCK
-        cand_bytes = 12 * max(min(k, n_build - 1), 1) * n_blocks
+        cand_bytes = 12 * min(k, max_k) * n_blocks
         batch_rows = max(64, min(_PROBE_ROWS, _PROBE_TARGET_BYTES // cand_bytes))
     sc = df.sparkSession.sparkContext
     tag, stage_dir = _publish_build(sc, build_ids, build_mat)
@@ -209,9 +217,12 @@ def knn_edges_broadcast(
                 X = X_in[start : start + batch_rows]
                 xn = (X.astype(np.float64) ** 2).sum(axis=1)
                 src_ids = ids_in[start : start + batch_rows]
-                ppos = np.array([pos.get(int(s), -1) for s in src_ids], dtype=np.int64)
+                if exclude_self:
+                    ppos = np.array([pos.get(int(s), -1) for s in src_ids], dtype=np.int64)
+                else:
+                    ppos = np.full(len(src_ids), -1, dtype=np.int64)
                 B = len(src_ids)
-                kk = min(k, n - 1)
+                kk = min(k, n - 1 if exclude_self else n)
                 # rank by g = |y|^2 - 2 x.y (the |x|^2 term is constant per
                 # row) with the build side processed in column blocks: the
                 # full (B, N) distance matrix is never materialized — the
@@ -274,6 +285,31 @@ def knn_edges_broadcast(
         rows=n_build,
     )
     return probe_df.mapInArrow(probe, schema=out_schema)
+
+
+def knn_join(
+    probe_df: DataFrame,
+    build_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    k: int = DEFAULT_K,
+    **kwargs,
+) -> DataFrame:
+    """Public kNN similarity JOIN between two vector tables (SURVEY.md §7.2
+    M6): for every row of ``probe_df``, its ``k`` nearest rows of
+    ``build_df`` as ``(src, dst, dist2, rank)``.
+
+    Exact — the broadcast-GEMM probe with ``build_df`` as the shipped build
+    side; identity rows are NOT excluded (a probe id also present in the
+    build side matches itself at dist2=0, the standard join semantics).
+    Bounded by the build side fitting the broadcast envelope (~1M x 384d);
+    for larger build sides bucket both tables with the same keyed LSH planes
+    (lsh_signatures) and equi-join buckets — the same plan shape as
+    knn_edges_lsh.
+    """
+    return knn_edges_broadcast(
+        probe_df, id_col, vec_col, k, build_df=build_df, exclude_self=False, **kwargs
+    )
 
 
 # ---------------------------------------------------------------------------
