@@ -256,3 +256,24 @@ def test_knn_join_self_overlap_matches_at_zero(emb):
     got = K.knn_join(sub, sub, k=2).filter(F.col("rank") == 1).collect()
     assert len(got) == 30
     assert all(r.src == r.dst and r.dist2 <= K.DUP_EPS2 for r in got)
+
+
+def test_knn_join_lsh_recall_contract(emb):
+    """The LSH join's edges@k must overlap the exact join's edges@k above a
+    recall floor, and every reported pair must be a genuine (probe, build)
+    pair with correct ordering per src."""
+    probe = emb.filter(F.col("id") < 100)
+    build = emb.filter(F.col("id") >= 100)
+    exact = {(r.src, r.dst) for r in K.knn_join(probe, build, k=8, method="broadcast").collect()}
+    lsh_rows = K.knn_join(probe, build, k=8, method="lsh", key="jt", n_tables=12, n_bits=3).collect()
+    lsh = {(r.src, r.dst) for r in lsh_rows}
+    assert all(s < 100 <= d for s, d in lsh)
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.85, f"recall {recall:.3f}"
+    by_src = {}
+    for r in lsh_rows:
+        by_src.setdefault(r.src, []).append((r.rank, r.dist2))
+    for ranks in by_src.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        assert all(ranks[i][1] <= ranks[i + 1][1] for i in range(len(ranks) - 1))

@@ -293,23 +293,34 @@ def knn_join(
     id_col: str = "id",
     vec_col: str = "emb",
     k: int = DEFAULT_K,
+    method: str = "auto",
     **kwargs,
 ) -> DataFrame:
     """Public kNN similarity JOIN between two vector tables (SURVEY.md §7.2
     M6): for every row of ``probe_df``, its ``k`` nearest rows of
     ``build_df`` as ``(src, dst, dist2, rank)``.
 
-    Exact — the broadcast-GEMM probe with ``build_df`` as the shipped build
-    side; identity rows are NOT excluded (a probe id also present in the
-    build side matches itself at dist2=0, the standard join semantics).
-    Bounded by the build side fitting the broadcast envelope (~1M x 384d);
-    for larger build sides bucket both tables with the same keyed LSH planes
-    (lsh_signatures) and equi-join buckets — the same plan shape as
-    knn_edges_lsh.
+    ``method='broadcast'`` is exact — the broadcast-GEMM probe with
+    ``build_df`` as the shipped build side; identity rows are NOT excluded
+    (a probe id also present in the build side matches itself at dist2~0,
+    the standard join semantics).  Bounded by the build side fitting the
+    broadcast envelope (~1M x 384d).  ``method='lsh'``
+    (:func:`knn_join_lsh`) buckets both tables with the same keyed planes —
+    approximate, unbounded on both sides.  ``'auto'`` picks by build-side
+    row count.
     """
-    return knn_edges_broadcast(
-        probe_df, id_col, vec_col, k, build_df=build_df, exclude_self=False, **kwargs
-    )
+    if method == "auto":
+        n = build_df.count()
+        method = "broadcast" if n <= 1_000_000 else "lsh"
+        if method == "lsh":
+            kwargs.setdefault("total_build", n)
+    if method == "broadcast":
+        return knn_edges_broadcast(
+            probe_df, id_col, vec_col, k, build_df=build_df, exclude_self=False, **kwargs
+        )
+    if method == "lsh":
+        return knn_join_lsh(probe_df, build_df, id_col, vec_col, k, **kwargs)
+    raise ValueError(f"unknown knn_join method {method!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +521,125 @@ def knn_edges_lsh(
 
     cand = sigs.groupBy("tbl", "bucket").applyInPandas(
         bucket_topk, schema="src long, dst long, dist2 double"
+    )
+    best = cand.groupBy("src", "dst").agg(F.min("dist2").alias("dist2"))
+    w = Window.partitionBy("src").orderBy(F.col("dist2").asc(), F.col("dst").asc())
+    return best.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_join_lsh(
+    probe_df: DataFrame,
+    build_df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    k: int = DEFAULT_K,
+    key: str = "lsh",
+    n_tables: int = 12,
+    n_bits: int | None = None,
+    dim: int | None = None,
+    bucket_cap: int = _BUCKET_CAP,
+    total_build: int | None = None,
+) -> DataFrame:
+    """Approximate cross-table kNN join — the beyond-broadcast path for
+    :func:`knn_join`.  Both tables are bucketed with the SAME keyed
+    hyperplanes; each (table, bucket) re-ranks its probe rows against its
+    build rows with a chunked GEMM; candidates merge per (src, dst) and a
+    per-src window yields the final edges.  One shuffle per side, no
+    all-pairs stage, no driver collect — both sides stream at any size.
+
+    Approximate: a probe row only sees build rows sharing a bucket in some
+    table (recall is a tested contract); a probe sharing no bucket with any
+    build row yields no edges.  ``n_bits`` adapts to build-side occupancy
+    exactly as in :func:`knn_edges_lsh`.
+    """
+    if dim is None:
+        dim = len(build_df.select(vec_col).first()[0])
+    if n_bits is None:
+        import math
+
+        n = total_build if total_build is not None else build_df.count()
+        n_bits = max(6, min(24, math.ceil(math.log2(max(n, 1) / _BUCKET_TARGET_ROWS + 1))))
+
+    import pyarrow as pa
+
+    from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+    from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism
+
+    n_t, n_b = n_tables, n_bits
+
+    def sig_kernel(batches):
+        P = _planes_flat(key, dim, n_t, n_b)
+        weights = (1 << np.arange(n_b)).astype(np.int64)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1))
+            S = (X @ P.T) > 0
+            for t in range(n_t):
+                buckets = S[:, t * n_b : (t + 1) * n_b] @ weights
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        rb.column(0),
+                        rb.column(1),
+                        pa.array(np.full(rb.num_rows, t, dtype=np.int32), type=pa.int32()),
+                        pa.array(buckets, type=pa.int64()),
+                    ],
+                    names=["id", "v", "tbl", "bucket"],
+                )
+
+    def sigs_for(df, side: int):
+        return (
+            spread_to_parallelism(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+            .mapInArrow(sig_kernel, schema="id long, v array<float>, tbl int, bucket long")
+            .withColumn("side", F.lit(side).cast("int"))
+        )
+
+    allsigs = sigs_for(probe_df, 0).unionByName(sigs_for(build_df, 1))
+
+    def bucket_join_topk(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"src": [], "dst": [], "dist2": []}).astype(
+            {"src": "int64", "dst": "int64", "dist2": "float64"}
+        )
+        pr = pdf[pdf["side"] == 0]
+        bl = pdf[pdf["side"] == 1]
+        if not len(pr) or not len(bl):
+            return empty
+        bids = bl["id"].to_numpy(dtype=np.int64)
+        Y = np.stack(bl["v"].map(lambda a: np.asarray(a, dtype=np.float32)))
+        if len(bids) > bucket_cap:
+            order = np.argsort((bids * 2654435761) & 0xFFFFFFFF, kind="stable")[:bucket_cap]
+            bids, Y = bids[order], Y[order]
+        yn = (Y.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+        pids = pr["id"].to_numpy(dtype=np.int64)
+        X = np.stack(pr["v"].map(lambda a: np.asarray(a, dtype=np.float32)))
+        kk = min(k, len(bids))
+        out_src, out_dst, out_d2 = [], [], []
+        for s in range(0, len(pids), 1024):
+            Xc = X[s : s + 1024]
+            g = Xc @ Y.T
+            g *= np.float32(-2.0)
+            g += yn[None, :]
+            p = np.argpartition(g, kk - 1, axis=1)[:, :kk] if kk < g.shape[1] else np.broadcast_to(
+                np.arange(g.shape[1]), (len(Xc), g.shape[1])
+            )
+            d = np.take_along_axis(g, p, axis=1).astype(np.float64)
+            d += (Xc.astype(np.float64) ** 2).sum(axis=1)[:, None]
+            np.maximum(d, 0.0, out=d)
+            out_src.append(np.repeat(pids[s : s + 1024], p.shape[1]))
+            out_dst.append(bids[p].reshape(-1))
+            out_d2.append(d.reshape(-1))
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "dist2": np.concatenate(out_d2),
+            }
+        )
+
+    cand = allsigs.groupBy("tbl", "bucket").applyInPandas(
+        bucket_join_topk, schema="src long, dst long, dist2 double"
     )
     best = cand.groupBy("src", "dst").agg(F.min("dist2").alias("dist2"))
     w = Window.partitionBy("src").orderBy(F.col("dist2").asc(), F.col("dst").asc())
