@@ -100,6 +100,23 @@ _PROBE_TARGET_BYTES = 128 << 20
 _BUILD_CACHE: dict = {}
 
 
+#: build-side files staged by THIS driver process, removed at interpreter
+#: exit — without this, long-lived hosts accumulate one (ids, mat, norms)
+#: triple per kNN call in /dev/shm (RAM-backed!) until reboot
+_STAGED_PATHS: list = []
+
+
+def _cleanup_staged() -> None:
+    import os
+
+    for p in _STAGED_PATHS:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+    _STAGED_PATHS.clear()
+
+
 def _publish_build(sc, build_ids: np.ndarray, build_mat: np.ndarray) -> tuple[str, str]:
     """Ship the kNN build side to executors as mmap-able .npy files via
     ``sc.addFile``.
@@ -137,6 +154,11 @@ def _publish_build(sc, build_ids: np.ndarray, build_mat: np.ndarray) -> tuple[st
     sc.addFile(ids_path)
     sc.addFile(mat_path)
     sc.addFile(norms_path)
+    if not _STAGED_PATHS:
+        import atexit
+
+        atexit.register(_cleanup_staged)
+    _STAGED_PATHS.extend([ids_path, mat_path, norms_path])
     return tag, d
 
 
