@@ -324,6 +324,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q4_order_priority(spark, sf):
+        # EXISTS-style semi-join: orders in a window having a returned line
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01"))
+        )
+        returned = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        return (
+            orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+
+    def q10_returned_items(spark, sf):
+        # revenue lost to returns per customer: 3-way join + top-20
+        li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1998-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-07-01"))
+        )
+        cust = _t(spark, sf, "customer")
+        nat = _t(spark, sf, "nation")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20)
+        )
+
+    def q12_priority_lines(spark, sf):
+        # conditional aggregation (CASE inside SUM) over a fact-fact join
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        orders = _t(spark, sf, "orders")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_lines"),
+                F.sum(F.when(high, 0).otherwise(1)).alias("low_lines"),
+            )
+        )
+
+    def q14_promo_revenue(spark, sf):
+        # scalar ratio: broadcast dim join + two conditional sums, one row
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01"))
+        )
+        part = _t(spark, sf, "part")
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)) * 100.0
+                    / F.sum(disc),
+                    6,
+                ).alias("promo_pct"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    def q18_large_orders(spark, sf):
+        # HAVING over a grouped fact, joined back to dims (TPC-H q18 shape)
+        li = _t(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 180)
+        )
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        return (
+            big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select(
+                "c_custkey",
+                "l_orderkey",
+                F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.round("sum_qty", 2).alias("sum_qty"),
+            )
+        )
+
+    def q19_disjunctive(spark, sf):
+        # disjunction of conjunctive ranges (TPC-H q19): Catalyst pushes the
+        # common l_quantity bounds and prunes part columns at the scan
+        li = _t(spark, sf, "lineitem")
+        part = _t(spark, sf, "part")
+        j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        c1 = (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        c2 = (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        c3 = (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+        return j.filter(c1 | c2 | c3).agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+
+    def q22_idle_customers(spark, sf):
+        # scalar subquery (avg positive balance) + anti-join against recent
+        # orders: wealthy customers with no order since 2001-01-01
+        cust = _t(spark, sf, "customer")
+        avg_bal = (
+            cust.filter(F.col("c_acctbal") > 0)
+            .agg(F.avg("c_acctbal").alias("a"))
+            .first()["a"]
+        )
+        recent = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        return (
+            cust.filter(F.col("c_acctbal") > avg_bal)
+            .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            )
+        )
+
     def q5_nation_revenue(spark, sf):
         orders = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
@@ -611,8 +755,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_truncate_pad": attack_truncate_pad,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_lines": q12_priority_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
         "events_json_extract": events_json_extract,
@@ -948,6 +1099,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority""",
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(any_value(c_acctbal), 2) AS c_acctbal
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus""",
+        "q14_promo_revenue": """
+            SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'""",
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+            )
+            SELECT c_custkey, l_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey""",
+        "q19_disjunctive": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "q22_idle_customers": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-01-01')
+            GROUP BY c_mktsegment""",
         "q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_rows
