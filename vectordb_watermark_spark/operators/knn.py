@@ -742,6 +742,39 @@ def edge_gate_threshold(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -
     return slack * 2.0 ** ((qb + 1) / 8.0)
 
 
+def gate_tau_plan(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -> DataFrame:
+    """In-plan twin of :func:`edge_gate_threshold`: a 1-row DataFrame
+    ``(tau double)`` computed with the identical exact log2-bucket histogram
+    and the identical float arithmetic (``q * total`` compare, ``slack *
+    2^((qb+1)/8)``), but entirely inside the query plan — broadcast into the
+    edge filter with no driver round trip.  ``tau`` is NULL when there are
+    no non-duplicate edges; a NULL comparison keeps nothing, which matches
+    the tau=0 degenerate path (duplicate-only edges are excluded by the
+    blob rule anyway).
+
+    The histogram is bounded (~a few hundred log2 buckets regardless of
+    data volume), so the single-partition cumulative window is O(1) work on
+    an already-aggregated input — not a global sort of the data.
+    """
+    b = F.floor(F.log2(F.greatest(F.col("dist2"), F.lit(1e-12))) * 8).cast("int")
+    hist = (
+        edges.filter(F.col("dist2") > DUP_EPS2)
+        .groupBy(b.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    qb = (
+        hist.withColumn("acc", F.sum("c").over(wcum))
+        .withColumn("t", F.sum("c").over(wall))
+        .filter(F.col("acc") >= F.lit(q) * F.col("t"))
+        .agg(F.min("b").alias("qb"))
+    )
+    return qb.select(
+        (F.lit(slack) * F.pow(F.lit(2.0), (F.col("qb") + 1) / F.lit(8.0))).alias("tau")
+    )
+
+
 def gated_in_degrees(
     df: DataFrame,
     edges: DataFrame,
@@ -786,33 +819,43 @@ def gated_in_degrees(
     if min_out is None:
         min_out = max(1, (k + 1) // 2)
     edges = edges.cache()
-    tau = edge_gate_threshold(edges, q, slack)
-    kept = edges.filter(F.col("dist2") <= F.lit(float(tau)))
-    # single-shuffle fusion: each kept edge contributes one src-side row
-    # (out-edge + duplicate tally) and one dst-side row (in-edge tally);
-    # one groupBy folds both, replacing two aggregations + a join — one
-    # barrier instead of three at any scale.  Every id with >= min_out >= 1
-    # kept out-edges has src rows, so eligible-but-in-degree-0 ids survive
-    # with degree 0 exactly as the join formulation produced.
-    contrib = kept.select(
-        F.col("src").alias(id_col),
-        F.lit(1).alias("__out"),
-        (F.col("dist2") <= DUP_EPS2).cast("int").alias("__dup_out"),
-        F.lit(0).alias("__in"),
-    ).unionAll(
-        kept.select(
-            F.col("dst").alias(id_col),
-            F.lit(0).alias("__out"),
-            F.lit(0).alias("__dup_out"),
-            F.lit(1).alias("__in"),
-        )
+    # tau stays in-plan (gate_tau_plan, broadcast 1-row cross join): no
+    # driver collect, so the whole degree derivation is ONE Spark job when
+    # materialized — the collect-based edge_gate_threshold forced an extra
+    # pass over the edge table (expensive when N*k edges don't fit cache).
+    kept = edges.crossJoin(F.broadcast(gate_tau_plan(edges, q, slack))).filter(
+        F.col("dist2") <= F.col("tau")
     )
+    # single-shuffle, single-read fusion: each kept edge EXPLODES into one
+    # src-side row (out-edge + duplicate tally) and one dst-side row
+    # (in-edge tally); one groupBy folds all three measures.  Every id with
+    # >= min_out >= 1 kept out-edges has src rows, so eligible-but-
+    # in-degree-0 ids survive with degree 0 exactly as a join formulation
+    # would produce.  explode (not unionAll) reads the edge table once.
+    contrib = kept.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("cid"),
+                    F.lit(1).alias("o"),
+                    (F.col("dist2") <= DUP_EPS2).cast("int").alias("d"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("dst").alias("cid"),
+                    F.lit(0).alias("o"),
+                    F.lit(0).alias("d"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
-        contrib.groupBy(id_col)
+        contrib.groupBy(F.col("cid").alias(id_col))
         .agg(
-            F.sum("__out").alias("__out"),
-            F.sum("__dup_out").alias("__dup_out"),
-            F.sum("__in").alias("degree"),
+            F.sum("o").alias("__out"),
+            F.sum("d").alias("__dup_out"),
+            F.sum("i").alias("degree"),
         )
         .filter((F.col("__out") >= min_out) & (F.col("__dup_out") < min_out))
         .select(F.col(id_col), F.col("degree").cast("long").alias("degree"))
