@@ -517,6 +517,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def events_cube(spark, sf):
+        # CUBE grouping sets: all four (type, dow) marginal combinations
+        ev = _events(spark, sf)
+        dow = (F.expr("ts_ns DIV 1000000000 DIV 86400") % 7).cast("int").alias("dow")
+        return (
+            ev.select("event_type", dow, "value")
+            .cube("event_type", "dow")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+        )
+
+    def set_ops_users(spark, sf):
+        # INTERSECT / EXCEPT: users seen for 'click' events minus users seen
+        # for 'purchase', intersected with high-value users
+        ev = _events(spark, sf)
+        clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+        buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+        high = ev.filter(F.col("value") > 200).select("user_id")
+        # subtract = EXCEPT DISTINCT, intersect = INTERSECT DISTINCT
+        return clickers.subtract(buyers.intersect(high))
+
     def events_json_extract(spark, sf):
         ev = _events(spark, sf)
         return (
@@ -766,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
+        "events_cube": events_cube,
+        "set_ops_users": set_ops_users,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
         "dedup_exact_groups": dedup_exact_groups,
@@ -1176,6 +1201,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "events_cube": """
+            SELECT event_type,
+                   CAST((epoch_ns(ts) // 1000000000 // 86400) % 7 AS INT) AS dow,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            GROUP BY CUBE(event_type, dow)""",
+        "set_ops_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            (SELECT user_id FROM events WHERE event_type = 'purchase'
+             INTERSECT
+             SELECT user_id FROM events WHERE value > 200)""",
         "events_type_rollup": """
             SELECT event_type,
                    CAST((epoch_ns(ts) // 1000000000) // 86400 * 86400 AS BIGINT) AS day_epoch,
