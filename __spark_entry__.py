@@ -833,7 +833,11 @@ def oracle_sql() -> dict[str, str]:
         sql_keyed_uniform,
     )
     from vectordb_watermark_spark.operators.dedup import BAND_SIZE, N_MINHASH, SIMHASH_BITS
+    from vectordb_watermark_spark.operators.knn import tau_from_bucket_sql
     from vectordb_watermark_spark.operators.selection import carrier_selection_oracle_sql
+
+    # exact cross-engine gate threshold (knn._EIGHTH_POW2 decomposition)
+    _TAU_SQL = tau_from_bucket_sql("min(b)")
 
     u_attack = sql_keyed_uniform("'attack-42'", "'v'", "vec_id")
     u_sample = sql_keyed_uniform("'sample-42'", "'v'", "vec_id")
@@ -977,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT sum(c) AS t FROM buckets),
             cdf AS (SELECT b, sum(c) OVER (ORDER BY b) AS acc FROM buckets),
             tau AS (
-              SELECT 2.5 * pow(2.0, (min(b) + 1) / 8.0) AS tau
+              SELECT {_TAU_SQL} AS tau
               FROM cdf, tot WHERE acc >= 0.45 * t
             ),
             kept AS (SELECT src, dst, dist2 FROM knn, tau WHERE dist2 <= tau),

@@ -95,6 +95,28 @@ def test_gated_degrees_clean_identity(emb):
     assert gated == plain
 
 
+def test_gate_tau_plan_matches_driver_threshold(spark, emb):
+    """The in-plan tau (knn.gate_tau_plan, broadcast scalar) must equal the
+    driver-side edge_gate_threshold bit-for-bit — gated_in_degrees switched
+    to the in-plan form; a drift here would silently desynchronize embed and
+    extract carrier sets across engine versions."""
+    edges = K.knn_edges_exact(emb, k=16).cache()
+    tau_driver = K.edge_gate_threshold(edges)
+    tau_plan = K.gate_tau_plan(edges).first()["tau"]
+    assert tau_plan == tau_driver
+
+
+def test_gate_tau_plan_empty_and_duplicate_only(spark):
+    """No non-duplicate edges -> NULL tau (nothing kept), matching the
+    driver fallback tau=0 final semantics."""
+    dup = spark.createDataFrame(
+        [(1, 2, 0.0, 1), (2, 1, 0.0, 1)], "src long, dst long, dist2 double, rank int"
+    )
+    assert K.gate_tau_plan(dup).first()["tau"] is None
+    empty = dup.limit(0)
+    assert K.gate_tau_plan(empty).first()["tau"] is None
+
+
 def test_gated_degrees_excludes_destroyed_vectors(spark):
     """Off-manifold (destroyed) vectors must not enter the degree universe,
     and the surviving ids' degree ranking must not be swamped by edge spray

@@ -739,7 +739,43 @@ def edge_gate_threshold(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -
         if acc >= q * total:
             qb = bb
             break
-    return slack * 2.0 ** ((qb + 1) / 8.0)
+    return tau_from_bucket(qb, slack)
+
+
+#: 2^(r/8) for r = 0..7, as exact shortest-round-trip double literals.  tau
+#: = slack * (T[r] * 2^m) with qb+1 = 8m + r decomposes the fractional power
+#: into an exact table lookup, an exact power-of-two scale, and ONE
+#: IEEE-rounded multiply — bit-identical in CPython, the JVM, and DuckDB.
+#: ``slack * 2.0 ** ((qb+1)/8.0)`` is NOT: Math.pow and C pow disagree by
+#: 1 ULP on some of these fractional exponents (measured: qb=5 at sf0.01),
+#: and tau must not drift between the in-plan gate, the driver twin, and
+#: the DuckDB oracle.
+_EIGHTH_POW2 = (
+    1.0,
+    1.0905077326652577,
+    1.189207115002721,
+    1.2968395546510096,
+    1.4142135623730951,
+    1.5422108254079407,
+    1.681792830507429,
+    1.8340080864093424,
+)
+
+
+def tau_from_bucket(qb: int, slack: float = 2.5) -> float:
+    """Exact-arithmetic gate threshold for a log2/8 bucket index (see
+    :data:`_EIGHTH_POW2`)."""
+    m, r = divmod(qb + 1, 8)
+    return slack * (_EIGHTH_POW2[r] * 2.0**m)
+
+
+def tau_from_bucket_sql(qb_expr: str, slack: float = 2.5) -> str:
+    """DuckDB SQL twin of :func:`tau_from_bucket` over a bucket-index
+    expression — used by the gated-degrees oracle."""
+    cases = " ".join(f"WHEN {r} THEN {v!r}" for r, v in enumerate(_EIGHTH_POW2))
+    r = f"((({qb_expr}) + 1) % 8 + 8) % 8"
+    m = f"((({qb_expr}) + 1) - ({r})) // 8"
+    return f"({slack!r} * ((CASE {r} {cases} END) * pow(2.0, CAST({m} AS DOUBLE))))"
 
 
 def gate_tau_plan(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -> DataFrame:
@@ -770,8 +806,13 @@ def gate_tau_plan(edges: DataFrame, q: float = 0.45, slack: float = 2.5) -> Data
         .filter(F.col("acc") >= F.lit(q) * F.col("t"))
         .agg(F.min("b").alias("qb"))
     )
+    # exact decomposition (see _EIGHTH_POW2): r/m in integer arithmetic,
+    # T[r] lookup, exact 2^m scale, one rounded multiply by slack
+    r = F.pmod(F.col("qb") + 1, F.lit(8))
+    m = ((F.col("qb") + 1 - r) / 8).cast("int")
+    t = F.element_at(F.array(*[F.lit(v) for v in _EIGHTH_POW2]), r.cast("int") + 1)
     return qb.select(
-        (F.lit(slack) * F.pow(F.lit(2.0), (F.col("qb") + 1) / F.lit(8.0))).alias("tau")
+        (F.lit(slack) * (t * F.pow(F.lit(2.0), m.cast("double")))).alias("tau")
     )
 
 
