@@ -148,6 +148,28 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, events_stream_di
     assert len(got) >= 0.5 * len(expected_all)
 
 
+def test_stream_dedup_bounded_state(spark, events_stream_dir):
+    """dropDuplicatesWithinWatermark with a horizon covering the whole
+    dataset keeps exactly one row per key — matching batch dropDuplicates
+    key-for-key — while evicting state past the watermark on a real
+    unbounded stream (the contract documented on stream_dedup)."""
+    stream = SE.stream_events(spark, events_stream_dir)
+    q = (
+        SE.stream_dedup(stream, ["user_id", "event_type"], watermark_delay="365 days")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT user_id, event_type FROM dedup_out")
+    batch = SE.read_events(spark, events_stream_dir)
+    expected = SE.stream_dedup(batch, ["user_id", "event_type"])
+    assert got.count() == got.distinct().count()  # no key appears twice
+    assert got.distinct().count() == expected.select("user_id", "event_type").distinct().count()
+
+
 def test_incremental_embed_foreachbatch(spark, tmp_path):
     import pyspark.sql.functions as F
 

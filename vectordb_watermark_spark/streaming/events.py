@@ -86,6 +86,34 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("user_id", "event_type"),
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Exact deduplication with BOUNDED state — the streaming-safe twin of
+    batch ``dropDuplicates`` for a training-data ingest.
+
+    On a stream: ``dropDuplicatesWithinWatermark`` keeps the first row per
+    key and *evicts* key state once the event-time watermark passes, so an
+    unbounded ingest holds state proportional to distinct keys per watermark
+    horizon, never per stream lifetime (plain ``dropDuplicates`` on a stream
+    accumulates every key ever seen — a guaranteed OOM at 100 TB/day).
+    Duplicates farther apart than ``watermark_delay`` may both survive; that
+    is the documented contract for horizon-bounded exact dedup.
+
+    On a batch frame the same call degrades to ``dropDuplicates(keys)`` —
+    one definition, two execution modes, like
+    :func:`windowed_event_counts`.
+    """
+    keys = list(keys)
+    if events.isStreaming:
+        return events.withWatermark("event_time", watermark_delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 def sessionize_batch(
     events: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS
 ) -> DataFrame:
