@@ -89,6 +89,19 @@ def main() -> None:
     # same rule as the JVM warm-up above
     wm_roundtrip("/root/testdata/sf0.001")
 
+    # same steady-state rule for every timed query: one pass at sf0.01
+    # compiles each query's codegen/expression trees and forks its Python
+    # kernels, so the timed sf0.1 run measures the data-dependent work (the
+    # part that scales to 100 TB), not one-time per-plan JIT costs
+    warm_sf = "/root/testdata/sf0.01"
+    for _name in (
+        "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+        "events_hourly", "events_user_rollup", "dedup_minhash_pairs",
+        "dedup_simhash", "text_stats", "lang_id", "ann_topk_cosine",
+        "cosine_neardup",
+    ):
+        qs[_name](spark, warm_sf).count()
+
     def knn_degrees_broadcast():
         df = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
