@@ -69,6 +69,57 @@ def test_event_rollup_has_partial_aggregation(spark, queries):
     assert p.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Co-bucketed tables must sort-merge join with NO Exchange on either
+    side — the write-once-join-forever pattern write_bucketed exists for."""
+    from vectordb_watermark_spark.sources.io import write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], n_buckets=8,
+                   path=str(tmp_path / "ob"), sort_cols=["o_orderkey"])
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], n_buckets=8,
+                   path=str(tmp_path / "lb"), sort_cols=["l_orderkey"])
+    try:
+        a = spark.table("t_orders_b")
+        b = spark.table("t_lineitem_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = b.join(a, b.l_orderkey == a.o_orderkey).groupBy("o_orderpriority").count()
+            p = _plan(j)
+            assert "SortMergeJoin" in p
+            # exactly ONE exchange: the final groupBy's repartition on
+            # o_orderpriority — the join inputs read pre-bucketed scans
+            assert p.count("+- Exchange") == 1
+            assert "hashpartitioning(o_orderpriority" in p
+            # values still correct vs the unbucketed join
+            plain = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+                      .groupBy("o_orderpriority").count()
+            assert {tuple(r) for r in j.collect()} == {tuple(r) for r in plain.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan time
+    (the scan's partition filters, not a post-scan filter)."""
+    from vectordb_watermark_spark.sources.io import write_partitioned
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    out = str(tmp_path / "ev_parted")
+    write_partitioned(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    p = _plan(back)
+    assert "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters")[1].split("]")[0]
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
 def test_arrow_signature_kernels_partition_invariant(spark):
     # the numpy kernels fold per-batch; results must not depend on how rows
     # land in batches/partitions (reduceat boundaries, memo state)

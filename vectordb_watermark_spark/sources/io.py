@@ -101,6 +101,46 @@ def load_npy(spark: SparkSession, path: str, id_start: int = 1) -> DataFrame:
     return spark.createDataFrame(rows, "id long, emb array<float>")
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    The canonical 100 TB co-location pattern: bucket fact tables by their
+    join/aggregation key ONCE at write time; every later join or groupBy on
+    ``bucket_cols`` between co-bucketed tables (same columns, same
+    ``n_buckets``) reads each bucket as a pre-hashed partition and skips the
+    shuffle exchange entirely (verified by plan assertion in
+    tests/test_plans.py).  ``sort_cols`` additionally pre-sorts within
+    buckets, eliminating the sort side of a sort-merge join.
+
+    Bucketing requires the table catalog (``saveAsTable``); ``path`` makes
+    it an external table at that location.
+    """
+    validate_identifier(name)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Write parquet hive-partitioned by ``partition_cols`` — equality and
+    range predicates on those columns then prune entire directories at plan
+    time (partition pruning), the first lever against a 100 TB scan."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def truncate_table(df: DataFrame) -> DataFrame:
     """S11 table truncate (reference attack/clear.py:16 `DELETE FROM t`):
     an empty frame with the same schema — write it with mode='overwrite'."""
