@@ -72,6 +72,89 @@ def test_video_frame_sampling(media):
     assert all(len(bytes(f["pixels"])) == 8 * 6 for f in frames)
 
 
+def _make_ppm(w, h, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# comment\n" + f"{w} {h}\n255\n".encode() + px.tobytes(), px
+
+
+def _make_bmp(w, h, seed=9, top_down=False):
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    body_rows = rgb if top_down else rgb[::-1]
+    rows[:, : w * 3] = body_rows[:, :, [2, 1, 0]].reshape(h, w * 3)  # RGB->BGR
+    body = rows.tobytes()
+    hdr_h = h if not top_down else -h
+    dib = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return file_hdr + dib + body, rgb
+
+
+def _make_wav(rate=16000, n=256, n_ch=2, seed=3):
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-20000, 20000, size=(n, n_ch), dtype=np.int16)
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body, x
+
+
+def test_real_ppm_bmp_decode(spark):
+    """P6 PPM and uncompressed BMP decode for REAL — pixel-exact against the
+    arrays they were built from, through the distributed kernel."""
+    import numpy as np
+
+    ppm, ppm_px = _make_ppm(11, 7)
+    bmp, bmp_px = _make_bmp(10, 5)
+    bmp_td, bmp_td_px = _make_bmp(6, 4, seed=13, top_down=True)
+    df = spark.createDataFrame(
+        [(0, ppm), (1, bmp), (2, bmp_td)], "id long, media binary"
+    )
+    got = {r["id"]: r for r in M.decode_images(df).collect()}
+    for i, (px, w, h) in enumerate([(ppm_px, 11, 7), (bmp_px, 10, 5), (bmp_td_px, 6, 4)]):
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        arr = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, 3)
+        assert (arr == px).all()
+
+
+def test_real_wav_decode_features(spark):
+    """PCM WAV (stereo 16-bit) decodes for real; RMS/ZCR match a direct
+    numpy computation on the mono mixdown."""
+    import numpy as np
+
+    wav, x = _make_wav()
+    df = spark.createDataFrame([(0, wav)], "id long, media binary")
+    feats = M.audio_features(df).collect()[0]["features"]
+    mono = (x.astype(np.float64) / 32768.0).mean(axis=1)
+    assert abs(feats[0] - float(np.sqrt((mono**2).mean()))) < 1e-6
+    assert abs(feats[1] - float((np.diff(np.signbit(mono)) != 0).mean())) < 1e-6
+    assert feats[2] == 16000.0
+
+
+def test_real_decode_composes_with_resize_and_features(spark):
+    """uncompressed real formats flow through the same downstream kernels
+    as the fake format: decode -> resize -> features."""
+    ppm, px = _make_ppm(12, 8)
+    df = spark.createDataFrame([(0, ppm)], "id long, media binary")
+    small = M.resize_images(M.decode_images(df), 6, 4).collect()[0]
+    assert (small["width"], small["height"]) == (6, 4)
+    feats = M.image_features(M.decode_images(df)).collect()[0]["features"]
+    assert len(feats) == 6  # mean+std per channel
+
+
 def test_audio_features(media):
     aud = media.filter(F.col("id") == 2)
     feats = M.audio_features(aud).collect()[0]["features"]

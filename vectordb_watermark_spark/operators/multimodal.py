@@ -2,14 +2,17 @@
 
 Media are opaque ``BINARY`` columns plus typed metadata.  The Spark-side
 plumbing — schemas, Arrow batch shapes, mapInPandas kernels, partitioning —
-is real and tested; the actual codec calls (JPEG/PNG/WAV decode) are STUBBED
-because no image/audio library ships in this environment:
+is real and tested.  Codec support is tiered by what this environment can
+honestly decode:
 
-- real formats (detected by magic number) raise ``NotImplementedError`` with
-  guidance, exactly where a PIL/libav call would slot in;
+- **uncompressed container formats decode for REAL** with stdlib
+  struct/numpy only: PCM WAV (RIFF), binary PPM (P6), and uncompressed
+  24/32-bit BMP — full parse -> pixels/samples -> resize / features;
+- **compressed formats** (JPEG/PNG/MP4, magic-sniffed) raise
+  ``NotImplementedError`` with guidance, exactly where a PIL/libav call
+  would slot in — no image/audio codec library ships here;
 - a deterministic FAKE format (``FAKEIMG``/``FAKEAUD``/``FAKEVID`` headers)
-  exercises every kernel end-to-end in tests: parse -> decode -> resize /
-  resample / frame-sample -> feature-extract.
+  additionally exercises every kernel end-to-end in tests.
 
 Scale design: every kernel is ``mapInPandas`` over Arrow batches — media
 bytes never leave the executor, there is no shuffle in any per-item stage,
@@ -31,14 +34,21 @@ from pyspark.sql import functions as F
 MAGIC_FAKEIMG = b"FAKEIMG\x00"
 MAGIC_FAKEAUD = b"FAKEAUD\x00"
 MAGIC_FAKEVID = b"FAKEVID\x00"
-#: real-world magic numbers we recognize but cannot decode here
-REAL_MAGICS = {
+#: compressed formats we recognize but cannot decode without a codec library
+COMPRESSED_MAGICS = {
     b"\xff\xd8\xff": "image/jpeg",
     b"\x89PNG": "image/png",
-    b"RIFF": "audio/wav",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
+#: uncompressed container formats decoded for real (stdlib/numpy only)
+UNCOMPRESSED_MAGICS = {
+    b"RIFF": "audio/wav",
+    b"P6": "image/ppm",
+    b"BM": "image/bmp",
+}
+#: all sniffed real-world magics (metadata-level recognition)
+REAL_MAGICS = {**COMPRESSED_MAGICS, **UNCOMPRESSED_MAGICS}
 
 DECODED_IMG_SCHEMA = "id long, width int, height int, channels int, pixels binary"
 FEATURES_SCHEMA = "id long, features array<float>"
@@ -120,20 +130,110 @@ def _decode_fake_image(raw: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _require_decodable(raw: bytes) -> None:
-    for magic, mtype in REAL_MAGICS.items():
+    for magic, mtype in COMPRESSED_MAGICS.items():
         if raw.startswith(magic):
             raise NotImplementedError(
-                f"decoding {mtype} requires an image/audio library not present "
+                f"decoding {mtype} requires a codec library not present "
                 "in this environment; install Pillow/libav and replace this "
                 "branch with the real codec call"
             )
 
 
+def _decode_ppm(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (P6): real decode, stdlib-only.  Header tokens may be
+    separated by any whitespace and ``#`` comments; maxval must be < 256."""
+    pos = 2  # past "P6"
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval >= 256:
+        raise ValueError(f"16-bit PPM not supported (maxval={maxval})")
+    n = w * h * 3
+    px = raw[pos : pos + n]
+    if len(px) != n:
+        raise ValueError(f"corrupt PPM: {len(px)} != {n}")
+    return w, h, 3, px
+
+
+def _decode_bmp(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER): real decode.
+    Handles bottom-up and top-down row order and 4-byte row padding;
+    returns RGB top-down."""
+    if len(raw) < 54:
+        raise ValueError("truncated BMP")
+    data_off = struct.unpack("<I", raw[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", raw[14:26])
+    planes, bpp = struct.unpack("<HH", raw[26:30])
+    compression = struct.unpack("<I", raw[30:34])[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"only uncompressed 24/32-bit BITMAPINFOHEADER BMPs decode here "
+            f"(hdr={hdr_size}, comp={compression}, bpp={bpp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    body = raw[data_off : data_off + stride * h]
+    if len(body) != stride * h:
+        raise ValueError("corrupt BMP body")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)[:, : w * bytes_pp]
+    arr = rows.reshape(h, w, bytes_pp)
+    if not top_down:
+        arr = arr[::-1]
+    rgb = arr[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
+def _decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """PCM RIFF/WAVE: real decode, stdlib/numpy-only.  Returns
+    ``(sample_rate, mono float64 samples in [-1, 1])``; 16-bit and 8-bit
+    PCM, any channel count (channels averaged to mono)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack("<I", raw[pos + 4 : pos + 8])[0]
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit PCM WAV decodes here (format={audio_format}, bits={bits})"
+        )
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return rate, x
+
+
 def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -> DataFrame:
     """Decode image bytes -> ``(id, width, height, channels, pixels)``.
 
-    Real formats raise NotImplementedError (stub point); the fake format is
-    parsed for real so the batch plumbing is fully exercised."""
+    PPM (P6) and uncompressed BMP decode for REAL (stdlib/numpy); the fake
+    format parses too; compressed formats (JPEG/PNG) raise at the stub
+    point."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -141,9 +241,14 @@ def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -
             for _, r in pdf.iterrows():
                 raw = bytes(r[bytes_col])
                 _require_decodable(raw)
-                if not raw.startswith(MAGIC_FAKEIMG):
-                    raise ValueError("not an image payload")
-                w, h, c, px = _decode_fake_image(raw)
+                if raw.startswith(MAGIC_FAKEIMG):
+                    w, h, c, px = _decode_fake_image(raw)
+                elif raw[:2] == b"P6":
+                    w, h, c, px = _decode_ppm(raw)
+                elif raw[:2] == b"BM":
+                    w, h, c, px = _decode_bmp(raw)
+                else:
+                    raise ValueError("not a decodable image payload")
                 rows.append((r[id_col], w, h, c, px))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "width", "height", "channels", "pixels"])
@@ -226,8 +331,9 @@ def sample_video_frames(
 
 
 def audio_features(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -> DataFrame:
-    """RMS energy + zero-crossing rate per fake-audio payload ->
-    ``(id, features ARRAY<FLOAT>)``; real formats raise at the stub point."""
+    """RMS energy + zero-crossing rate per audio payload ->
+    ``(id, features ARRAY<FLOAT>)``.  PCM WAV decodes for real; the fake
+    format parses too; compressed formats raise at the stub point."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -235,13 +341,21 @@ def audio_features(df: DataFrame, id_col: str = "id", bytes_col: str = "media") 
             for _, r in pdf.iterrows():
                 raw = bytes(r[bytes_col])
                 _require_decodable(raw)
-                if not raw.startswith(MAGIC_FAKEAUD):
-                    raise ValueError("not an audio payload")
-                off = len(MAGIC_FAKEAUD)
-                rate, n = struct.unpack(">IH", raw[off : off + 6])
-                x = np.frombuffer(raw[off + 6 : off + 6 + 2 * n], dtype="<i2").astype(np.float64)
-                rms = float(np.sqrt((x**2).mean())) / 32768.0
-                zcr = float((np.diff(np.signbit(x)) != 0).mean())
+                if raw.startswith(MAGIC_FAKEAUD):
+                    off = len(MAGIC_FAKEAUD)
+                    rate, n = struct.unpack(">IH", raw[off : off + 6])
+                    x = (
+                        np.frombuffer(raw[off + 6 : off + 6 + 2 * n], dtype="<i2").astype(
+                            np.float64
+                        )
+                        / 32768.0
+                    )
+                elif raw[:4] == b"RIFF":
+                    rate, x = _decode_wav(raw)
+                else:
+                    raise ValueError("not a decodable audio payload")
+                rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+                zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
                 rows.append((r[id_col], [np.float32(rms), np.float32(zcr), np.float32(rate)]))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "features"])
