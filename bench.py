@@ -46,9 +46,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def run(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: single runs on a shared box swing 2-3x with ambient
+        # load; the minimum is the standard steady-state estimator
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # warm the JVM and fork the Arrow Python workers so the first query
     # doesn't pay session startup (one-time costs, not query work)
