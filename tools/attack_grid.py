@@ -55,7 +55,12 @@ def main() -> None:
         )
     n = df.count()
     msg, key = "ABCDEFGHIJKLMNOP", "grid-key"
-    res = embed_watermark(df, msg, key, rate=args.rate)
+    # fixed nonce => fixed ciphertext => fixed per-carrier payload bits.
+    # Everything downstream of the nonce is bit-deterministic (embed hash
+    # verified identical across sessions), but truncation decode margins are
+    # knife-edge, so the truncate row's CRC-pass count moves ~±1% with the
+    # payload; pinning the nonce makes the whole grid run-reproducible.
+    res = embed_watermark(df, msg, key, rate=args.rate, nonce=bytes(12))
     updated = res.updated.cache()
     updated.count()
 
