@@ -448,6 +448,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_lines"),
         )
 
+    def q17_small_quantity(spark, sf):
+        # correlated scalar subquery (TPC-H q17 shape) through the SQL
+        # surface — Catalyst decorrelates it into an aggregate + join
+        _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+        _t(spark, sf, "part").createOrReplaceTempView("v_part")
+        return spark.sql("""
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM v_lineitem l2
+                                WHERE l2.l_partkey = v_part.p_partkey)
+        """)
+
     def q22_idle_customers(spark, sf):
         # scalar subquery (avg positive balance) + anti-join against recent
         # orders: wealthy customers with no order since 2001-01-01
@@ -786,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive": q19_disjunctive,
+        "q17_small_quantity": q17_small_quantity,
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
@@ -1190,6 +1206,14 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
                    AND l_quantity BETWEEN 20 AND 30)""",
+        "q17_small_quantity": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#23'
+              AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = part.p_partkey)""",
         "q22_idle_customers": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
                    round(sum(c_acctbal), 2) AS total_bal
