@@ -155,6 +155,37 @@ def test_real_decode_composes_with_resize_and_features(spark):
     assert len(feats) == 6  # mean+std per channel
 
 
+def test_decoder_kernels_property(spark):
+    """Property-style sweep of the real decoders over a grid of shapes,
+    channel counts, and sample rates — decode must be exact for every
+    combination (runs the numpy kernels directly; the distributed path is
+    covered by the pixel-exact tests above)."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        _decode_wav,
+    )
+
+    for w, h in [(1, 1), (3, 2), (17, 5), (64, 1)]:
+        ppm, px = _make_ppm(w, h, seed=w * 100 + h)
+        gw, gh, gc, gpx = _decode_ppm(ppm)
+        assert (gw, gh, gc) == (w, h, 3)
+        assert np.array_equal(np.frombuffer(gpx, np.uint8).reshape(h, w, 3), px)
+        for td in (False, True):
+            bmp, rgb = _make_bmp(w, h, seed=w + h, top_down=td)
+            gw, gh, gc, gpx = _decode_bmp(bmp)
+            assert (gw, gh, gc) == (w, h, 3)
+            assert np.array_equal(np.frombuffer(gpx, np.uint8).reshape(h, w, 3), rgb)
+    for rate, n, ch in [(8000, 1, 1), (16000, 255, 2), (44100, 64, 4)]:
+        wav, x = _make_wav(rate, n, ch, seed=ch)
+        grate, mono = _decode_wav(wav)
+        assert grate == rate and len(mono) == n
+        expect = (x.astype(np.float64) / 32768.0).mean(axis=1)
+        assert np.allclose(mono, expect, atol=0)
+
+
 def test_audio_features(media):
     aud = media.filter(F.col("id") == 2)
     feats = M.audio_features(aud).collect()[0]["features"]
