@@ -555,6 +555,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # subtract = EXCEPT DISTINCT, intersect = INTERSECT DISTINCT
         return clickers.subtract(buyers.intersect(high))
 
+    def events_asof(spark, sf):
+        # as-of join (operators/temporal.asof_join): each click event joined
+        # to the user's most recent prior-or-equal purchase value — Spark
+        # lacks the operator; DuckDB's native ASOF JOIN is the oracle
+        from vectordb_watermark_spark.operators.temporal import asof_join
+
+        ev = _events(spark, sf)
+        sec = F.expr("ts_ns DIV 1000000000")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", sec.alias("t")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id", sec.alias("t"), "value")
+            .groupBy("user_id", "t")
+            .agg(F.round(F.max("value"), 2).alias("pv"))
+        )
+        return asof_join(
+            clicks, purchases, ["user_id"], "t", "t", ["pv"], right_time_out="pt"
+        ).select("event_id", "user_id", "t", "pt", "pv")
+
     def events_json_extract(spark, sf):
         ev = _events(spark, sf)
         return (
@@ -807,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_rollup": events_type_rollup,
         "events_cube": events_cube,
         "set_ops_users": set_ops_users,
+        "events_asof": events_asof,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
         "dedup_exact_groups": dedup_exact_groups,
@@ -1242,6 +1264,20 @@ def oracle_sql() -> dict[str, str]:
             (SELECT user_id FROM events WHERE event_type = 'purchase'
              INTERSECT
              SELECT user_id FROM events WHERE value > 200)""",
+        "events_asof": """
+            WITH clicks AS (
+              SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t
+              FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+              SELECT user_id, t, round(max(value), 2) AS pv FROM (
+                SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value
+                FROM events WHERE event_type = 'purchase'
+              ) GROUP BY user_id, t
+            )
+            SELECT c.event_id, c.user_id, c.t, p.t AS pt, p.pv
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.t >= p.t""",
         "events_type_rollup": """
             SELECT event_type,
                    CAST((epoch_ns(ts) // 1000000000) // 86400 * 86400 AS BIGINT) AS day_epoch,

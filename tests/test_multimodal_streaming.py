@@ -311,6 +311,41 @@ def test_incremental_embed_foreachbatch(spark, tmp_path):
     assert changed > 0
 
 
+def test_asof_join_semantics_and_partition_invariance(spark):
+    """asof_join: greatest right time <= left time per key, LEFT semantics,
+    right-at-equal-time matches, deterministic tie-break by tiebreak_cols,
+    and identical output at any input partitioning."""
+    from vectordb_watermark_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 5, 102), (2, 7, 103)], "k int, t long, ev int"
+    )
+    r = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 1, 3.0)], "k int, t long, v double"
+    )
+    expect = {
+        (1, 10, 100, 10, 1.0),
+        (1, 20, 101, 15, 2.0),
+        (1, 5, 102, None, None),
+        (2, 7, 103, 1, 3.0),
+    }
+    for parts in (1, 7):
+        got = {
+            tuple(row)
+            for row in asof_join(
+                l.repartition(parts), r.repartition(parts), ["k"], "t", "t", ["v"]
+            ).collect()
+        }
+        assert got == expect
+    # duplicate right timestamps: the greatest tiebreak value wins
+    r_dup = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 10, 9.0, 2)], "k int, t long, v double, seq int"
+    )
+    got = asof_join(l, r_dup, ["k"], "t", "t", ["v"], tiebreak_cols=["seq"]).collect()
+    by_ev = {row["ev"]: row["v"] for row in got}
+    assert by_ev[100] == 9.0 and by_ev[101] == 9.0 and by_ev[102] is None
+
+
 def test_sessionize_batch_semantics(spark):
     ns = 1_000_000_000
     rows = [

@@ -1,0 +1,94 @@
+"""Temporal joins — as-of (nearest-prior) join as a DataFrame composition.
+
+Spark has no native AS-OF join; this is the canonical example of SURVEY.md's
+"custom operator as a composition of built-in ops" rule (and one of the
+training-data-pipeline operators the engine ships beyond reference parity —
+e.g. joining each training example to the most recent model/feature snapshot
+at its timestamp).
+
+The composition: tag both sides, union them, and run ONE carry-forward
+window per key ordered by (time, side) — every left row then sees the
+latest right-side payload at or before its timestamp.  Cost: a single
+shuffle on the key columns (the window), independent of how many right rows
+precede each left row — the naive range-join formulation explodes
+quadratically per key and needs a second aggregation to keep only the
+nearest match.  At 100 TB the shuffle is the same one any keyed join pays;
+skewed keys are AQE's problem, not the operator's.
+
+Exactly reproducible in DuckDB's native ``ASOF JOIN`` (``l.t >= r.t``
+semantics: greatest right time <= left time, NULL when none) — which is the
+oracle for the ``events_asof`` driver query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    right_time_out: str = "matched_time",
+) -> DataFrame:
+    """For every left row: the right row with the greatest ``right_time``
+    <= ``left_time`` within the same ``key_cols`` group (LEFT semantics —
+    unmatched left rows keep NULL ``value_cols``/``right_time_out``).
+
+    A right row at exactly the left timestamp matches (``>=``), mirroring
+    DuckDB ASOF.  When several right rows share a (key, time),
+    ``tiebreak_cols`` orders them and the LAST one wins; pass a unique
+    column (or pre-aggregate the right side) for full determinism.
+
+    The matched payload travels as one struct through ``last(...,
+    ignorenulls=True)``, so a right row whose value column is genuinely
+    NULL still wins the match (the struct is non-null) — semantics identical
+    to a real join, not a coalesce over history.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    lcols = [c for c in left.columns]
+    payload = F.struct(F.col(right_time).alias("__rt"), *[F.col(c) for c in value_cols])
+    p_type = right.select(payload.alias("__p")).schema["__p"].dataType
+
+    l_tagged = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(p_type).alias("__p"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{i}")
+          for i, c in enumerate(tiebreak_cols)],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in key_cols],
+        *[F.col(c) for c in key_cols],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+        *[F.col(c).alias(f"__tb_{i}") for i, c in enumerate(tiebreak_cols)],
+    ).select(*l_tagged.columns)  # align column order
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__tb_{i}").asc_nulls_first() for i in range(len(tiebreak_cols))],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out = matched.select(
+        *[F.col(c) for c in lcols],
+        F.col("__m.__rt").alias(right_time_out),
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+    )
+    return out
