@@ -576,6 +576,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             clicks, purchases, ["user_id"], "t", "t", ["pv"], right_time_out="pt"
         ).select("event_id", "user_id", "t", "pt", "pv")
 
+    def events_range_join(spark, sf):
+        # banded point-in-interval join (operators/temporal.range_join):
+        # error events matched into their user's enclosing session interval
+        from vectordb_watermark_spark.operators.temporal import range_join
+        from vectordb_watermark_spark.streaming.events import sessionize_batch
+
+        ev = _events(spark, sf)
+        sessions = sessionize_batch(ev.withColumnRenamed("ts_ns", "ts"), gap_seconds=900)
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "event_id", "user_id", F.expr("ts_ns DIV 1000000000").alias("sec")
+        )
+        return range_join(
+            errors, sessions, ["user_id"], "sec", "session_start_sec", "session_end_sec",
+            band=900,
+        ).select("event_id", "user_id", "session_id", "n_events")
+
     def events_json_extract(spark, sf):
         ev = _events(spark, sf)
         return (
@@ -829,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": events_cube,
         "set_ops_users": set_ops_users,
         "events_asof": events_asof,
+        "events_range_join": events_range_join,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
         "dedup_exact_groups": dedup_exact_groups,
@@ -1264,6 +1281,16 @@ def oracle_sql() -> dict[str, str]:
             (SELECT user_id FROM events WHERE event_type = 'purchase'
              INTERSECT
              SELECT user_id FROM events WHERE value > 200)""",
+        "events_range_join": f"""
+            WITH sessions AS ({sessionize_batch_oracle_sql(gap_seconds=900)}),
+            errors AS (
+              SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT e.event_id, e.user_id, s.session_id, s.n_events
+            FROM errors e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.sec BETWEEN s.session_start_sec AND s.session_end_sec""",
         "events_asof": """
             WITH clicks AS (
               SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS t

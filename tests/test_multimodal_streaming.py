@@ -346,6 +346,37 @@ def test_asof_join_semantics_and_partition_invariance(spark):
     assert by_ev[100] == 9.0 and by_ev[101] == 9.0 and by_ev[102] is None
 
 
+def test_range_join_matches_naive_any_band(spark):
+    """range_join must equal the naive BETWEEN nested-loop join for every
+    band width (bands only affect candidate generation, never the result),
+    including intervals spanning many bands and points on boundaries."""
+    import random
+
+    from vectordb_watermark_spark.operators.temporal import range_join
+
+    rnd = random.Random(5)
+    pts = [(rnd.randint(1, 3), i, rnd.randint(0, 1000)) for i in range(80)]
+    ivs = []
+    for j in range(30):
+        lo = rnd.randint(0, 950)
+        ivs.append((rnd.randint(1, 3), 100 + j, lo, lo + rnd.randint(0, 300)))
+    l = spark.createDataFrame(pts, "k int, pid int, p long")
+    r = spark.createDataFrame(ivs, "k int, iid int, lo long, hi long")
+    naive = {
+        tuple(row)
+        for row in l.join(r, "k").filter("p between lo and hi")
+        .select("pid", "iid").collect()
+    }
+    assert naive  # non-degenerate fixture
+    for band in (7, 100, 1024):
+        got = {
+            tuple(row)
+            for row in range_join(l, r, ["k"], "p", "lo", "hi", band=band)
+            .select("pid", "iid").collect()
+        }
+        assert got == naive
+
+
 def test_sessionize_batch_semantics(spark):
     ns = 1_000_000_000
     rows = [

@@ -1,4 +1,5 @@
-"""Temporal joins — as-of (nearest-prior) join as a DataFrame composition.
+"""Temporal joins — as-of (nearest-prior) and banded range (point-in-
+interval) joins as DataFrame compositions.
 
 Spark has no native AS-OF join; this is the canonical example of SURVEY.md's
 "custom operator as a composition of built-in ops" rule (and one of the
@@ -24,6 +25,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    band: int,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right rows with
+    ``right_lo <= left_point <= right_hi`` within ``key_cols`` (inner
+    semantics).
+
+    Spark's native plan for this predicate is a nested-loop join — O(n*m)
+    per key.  The banded composition instead:
+
+    1. explode each right interval to the time bands it covers
+       (``sequence(floor(lo/band), floor(hi/band))`` — bounded by interval
+       length / band);
+    2. equi-join on ``(key_cols, band)`` — a plain shuffled hash join;
+    3. re-check the exact containment predicate.
+
+    Each left point lives in exactly one band and each interval appears
+    once per covered band, so no dedup is needed.  ``band`` trades join
+    fan-out (short bands -> more exploded rows) against candidate ratio
+    (long bands -> more false candidates); set it near the typical interval
+    length.  The equi-join is AQE-skew-splittable — the property the naive
+    range predicate never gets.
+    """
+    lb = left.withColumn("__band", F.floor(F.col(left_point) / F.lit(band)).cast("long"))
+    rb = right.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(band)).cast("long"),
+                F.floor(F.col(right_hi) / F.lit(band)).cast("long"),
+            )
+        ),
+    )
+    joined = lb.join(rb, [*key_cols, "__band"]).filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi))
+    )
+    return joined.drop("__band")
 
 
 def asof_join(
