@@ -228,6 +228,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id")
         )
 
+    def sample_stratified(spark, sf):  # O5 extension: per-stratum keyed rates
+        # deterministic stratified sampling: event types are kept at
+        # different rates via the same keyed-uniform hash as sample_keyed —
+        # the scale-safe replacement for sampleBy's RNG (exact, re-runnable)
+        from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+        ev = _events(spark, sf)
+        rate = (
+            F.when(F.col("event_type") == "click", 0.5)
+            .when(F.col("event_type") == "purchase", 1.0)
+            .when(F.col("event_type") == "error", 0.25)
+            .otherwise(0.05)
+        )
+        return ev.filter(
+            keyed_uniform("strat-42", "s", F.col("event_id")) < rate
+        ).select("event_id", "event_type")
+
     def semi_join_carriers(spark, sf):  # JN1/S3: semi-join carrier fetch
         carriers = select_carriers(_degrees(spark, sf), key=KEY, rate=RATE)
         return (
@@ -822,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "majority_vote_events": majority_vote_events,
         "robust_vote_events": robust_vote_events,
         "sample_keyed": sample_keyed,
+        "sample_stratified": sample_stratified,
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
@@ -1139,6 +1157,11 @@ def oracle_sql() -> dict[str, str]:
             FROM win w JOIN totals t ON w.blk = t.blk
             LEFT JOIN counts e ON e.blk = w.blk AND CAST(e.payload AS BIGINT) = w.cand""",
         "sample_keyed": f"SELECT vec_id AS id FROM embeddings WHERE {u_sample} < 0.2",
+        "sample_stratified": f"""
+            SELECT event_id, event_type FROM events
+            WHERE {sql_keyed_uniform("'strat-42'", "'s'", "event_id")} <
+                  CASE event_type WHEN 'click' THEN 0.5 WHEN 'purchase' THEN 1.0
+                       WHEN 'error' THEN 0.25 ELSE 0.05 END""",
         "semi_join_carriers": f"""
             WITH carriers AS ({carrier_selection_oracle_sql(_DEGREES_SQL, KEY, RATE)})
             SELECT e.vec_id AS id, round({_NORM_SQL}, 5) + 0.0 AS norm
