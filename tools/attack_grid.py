@@ -107,6 +107,22 @@ def main() -> None:
     for kd in truncs:
         grid.append((f"truncate keep={kd}/{dim}",
                      lambda d, k=kd: A.truncate_pad_attack(d, keep_dims=k, pad="zero")))
+    if args.baseline:
+        # beyond-reference: chained attacks (the reference publishes only
+        # single-attack rows) — an adversary stacking transforms
+        kd = truncs[0]
+        grid.append((
+            "gaussian s=0.05 r=0.5 + subset keep=0.5",
+            lambda d: A.subset_attack(
+                A.gaussian_attack(d, ratio=0.5, sigma=0.05), keep_ratio=0.5
+            ),
+        ))
+        grid.append((
+            f"truncate keep={kd}/{dim} + gaussian s=0.01 r=1.0",
+            lambda d, k=kd: A.gaussian_attack(
+                A.truncate_pad_attack(d, keep_dims=k, pad="zero"), ratio=1.0, sigma=0.01
+            ),
+        ))
 
     rows = [run(name, fn) for name, fn in grid]
 
