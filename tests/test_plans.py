@@ -120,6 +120,24 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert back.count() == ev.filter(F.col("event_type") == "click").count()
 
 
+def test_temporal_join_plans(spark):
+    """asof_join compiles to ONE key-shuffle (window exchange, no join
+    operator at all); range_join compiles to a hash equi-join — never a
+    nested-loop/cartesian plan for the range predicate."""
+    from vectordb_watermark_spark.operators.temporal import asof_join, range_join
+
+    l = spark.range(100).selectExpr("id % 5 AS k", "id AS t", "id AS ev")
+    r = spark.range(50).selectExpr("id % 5 AS k", "id AS t", "CAST(id AS DOUBLE) AS v")
+    pa = _plan(asof_join(l, r, ["k"], "t", "t", ["v"]))
+    assert "Join" not in pa  # pure window carry-forward
+    assert pa.count("+- Exchange") == 1 and "hashpartitioning(k" in pa
+
+    ri = spark.range(50).selectExpr("id % 5 AS k", "id AS lo", "id + 10 AS hi", "id AS iid")
+    pr = _plan(range_join(l, ri, ["k"], "t", "lo", "hi", band=16))
+    assert "NestedLoop" not in pr and "Cartesian" not in pr
+    assert "SortMergeJoin" in pr or "ShuffledHashJoin" in pr or "BroadcastHashJoin" in pr
+
+
 def test_arrow_signature_kernels_partition_invariant(spark):
     # the numpy kernels fold per-batch; results must not depend on how rows
     # land in batches/partitions (reduceat boundaries, memo state)
