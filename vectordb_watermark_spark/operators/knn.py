@@ -838,7 +838,8 @@ def gated_in_degrees(
     configs/config.py:13-15); this operator restores that property on the
     explicit kNN graph:
 
-    1. ``tau = edge_gate_threshold(edges, q, slack)`` — robust, data-derived.
+    1. ``tau`` — robust, data-derived (:func:`gate_tau_plan`, the in-plan
+       twin of :func:`edge_gate_threshold`; identical bit-exact value).
     2. Drop edges with ``dist2 > tau`` (a destroyed probe's edges all point
        far away -> its degree *spray* disappears).
     3. A src retaining fewer than ``min_out`` (default ``ceil(k/2)``) of its
