@@ -609,6 +609,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             band=900,
         ).select("event_id", "user_id", "session_id", "n_events")
 
+    def events_running_window(spark, sf):
+        # RANGE-frame window: per user, trailing-1-hour running sum of value
+        # (frame includes ALL rows at equal sec -> tie-order-independent)
+        from pyspark.sql.window import Window
+
+        ev = _events(spark, sf)
+        sec = F.expr("ts_ns DIV 1000000000")
+        w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+        return (
+            ev.select("event_id", "user_id", sec.alias("sec"), "value")
+            .withColumn("run_sum", F.round(F.sum("value").over(w), 2))
+            .withColumn("run_n", F.count(F.lit(1)).over(w))
+            .select("event_id", "user_id", "sec", "run_sum", "run_n")
+        )
+
+    def events_value_quantiles(spark, sf):
+        # exact interpolated quantiles (percentile, not approx) per type
+        ev = _events(spark, sf)
+        return ev.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+
     def events_json_extract(spark, sf):
         ev = _events(spark, sf)
         return (
@@ -864,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_users": set_ops_users,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
+        "events_running_window": events_running_window,
+        "events_value_quantiles": events_value_quantiles,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
         "dedup_exact_groups": dedup_exact_groups,
@@ -1304,6 +1331,22 @@ def oracle_sql() -> dict[str, str]:
             (SELECT user_id FROM events WHERE event_type = 'purchase'
              INTERSECT
              SELECT user_id FROM events WHERE value > 200)""",
+        "events_running_window": """
+            SELECT event_id, user_id, sec,
+                   round(sum(value) OVER w, 2) AS run_sum,
+                   CAST(count(*) OVER w AS BIGINT) AS run_n
+            FROM (SELECT event_id, user_id,
+                         epoch_ns(ts) // 1000000000 AS sec, value
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+        "events_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(min(value), 2) AS vmin,
+                   round(max(value), 2) AS vmax
+            FROM events GROUP BY event_type""",
         "events_range_join": f"""
             WITH sessions AS ({sessionize_batch_oracle_sql(gap_seconds=900)}),
             errors AS (
