@@ -780,6 +780,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def sketch_distinct_tokens(spark, sf):
+        # KMV distinct-count sketch (operators/sketch.kmv_distinct): only the
+        # k smallest 60-bit hashes cross the wire; the keyed hash makes the
+        # ESTIMATE itself deterministic and oracle-checkable (unlike HLL++).
+        # true distinct count alongside quantifies the sketch error
+        from vectordb_watermark_spark.operators.sketch import kmv_distinct
+
+        toks = _docs(spark, sf).select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        est = kmv_distinct(toks, "tok", k=256)
+        truth = toks.agg(F.countDistinct("tok").cast("long").alias("true_distinct"))
+        return est.crossJoin(truth)
+
     def paraphrase_candidates(spark, sf):
         # semantically-near but lexically-distinct document pairs: embedding
         # cosine >= 0.35 anti-joined against token-Jaccard >= 0.35 pairs —
@@ -909,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": corpus_curation,
         "paraphrase_candidates": paraphrase_candidates,
         "embedding_quantize": embedding_quantize,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
         "top_tokens": top_tokens,
         "knn_join_tables": knn_join_tables,
         "events_sessionize": events_sessionize,
@@ -1543,6 +1558,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(unnest(e) * 127.0 / mx + 0.5) AS INT) AS code,
                    round(mx / 127.0, 9) + 0.0 AS scale
             FROM s""",
+        "sketch_distinct_tokens": f"""
+            WITH toks AS (
+              SELECT unnest({T.sql_tokens('lower(text)')}) AS tok FROM documents
+            ),
+            hashes AS (
+              SELECT DISTINCT CAST(('0x' || substr(sha256(tok), 1, 15)) AS UBIGINT)::BIGINT AS h
+              FROM toks
+            ),
+            smallest AS (SELECT h FROM hashes ORDER BY h LIMIT 256),
+            agg AS (SELECT count(*) AS n, max(h) AS t FROM smallest)
+            SELECT CASE WHEN n < 256 THEN CAST(n AS BIGINT)
+                        ELSE CAST(floor((255.0 * 1152921504606846976.0) / t) AS BIGINT)
+                   END AS estimate,
+                   CAST(n AS INT) AS exact_k,
+                   CASE WHEN n >= 256 THEN t END AS kth_hash,
+                   (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM toks) AS true_distinct
+            FROM agg""",
         "top_tokens": f"""
             SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
               SELECT unnest({T.sql_tokens('lower(text)')}) AS tok FROM documents

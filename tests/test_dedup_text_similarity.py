@@ -264,3 +264,21 @@ def test_gemm_neardup_matches_expr_path(spark, vectors):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_kmv_sketch_exact_below_k_and_accurate_above(spark):
+    """KMV distinct sketch: exact when distinct < k; within the
+    ~1/sqrt(k) relative-error contract when estimating; deterministic
+    under repartitioning."""
+    from vectordb_watermark_spark.operators.sketch import kmv_distinct
+
+    small = spark.range(100).selectExpr("CAST(id % 37 AS STRING) AS v")
+    r = kmv_distinct(small, "v", k=256).first()
+    assert r["estimate"] == 37 and r["kth_hash"] is None
+
+    big = spark.range(20000).selectExpr("CAST(id AS STRING) AS v")
+    for parts in (1, 13):
+        r = kmv_distinct(big.repartition(parts), "v", k=256).first()
+        # 4x the 1/sqrt(256)=6.25% standard error
+        assert abs(r["estimate"] - 20000) / 20000 < 0.25
+        assert r["exact_k"] == 256
