@@ -634,6 +634,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.max("value"), 2).alias("vmax"),
         )
 
+    def events_pivot(spark, sf):
+        # PIVOT: one row per user bucket, one count column per event type
+        ev = _events(spark, sf)
+        return (
+            ev.select((F.col("user_id") % 20).alias("bucket"), "event_type")
+            .groupBy("bucket")
+            .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+            .count()
+            .na.fill(0)
+        )
+
+    def sample_weighted(spark, sf):
+        # Efraimidis-Spirakis weighted sampling without replacement, keyed:
+        # key = u^(1/w) with u = keyed_uniform(id) -> top-100 by key.
+        # Compare via log: log(u)/w is monotone in u^(1/w) and avoids
+        # pow() cross-engine ULP drift (ln is 1-to-1 on the same values)
+        from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+        ev = _events(spark, sf)
+        u = keyed_uniform("wsample-42", "w", F.col("event_id"))
+        score = F.log(u) / F.col("value")  # value > 0 in this table
+        return (
+            ev.select("event_id", "user_id", score.alias("s"))
+            .orderBy(F.col("s").desc(), F.col("event_id").asc())
+            .limit(100)
+            .select("event_id", "user_id")
+        )
+
     def events_json_extract(spark, sf):
         ev = _events(spark, sf)
         return (
@@ -904,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "events_running_window": events_running_window,
+        "events_pivot": events_pivot,
+        "sample_weighted": sample_weighted,
         "events_value_quantiles": events_value_quantiles,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
@@ -1346,6 +1376,20 @@ def oracle_sql() -> dict[str, str]:
             (SELECT user_id FROM events WHERE event_type = 'purchase'
              INTERSECT
              SELECT user_id FROM events WHERE value > 200)""",
+        "events_pivot": """
+            SELECT CAST(user_id % 20 AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY 1""",
+        "sample_weighted": f"""
+            SELECT event_id, user_id FROM (
+              SELECT event_id, user_id,
+                     ln({sql_keyed_uniform("'wsample-42'", "'w'", "event_id")}) / value AS s
+              FROM events
+            ) ORDER BY s DESC, event_id ASC LIMIT 100""",
         "events_running_window": """
             SELECT event_id, user_id, sec,
                    round(sum(value) OVER w, 2) AS run_sum,
