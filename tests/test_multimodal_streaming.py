@@ -262,6 +262,36 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, events_stream_di
     assert len(got) >= 0.5 * len(expected_all)
 
 
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join (watermarked both sides) must produce
+    exactly the batch join's pairs when all data fits one micro-batch."""
+    stream = SE.stream_events(spark, events_stream_dir)
+    q = (
+        SE.click_purchase_interval_join(stream, window_seconds=86400)
+        .writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, click_id, purchase_id, gap_seconds, value FROM cp_join"
+        ).collect()
+    }
+    batch = SE.read_events(spark, events_stream_dir).withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000"))
+    )
+    expected = {
+        tuple(r)
+        for r in SE.click_purchase_interval_join(batch, window_seconds=86400).collect()
+    }
+    assert got == expected
+    assert len(got) > 20  # non-degenerate
+
+
 def test_stream_dedup_bounded_state(spark, events_stream_dir):
     """dropDuplicatesWithinWatermark with a horizon covering the whole
     dataset keeps exactly one row per key — matching batch dropDuplicates

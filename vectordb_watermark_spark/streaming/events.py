@@ -114,6 +114,56 @@ def stream_dedup(
     return events.dropDuplicates(keys)
 
 
+def click_purchase_interval_join(
+    events: DataFrame,
+    window_seconds: int = 1800,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to the same user's
+    purchases within ``window_seconds`` AFTER the click.
+
+    On a stream both sides carry event-time watermarks and the time-bound
+    join condition, so Spark can expire join state: each side holds only
+    ``watermark_delay + window_seconds`` of history per key — the property
+    that makes an unbounded two-stream join runnable at all.  On a batch
+    frame the identical condition is a plain inner join (one definition,
+    two modes, like :func:`windowed_event_counts`).
+
+    Output: ``(user_id, click_id, purchase_id, gap_seconds, value)``.
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+        F.col("value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_time", watermark_delay)
+        purchases = purchases.withWatermark("purchase_time", watermark_delay)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time") <= F.col("click_time") + F.expr(f"INTERVAL {window_seconds} SECONDS"))
+    )
+    return (
+        clicks.join(purchases, cond)
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("purchase_time") - F.unix_timestamp("click_time")).alias(
+                "gap_seconds"
+            ),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
 def sessionize_batch(
     events: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS
 ) -> DataFrame:
