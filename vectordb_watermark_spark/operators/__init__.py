@@ -1,2 +1,3 @@
 """Distributed operators: kNN graph + degrees, carrier selection, majority
-vote, attacks, dedup, similarity search, multimodal plumbing."""
+vote, attacks, dedup, similarity search, temporal (as-of + range) joins,
+distinct-count sketching, multimodal plumbing."""
