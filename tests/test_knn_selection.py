@@ -299,3 +299,27 @@ def test_knn_join_lsh_recall_contract(emb):
         ranks.sort()
         assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
         assert all(ranks[i][1] <= ranks[i + 1][1] for i in range(len(ranks) - 1))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must equal the unsalted join for any salt count and any
+    input partitioning (the salt spreads hot keys; it must never change
+    the result multiset)."""
+    from vectordb_watermark_spark.operators.partitioning import salted_join
+
+    # skewed left: key 0 holds half the rows
+    left = spark.range(2000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id % 7 END AS k", "id AS lval"
+    )
+    right = spark.range(7).selectExpr("id AS k", "id * 100 AS rval")
+    plain = sorted(
+        tuple(r) for r in left.join(right, "k").select("k", "lval", "rval").collect()
+    )
+    for n_salts, parts in [(4, 1), (16, 13)]:
+        got = sorted(
+            tuple(r)
+            for r in salted_join(left.repartition(parts), right, ["k"], n_salts=n_salts)
+            .select("k", "lval", "rval")
+            .collect()
+        )
+        assert got == plain

@@ -28,3 +28,38 @@ def spread_to_parallelism(
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    salt_key: str = "salt",
+):
+    """Inner/left equi-join with hot-key salting: the (large, possibly
+    skewed) ``left`` side gets a deterministic keyed-hash salt in
+    ``[0, n_salts)`` per row; the (smaller) ``right`` side is exploded
+    ``n_salts`` times; the join runs on ``key_cols + [salt]`` so one hot
+    key's rows spread across ``n_salts`` shuffle partitions instead of one
+    straggler task.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    is for the cases AQE cannot split — e.g. a skewed aggregation following
+    the join, or stream-static joins where AQE is unavailable.  The salt
+    must vary WITHIN a hot key (a key-only hash would put the whole hot key
+    back in one partition), so it hashes a per-row id; the salt assignment
+    is therefore partitioning-dependent, but the JOIN RESULT is exactly the
+    unsalted join for every assignment — the right side carries every salt
+    value, so each left row matches precisely its unsalted matches (tested
+    under repartitioning).
+    """
+    from pyspark.sql import functions as F
+
+    salt = (F.abs(F.xxhash64(F.lit(salt_key), *[F.col(c) for c in key_cols], F.monotonically_increasing_id())) % n_salts)
+    lsalted = left.withColumn("__salt", salt.cast("int"))
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lsalted.join(rsalted, [*key_cols, "__salt"], how).drop("__salt")
