@@ -465,6 +465,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("n_lines"),
         )
 
+    def q7_nation_volume(spark, sf):
+        # TPC-H q7 shape: shipping volume between two nations, per year and
+        # direction — dual role of the nation dim (supplier vs customer side)
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        n1 = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+        )
+        pair = (
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(n1), supp.s_nationkey == F.col("sk"))
+            .join(F.broadcast(n2), cust.c_nationkey == F.col("ck"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
+    def q8_market_share(spark, sf):
+        # TPC-H q8 shape: one nation's share of EUROPE's PROMO-part revenue
+        # per year — conditional-sum ratio over a 7-table join
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        part = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+        nat_c = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+        )
+        nat_s = _t(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+        )
+        reg = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+        vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nat_c), cust.c_nationkey == F.col("cnk"))
+            .join(F.broadcast(reg), F.col("crk") == reg.r_regionkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat_s), supp.s_nationkey == F.col("snk"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.round(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                    / F.sum(vol),
+                    6,
+                ).alias("mkt_share"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+
     def q17_small_quantity(spark, sf):
         # correlated scalar subquery (TPC-H q17 shape) through the SQL
         # surface — Catalyst decorrelates it into an aggregate + join
@@ -923,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive": q19_disjunctive,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
         "q17_small_quantity": q17_small_quantity,
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
@@ -1340,6 +1416,41 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
                    AND l_quantity BETWEEN 20 AND 30)""",
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3""",
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(CASE WHEN ns.n_name = 'NATION_3'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region ON nc.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1""",
         "q17_small_quantity": """
             SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
                    CAST(count(*) AS BIGINT) AS n_lines
