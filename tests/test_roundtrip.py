@@ -299,3 +299,44 @@ def test_robust_vote_correlated_bit_error(spark):
     )
     got = {r.blk: r.payload for r in robust_vote(df).collect()}
     assert got[0] == true
+
+
+def test_full_reference_user_journey(spark, tmp_path):
+    """The reference's complete HTTP workflow in library form (SURVEY.md §3):
+    dimension probe -> model check/train -> embed -> visualization -> attack
+    -> blind extract.  Guards the integration seams the per-operator tests
+    cannot see."""
+    from pyspark.sql import functions as F
+
+    from vectordb_watermark_spark import training as TR
+    from vectordb_watermark_spark.operators import attacks as A
+    from vectordb_watermark_spark.operators.viz import pairwise_stats, project_2d_compare
+    from vectordb_watermark_spark.plans.embed import embed_watermark
+    from vectordb_watermark_spark.plans.extract import extract_watermark
+    from vectordb_watermark_spark.sources.io import vector_dim
+
+    df = load(spark, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    # 1. dimension probe (S6) + model-exists gate (C6) + training (M3)
+    dim = vector_dim(df)
+    assert not TR.model_exists(dim, str(tmp_path))
+    ckpt = TR.train_codec(df, key="journey-key", results_dir=str(tmp_path))
+    assert TR.model_exists(dim, str(tmp_path))
+    codec = TR.load_codec(dim, "journey-key", str(tmp_path))
+    # 2. embed (§3.1)
+    res = embed_watermark(df, "JOURNEY-MSG-2026", "journey-key", rate=0.2, codec=codec)
+    wm = res.updated.cache()
+    assert wm.count() == df.count()
+    # 3. visualization (§3.3 viz entry): pairwise stats + 2-D comparison
+    stats = pairwise_stats(wm, max_rows=100, seed_key="viz").first()
+    assert stats["n_pairs"] > 0
+    proj = project_2d_compare(df, wm, max_rows=100, seed_key="viz")
+    assert {r["source"] for r in proj.select("source").distinct().collect()} == {
+        "original", "watermarked"
+    }
+    # 4. attack then blind extract (§3.2) — no carrier list crosses the seam
+    attacked = A.gaussian_attack(wm, ratio=0.2, sigma=0.02, seed_key="atk")
+    out = extract_watermark(attacked, "journey-key", res.nonce_hex, rate=0.2, codec=codec)
+    assert out.success and out.message == "JOURNEY-MSG-2026"
+    assert out.recovered_blocks == 16
