@@ -292,6 +292,49 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
     assert len(got) > 20  # non-degenerate
 
 
+def test_continuous_rollup_incremental_refresh(spark, tmp_path):
+    """Hypertable-style continuous aggregate: two micro-batches refresh the
+    persistent rollup incrementally; the final rollup table must equal the
+    one-shot batch windowed aggregation over all events."""
+    import shutil
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ev = SE.read_events(spark, f"{SF_TINY}/events.parquet")
+    # split into two flat files -> two micro-batches (maxFilesPerTrigger=1)
+    half_a, half_b = ev.randomSplit([0.5, 0.5], seed=7)
+    for name, half in (("a", half_a), ("b", half_b)):
+        out = tmp_path / f"stage_{name}"
+        half.coalesce(1).write.parquet(str(out))
+        part = next(p for p in out.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000")))
+    )
+    rollup = str(tmp_path / "rollup")
+    q = SE.continuous_rollup(
+        stream, rollup, str(tmp_path / "ckpt"), watermark_delay="365 days"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    batch = ev.withColumn("event_time", F.timestamp_seconds(F.expr("ts DIV 1000000000")))
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in SE.windowed_event_counts(batch).collect()
+    }
+    assert got == expected and len(got) > 10
+
+
 def test_stream_dedup_bounded_state(spark, events_stream_dir):
     """dropDuplicatesWithinWatermark with a horizon covering the whole
     dataset keeps exactly one row per key — matching batch dropDuplicates

@@ -289,6 +289,59 @@ def sessionize_stream(
     )
 
 
+def continuous_rollup(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+):
+    """Hypertable-style continuous aggregate: the streaming windowed counts
+    are incrementally MERGED into a persistent rollup table each
+    micro-batch — queries hit the small pre-aggregated table instead of
+    re-scanning raw events (the TimescaleDB continuous-aggregate /
+    materialized-rollup pattern, expressed as Structured Streaming).
+
+    ``update`` output mode emits only windows changed by the batch;
+    ``foreachBatch`` upserts them into the rollup parquet by
+    ``(window_start, event_type)`` — at 100 TB/day the rollup table stays
+    ~rows-per-window × windows, and each refresh touches only dirty
+    windows.  Returns the DataStreamWriter (call ``.start()``).
+    """
+    agg = windowed_event_counts(stream, window_duration, watermark_delay)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.count():
+            return
+        spark = batch_df.sparkSession
+        batch_df = batch_df.withColumn(
+            "rk", F.concat_ws("|", F.col("window_start"), F.col("event_type"))
+        )
+        try:
+            base = spark.read.parquet(rollup_path).withColumn(
+                "rk", F.concat_ws("|", F.col("window_start"), F.col("event_type"))
+            )
+            # upsert: untouched base rows + every batch row (new or updated)
+            merged = (
+                base.join(batch_df.select("rk"), "rk", "left_anti")
+                .unionByName(batch_df)
+                .drop("rk")
+            )
+        except Exception:
+            merged = batch_df.drop("rk")
+        # rollup tables are small (one row per window x type); a full
+        # rewrite per refresh is the parquet-only equivalent of MERGE INTO
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(rollup_path)
+        merged.unpersist()
+
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(refresh)
+    )
+
+
 def incremental_embed(
     stream: DataFrame,
     message: str,
