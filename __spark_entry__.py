@@ -539,6 +539,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q13_customer_distribution(spark, sf):
+        # TPC-H q13 shape: LEFT OUTER join + two-level aggregation — the
+        # distribution of customers by how many non-urgent orders they placed
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+        )
+
+    def q15_top_supplier(spark, sf):
+        # TPC-H q15 shape: revenue view + scalar-max self-reference — the
+        # supplier(s) achieving the maximum quarterly revenue
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        top = rev.agg(F.max("total_revenue").alias("m"))
+        supp = _t(spark, sf, "supplier")
+        return (
+            rev.join(F.broadcast(top), rev.total_revenue == F.col("m"))
+            .join(supp, rev.supplier_no == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+        )
+
     def q17_small_quantity(spark, sf):
         # correlated scalar subquery (TPC-H q17 shape) through the SQL
         # surface — Catalyst decorrelates it into an aggregate + join
@@ -999,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive": q19_disjunctive,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity": q17_small_quantity,
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
@@ -1451,6 +1486,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY 1""",
+        "q13_customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count""",
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
         "q17_small_quantity": """
             SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
                    CAST(count(*) AS BIGINT) AS n_lines
