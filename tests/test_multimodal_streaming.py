@@ -435,6 +435,8 @@ def test_range_join_matches_naive_any_band(spark):
         ivs.append((rnd.randint(1, 3), 100 + j, lo, lo + rnd.randint(0, 300)))
     l = spark.createDataFrame(pts, "k int, pid int, p long")
     r = spark.createDataFrame(ivs, "k int, iid int, lo long, hi long")
+    # include a malformed interval (hi < lo): must match nothing, not crash
+    r = r.union(spark.createDataFrame([(1, 999, 500, 100)], r.schema))
     naive = {
         tuple(row)
         for row in l.join(r, "k").filter("p between lo and hi")

@@ -57,7 +57,9 @@ def range_join(
     range predicate never gets.
     """
     lb = left.withColumn("__band", F.floor(F.col(left_point) / F.lit(band)).cast("long"))
-    rb = right.withColumn(
+    # drop malformed intervals (hi < lo) up front: the BETWEEN predicate
+    # would match nothing anyway, but sequence(lo_band, hi_band) would error
+    rb = right.filter(F.col(right_hi) >= F.col(right_lo)).withColumn(
         "__band",
         F.explode(
             F.sequence(
