@@ -470,3 +470,12 @@ def test_sessionize_batch_semantics(spark):
     assert got[(7, 1)] == (0, 100, 2)
     assert got[(7, 2)] == (5000, 5000, 1)
     assert got[(8, 1)] == (50, 50, 1)
+
+
+def test_asof_join_rejects_colliding_value_columns(spark):
+    from vectordb_watermark_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([(1, 10, 1.0)], "k int, t long, v double")
+    r = spark.createDataFrame([(1, 5, 2.0)], "k int, t long, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r, ["k"], "t", "t", ["v"])

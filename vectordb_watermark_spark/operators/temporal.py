@@ -100,6 +100,13 @@ def asof_join(
     """
     tiebreak_cols = tiebreak_cols or []
     lcols = [c for c in left.columns]
+    clash = (set(value_cols) | {right_time_out}) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {sorted(clash)} collide with left "
+            "columns; rename the right-side value columns (or right_time_out) "
+            "before joining"
+        )
     payload = F.struct(F.col(right_time).alias("__rt"), *[F.col(c) for c in value_cols])
     p_type = right.select(payload.alias("__p")).schema["__p"].dataType
 
