@@ -459,11 +459,13 @@ def knn_edges_lsh(
     if n_bits is None:
         # occupancy-adaptive signature width: ~_BUCKET_TARGET_ROWS rows per
         # bucket at any corpus size (2^n_bits buckets per table), clamped to
-        # [6, 24].  At 100 TB the count is a catalog statistic, not a job.
+        # [1, 24].  At 100 TB the count is a catalog statistic, not a job.
+        # Lower clamp is 1, not 6: at small N a forced 2^6 grid starves
+        # buckets below k rows and recall collapses (measured 0.40 at N=500).
         import math
 
         n = total if total is not None else df.count()
-        n_bits = max(6, min(24, math.ceil(math.log2(max(n, 1) / _BUCKET_TARGET_ROWS + 1))))
+        n_bits = max(1, min(24, math.ceil(math.log2(max(n, 1) / _BUCKET_TARGET_ROWS + 1))))
 
     import pyarrow as pa
 
@@ -580,7 +582,7 @@ def knn_join_lsh(
         import math
 
         n = total_build if total_build is not None else build_df.count()
-        n_bits = max(6, min(24, math.ceil(math.log2(max(n, 1) / _BUCKET_TARGET_ROWS + 1))))
+        n_bits = max(1, min(24, math.ceil(math.log2(max(n, 1) / _BUCKET_TARGET_ROWS + 1))))
 
     import pyarrow as pa
 
