@@ -323,3 +323,20 @@ def test_salted_join_equals_plain_join(spark):
             .collect()
         )
         assert got == plain
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Right/full outer would emit each unmatched right row n_salts times
+    (the right side is exploded per salt) — the API must refuse them."""
+    import pytest
+
+    from vectordb_watermark_spark.operators.partitioning import salted_join
+
+    left = spark.range(10).selectExpr("id AS k", "id AS lval")
+    right = spark.range(10).selectExpr("id AS k", "id AS rval")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, ["k"], how=how)
+    # the supported flavors still construct a plan
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(left, right, ["k"], how=how).schema

@@ -479,3 +479,18 @@ def test_asof_join_rejects_colliding_value_columns(spark):
     r = spark.createDataFrame([(1, 5, 2.0)], "k int, t long, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(l, r, ["k"], "t", "t", ["v"])
+
+
+def test_asof_join_rejects_reserved_scratch_columns(spark):
+    """Input frames already carrying an internal scratch name (__t, __side,
+    __p, __m, __rt, __tb_N) would corrupt the union — refuse loudly."""
+    from vectordb_watermark_spark.operators.temporal import asof_join
+
+    l_bad = spark.createDataFrame([(1, 10, 1.0)], "k int, t long, __side double")
+    r = spark.createDataFrame([(1, 5, 2.0)], "k int, t long, v double")
+    with pytest.raises(ValueError, match="reserves internal"):
+        asof_join(l_bad, r, ["k"], "t", "t", ["v"])
+    l = spark.createDataFrame([(1, 10)], "k int, t long")
+    r_bad = spark.createDataFrame([(1, 5, 2.0, 0)], "k int, t long, v double, __tb_0 int")
+    with pytest.raises(ValueError, match="reserves internal"):
+        asof_join(l, r_bad, ["k"], "t", "t", ["v"], tiebreak_cols=["__tb_0"])

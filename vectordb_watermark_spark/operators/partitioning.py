@@ -57,6 +57,20 @@ def salted_join(
     """
     from pyspark.sql import functions as F
 
+    # The right side is exploded n_salts times, so any join flavor that can
+    # emit an UNMATCHED right row (right/full outer) would duplicate it once
+    # per salt.  Only flavors whose output is driven by the left side are
+    # equivalent to the unsalted join.
+    allowed = {
+        "inner", "cross", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "right/full outer would emit each unmatched right row n_salts times"
+        )
+
     salt = (F.abs(F.xxhash64(F.lit(salt_key), *[F.col(c) for c in key_cols], F.monotonically_increasing_id())) % n_salts)
     lsalted = left.withColumn("__salt", salt.cast("int"))
     rsalted = right.withColumn(

@@ -107,6 +107,18 @@ def asof_join(
             "columns; rename the right-side value columns (or right_time_out) "
             "before joining"
         )
+    # An input frame already containing one of the internal scratch names
+    # would silently produce wrong matches via ambiguous columns in the
+    # union below — refuse loudly instead.
+    reserved = {"__t", "__side", "__p", "__m", "__rt"} | {
+        f"__tb_{i}" for i in range(len(tiebreak_cols))
+    }
+    scratch_clash = reserved & (set(lcols) | set(right.columns))
+    if scratch_clash:
+        raise ValueError(
+            f"asof_join reserves internal column name(s) {sorted(scratch_clash)}; "
+            "rename them on the input frames before joining"
+        )
     payload = F.struct(F.col(right_time).alias("__rt"), *[F.col(c) for c in value_cols])
     p_type = right.select(payload.alias("__p")).schema["__p"].dataType
 

@@ -317,7 +317,24 @@ def continuous_rollup(
         batch_df = batch_df.withColumn(
             "rk", F.concat_ws("|", F.col("window_start"), F.col("event_type"))
         )
-        try:
+        # Read-then-overwrite-the-same-path is unsafe: if the overwrite
+        # deletes the old files while any plan still references them (cache
+        # eviction, executor loss), the recompute reads a missing source.
+        # Instead: fully materialize the merge into a STAGED directory, then
+        # swap it into place.  Existence is probed explicitly (not via a
+        # catch-all around the read) so a transient FS error / corrupt
+        # footer fails the micro-batch and the checkpointed retry preserves
+        # the accumulated rollup instead of silently resetting it.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        target = jvm_path(rollup_path)
+        staged = jvm_path(rollup_path + ".__staged__")
+        fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+        # crash recovery: a prior refresh may have died between
+        # delete(target) and rename(staged, target) — finish that swap
+        # before reading, so the accumulated history is never lost.
+        if not fs.exists(target) and fs.exists(staged):
+            fs.rename(staged, target)
+        if fs.exists(target):
             base = spark.read.parquet(rollup_path).withColumn(
                 "rk", F.concat_ws("|", F.col("window_start"), F.col("event_type"))
             )
@@ -327,13 +344,13 @@ def continuous_rollup(
                 .unionByName(batch_df)
                 .drop("rk")
             )
-        except Exception:
+        else:
             merged = batch_df.drop("rk")
-        # rollup tables are small (one row per window x type); a full
+        # rollup tables are small (one row per window x type); a staged full
         # rewrite per refresh is the parquet-only equivalent of MERGE INTO
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(rollup_path)
-        merged.unpersist()
+        merged.write.mode("overwrite").parquet(staged.toString())
+        fs.delete(target, True)
+        fs.rename(staged, target)
 
     return (
         agg.writeStream.outputMode("update")
