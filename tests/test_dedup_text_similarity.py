@@ -282,3 +282,69 @@ def test_kmv_sketch_exact_below_k_and_accurate_above(spark):
         # 4x the 1/sqrt(256)=6.25% standard error
         assert abs(r["estimate"] - 20000) / 20000 < 0.25
         assert r["exact_k"] == 256
+
+
+# ---------------------------------------------------------------------------
+# auto-dispatch: the near-dup verifiers must never go all-pairs at scale
+# ---------------------------------------------------------------------------
+
+def test_cosine_neardup_auto_routes_lsh_at_scale(spark):
+    """method='auto' above auto_rows must use LSH candidates (no
+    nested-loop all-pairs in the plan) and still recall planted near-dups."""
+    n, planted = 100_000, 100
+    base = spark.range(n).select(
+        F.col("id"),
+        F.array(*[F.sin(F.col("id") * (j + 1) + j) for j in range(16)])
+        .cast("array<float>")
+        .alias("emb"),
+    )
+    # ids n..n+99 duplicate ids 0..99 with a tiny first-coordinate nudge
+    dups = (
+        base.filter(F.col("id") < planted)
+        .select(
+            (F.col("id") + n).alias("id"),
+            F.concat(
+                F.array((F.col("emb")[0] + F.lit(0.001)).cast("float")),
+                F.slice("emb", 2, 15),
+            ).alias("emb"),
+        )
+    )
+    df = base.unionByName(dups)
+    out = S.cosine_neardup_pairs(df, threshold=0.99, method="auto")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, "auto at scale must not be all-pairs"
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    hit = sum((i, n + i) in got for i in range(planted))
+    assert hit / planted >= 0.9, f"planted near-dup recall {hit}/{planted}"
+    # small N keeps the exact path: identical results to explicit gemm
+    small = df.filter((F.col("id") < 500) | (F.col("id") >= n))
+    auto_small = {
+        tuple(r) for r in S.cosine_neardup_pairs(small, threshold=0.99, method="auto").collect()
+    }
+    gemm_small = {
+        tuple(r) for r in S.cosine_neardup_pairs(small, threshold=0.99, method="gemm").collect()
+    }
+    assert auto_small == gemm_small
+
+
+def test_jaccard_auto_routes_minhash_candidates_at_scale(spark):
+    """pairs=None above auto_rows must default to MinHash-LSH candidates
+    (no nested-loop all-pairs) and still recall planted near-dup docs."""
+    n, planted = 100_000, 100
+    words = [F.concat(F.lit(f"w{j}_"), (F.col("id") % (83 + j)).cast("string")) for j in range(12)]
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    # near-dup: same 12 tokens minus the last, plus one fresh token (J ~ 11/13)
+    dup_words = words[:-1] + [F.concat(F.lit("zz_"), F.col("id").cast("string"))]
+    dups = (
+        spark.range(planted)
+        .select((F.col("id") + n).alias("doc_id"), F.concat_ws(" ", *dup_words).alias("text"))
+    )
+    df = base.unionByName(dups)
+    out = D.jaccard_pairs(df, threshold=0.6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, "auto at scale must not be all-pairs"
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    hit = sum((i, n + i) in got for i in range(planted))
+    assert hit / planted >= 0.9, f"planted near-dup recall {hit}/{planted}"

@@ -294,18 +294,51 @@ def minhash_candidate_pairs(
     return within.unionAll(across)
 
 
+#: jaccard verifiers fall back from all-pairs to MinHash-LSH candidates
+#: above this row count when pairs is None
+JACCARD_AUTO_ROWS = 100_000
+
+
+def _auto_candidates(
+    df: DataFrame,
+    pairs: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    auto_rows: int,
+    total: int | None,
+) -> DataFrame | None:
+    """pairs=None policy shared by the Jaccard verifiers: keep the exact
+    all-pairs generator only below ``auto_rows`` rows; beyond it, default
+    to MinHash-LSH candidates so the verifier is never O(N^2) by accident
+    (precision stays exact — every emitted pair is re-verified — recall
+    becomes MinHash-LSH's)."""
+    if pairs is not None:
+        return pairs
+    n = total if total is not None else df.count()
+    if n > auto_rows:
+        return minhash_candidate_pairs(df, id_col=id_col, text_col=text_col)
+    return None
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    auto_rows: int = JACCARD_AUTO_ROWS,
+    total: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard ``(a, b, jaccard)`` for candidate ``pairs``
-    (or all pairs when None — O(N^2), small N / intra-block only).
+    """Exact token-set Jaccard ``(a, b, jaccard)`` for candidate ``pairs``.
+
+    ``pairs=None``: all pairs below ``auto_rows`` rows (exact, O(N^2) —
+    small N / intra-block only); above it the candidates default to
+    :func:`minhash_candidate_pairs`, so calling this on a big table cannot
+    silently go quadratic.  Pass ``total`` to skip the count job.
 
     Verification stage of MinHash-LSH dedup; also standalone n-gram Jaccard.
     """
+    pairs = _auto_candidates(df, pairs, id_col, text_col, auto_rows, total)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("toks"),
@@ -387,16 +420,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     width: int = NGRAM_WIDTH,
     threshold: float = 0.5,
+    auto_rows: int = JACCARD_AUTO_ROWS,
+    total: int | None = None,
 ) -> DataFrame:
     """Character n-gram Jaccard ``(a, b, jaccard)``: token-order-insensitive
     near-dup measure over distinct ``width``-gram shingle hashes of the
     lowercased text (functions/text.shingle_hashes).
 
     Same shape as :func:`jaccard_pairs`: exact verify over candidate
-    ``pairs`` (the scale path — feed MinHash-LSH or SimHash candidates), or
-    all-pairs when ``pairs`` is None (small N / within blocking keys only).
+    ``pairs`` (the scale path — feed MinHash-LSH or SimHash candidates);
+    ``pairs=None`` is all-pairs only below ``auto_rows`` rows, and defaults
+    to token-MinHash-LSH candidates beyond (token near-dups and shingle
+    near-dups overlap heavily; pass SimHash candidates explicitly for
+    purely character-level corruption).
     """
     from vectordb_watermark_spark.functions.text import shingle_hashes
+
+    pairs = _auto_candidates(df, pairs, id_col, text_col, auto_rows, total)
 
     sh = df.select(
         F.col(id_col).alias("id"),

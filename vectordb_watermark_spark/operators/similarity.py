@@ -133,26 +133,64 @@ def lsh_topk_cosine(
     return topk_cosine(cand, query_vec, k, "id", "v")
 
 
+#: cosine_neardup_pairs switches from exact all-pairs to LSH candidates
+#: above this row count under method='auto'
+NEARDUP_AUTO_ROWS = 100_000
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "id",
     vec_col: str = "emb",
-    method: str = "gemm",
+    method: str = "auto",
     batch_rows: int = 2048,
+    auto_rows: int = NEARDUP_AUTO_ROWS,
+    neighbor_k: int = 32,
+    total: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs ``(a, b, cos)`` with cos >= threshold, a < b.
 
-    Exact all-pairs — O(N^2) work, for moderate N or within blocking keys.
-    At scale, replace the pair generator with knn_edges_lsh candidates and
-    keep the same verify expression.
+    ``method='auto'`` (default): exact all-pairs GEMM up to ``auto_rows``
+    rows, LSH-bucketed candidates + exact cosine verify beyond — never
+    O(N^2) at scale.  Pass ``total`` (catalog row count) to skip the count
+    job.
 
-    ``method='gemm'`` (default): the build side (id, vec) is broadcast and
-    each probe partition computes one float64 GEMM per batch — ~100x faster
-    than per-element Catalyst lambdas for wide vectors, same distributed
-    shape as a broadcast join.  ``method='expr'``: pure-Catalyst broadcast
-    NLJ, the oracle anchor / no-numpy fallback.
+    ``method='lsh'``: candidates from :func:`knn_edges_lsh` (``neighbor_k``
+    bucket-local neighbors per row), verified with the exact cosine
+    expression — precision is exact (every emitted pair really clears the
+    threshold); recall is the LSH graph's (contract-tested >= 0.95).  One
+    shuffle per LSH table side + two bounded equi-joins; nothing all-pairs.
+
+    ``method='gemm'``: exact all-pairs — O(N^2) work, for moderate N or
+    within blocking keys.  The build side (id, vec) is broadcast and each
+    probe partition computes one float64 GEMM per batch — ~100x faster than
+    per-element Catalyst lambdas for wide vectors, same distributed shape
+    as a broadcast join.  ``method='expr'``: pure-Catalyst broadcast NLJ,
+    the oracle anchor / no-numpy fallback.
     """
+    if method == "auto":
+        n = total if total is not None else df.count()
+        method = "gemm" if n <= auto_rows else "lsh"
+        total = n
+    if method == "lsh":
+        from vectordb_watermark_spark.operators.knn import knn_edges_lsh
+
+        edges = knn_edges_lsh(
+            df, id_col=id_col, vec_col=vec_col, k=neighbor_k,
+            key="neardup", total=total,
+        )
+        cand = edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+        v = df.select(F.col(id_col).alias("__nd_id"), F.col(vec_col).alias("__nd_v"))
+        joined = cand.join(
+            v.select(F.col("__nd_id").alias("a"), F.col("__nd_v").alias("va")), "a"
+        ).join(
+            v.select(F.col("__nd_id").alias("b"), F.col("__nd_v").alias("vb")), "b"
+        )
+        cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+        return joined.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)
     if method == "expr":
         a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
