@@ -340,3 +340,167 @@ def test_full_reference_user_journey(spark, tmp_path):
     out = extract_watermark(attacked, "journey-key", res.nonce_hex, rate=0.2, codec=codec)
     assert out.success and out.message == "JOURNEY-MSG-2026"
     assert out.recovered_blocks == 16
+
+
+# ---------------------------------------------------------------------------
+# TorchCodec: reference checkpoint structure + torch-free numpy inference
+# ---------------------------------------------------------------------------
+
+def _fake_checkpoint(dim, msg_len=24, rng=None, scale=0.05):
+    from vectordb_watermark_spark.plans.codec import (
+        decoder_state_shapes,
+        encoder_state_shapes,
+    )
+
+    rng = rng or np.random.default_rng(7)
+    mk = lambda shapes: {k: rng.standard_normal(s) * scale for k, s in shapes.items()}
+    return {"enc": mk(encoder_state_shapes(dim, msg_len)),
+            "dec": mk(decoder_state_shapes(dim, msg_len))}
+
+
+def test_adaptive_params_match_reference_table():
+    """adaptive_model_params must reproduce ref watermark.py:12-40 exactly —
+    checkpoints carry no hyperparameters, so a drift here breaks loading."""
+    from vectordb_watermark_spark.plans.codec import adaptive_model_params
+
+    # expected values computed from the published formulas
+    for dim, depth, mul, delta, drop in [
+        (64, 4, 2, 0.012187500, 0.060937500),
+        (384, 8, 3, 0.023125000, 0.115625000),
+        (1024, 16, 6, 0.045000000, 0.225000000),
+        (2048, 16, 10, 0.080000000, 0.400000000),
+        (8192, 16, 10, 0.080000000, 0.400000000),
+    ]:
+        p = adaptive_model_params(dim)
+        assert p["depth"] == depth, dim
+        assert p["hidden_mul"] == mul, dim
+        assert abs(p["delta_scale"] - delta) < 1e-9, dim
+        assert abs(p["dropout"] - drop) < 1e-9, dim
+
+
+def test_checkpoint_validation_maps_every_layer():
+    from vectordb_watermark_spark.plans.codec import (
+        TorchCodec,
+        encoder_state_shapes,
+        validate_checkpoint,
+    )
+
+    ckpt = _fake_checkpoint(64)
+    # depth=4, hidden=128: enc has 10 tensors/block + 4 head, dec 6 + 4
+    assert len(ckpt["enc"]) == 4 * 10 + 4
+    assert len(ckpt["dec"]) == 4 * 6 + 4
+    assert validate_checkpoint(ckpt, 64)["depth"] == 4
+    TorchCodec(64, state=ckpt)  # constructs torch-free
+
+    with pytest.raises(ValueError, match="missing 'dec'"):
+        validate_checkpoint({"enc": ckpt["enc"]}, 64)
+    broken = {"enc": dict(ckpt["enc"]), "dec": dict(ckpt["dec"])}
+    del broken["enc"]["blocks.0.msg_fc.2.weight"]
+    broken["dec"]["out_fc.weight"] = np.zeros((23, 64))
+    broken["dec"]["extra.weight"] = np.zeros(3)
+    with pytest.raises(ValueError) as ei:
+        validate_checkpoint(broken, 64)
+    msg = str(ei.value)
+    assert "enc.blocks.0.msg_fc.2.weight: missing" in msg
+    assert "dec.out_fc.weight: shape (23, 64)" in msg
+    assert "dec.extra.weight: unexpected" in msg
+    # the 384-d architecture must reject a 64-d checkpoint wholesale
+    with pytest.raises(ValueError, match="dim=384"):
+        validate_checkpoint(ckpt, 384)
+
+
+def test_torch_codec_numpy_inference_contract(tmp_path):
+    """Eval-mode forward in numpy: bounded perturbation, norm preservation,
+    message-dependence, determinism, and npz checkpoint round-trip."""
+    from vectordb_watermark_spark.plans.codec import TorchCodec
+
+    dim = 64
+    ckpt = _fake_checkpoint(dim)
+    codec = TorchCodec(dim, state=ckpt)
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((32, dim)).astype(np.float32) * 3.0
+    msgs = rng.integers(0, 1 << 24, size=32)
+
+    W = codec.encode_batch(V, msgs)
+    assert W.shape == V.shape and W.dtype == np.float32
+    # norms preserved (reference norm-restore semantics)
+    assert np.allclose(np.linalg.norm(W, axis=1), np.linalg.norm(V, axis=1), rtol=1e-5)
+    # perturbation bounded by tanh head x delta_scale on the unit sphere
+    v_n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    w_n = W / np.linalg.norm(W, axis=1, keepdims=True)
+    assert np.abs(w_n - v_n).max() <= 2 * codec.params["delta_scale"] + 1e-6
+    # FiLM conditioning: a different message must move the output
+    W2 = codec.encode_batch(V, (msgs ^ 0xFFFFFF))
+    assert not np.allclose(W, W2)
+    # deterministic
+    assert np.array_equal(W, codec.encode_batch(V, msgs))
+    out = codec.decode_batch(W)
+    assert out.shape == (32,) and out.dtype == np.int64
+    assert ((0 <= out) & (out < (1 << 24))).all()
+
+    # npz twin loads torch-free and matches the in-memory state bit-for-bit
+    npz_path = tmp_path / "best_64d.npz"
+    flat = {f"{p}/{k}": v for p in ("enc", "dec") for k, v in ckpt[p].items()}
+    np.savez(npz_path, **flat)
+    codec2 = TorchCodec(dim, checkpoint_path=str(npz_path))
+    assert np.array_equal(codec2.encode_batch(V, msgs), W)
+    assert np.array_equal(codec2.decode_batch(W), out)
+
+
+def test_torch_codec_pt_requires_torch(tmp_path):
+    """A real .pt checkpoint needs torch to unpickle: the ImportError fires
+    at first inference, not at construction, and says what to do."""
+    from vectordb_watermark_spark.plans.codec import TorchCodec
+
+    pt = tmp_path / "best.pt"
+    pt.write_bytes(b"\x80\x02")  # placeholder; torch absent -> gated before read
+    codec = TorchCodec(64, checkpoint_path=str(pt))  # constructs fine
+    try:
+        import torch  # noqa: F401
+        pytest.skip("torch present in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="npz"):
+        codec.encode_batch(np.ones((1, 64), dtype=np.float32), np.array([5]))
+
+
+def test_erf_matches_math_erf():
+    import math
+
+    from vectordb_watermark_spark.plans.codec import _erf
+
+    xs = np.linspace(-4, 4, 1001)
+    got = _erf(xs)
+    want = np.array([math.erf(x) for x in xs])
+    assert np.abs(got - want).max() < 1.5e-7
+
+
+def test_calibrated_checkpoint_changes_embed(spark, vectors, tmp_path):
+    """embed_watermark/extract_watermark must consult model_path(dim) like
+    the reference's check-model-first flow: a calibrated delta in the
+    checkpoint actually changes the embedded vectors, and the calibrated
+    roundtrip still recovers the message."""
+    import json
+    import os
+
+    from vectordb_watermark_spark.plans.embed import embed_watermark
+    from vectordb_watermark_spark.plans.extract import extract_watermark
+    from vectordb_watermark_spark.training import model_path
+
+    results = str(tmp_path / "results")
+    path = model_path(64, results)
+    os.makedirs(os.path.dirname(path))
+    with open(path, "w") as f:
+        json.dump({"codec": "orthogonal", "dim": 64, "delta": 0.07}, f)
+
+    df = vectors.limit(200)
+    base = embed_watermark(df, MSG, KEY, rate=0.2, nonce=NONCE,
+                           knn_method="exact")
+    calib = embed_watermark(df, MSG, KEY, rate=0.2, nonce=NONCE,
+                            knn_method="exact", results_dir=results)
+    a = {r["id"]: r["emb"] for r in base.updated.collect()}
+    b = {r["id"]: r["emb"] for r in calib.updated.collect()}
+    assert any(a[i] != b[i] for i in a), "calibrated delta must change the embed"
+    out = extract_watermark(calib.updated, KEY, calib.nonce_hex, rate=0.2,
+                            knn_method="exact", results_dir=results)
+    assert out.success and out.message == MSG

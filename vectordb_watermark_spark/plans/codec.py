@@ -16,9 +16,12 @@ Torch is not available in this environment, so the engine ships:
   overwriting the 24-dim subspace costs cosine ~ sqrt(1 - 24/D) (~0.79 at
   D=64, ~0.97 at the reference's D=384); a learned codec buys a better
   fidelity/robustness point, which is exactly why the reference trains one.
-- :class:`TorchCodec` — the adapter that loads reference-style per-dimension
-  checkpoints when torch is present (import-gated; raises a clear error
-  here).
+- :class:`TorchCodec` — the reference-parity learned codec: reproduces the
+  dimension-adaptive architecture table, structurally validates reference
+  ``{'enc','dec'}`` checkpoints, and runs eval-mode inference in pure numpy
+  (Linear/LayerNorm/exact-erf GELU/FiLM).  Torch is needed only to unpickle
+  a real ``best.pt`` (import-gated at that call); ``.npz``-exported state
+  runs fully torch-free.
 
 Both implement the same batch interface and run inside Arrow-batched
 ``mapInArrow`` — vectorized, executor-cached, never per-row (the
@@ -224,23 +227,256 @@ def with_graph_features(df, codec, id_col: str = "id", vec_col: str = "emb", out
     )
 
 
-class TorchCodec:
-    """Adapter for reference-style torch checkpoints (per-dimension
-    ``results/vector_{dim}d/best.pt``, reference configs/config.py:39-53).
+def adaptive_model_params(vec_dim: int, msg_len: int = MSG_BITS) -> dict:
+    """Reproduce the reference's dimension-adaptive architecture parameters
+    (ref algorithms/deep_learning/watermark.py:12-40) — the checkpoint on
+    disk carries no hyperparameters, so loading one REQUIRES re-deriving
+    exactly these values or every state-dict shape mismatches."""
+    depth = max(4, min(16, int(4 + 12 * (vec_dim / 1024))))
+    hidden_mul = max(2, min(10, int(2 + 8 * (vec_dim / 2048))))
+    delta_scale = max(0.005, min(0.08, 0.01 + 0.07 * (vec_dim / 2048)))
+    dropout = max(0.01, min(0.4, 0.05 + 0.35 * (vec_dim / 2048)))
+    return {
+        "depth": depth,
+        "hidden_mul": hidden_mul,
+        "delta_scale": delta_scale,
+        "dropout": dropout,
+        "capacity_ratio": (vec_dim * msg_len) / (vec_dim * vec_dim),
+    }
 
-    Torch is not installed in this environment; constructing this class
-    raises ImportError with guidance.  The interface matches
-    :class:`OrthogonalCodec` so pipelines swap codecs without change.
+
+def encoder_state_shapes(vec_dim: int, msg_len: int = MSG_BITS,
+                         depth: int | None = None,
+                         hidden_mul: int | None = None) -> dict[str, tuple]:
+    """Expected ``enc`` state-dict layout for the reference encoder: ``depth``
+    FiLM residual blocks (fc1/fc2/ln on the cover branch, a 2-layer msg MLP
+    producing gamma||beta) + out_ln/out_fc (ref encoder.py:13-67).  Keys use
+    torch's ``nn.Module`` naming; shapes follow ``nn.Linear`` convention
+    ``weight=(out, in)``."""
+    p = adaptive_model_params(vec_dim, msg_len)
+    depth = p["depth"] if depth is None else depth
+    hidden = vec_dim * (p["hidden_mul"] if hidden_mul is None else hidden_mul)
+    shapes: dict[str, tuple] = {}
+    for i in range(depth):
+        b = f"blocks.{i}"
+        shapes[f"{b}.fc1.weight"] = (hidden, vec_dim)
+        shapes[f"{b}.fc1.bias"] = (hidden,)
+        shapes[f"{b}.fc2.weight"] = (vec_dim, hidden)
+        shapes[f"{b}.fc2.bias"] = (vec_dim,)
+        shapes[f"{b}.ln.weight"] = (vec_dim,)
+        shapes[f"{b}.ln.bias"] = (vec_dim,)
+        shapes[f"{b}.msg_fc.0.weight"] = (hidden, msg_len)
+        shapes[f"{b}.msg_fc.0.bias"] = (hidden,)
+        shapes[f"{b}.msg_fc.2.weight"] = (vec_dim * 2, hidden)
+        shapes[f"{b}.msg_fc.2.bias"] = (vec_dim * 2,)
+    shapes["out_ln.weight"] = (vec_dim,)
+    shapes["out_ln.bias"] = (vec_dim,)
+    shapes["out_fc.weight"] = (vec_dim, vec_dim)
+    shapes["out_fc.bias"] = (vec_dim,)
+    return shapes
+
+
+def decoder_state_shapes(vec_dim: int, msg_len: int = MSG_BITS,
+                         depth: int | None = None,
+                         hidden_mul: int | None = None) -> dict[str, tuple]:
+    """Expected ``dec`` state-dict layout for the reference decoder:
+    ``depth`` residual MLP blocks (fc1/fc2/ln; dropout holds no params) +
+    out_ln and the (msg_len x vec_dim) logit head (ref decoder.py:6-44)."""
+    p = adaptive_model_params(vec_dim, msg_len)
+    depth = p["depth"] if depth is None else depth
+    hidden = vec_dim * (p["hidden_mul"] if hidden_mul is None else hidden_mul)
+    shapes: dict[str, tuple] = {}
+    for i in range(depth):
+        b = f"blocks.{i}"
+        shapes[f"{b}.fc1.weight"] = (hidden, vec_dim)
+        shapes[f"{b}.fc1.bias"] = (hidden,)
+        shapes[f"{b}.fc2.weight"] = (vec_dim, hidden)
+        shapes[f"{b}.fc2.bias"] = (vec_dim,)
+        shapes[f"{b}.ln.weight"] = (vec_dim,)
+        shapes[f"{b}.ln.bias"] = (vec_dim,)
+    shapes["out_ln.weight"] = (vec_dim,)
+    shapes["out_ln.bias"] = (vec_dim,)
+    shapes["out_fc.weight"] = (msg_len, vec_dim)
+    shapes["out_fc.bias"] = (msg_len,)
+    return shapes
+
+
+def validate_checkpoint(ckpt, vec_dim: int, msg_len: int = MSG_BITS) -> dict:
+    """Structurally validate a reference-format checkpoint mapping
+    ``{'enc': state_dict, 'dec': state_dict}`` (ref watermark.py:110-133:
+    both keys required; the trainer saves exactly this shape).  Works on any
+    array-like values exposing ``.shape`` (torch tensors, numpy arrays), so
+    the mapping is testable without torch.  Returns the adaptive params.
+    Raises ValueError naming every missing / unexpected / mis-shaped key.
+    """
+    for part in ("enc", "dec"):
+        if part not in ckpt:
+            raise ValueError(f"checkpoint missing '{part}' state dict "
+                             "(expected {'enc': ..., 'dec': ...})")
+    problems: list[str] = []
+    for part, expect in (("enc", encoder_state_shapes(vec_dim, msg_len)),
+                         ("dec", decoder_state_shapes(vec_dim, msg_len))):
+        state = ckpt[part]
+        for k in sorted(set(expect) - set(state)):
+            problems.append(f"{part}.{k}: missing")
+        for k in sorted(set(state) - set(expect)):
+            problems.append(f"{part}.{k}: unexpected")
+        for k in sorted(set(expect) & set(state)):
+            got = tuple(state[k].shape)
+            if got != expect[k]:
+                problems.append(f"{part}.{k}: shape {got} != expected {expect[k]}")
+    if problems:
+        raise ValueError(
+            f"checkpoint does not match the dim={vec_dim} architecture "
+            f"({len(problems)} issue(s)):\n  " + "\n  ".join(problems)
+        )
+    return adaptive_model_params(vec_dim, msg_len)
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    """Vectorized erf, Abramowitz & Stegun 7.1.26 (|err| <= 1.5e-7) — numpy
+    ships no erf and scipy is not in this environment."""
+    sign = np.sign(x)
+    x = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * np.exp(-x * x))
+
+
+def _gelu(x: np.ndarray) -> np.ndarray:
+    """torch.nn.functional.gelu default (exact erf form)."""
+    return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+
+
+def _layernorm(x: np.ndarray, w: np.ndarray, b: np.ndarray, eps: float = 1e-5) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def _linear(x: np.ndarray, state: dict, name: str) -> np.ndarray:
+    return x @ np.asarray(state[f"{name}.weight"], dtype=np.float64).T + np.asarray(
+        state[f"{name}.bias"], dtype=np.float64
+    )
+
+
+class TorchCodec:
+    """Reference-parity learned codec (per-dimension checkpoints, ref
+    configs: ``results/vector_{dim}d/best.pt``).
+
+    The FiLM residual encoder (ref encoder.py:13-76) and residual-MLP
+    decoder (ref decoder.py:6-52) are plain Linear/LayerNorm/GELU stacks, so
+    EVAL-mode inference needs no autograd: this class runs the forward pass
+    in numpy (dropout is identity at eval; GELU uses the exact-erf form
+    torch defaults to, via an erf whose absolute error is < 1.5e-7).  Torch
+    is required only to UNPICKLE a real ``best.pt`` — state provided as
+    arrays (or an ``.npz`` twin with ``enc/<key>`` / ``dec/<key>`` entries)
+    loads and runs entirely torch-free.
+
+    Interface matches :class:`OrthogonalCodec` (encode_batch/decode_batch on
+    packed 24-bit messages) so pipelines swap codecs without change.  Norm
+    handling mirrors the reference (pg_func.py:363-377): encode on the
+    L2-normalized vector, restore the cover norm.
     """
 
-    def __init__(self, dim: int, checkpoint_path: str, device: str = "cpu"):
-        try:
-            import torch  # noqa: F401
-        except ImportError as exc:
-            raise ImportError(
-                "TorchCodec requires torch, which is not available in this "
-                "environment. Use OrthogonalCodec, or install torch and load "
-                "a per-dimension checkpoint trained per the reference's "
-                "algorithms/deep_learning/trainer.py semantics."
-            ) from exc
-        raise NotImplementedError("torch checkpoint loading lands with the training path")
+    def __init__(self, dim: int, checkpoint_path: str | None = None,
+                 state: dict | None = None, msg_len: int = MSG_BITS,
+                 device: str = "cpu"):
+        if checkpoint_path is None and state is None:
+            raise ValueError("TorchCodec needs checkpoint_path or state")
+        self.dim = dim
+        self.msg_len = msg_len
+        self.device = device
+        self.checkpoint_path = checkpoint_path
+        self.params = adaptive_model_params(dim, msg_len)
+        self._state = None
+        if state is not None:
+            self.params = validate_checkpoint(state, dim, msg_len)
+            self._state = {
+                part: {k: np.asarray(v, dtype=np.float64) for k, v in state[part].items()}
+                for part in ("enc", "dec")
+            }
+
+    # -- checkpoint loading -------------------------------------------------
+    def _ensure_state(self) -> dict:
+        if self._state is not None:
+            return self._state
+        path = str(self.checkpoint_path)
+        if path.endswith(".npz"):
+            # torch-free checkpoint twin: flat npz with enc/<key>, dec/<key>
+            z = np.load(path)
+            ckpt = {"enc": {}, "dec": {}}
+            for k in z.files:
+                part, _, name = k.partition("/")
+                if part in ckpt and name:
+                    ckpt[part][name] = z[k]
+        else:
+            try:
+                import torch
+            except ImportError as exc:
+                raise ImportError(
+                    "Unpickling a torch checkpoint requires torch, which is "
+                    "not available in this environment.  Export the state "
+                    "dicts to .npz (enc/<key>, dec/<key> entries) to run "
+                    "this codec torch-free, or use OrthogonalCodec."
+                ) from exc
+            raw = torch.load(path, map_location=self.device, weights_only=True)
+            if "enc" not in raw or "dec" not in raw:
+                raise ValueError("checkpoint missing 'enc' or 'dec' state dict")
+            ckpt = {
+                part: {k: v.cpu().numpy() for k, v in raw[part].items()}
+                for part in ("enc", "dec")
+            }
+        self.params = validate_checkpoint(ckpt, self.dim, self.msg_len)
+        self._state = {
+            part: {k: np.asarray(v, dtype=np.float64) for k, v in ckpt[part].items()}
+            for part in ("enc", "dec")
+        }
+        return self._state
+
+    # -- eval-mode forward passes -------------------------------------------
+    def _encode_delta(self, v_n: np.ndarray, bits: np.ndarray) -> np.ndarray:
+        """FiLM encoder forward (ref encoder.py:26-76): per block the message
+        MLP emits gamma||beta modulating the cover branch; the head writes a
+        tanh-bounded delta scaled by the adaptive delta_scale."""
+        enc = self._ensure_state()["enc"]
+        depth = self.params["depth"]
+        h = v_n
+        for i in range(depth):
+            b = f"blocks.{i}"
+            gamma_beta = _linear(_gelu(_linear(bits, enc, f"{b}.msg_fc.0")), enc, f"{b}.msg_fc.2")
+            gamma, beta = np.split(gamma_beta, 2, axis=-1)
+            t = _layernorm(h, enc[f"{b}.ln.weight"], enc[f"{b}.ln.bias"])
+            t = _linear(_gelu(_linear(t, enc, f"{b}.fc1")), enc, f"{b}.fc2")
+            h = h + (1.0 + gamma) * t + beta
+        out = _linear(_layernorm(h, enc["out_ln.weight"], enc["out_ln.bias"]), enc, "out_fc")
+        return np.tanh(out) * self.params["delta_scale"]
+
+    def _decode_logits(self, v: np.ndarray) -> np.ndarray:
+        """Residual-MLP decoder forward (ref decoder.py:14-52); dropout is
+        identity in eval mode."""
+        dec = self._ensure_state()["dec"]
+        depth = self.params["depth"]
+        h = v
+        for i in range(depth):
+            b = f"blocks.{i}"
+            t = _layernorm(h, dec[f"{b}.ln.weight"], dec[f"{b}.ln.bias"])
+            h = h + _linear(_gelu(_linear(t, dec, f"{b}.fc1")), dec, f"{b}.fc2")
+        return _linear(_layernorm(h, dec["out_ln.weight"], dec["out_ln.bias"]), dec, "out_fc")
+
+    # -- OrthogonalCodec-compatible batch interface -------------------------
+    def encode_batch(self, vectors: np.ndarray, msgs: np.ndarray) -> np.ndarray:
+        V = np.asarray(vectors, dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        v_n = V / (norms + 1e-8)
+        bits = _msg_to_bits(np.asarray(msgs))
+        w = v_n + self._encode_delta(v_n, bits)
+        w /= np.linalg.norm(w, axis=1, keepdims=True) + 1e-12
+        return (w * norms).astype(np.float32)
+
+    def decode_batch(self, vectors: np.ndarray) -> np.ndarray:
+        V = np.asarray(vectors, dtype=np.float64)
+        V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-8)
+        bits = self._decode_logits(V) > 0.0  # sigmoid(x) > 0.5  <=>  x > 0
+        return _bits_to_msg(bits)

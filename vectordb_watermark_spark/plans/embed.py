@@ -28,7 +28,7 @@ from vectordb_watermark_spark.functions import bits as B
 from vectordb_watermark_spark.functions import crypto as C
 from vectordb_watermark_spark.operators import knn as K
 from vectordb_watermark_spark.operators.selection import select_carriers
-from vectordb_watermark_spark.plans.codec import OrthogonalCodec, with_graph_features
+from vectordb_watermark_spark.plans.codec import with_graph_features
 from vectordb_watermark_spark.sources.io import merge_update, vector_dim
 
 
@@ -98,6 +98,7 @@ def embed_watermark(
     knn_method: str = "auto",
     k: int = K.DEFAULT_K,
     codec=None,
+    results_dir: str | None = None,
     nonce: bytes | None = None,
     degrees: DataFrame | None = None,
 ) -> EmbedResult:
@@ -118,7 +119,15 @@ def embed_watermark(
     payloads = B.partition_message(cipher32)
 
     if codec is None:
-        codec = OrthogonalCodec(vector_dim(df, vec_col), key)
+        # check-model-first flow (ref pg_func.py:683): a calibrated
+        # checkpoint from training.train_codec, when present for this
+        # dimension, overrides the adaptive default delta.
+        from vectordb_watermark_spark.training import DEFAULT_RESULTS_DIR, load_codec
+
+        codec = load_codec(
+            vector_dim(df, vec_col), key,
+            DEFAULT_RESULTS_DIR if results_dir is None else results_dir,
+        )
 
     if degrees is None:
         # the graph is built on watermark-invariant features so extraction

@@ -31,7 +31,7 @@ from vectordb_watermark_spark.functions import crypto as C
 from vectordb_watermark_spark.operators import knn as K
 from vectordb_watermark_spark.operators.selection import select_carriers
 from vectordb_watermark_spark.operators.vote import robust_vote_counts
-from vectordb_watermark_spark.plans.codec import OrthogonalCodec, with_graph_features
+from vectordb_watermark_spark.plans.codec import with_graph_features
 from vectordb_watermark_spark.sources.io import vector_dim
 
 
@@ -103,6 +103,7 @@ def extract_watermark(
     knn_method: str = "auto",
     k: int = K.DEFAULT_K,
     codec=None,
+    results_dir: str | None = None,
     degrees: DataFrame | None = None,
 ) -> ExtractResult:
     """Blindly extract and decrypt the watermark message."""
@@ -110,7 +111,15 @@ def extract_watermark(
         raise ValueError("encryption key must be non-empty")
 
     if codec is None:
-        codec = OrthogonalCodec(vector_dim(df, vec_col), key)
+        # check-model-first flow (ref pg_func.py:683): a calibrated
+        # checkpoint from training.train_codec, when present for this
+        # dimension, overrides the adaptive default delta.
+        from vectordb_watermark_spark.training import DEFAULT_RESULTS_DIR, load_codec
+
+        codec = load_codec(
+            vector_dim(df, vec_col), key,
+            DEFAULT_RESULTS_DIR if results_dir is None else results_dir,
+        )
 
     if degrees is None:
         # same watermark-invariant graph features as the embed side — the
