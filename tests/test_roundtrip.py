@@ -504,3 +504,33 @@ def test_calibrated_checkpoint_changes_embed(spark, vectors, tmp_path):
     out = extract_watermark(calib.updated, KEY, calib.nonce_hex, rate=0.2,
                             knn_method="exact", results_dir=results)
     assert out.success and out.message == MSG
+
+
+def test_vote_tally_collect_bounded_under_adversarial_payloads(spark):
+    """An adversarial uniform-payload corpus must not push ~2M tally rows
+    through the driver: per (blk, crc_ok) group only VOTE_TOPM payloads ship,
+    while total/valid counts stay exact and the true winner still wins."""
+    from vectordb_watermark_spark.plans.extract import collect_vote_tallies
+    from vectordb_watermark_spark.functions import bits as B
+
+    n = 500_000
+    # uniform noise decodes: blk 0..15, near-unique payloads, crc mostly junk
+    noise = spark.range(n).selectExpr(
+        "CAST(id % 16 AS INT) AS blk",
+        "CAST(id % 15 AS INT) AS crc",
+        "CAST(hash(id) & 65535 AS INT) AS payload",
+    )
+    # a genuine signal: 3000 agreeing decodes for blk 0 with a valid CRC
+    sig = spark.range(3000).selectExpr(
+        "CAST(0 AS INT) AS blk",
+        f"CAST({B.CRC4_TABLE[0]} AS INT) AS crc",
+        "CAST(4242 AS INT) AS payload",
+    )
+    total, n_valid, valid_counts = collect_vote_tallies(noise.unionByName(sig))
+    assert total == n + 3000                       # exact despite truncation
+    assert len(valid_counts) <= 16 * 1024          # bounded driver rows
+    # noise rows with crc that happens to be valid for their blk also count
+    assert n_valid >= 3000
+    top_blk0 = max((c for b, p, c in valid_counts if b == 0), default=0)
+    winners = [(b, p) for b, p, c in valid_counts if b == 0 and c == top_blk0]
+    assert winners == [(0, 4242)], "signal payload must survive truncation"

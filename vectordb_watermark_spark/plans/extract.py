@@ -35,6 +35,58 @@ from vectordb_watermark_spark.plans.codec import with_graph_features
 from vectordb_watermark_spark.sources.io import vector_dim
 
 
+#: per-(blk, crc_ok) cap on tally rows shipped to the driver for the vote —
+#: bounds the worst (adversarial uniform-payload) case to 32 x 1024 rows
+#: while leaving every realistic tally untruncated
+VOTE_TOPM = 1024
+
+
+def collect_vote_tallies(
+    decoded: DataFrame, top_m: int = VOTE_TOPM
+) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Aggregate per-carrier decodes ``(blk, payload, crc)`` into the vote
+    input, with a BOUNDED driver collect.
+
+    One distributed aggregation produces (blk, payload, crc-valid?) ->
+    count; per (blk, crc_ok) group only the ``top_m`` highest-count
+    payloads ship to the driver (one window exchange over <= 32 keys), with
+    each group's exact total carried on every row — so ``total`` and
+    ``n_valid`` stay exact even when an adversarial uniform-payload corpus
+    would otherwise push ~16 x 2^16 x 2 tally rows through the driver.
+    robust_vote_counts tolerates the truncated tail: a payload outside its
+    block's top ``top_m`` cannot win or materially shift the trimmed
+    centroid.  Returns ``(total_decodes, valid_decodes, [(blk, payload,
+    cnt), ...])``.
+    """
+    from pyspark.sql import Window
+
+    agg = (
+        decoded.withColumn(
+            "crc_ok",
+            (F.col("blk") >= 0)
+            & (F.col("blk") < B.BLOCK_COUNT)
+            & (B.crc4_int_col(F.col("blk")) == F.col("crc")),
+        )
+        .groupBy("blk", "payload", "crc_ok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grp = Window.partitionBy("blk", "crc_ok")
+    rk = Window.partitionBy("blk", "crc_ok").orderBy(
+        F.col("cnt").desc(), F.col("payload").asc()
+    )
+    tallies = (
+        agg.withColumn("grp_total", F.sum("cnt").over(grp))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= top_m)
+        .collect()
+    )
+    grp_totals = {(r.blk, r["crc_ok"]): r.grp_total for r in tallies}
+    total = sum(grp_totals.values())
+    valid_counts = [(r.blk, r.payload, r.cnt) for r in tallies if r["crc_ok"]]
+    n_valid = sum(t for (_, ok), t in grp_totals.items() if ok)
+    return total, n_valid, valid_counts
+
+
 @dataclass
 class ExtractResult:
     success: bool
@@ -134,25 +186,8 @@ def extract_watermark(
     # (select_carriers issues its own count when total is unknown; the count
     # doubles as the cache materialization barrier for `degrees`)
 
-    # one distributed aggregation fuses the decode-tally and the vote input:
-    # (blk, payload, crc-valid?) -> count.  The result is bounded (16 blocks
-    # x 2^16 payloads + invalid tallies) so the trim + centroid vote runs
-    # driver-side (vote.robust_vote_counts) — no further shuffles.
     decoded = decode_carriers(df, carriers, codec, id_col, vec_col)
-    tallies = (
-        decoded.withColumn(
-            "crc_ok",
-            (F.col("blk") >= 0)
-            & (F.col("blk") < B.BLOCK_COUNT)
-            & (B.crc4_int_col(F.col("blk")) == F.col("crc")),
-        )
-        .groupBy("blk", "payload", "crc_ok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    total = sum(r.cnt for r in tallies)
-    valid_counts = [(r.blk, r.payload, r.cnt) for r in tallies if r["crc_ok"]]
-    n_valid = sum(c for _, _, c in valid_counts)
+    total, n_valid, valid_counts = collect_vote_tallies(decoded)
 
     voted = robust_vote_counts(valid_counts)
     stats = [
