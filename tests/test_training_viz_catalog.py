@@ -182,3 +182,55 @@ def test_project_2d_compare_shared_basis(spark, vectors):
     import numpy as np
     xs = {s: np.mean([r["x"] for r in rows if r["source"] == s]) for s in srcs}
     assert abs(xs["original"] - xs["watermarked"]) > 0.01
+
+
+# ---------------------------------------------------------------------------
+# JDBC pgvector wrapper: pure pieces (no database/driver in this environment)
+# ---------------------------------------------------------------------------
+
+def test_pgvector_text_codec_roundtrip(spark):
+    """vector-text parse/render must round-trip through Catalyst expressions,
+    including spaces and scientific notation from pgvector's output."""
+    from vectordb_watermark_spark.sources.io import array_to_pgvector, pgvector_to_array
+
+    df = spark.createDataFrame(
+        [("[0.1,0.25,-3]",), ("[1e-05, 2.5E2 ,0]",)], "v string"
+    ).withColumn("arr", pgvector_to_array("v"))
+    rows = df.select("arr").collect()
+    assert [round(x, 6) for x in rows[0]["arr"]] == [0.1, 0.25, -3.0]
+    assert [round(x, 6) for x in rows[1]["arr"]] == [1e-05, 250.0, 0.0]
+
+    back = (
+        df.select(array_to_pgvector("arr").alias("txt"))
+        .select(pgvector_to_array("txt").alias("arr2"))
+        .collect()
+    )
+    assert back[0]["arr2"] == rows[0]["arr"]
+    assert back[1]["arr2"] == rows[1]["arr"]
+
+
+def test_merge_from_staging_sql():
+    from vectordb_watermark_spark.sources.io import merge_from_staging_sql
+
+    sql = merge_from_staging_sql("vectors", "vectors_staging")
+    assert sql == (
+        "UPDATE vectors t SET embedding = s.embedding::vector "
+        "FROM vectors_staging s WHERE t.id = s.id"
+    )
+    sql2 = merge_from_staging_sql(
+        "t1", "st", key_col="pk", update_cols=["embedding", "label"]
+    )
+    assert "embedding = s.embedding::vector" in sql2
+    assert "label = s.label" in sql2 and "::vector" not in sql2.split("label")[1]
+
+
+def test_read_jdbc_vectors_requires_driver(spark):
+    """Without a JDBC driver jar the read must fail at the JDBC layer (no
+    silent empty frame) — documents the gating for live-database use."""
+    from vectordb_watermark_spark.sources.io import read_jdbc_vectors
+
+    with pytest.raises(Exception):
+        read_jdbc_vectors(
+            spark, "jdbc:postgresql://localhost:5432/nope", "vectors",
+            lower=0, upper=10, num_partitions=2,
+        ).schema

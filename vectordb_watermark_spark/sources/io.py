@@ -12,9 +12,12 @@ here a "vector table" is a Parquet (or any Spark-readable) table with schema
   same semantics as a Delta ``MERGE INTO`` without the Delta dependency).
 - backup/snapshot S10    -> plain parquet write.
 
-JDBC note: reading a *live* pgvector table is ``spark.read.jdbc`` with
-partitionColumn=id bounds — deliberately not wired here since no database
-exists in this environment; the engine's canonical storage is columnar files.
+JDBC: :func:`read_jdbc_vectors` reads a *live* pgvector table (partitioned on
+id bounds, vector text parsed in-plan) and :func:`stage_jdbc_updates` +
+:func:`merge_from_staging_sql` implement the set-based writeback.  No
+database or driver jar exists in this environment, so the JDBC entry points
+are exercised only through their pure pieces (vector text codec, merge SQL);
+the engine's canonical storage is columnar files.
 """
 
 from __future__ import annotations
@@ -153,3 +156,109 @@ def validate_identifier(name: str) -> str:
     if not name or not name.replace("_", "").isalnum():
         raise ValueError(f"invalid identifier: {name!r}")
     return name
+
+
+# ---------------------------------------------------------------------------
+# JDBC pgvector source/sink (SURVEY.md §1.4 optional source parity)
+# ---------------------------------------------------------------------------
+
+def pgvector_to_array(col) -> "F.Column":
+    """Parse pgvector's wire/text representation ``'[0.1,0.2,...]'`` into
+    ``array<float>`` — over JDBC the ``vector`` type surfaces as text
+    (no JDBC driver maps it natively).  Pure Catalyst expression."""
+    cleaned = F.regexp_replace(F.col(col).cast("string") if isinstance(col, str) else col.cast("string"), r"[\[\]\s]", "")
+    return F.transform(F.split(cleaned, ","), lambda x: x.cast("float"))
+
+
+def array_to_pgvector(col) -> "F.Column":
+    """Inverse of :func:`pgvector_to_array`: render ``array<float>`` as the
+    ``'[x,y,...]'`` literal pgvector's text input parser accepts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit("["), F.concat_ws(",", c), F.lit("]"))
+
+
+def read_jdbc_vectors(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    num_partitions: int = 64,
+    lower: int | None = None,
+    upper: int | None = None,
+    fetch_size: int = 10_000,
+    properties: dict | None = None,
+) -> DataFrame:
+    """S1/S2 against a LIVE pgvector database (ref pg_func.py:67-100 scans
+    with psycopg2 row loops; Milvus needs a 16 384-row pagination dance,
+    milvus_func.py:64-198).  Spark-native replacement: a partitioned
+    ``spark.read.jdbc`` on ``id_col`` bounds — each executor reads one id
+    range concurrently, predicates/projections push down to the database,
+    and the ``vector`` column is parsed to ``array<float>`` in-plan.
+
+    ``lower``/``upper`` default to a one-row min/max probe (pushed down as a
+    subquery).  Requires the PostgreSQL JDBC driver jar on the Spark
+    classpath (``spark.jars`` / ``--packages org.postgresql:postgresql``).
+    """
+    props = {"fetchsize": str(fetch_size), **(properties or {})}
+    if lower is None or upper is None:
+        probe = spark.read.jdbc(
+            url,
+            f"(SELECT min({id_col}) AS lo, max({id_col}) AS hi FROM {table}) __bounds",
+            properties=props,
+        ).first()
+        lower = int(probe["lo"]) if lower is None else lower
+        upper = int(probe["hi"]) if upper is None else upper
+    df = spark.read.jdbc(
+        url,
+        table,
+        column=id_col,
+        lowerBound=lower,
+        upperBound=upper + 1,  # Spark's upperBound is exclusive
+        numPartitions=num_partitions,
+        properties=props,
+    )
+    return df.withColumn(vec_col, pgvector_to_array(vec_col))
+
+
+def stage_jdbc_updates(
+    df: DataFrame,
+    url: str,
+    staging_table: str,
+    vec_col: str = "embedding",
+    batch_size: int = 10_000,
+    properties: dict | None = None,
+) -> None:
+    """First half of the S8/S9 writeback to a live database: bulk-write the
+    updated rows to ``staging_table`` (overwritten), vectors rendered as
+    pgvector text literals.  Spark's JDBC sink supports append/overwrite
+    only — per-row UPDATE loops (the reference's writeback,
+    pg_func.py:363-377) do not scale, so the merge half is one server-side
+    set-based statement: see :func:`merge_from_staging_sql`."""
+    props = {"batchsize": str(batch_size), **(properties or {})}
+    out = df
+    if vec_col in df.columns:
+        out = df.withColumn(vec_col, array_to_pgvector(vec_col))
+    out.write.jdbc(url, staging_table, mode="overwrite", properties=props)
+
+
+def merge_from_staging_sql(
+    target: str, staging: str, key_col: str = "id", update_cols: list[str] | None = None,
+    vec_col: str = "embedding",
+) -> str:
+    """Second half of the writeback: the single set-based server-side merge
+    statement to run against the database (psql / any DBAPI conn) after
+    :func:`stage_jdbc_updates`.  One UPDATE..FROM touches every staged row —
+    the scale-correct replacement for the reference's per-row UPDATE loop.
+    ``vec_col`` (staged as text) is cast back through pgvector's input
+    parser with ``::vector``."""
+    if update_cols is None:
+        update_cols = [vec_col]
+    sets = ", ".join(
+        f"{c} = s.{c}::vector" if c == vec_col else f"{c} = s.{c}"
+        for c in update_cols
+    )
+    return (
+        f"UPDATE {target} t SET {sets} "
+        f"FROM {staging} s WHERE t.{key_col} = s.{key_col}"
+    )
