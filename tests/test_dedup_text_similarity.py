@@ -348,3 +348,66 @@ def test_jaccard_auto_routes_minhash_candidates_at_scale(spark):
     got = {(r["a"], r["b"]) for r in out.collect()}
     hit = sum((i, n + i) in got for i in range(planted))
     assert hit / planted >= 0.9, f"planted near-dup recall {hit}/{planted}"
+
+
+# ---------------------------------------------------------------------------
+# quality-filter rules, PII redaction, decontamination
+# ---------------------------------------------------------------------------
+
+def test_repetition_rules_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),              # one repeated token/bigram
+            (2, "all tokens here are unique ones"),  # no repetition
+            (3, "x"),                                # single token edge case
+            (4, "ab ab cd ab ab"),                   # top bigram 'ab ab' x2 of 4
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.dup_token_fraction(F.col("text")).alias("dup"),
+            T.top_bigram_fraction(F.col("text")).alias("big"),
+            T.mean_token_len(F.col("text")).alias("mlen"),
+        ).collect()
+    }
+    assert rows[1]["dup"] == 0.75 and rows[1]["big"] == 1.0
+    assert rows[2]["dup"] == 0.0 and rows[2]["big"] < 0.25
+    assert rows[3]["dup"] == 0.0 and rows[3]["big"] == 0.0 and rows[3]["mlen"] == 1.0
+    assert rows[4]["big"] == 0.5  # 'ab ab' twice among 4 bigrams
+    assert rows[1]["mlen"] == 4.0
+
+
+def test_pii_redaction_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-site.org or b@x.io, call +1 555-0100 or (415) 555 2671 now")],
+        "doc_id int, text string",
+    )
+    n_email, n_phone = T.pii_counts(F.col("text"))
+    r = df.select(
+        n_email.alias("e"), n_phone.alias("p"), T.redact_pii(F.col("text")).alias("red")
+    ).first()
+    assert r["e"] == 2 and r["p"] == 2
+    assert "@" not in r["red"] and "555" not in r["red"]
+    assert r["red"].count("<EMAIL>") == 2 and r["red"].count("<PHONE>") == 2
+
+
+def test_benchmark_overlap_flags_planted_contamination(spark):
+    """A doc sharing a long span with a benchmark doc must be flagged; an
+    unrelated doc must not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix text then the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "completely different words about spark shuffles and parquet footers"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in D.benchmark_overlap(docs, bench, min_overlap=5).collect()}
+    assert 1 in got and got[1] >= 5
+    assert 2 not in got

@@ -201,3 +201,137 @@ def sql_shingle_hashes(text_col: str, width: int = 8) -> str:
 
 def sql_fingerprint(text_col: str, width: int = 8) -> str:
     return f"CAST(list_min({sql_shingle_hashes(text_col, width)}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Repetition / quality-filter rules (Gopher-style) and PII redaction
+# ---------------------------------------------------------------------------
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    ``1 - distinct/total`` over lowercase whitespace tokens.  The
+    list-duplication half of the Gopher repetition rules (line-level rules
+    collapse to token-level for single-line documents)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1)),
+        6,
+    )
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of all token-bigram occurrences taken by the single most
+    frequent bigram — high values flag boilerplate/templated text.
+
+    Pure expression tree, O(n log n) per document: the bigram array is
+    SORTED and the max count is the longest equal-run, found with one
+    ``aggregate`` fold — no nested per-distinct-element rescan (a naive
+    distinct x filter formulation re-evaluates the inlined bigram expression
+    per distinct element and goes quadratic in interpreted HOF lambdas).
+    0.0 when the document has fewer than two tokens (the n >= 2 guard also
+    keeps ``sequence`` ascending — ``sequence(1, 0)`` would DESCEND)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    bigrams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    zero = F.lit(0).cast("int")
+    best = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + F.lit(1)).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best,
+                F.when(x == a.prev, a.run + F.lit(1)).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+    frac = best.cast("double") / F.greatest(n - F.lit(1), F.lit(1))
+    return F.when(n >= 2, F.round(frac, 6)).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    """Mean character length of whitespace tokens (sequential left-fold sum
+    so the DuckDB twin reduces in the same order)."""
+    toks = tokens(F.lower(text))
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    )
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+#: PII patterns — valid and identical under Java regex (Spark) and RE2
+#: (DuckDB): no backreferences, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(email_count, phone_count) per document."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long")
+    n_phone = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long")
+    return n_email, n_phone
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone-number-like spans with typed placeholders —
+    the pre-training PII scrub, as pure JVM regexp (no UDF).  Email first so
+    digits inside addresses are not half-eaten by the phone pass."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def sql_dup_token_fraction(text_col: str) -> str:
+    toks = sql_tokens(f"lower({text_col})")
+    return (
+        f"round(1.0 - CAST(len(list_distinct({toks})) AS DOUBLE)"
+        f" / greatest(len({toks}), 1), 6)"
+    )
+
+
+def sql_top_bigram_fraction(text_col: str) -> str:
+    """O(n) via list_histogram — a distinct x list_filter formulation
+    re-inlines (and re-splits) the bigram expression per distinct element
+    and measures ~100x slower in DuckDB on 60-token documents."""
+    toks = sql_tokens(f"lower({text_col})")
+    bigrams = (
+        f"list_transform(range(1, greatest(len({toks}), 2)),"
+        f" i -> ({toks})[i] || ' ' || ({toks})[i+1])"
+    )
+    frac = (
+        f"CAST(list_max(map_values(list_aggregate({bigrams}, 'histogram')))"
+        f" AS DOUBLE) / greatest(len({bigrams}), 1)"
+    )
+    return f"CASE WHEN len({toks}) >= 2 THEN round({frac}, 6) ELSE 0.0 END"
+
+
+def sql_mean_token_len(text_col: str) -> str:
+    toks = sql_tokens(f"lower({text_col})")
+    return (
+        f"round(list_aggregate(list_transform({toks},"
+        f" x -> CAST(length(x) AS DOUBLE)), 'sum')"
+        f" / greatest(len({toks}), 1), 6)"
+    )
+
+
+def sql_pii(text_col: str) -> dict[str, str]:
+    """email/phone count + redaction SQL twins (RE2 'g' flag for global)."""
+    return {
+        "n_email": f"CAST(len(regexp_extract_all({text_col}, '{EMAIL_RE}')) AS BIGINT)",
+        "n_phone": f"CAST(len(regexp_extract_all({text_col}, '{PHONE_RE}')) AS BIGINT)",
+        "redacted": (
+            f"regexp_replace(regexp_replace({text_col}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+            f" '{PHONE_RE}', '<PHONE>', 'g')"
+        ),
+    }

@@ -593,3 +593,45 @@ def simhash_near_pairs(
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training-set decontamination: for every document, the number of
+    distinct character ``width``-gram shingle hashes it shares with ANY
+    benchmark/eval document — rows with ``n_overlap >= min_overlap`` are
+    contamination candidates to drop before training.
+
+    Plan shape for 100 TB: the corpus side explodes to (doc, shingle) rows
+    (per-row work, no shuffle), the benchmark shingle set is distinct-ed and
+    broadcast (eval suites are tiny relative to the corpus), so the whole
+    check is one broadcast hash join + one map-side-combined groupBy on
+    ``id_col`` — never a corpus-vs-corpus join.
+    """
+    from vectordb_watermark_spark.functions.text import shingle_hashes
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingle_hashes(F.lower(F.col(text_col)), width))).alias("h"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingle_hashes(F.lower(F.col(text_col)), width))
+            ).alias("h")
+        )
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(b), "h")
+        .groupBy("id")
+        .agg(F.count_distinct("h").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
