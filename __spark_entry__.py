@@ -872,6 +872,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sha2(T.redact_pii(F.col("text")), 256).alias("redacted_sha"),
         )
 
+    def sequence_packing(spark, sf):  # token-budget training-batch packing
+        from vectordb_watermark_spark.operators.packing import pack_sequences
+
+        return pack_sequences(_docs(spark, sf), token_budget=256, n_groups=8)
+
     def decontaminate_docs(spark, sf):  # benchmark decontamination
         from vectordb_watermark_spark.operators.dedup import benchmark_overlap
 
@@ -1069,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": quality_repetition,
         "pii_redaction": pii_redaction,
         "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
         # -- never driver-checked before r3 ---------------------------------
         "corpus_curation": corpus_curation,
         "dedup_components": dedup_components,
@@ -1119,9 +1125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_gaussian": attack_gaussian,
         "attack_subset": attack_subset,
         "attack_mean_replace": attack_mean_replace,
-        "attack_truncate_pad": attack_truncate_pad,
         # ---- anything below this line is outside a 50-query driver window;
         # ---- every entry here was hash-green in at least one prior round.
+        "attack_truncate_pad": attack_truncate_pad,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_signatures": dedup_minhash_signatures,
         "sample_weighted": sample_weighted,
@@ -1977,6 +1983,19 @@ def oracle_sql() -> dict[str, str]:
                    {T.sql_pii('text')['n_phone']} AS n_phone,
                    sha256({T.sql_pii('text')['redacted']}) AS redacted_sha
             FROM p""",
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     {T.sql_token_count('text')} AS n_tokens,
+                     {sql_word60(sql_keyed_hash_hex("'pack'", 'doc_id'))} % 8 AS grp
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(grp * 1099511627776
+                        + floor((sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                                     ROWS UNBOUNDED PRECEDING)
+                                 - n_tokens) / 256) AS BIGINT) AS pack_id
+            FROM t""",
         "decontaminate_docs": f"""
             WITH d AS (
               SELECT doc_id,

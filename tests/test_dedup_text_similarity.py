@@ -411,3 +411,25 @@ def test_benchmark_overlap_flags_planted_contamination(spark):
     got = {r["doc_id"]: r["n_overlap"] for r in D.benchmark_overlap(docs, bench, min_overlap=5).collect()}
     assert 1 in got and got[1] >= 5
     assert 2 not in got
+
+
+def test_pack_sequences_budget_and_determinism(spark, docs):
+    """Packing contract: every pack's total is < budget + max_doc_tokens,
+    pack ids are stable under repartitioning, and oversized docs still get
+    exactly one pack containing their first token."""
+    from vectordb_watermark_spark.operators.packing import pack_sequences, pack_stats
+
+    budget = 256
+    packed = pack_sequences(docs, token_budget=budget, n_groups=8)
+    max_doc = packed.agg(F.max("n_tokens")).first()[0]
+    stats = pack_stats(packed, budget)
+    over = stats.filter(F.col("total_tokens") >= budget + max_doc).count()
+    assert over == 0
+    # near-full packs exist (packing actually packs; docs ~40-70 tokens)
+    assert stats.filter(F.col("total_tokens") >= budget - max_doc).count() > 0
+    a = sorted(tuple(r) for r in packed.collect())
+    b = sorted(
+        tuple(r)
+        for r in pack_sequences(docs.repartition(13), token_budget=budget, n_groups=8).collect()
+    )
+    assert a == b, "pack ids must not depend on partitioning"
