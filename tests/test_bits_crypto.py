@@ -137,3 +137,47 @@ def test_key_derivation_stable():
 def test_aes_roundtrip_property(msg):
     cipher32, nonce_hex = C.encrypt_message_to_32chars(msg, "prop-key")
     assert C.decrypt_32chars_to_message(cipher32, "prop-key", nonce_hex) == msg
+
+
+# ---------------------------------------------------------------------------
+# property tests: TorchCodec numpy kernels (pure, no Spark session needed)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.floats(-20, 20), min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_erf_properties(xs):
+    """odd symmetry, boundedness, monotonicity of the A&S erf."""
+    import numpy as np
+
+    from vectordb_watermark_spark.plans.codec import _erf
+
+    x = np.array(xs, dtype=np.float64)
+    v = _erf(x)
+    assert (np.abs(v) <= 1.0 + 1e-12).all()
+    assert np.allclose(_erf(-x), -v, atol=3e-7)
+    s = np.sort(x)
+    vs = _erf(s)
+    assert (np.diff(vs) >= -3e-7).all()
+
+
+@given(st.integers(24, 512))
+@settings(max_examples=40, deadline=None)
+def test_adaptive_params_within_published_clamps(dim):
+    from vectordb_watermark_spark.plans.codec import adaptive_model_params
+
+    p = adaptive_model_params(dim)
+    assert 4 <= p["depth"] <= 16
+    assert 2 <= p["hidden_mul"] <= 10
+    assert 0.005 <= p["delta_scale"] <= 0.08
+    assert 0.01 <= p["dropout"] <= 0.4
+
+
+@given(st.integers(0, (1 << 24) - 1))
+@settings(max_examples=200, deadline=None)
+def test_msg_bits_roundtrip(msg):
+    import numpy as np
+
+    from vectordb_watermark_spark.plans.codec import _bits_to_msg, _msg_to_bits
+
+    m = np.array([msg], dtype=np.int64)
+    assert _bits_to_msg(_msg_to_bits(m))[0] == msg

@@ -234,3 +234,22 @@ def test_read_jdbc_vectors_requires_driver(spark):
             spark, "jdbc:postgresql://localhost:5432/nope", "vectors",
             lower=0, upper=10, num_partitions=2,
         ).schema
+
+
+def test_train_learned_codec_spark_wrapper(spark, tmp_path):
+    """The Spark-side wrapper: S5 scan -> sample -> torch-free trainer ->
+    npz checkpoint at model_path(dim) loadable by TorchCodec."""
+    import numpy as np
+
+    from vectordb_watermark_spark.plans.codec import TorchCodec
+    from vectordb_watermark_spark.training import train_learned_codec
+
+    df = load(spark, "embeddings").select(F.col("embedding").alias("emb"))
+    out = train_learned_codec(
+        df, sample_limit=400, results_dir=str(tmp_path), epochs=2, batch_size=128
+    )
+    assert out["model_path"].endswith("vector_64d/best.npz")
+    assert len(out["history"]) == 2
+    codec = TorchCodec(64, checkpoint_path=out["model_path"])
+    w = codec.encode_batch(np.ones((2, 64), dtype=np.float32), np.array([1, 2]))
+    assert w.shape == (2, 64)

@@ -174,19 +174,61 @@ def load_codec(dim: int, key: str, results_dir: str = DEFAULT_RESULTS_DIR) -> Or
     return OrthogonalCodec(dim, key)
 
 
+def train_learned_codec(
+    df: DataFrame,
+    vec_col: str = "emb",
+    sample_limit: int = 100_000,
+    results_dir: str = DEFAULT_RESULTS_DIR,
+    epochs: int = 20,
+    batch_size: int = 256,
+    learning_rate: float = 3e-4,
+    seed: int = 42,
+) -> dict:
+    """M3 full parity, torch-free: train the reference's FiLM encoder /
+    residual-MLP decoder on a sampled slice of the vector table using the
+    hand-derived-gradient trainer (plans/nn_train.py — gradients verified
+    against finite differences; state-dict keys identical to the torch
+    modules, so the saved checkpoint loads into torch unchanged).
+
+    Scale shape: the Spark side is one S5 scan + limit-sample collected to
+    the driver (the model is O(D^2) params — the reference trains on the
+    identical driver-side array); the checkpoint lands at
+    ``model_path(dim)`` with an ``.npz`` suffix, loadable by
+    :class:`~vectordb_watermark_spark.plans.codec.TorchCodec`.
+    """
+    import numpy as np
+
+    from vectordb_watermark_spark.plans.nn_train import train_reference_codec
+
+    pdf = get_training_data(df, vec_col, limit=sample_limit).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    dim = X.shape[1]
+    out_path = model_path(dim, results_dir)[: -len(".json")] + ".npz"
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    result = train_reference_codec(
+        X, vec_dim=dim, epochs=epochs, batch_size=batch_size,
+        learning_rate=learning_rate, seed=seed, model_out=out_path,
+    )
+    result["model_path"] = out_path
+    return result
+
+
 class TorchTrainer:
-    """Import-gated adapter for reference-style torch training
-    (trainer.py:162-467).  Torch is unavailable in this environment; the
-    class documents the integration point and fails with guidance."""
+    """Import-gated adapter for reference-style torch training on a GPU
+    (trainer.py:162-467).  Torch is unavailable in this environment — and no
+    longer required: :func:`train_learned_codec` runs the SAME lifecycle
+    (adaptive params, noise curriculum, Adam + warmup-cosine, best-val-BER
+    checkpointing) with hand-derived numpy gradients.  This class remains
+    the drop-in slot for torch-accelerated training."""
 
     def __init__(self, *_, **__):
         try:
             import torch  # noqa: F401
         except ImportError as exc:
             raise ImportError(
-                "TorchTrainer requires torch. Feed it with "
-                "get_training_data(df).toPandas() and train per the "
-                "reference's adaptive-parameter / noise-curriculum / "
-                "early-stop semantics; save to model_path(dim)."
+                "TorchTrainer requires torch. Use train_learned_codec (the "
+                "torch-free trainer with identical semantics), or install "
+                "torch and train per the reference's "
+                "algorithms/deep_learning/trainer.py."
             ) from exc
         raise NotImplementedError("torch training lands when torch is available")
