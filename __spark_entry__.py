@@ -877,6 +877,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sequences(_docs(spark, sf), token_budget=256, n_groups=8)
 
+    def corpus_logfreq_score(spark, sf):  # unigram-LM perplexity proxy
+        from vectordb_watermark_spark.operators.quality import corpus_logfreq_score as S
+
+        return S(_docs(spark, sf))
+
+    def quality_resample(spark, sf):  # importance resampling by quality
+        # Efraimidis-Spirakis weighted sampling with the per-row quality
+        # score as the weight: the curation move that biases a training mix
+        # toward high-quality documents without a hard cutoff
+        from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+        d = _docs(spark, sf)
+        q = T.quality_score(F.col("text"))
+        u = keyed_uniform("qsample-7", F.col("doc_id"))
+        s = F.log(u) / F.greatest(q, F.lit(0.001))
+        return (
+            d.select("doc_id", s.alias("s"))
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(100)
+            .select("doc_id")
+        )
+
     def decontaminate_docs(spark, sf):  # benchmark decontamination
         from vectordb_watermark_spark.operators.dedup import benchmark_overlap
 
@@ -1075,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": pii_redaction,
         "decontaminate_docs": decontaminate_docs,
         "sequence_packing": sequence_packing,
+        "corpus_logfreq_score": corpus_logfreq_score,
+        "quality_resample": quality_resample,
         # -- never driver-checked before r3 ---------------------------------
         "corpus_curation": corpus_curation,
         "dedup_components": dedup_components,
@@ -1123,10 +1147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
-        "attack_subset": attack_subset,
-        "attack_mean_replace": attack_mean_replace,
         # ---- anything below this line is outside a 50-query driver window;
         # ---- every entry here was hash-green in at least one prior round.
+        "attack_subset": attack_subset,
+        "attack_mean_replace": attack_mean_replace,
         "attack_truncate_pad": attack_truncate_pad,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -1983,6 +2007,25 @@ def oracle_sql() -> dict[str, str]:
                    {T.sql_pii('text')['n_phone']} AS n_phone,
                    sha256({T.sql_pii('text')['redacted']}) AS redacted_sha
             FROM p""",
+        "corpus_logfreq_score": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({T.sql_tokens('lower(text)')}) AS token
+              FROM documents
+            ), vocab AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(log10(CAST(coalesce(v.cnt, 1) AS DOUBLE))), 6) AS logfreq_score
+            FROM tok t LEFT JOIN vocab v USING (token)
+            GROUP BY t.doc_id""",
+        "quality_resample": f"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     ln({sql_keyed_uniform("'qsample-7'", 'doc_id')})
+                       / greatest({T.sql_quality_score('text')}, 0.001) AS s
+              FROM documents
+            ) ORDER BY s DESC, doc_id ASC LIMIT 100""",
         "sequence_packing": f"""
             WITH t AS (
               SELECT doc_id,

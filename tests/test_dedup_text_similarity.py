@@ -433,3 +433,23 @@ def test_pack_sequences_budget_and_determinism(spark, docs):
         for r in pack_sequences(docs.repartition(13), token_budget=budget, n_groups=8).collect()
     )
     assert a == b, "pack ids must not depend on partitioning"
+
+
+def test_corpus_logfreq_score_separates_common_from_rare(spark):
+    """Documents of corpus-common tokens must outscore documents of unique
+    tokens; the vocabulary can be precomputed and reused."""
+    from vectordb_watermark_spark.operators.quality import (
+        corpus_logfreq_score,
+        token_frequencies,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zxqv9 qq7pl mnb42 wqo01 kkd88 aa3zz"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["logfreq_score"] for r in corpus_logfreq_score(df).collect()}
+    assert got[0] > 1.0          # 'the' appears 40x, others 20x
+    assert got[100] == 0.0       # singleton tokens -> log10(1)
+    vocab = token_frequencies(df).cache()
+    got2 = {r["doc_id"]: r["logfreq_score"]
+            for r in corpus_logfreq_score(df, vocab=vocab).collect()}
+    assert got == got2
