@@ -494,3 +494,49 @@ def test_asof_join_rejects_reserved_scratch_columns(spark):
     r_bad = spark.createDataFrame([(1, 5, 2.0, 0)], "k int, t long, v double, __tb_0 int")
     with pytest.raises(ValueError, match="reserves internal"):
         asof_join(l, r_bad, ["k"], "t", "t", ["v"], tiebreak_cols=["__tb_0"])
+
+
+def test_incremental_dedup_across_microbatches(spark, tmp_path):
+    """Cross-batch dedup: a doc accepted in batch A must be rejected when a
+    copy arrives in batch B; batch-internal dups collapse; uniques survive."""
+    import shutil
+
+    from vectordb_watermark_spark.streaming.curation import incremental_dedup
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    batch_a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta"),
+         (3, "alpha beta gamma delta")],          # 3 dups 1 in-batch
+        "doc_id long, text string",
+    )
+    batch_b = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),          # dup of batch A's 1
+         (11, "iota kappa lambda mu"),            # new
+         (12, "epsilon zeta eta theta")],         # dup of batch A's 2
+        "doc_id long, text string",
+    )
+    for name, b in (("a", batch_a), ("b", batch_b)):
+        stage = tmp_path / f"stage_{name}"
+        b.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(str(tmp_path / "out") + "/batch-*")
+    texts = sorted(r["text"] for r in kept.collect())
+    assert texts == sorted([
+        "alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa lambda mu",
+    ]), texts
+    store = spark.read.parquet(str(tmp_path / "store") + "/batch-*")
+    assert store.count() == store.select("sig_hash").distinct().count() == 3

@@ -1,0 +1,101 @@
+"""Incremental corpus curation over a document stream.
+
+Batch dedup (operators/dedup.py) assumes the whole corpus is visible at
+once.  A production ingestion pipeline sees documents ARRIVE — each
+micro-batch must be deduplicated against everything already accepted, not
+just against itself.  :func:`incremental_dedup` is that sink:
+
+1. per batch: MinHash signatures (Arrow kernel, no shuffle) are collapsed to
+   one representative per signature — identical signatures are exact or
+   near-exact duplicates (Jaccard ~1 across all 16 lanes);
+2. against history: representatives whose signature hash already exists in
+   the persistent store are dropped (anti-join — the store carries one
+   8-byte hash per accepted document);
+3. accepted documents and their new signature hashes are written to
+   per-batch subdirectories with ``overwrite`` — a retried micro-batch
+   (checkpointed foreachBatch re-runs the same batch_id) overwrites its own
+   output instead of duplicating it, so the sink is idempotent/exactly-once
+   without any swap dance (the batch's own prior partial store output is
+   excluded from "history" on retry).
+
+State is the signature-hash store, ~8 bytes x accepted docs — at 10^10
+documents that is ~80 GB of parquet, scanned as a normal distributed read
+(and prunable by ``sig_hash`` min/max per file); nothing driver-side grows.
+
+Near-dup (not just exact-signature) streaming dedup composes the same way:
+run ``minhash_candidate_pairs`` between the batch and a banded store.  The
+exact-signature rule is the one with crisp idempotent semantics, so it is
+what the sink ships; the banded variant remains a batch-layer operation run
+periodically over the accepted corpus (``corpus_curation``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sig_hash(sig_col: str = "sig"):
+    """64-bit hash of the full MinHash signature array — the store key.
+    xxhash64 over the concatenated lane values; collision odds at 10^10 docs
+    ~ 10^-9 per pair class (birthday bound), documented and acceptable for
+    dedup (a collision drops one unique document, never corrupts data)."""
+    return F.xxhash64(F.concat_ws(",", F.col(sig_col).cast("array<string>")))
+
+
+def incremental_dedup(
+    stream: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming dedup sink: accepted (first-seen) documents land under
+    ``out_path``, their signature hashes under ``store_path``.  Returns the
+    DataStreamWriter (call ``.start()``)."""
+    from vectordb_watermark_spark.operators.dedup import minhash_signatures
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+        def batch_dirs(exclude: int) -> list[str]:
+            """Existing per-batch store directories, minus the excluded
+            batch id (a retried batch's own partial output is not history)."""
+            root = jvm_path(store_path)
+            if not fs.exists(root):
+                return []
+            return [
+                st.getPath().toString()
+                for st in fs.listStatus(root)
+                if st.getPath().getName().startswith("batch-")
+                and st.getPath().getName() != f"batch-{exclude}"
+            ]
+
+        sigs = minhash_signatures(batch_df, id_col, text_col).withColumn(
+            "sig_hash", _sig_hash()
+        )
+        # batch-internal collapse: one representative (min id) per signature
+        reps = sigs.groupBy("sig_hash").agg(F.min("id").alias("id"))
+        history = batch_dirs(exclude=batch_id)
+        if history:
+            seen = spark.read.parquet(*history).select("sig_hash")
+            reps = reps.join(seen, "sig_hash", "left_anti")
+        kept = batch_df.join(
+            reps.select(F.col("id").alias(id_col)), id_col, "left_semi"
+        )
+        # per-batch overwrite => idempotent under checkpoint retry
+        kept.write.mode("overwrite").parquet(f"{out_path}/batch-{batch_id}")
+        reps.select("sig_hash").write.mode("overwrite").parquet(
+            f"{store_path}/batch-{batch_id}"
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
