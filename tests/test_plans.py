@@ -154,3 +154,32 @@ def test_arrow_signature_kernels_partition_invariant(spark):
         one = canon(op(docs.repartition(1)).collect())
         many = canon(op(docs.repartition(13)).collect())
         assert one == many and len(one) > 0
+
+
+def test_decontamination_broadcasts_benchmark_side(spark, queries):
+    # corpus shingles join a broadcast benchmark shingle set — a sort-merge
+    # join here would shuffle the full exploded corpus
+    p = _plan(queries["decontaminate_docs"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sequence_packing_single_hash_exchange_no_global_sort(spark, queries):
+    # one window per keyed hash group: exactly one hashpartitioning exchange
+    # on the group column, and no range partitioning (global sort) anywhere
+    p = _plan(queries["sequence_packing"](spark, SF))
+    assert p.count("+- Exchange") == 1 and "hashpartitioning" in p
+    assert "rangepartitioning" not in p
+
+
+def test_corpus_logfreq_plan_shape(spark, queries):
+    # two-pass corpus scoring: vocabulary groupBy must be map-side combined
+    # (partial_count) and the vocab join must not be a nested loop
+    p = _plan(queries["corpus_logfreq_score"](spark, SF))
+    assert "partial_count" in p
+    assert "NestedLoop" not in p
+
+
+def test_repetition_and_pii_are_shuffle_free(spark, queries):
+    assert "Exchange" not in _plan(queries["quality_repetition"](spark, SF))
+    assert "Exchange" not in _plan(queries["pii_redaction"](spark, SF))
