@@ -253,3 +253,37 @@ def test_train_learned_codec_spark_wrapper(spark, tmp_path):
     codec = TorchCodec(64, checkpoint_path=out["model_path"])
     w = codec.encode_batch(np.ones((2, 64), dtype=np.float32), np.array([1, 2]))
     assert w.shape == (2, 64)
+
+
+def test_cli_verbs_roundtrip(spark, tmp_path):
+    """The reference's backend API verbs as CLI subcommands: catalog probes,
+    embed -> extract roundtrip, attack sink, evaluation report — each
+    printing one JSON object."""
+    import contextlib
+    import io
+    import json
+
+    from vectordb_watermark_spark import cli
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert cli.main(argv) == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    tab = f"{SF_TINY}/embeddings.parquet"
+    remap = ["--id-col", "vec_id", "--vec-col", "embedding"]
+    assert "embeddings" in run(["tables", SF_TINY])["tables"]
+    assert run(["dim", tab, *remap])["dimension"] == 64
+    assert run(["check-model", "64", "--results-dir", str(tmp_path)])["exists"] is False
+    emb = run(["embed", tab, *remap, "--message", "ABCDEFGHIJKLMNOP",
+               "--key", "k1", "--rate", "0.2", "--out", str(tmp_path / "wm")])
+    assert emb["embedded"] and emb["carriers"] == 100
+    ext = run(["extract", str(tmp_path / "wm"), "--key", "k1",
+               "--nonce", emb["nonce_hex"], "--rate", "0.2"])
+    assert ext["success"] and ext["message"] == "ABCDEFGHIJKLMNOP"
+    atk = run(["attack", str(tmp_path / "wm"), "--kind", "subset",
+               "--ratio", "0.8", "--out", str(tmp_path / "atk")])
+    assert 300 < atk["rows"] < 500
+    ev = run(["evaluate", tab, *remap])
+    assert ev["ber"] == 0.0 and ev["crc_valid_rate"] == 1.0
