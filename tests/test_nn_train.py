@@ -150,3 +150,14 @@ def test_adaptive_training_and_noise_tables():
     assert 0.15 <= tp["clean_ratio"] <= 0.6
     npar = adaptive_noise_params(384)
     assert len(npar["gauss_levels"]) == 3 and npar["val_quant"] >= 6
+
+
+def test_progress_callback_fires_per_epoch():
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((300, 64))
+    seen = []
+    train_reference_codec(
+        X, epochs=3, batch_size=128, seed=1,
+        progress_callback=lambda ep, total, m: seen.append((ep, total, m["val_ber"])),
+    )
+    assert [(e, t) for e, t, _ in seen] == [(1, 3), (2, 3), (3, 3)]

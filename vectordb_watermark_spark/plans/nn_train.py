@@ -387,6 +387,7 @@ def train_reference_codec(
     seed: int = 42,
     msg_len: int = MSG_BITS,
     model_out: str | None = None,
+    progress_callback=None,
 ) -> dict:
     """Full reference training lifecycle in numpy.  Returns
     ``{"ckpt": {"enc", "dec"}, "history": [...], "best_val_ber": float,
@@ -485,6 +486,10 @@ def train_reference_codec(
             "epoch": ep, "train_ber": ep_ber / steps_per_epoch,
             "val_ber": val_ber, "lam": lam, "delta_scale": delta_scale,
         })
+        if progress_callback is not None:
+            # same shape as the reference's per-epoch callback payload
+            # (ref trainer.py:373-381) minus the loss decomposition
+            progress_callback(ep, epochs, history[-1])
         if val_ber < best["val_ber"] - 0.0005:
             best = {
                 "val_ber": val_ber,
