@@ -214,10 +214,11 @@ def dup_token_fraction(text: Column) -> Column:
     collapse to token-level for single-line documents)."""
     toks = tokens(F.lower(text))
     n = F.size(toks)
-    return F.round(
-        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1)),
-        6,
+    frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n, F.lit(1)
     )
+    # n = 0 would read as "all tokens are repeats" (1 - 0/1); define it as 0
+    return F.when(n > 0, F.round(frac, 6)).otherwise(F.lit(0.0))
 
 
 def top_bigram_fraction(text: Column) -> Column:
@@ -295,8 +296,9 @@ def redact_pii(text: Column) -> Column:
 def sql_dup_token_fraction(text_col: str) -> str:
     toks = sql_tokens(f"lower({text_col})")
     return (
+        f"CASE WHEN len({toks}) > 0 THEN "
         f"round(1.0 - CAST(len(list_distinct({toks})) AS DOUBLE)"
-        f" / greatest(len({toks}), 1), 6)"
+        f" / greatest(len({toks}), 1), 6) ELSE 0.0 END"
     )
 
 
@@ -318,9 +320,11 @@ def sql_top_bigram_fraction(text_col: str) -> str:
 
 def sql_mean_token_len(text_col: str) -> str:
     toks = sql_tokens(f"lower({text_col})")
+    # coalesce: DuckDB's list_aggregate([], 'sum') is NULL, Spark's
+    # zero-init fold is 0.0 (divergence caught by the cross-engine fuzz)
     return (
-        f"round(list_aggregate(list_transform({toks},"
-        f" x -> CAST(length(x) AS DOUBLE)), 'sum')"
+        f"round(coalesce(list_aggregate(list_transform({toks},"
+        f" x -> CAST(length(x) AS DOUBLE)), 'sum'), 0.0)"
         f" / greatest(len({toks}), 1), 6)"
     )
 
