@@ -72,3 +72,61 @@ def test_text_twins_agree_on_arbitrary_text(spark, fuzz_con, texts):
                 assert gv == pytest.approx(wv, abs=1e-9), (name, g["doc_id"], gv, wv, texts[g["doc_id"]])
             else:
                 assert gv == wv, (name, g["doc_id"], gv, wv, texts[g["doc_id"]])
+
+
+_pii_text = st.lists(
+    st.sampled_from([
+        "plain words here", "a.b+c@ex-site.org", "b@x.io,", "x@y", "@@",
+        "+1 555-0100", "(415) 555 2671", "12345678901", "555", "a@b.co end",
+        "tel: +44 (0) 20 7946 0958 ok", "dot.dot@sub.domain.example.com",
+    ]),
+    min_size=1, max_size=6,
+).map(" ".join)
+
+
+@given(st.lists(_pii_text, min_size=1, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_pii_twins_agree(spark, fuzz_con, texts):
+    """Email/phone patterns must behave identically under Java regex (Spark)
+    and RE2 (DuckDB) — counts AND the redacted strings themselves."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    n_email, n_phone = T.pii_counts(F.col("text"))
+    got = (
+        df.select("doc_id", n_email.alias("e"), n_phone.alias("p"),
+                  T.redact_pii(F.col("text")).alias("red"))
+        .orderBy("doc_id").collect()
+    )
+    fuzz_con.execute("CREATE OR REPLACE TABLE fz2(doc_id INT, text VARCHAR)")
+    fuzz_con.executemany("INSERT INTO fz2 VALUES (?, ?)", rows)
+    pii = T.sql_pii("text")
+    want = fuzz_con.execute(
+        f"SELECT doc_id, {pii['n_email']} AS e, {pii['n_phone']} AS p, "
+        f"{pii['redacted']} AS red FROM fz2 ORDER BY doc_id"
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert (g["e"], g["p"], g["red"]) == (w[1], w[2], w[3]), texts[g["doc_id"]]
+
+
+@given(st.lists(st.integers(0, 2**40), min_size=1, max_size=20, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_keyed_hash_twins_agree(spark, fuzz_con, ids):
+    """keyed_uniform / word60 — the engine's only 'randomness' — must be
+    bit-identical across engines for arbitrary ids."""
+    from vectordb_watermark_spark.functions import hashing as H
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    hexc = H.keyed_hash_hex("fz", F.col("id"))
+    got = (
+        df.select("id", H.hash_uniform(hexc).alias("u"), H.word60(hexc).alias("w"))
+        .orderBy("id").collect()
+    )
+    fuzz_con.execute("CREATE OR REPLACE TABLE fz3(id BIGINT)")
+    fuzz_con.executemany("INSERT INTO fz3 VALUES (?)", [(i,) for i in ids])
+    hx = H.sql_keyed_hash_hex("'fz'", "id")
+    want = fuzz_con.execute(
+        f"SELECT id, {H.sql_hash_uniform(hx)} AS u, {H.sql_word60(hx)} AS w "
+        "FROM fz3 ORDER BY id"
+    ).fetchall()
+    for g, w in zip(got, want):
+        assert g["u"] == pytest.approx(w[1], abs=0) and g["w"] == w[2], g["id"]
