@@ -877,6 +877,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return pack_sequences(_docs(spark, sf), token_budget=256, n_groups=8)
 
+    def source_mix(spark, sf):  # training-mix audit (domain weighting input)
+        from vectordb_watermark_spark.operators.quality import source_mix as S
+
+        return S(_docs(spark, sf))
+
+    def source_capped_sample(spark, sf):  # domain capping (per-source reservoir)
+        from vectordb_watermark_spark.operators.quality import cap_per_source
+
+        return cap_per_source(_docs(spark, sf), max_per_source=15).select(
+            "doc_id", "source"
+        )
+
     def codec_eval(spark, sf):  # reference test.py harness (P6/P7 eval)
         # Inequality-contract oracle: OrthogonalCodec decodes clean data
         # exactly, so zero BER / full CRC validity / the documented fidelity
@@ -1118,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_logfreq_score": corpus_logfreq_score,
         "quality_resample": quality_resample,
         "codec_eval": codec_eval,
+        "source_mix": source_mix,
+        "source_capped_sample": source_capped_sample,
         # -- never driver-checked before r3 ---------------------------------
         "corpus_curation": corpus_curation,
         "dedup_components": dedup_components,
@@ -1163,10 +1177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_vote_events": robust_vote_events,
         "sample_keyed": sample_keyed,
         "sample_stratified": sample_stratified,
-        "semi_join_carriers": semi_join_carriers,
-        "anti_join_subset": anti_join_subset,
         # ---- anything below this line is outside a 50-query driver window;
         # ---- every entry here was hash-green in at least one prior round.
+        "semi_join_carriers": semi_join_carriers,
+        "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
         "attack_subset": attack_subset,
         "attack_mean_replace": attack_mean_replace,
@@ -2026,6 +2040,23 @@ def oracle_sql() -> dict[str, str]:
                    {T.sql_pii('text')['n_phone']} AS n_phone,
                    sha256({T.sql_pii('text')['redacted']}) AS redacted_sha
             FROM p""",
+        "source_mix": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum({T.sql_token_count('lower(text)')}) AS BIGINT) AS n_tokens,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (SELECT count(*) FROM documents), 6) AS doc_share
+            FROM documents GROUP BY source""",
+        "source_capped_sample": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {sql_keyed_uniform("'srccap'", 'doc_id')} ASC,
+                                doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 15""",
         # Inequality contract: constants hold iff the codec's clean decode
         # is exact and fidelity clears the documented 64-d floor.
         "codec_eval": """

@@ -453,3 +453,17 @@ def test_corpus_logfreq_score_separates_common_from_rare(spark):
     got2 = {r["doc_id"]: r["logfreq_score"]
             for r in corpus_logfreq_score(df, vocab=vocab).collect()}
     assert got == got2
+
+
+def test_cap_per_source_bounds_and_determinism(spark, docs):
+    from vectordb_watermark_spark.operators.quality import cap_per_source, source_mix
+
+    capped = cap_per_source(docs, max_per_source=10)
+    per = {r["source"]: r["count"] for r in capped.groupBy("source").count().collect()}
+    assert per and all(v <= 10 for v in per.values())
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in cap_per_source(docs.repartition(11), 10).collect())
+    assert a == b, "per-source reservoir must be partitioning-independent"
+    mix = {r["source"]: r for r in source_mix(docs).collect()}
+    assert abs(sum(r["doc_share"] for r in mix.values()) - 1.0) < 1e-4
+    assert all(r["n_tokens"] > 0 for r in mix.values())

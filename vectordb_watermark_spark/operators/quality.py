@@ -75,3 +75,55 @@ def corpus_logfreq_score(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "logfreq_score")
     )
+
+
+def source_mix(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Training-mix audit: per-source document count, token mass, and share
+    of the corpus — the inputs to any domain-weighting decision (Pile-style
+    source weights).  One map-side-combined groupBy; the share join is a
+    1-row broadcast."""
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_docs").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("__t"), 6).alias("doc_share"),
+        )
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    max_per_source: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    key: str = "srccap",
+) -> DataFrame:
+    """Domain capping: keep at most ``max_per_source`` documents per source,
+    chosen by keyed-hash order — a deterministic per-domain reservoir that
+    bounds any one source's share of the training mix.
+
+    One shuffle on ``source``; the rank is a window per source key.  A
+    source so hot that its window partition is a straggler is better served
+    by rate-based stratified sampling (functions/hashing keyed sampling with
+    per-source rates from :func:`source_mix`) — exact caps need per-key
+    order, rates do not.
+    """
+    from vectordb_watermark_spark.functions.hashing import keyed_uniform
+    from pyspark.sql import Window
+
+    u = keyed_uniform(key, F.col(id_col))
+    w = Window.partitionBy(source_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_per_source)
+        .drop("__rk")
+    )
