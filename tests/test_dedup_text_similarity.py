@@ -467,3 +467,36 @@ def test_cap_per_source_bounds_and_determinism(spark, docs):
     mix = {r["source"]: r for r in source_mix(docs).collect()}
     assert abs(sum(r["doc_share"] for r in mix.values()) - 1.0) < 1e-4
     assert all(r["n_tokens"] > 0 for r in mix.values())
+
+
+def test_ivf_persisted_index_prunes_partitions_and_recalls(spark, vectors, tmp_path):
+    """The persisted IVF index must (a) prune to the probed centroid
+    partitions at plan time, (b) agree with the in-memory IVF search, and
+    (c) recall most of the brute-force top-k."""
+    import contextlib
+    import io
+
+    from vectordb_watermark_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_topk_cosine,
+        ivf_write_index,
+        topk_cosine,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(vectors, idx, n_centroids=16, key="ivf")
+    qv = [float(x) for x in vectors.filter(F.col("id") == 0).first()["emb"]]
+    probe_df = ivf_query_index(spark, idx, qv, k=10, n_probe=6)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    got = [r["id"] for r in probe_df.collect()]
+    mem = [r["id"] for r in ivf_topk_cosine(vectors, qv, k=10, n_centroids=16,
+                                            n_probe=6, key="ivf").collect()]
+    assert got == mem, "persisted and in-memory IVF must agree"
+    brute = {r["id"] for r in topk_cosine(vectors, qv, 10).collect()}
+    assert len(set(got) & brute) >= 7, (got, brute)

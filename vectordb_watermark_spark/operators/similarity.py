@@ -342,3 +342,61 @@ def ivf_topk_cosine(
         "left_semi",
     )
     return topk_cosine(sub, query_vec, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    key: str = "ivf",
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> list[list[float]]:
+    """Persist an IVF index (S12 index-build sink, the ANN-at-scale path):
+    vectors land under ``path`` hive-partitioned by their coarse centroid,
+    and the centroid table beside them.
+
+    The payoff is at QUERY time: :func:`ivf_query_index` filters on
+    ``centroid IN (n_probe nearest)`` and Spark's partition pruning reads
+    ONLY those directories — a top-k over 100 TB touches ~n_probe/n_centroids
+    of the files, with no index server and no per-row structure (the
+    directory layout IS the inverted file).  Rebuild cadence is a data
+    freshness choice; appends go to their centroid partition.
+    """
+    assigned, centroids = ivf_assign(
+        df, n_centroids, n_iters=n_iters, key=key, id_col=id_col, vec_col=vec_col
+    )
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assigned, "id"
+    )
+    rows.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k cosine against a persisted IVF index: read the (tiny) centroid
+    table, pick the ``n_probe`` nearest, and scan ONLY their partitions —
+    the ``centroid IN (...)`` predicate is a partition filter, so pruning
+    happens at plan time (asserted in tests), not per row."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        ((float(((np.asarray(r["cvec"]) - q) ** 2).sum()), r["centroid"]) for r in cents)
+    )
+    probe = [c for _, c in order[:n_probe]]
+    sub = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe))
+    return topk_cosine(sub, query_vec, k, "id", "v")
