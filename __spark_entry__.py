@@ -809,10 +809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.minhash_candidate_pairs(_docs(spark, sf))
 
     def dedup_jaccard_pairs(spark, sf):
-        return D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35)
+        return D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35, auto_rows=None)
 
     def dedup_ngram_jaccard(spark, sf):
-        return D.ngram_jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.5)
+        return D.ngram_jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.5, auto_rows=None)
 
     def dedup_components(spark, sf):
         # near-dup clustering: minhash candidates -> connected components
@@ -950,7 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.topk_cosine(df.filter(F.col("id") != 0), qv, k=10)
 
     def cosine_neardup(spark, sf):
-        return S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
+        return S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35, method="gemm")
 
     # ---- training-data pipeline: end-to-end compositions ----
 
@@ -1031,8 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosine >= 0.35 anti-joined against token-Jaccard >= 0.35 pairs —
         # the pairs worth keeping when near-dup dedup would wrongly collapse
         # genuine paraphrases (documents and embeddings share the id space)
-        emb_pairs = S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35)
-        tok_pairs = D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35).select("a", "b")
+        emb_pairs = S.cosine_neardup_pairs(_vectors(spark, sf), threshold=0.35, method="gemm")
+        tok_pairs = D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35, auto_rows=None).select("a", "b")
         return emb_pairs.join(tok_pairs, ["a", "b"], "left_anti")
 
     def carriers_by_threshold(spark, sf):  # J6 legacy threshold selection
@@ -1328,10 +1328,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # Inequality contract, not an equivalence: DuckDB pins the expected
         # constant row; Spark reproduces it iff LSH recall >= min_recall.
-        "knn_lsh_recall": """
+        "knn_lsh_recall": f"""
             SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
                    CAST(0.95 AS DOUBLE) AS min_recall,
-                   CAST(16 AS INT) AS k""",
+                   CAST({KNN_K} AS INT) AS k""",
         "point_lookup": f"""
             SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
                    round({_NORM_SQL}, 5) + 0.0 AS norm

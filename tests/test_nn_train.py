@@ -161,3 +161,21 @@ def test_progress_callback_fires_per_epoch():
         progress_callback=lambda ep, total, m: seen.append((ep, total, m["val_ber"])),
     )
     assert [(e, t) for e, t, _ in seen] == [(1, 3), (2, 3), (3, 3)]
+
+
+def test_torch_codec_nondefault_msg_len_roundtrip(tmp_path):
+    """A codec trained at msg_len != 24 must encode/decode through the
+    PUBLIC batch interface (bit packing honors msg_len, not the default)."""
+    rng = np.random.default_rng(5)
+    out_path = str(tmp_path / "best8.npz")
+    train_reference_codec(rng.standard_normal((400, 64)), epochs=2,
+                          batch_size=128, seed=9, msg_len=8, model_out=out_path)
+    from vectordb_watermark_spark.plans.codec import TorchCodec
+
+    codec = TorchCodec(64, checkpoint_path=out_path, msg_len=8)
+    V = rng.standard_normal((6, 64)).astype(np.float32)
+    msgs = rng.integers(0, 1 << 8, size=6)
+    W = codec.encode_batch(V, msgs)
+    assert W.shape == (6, 64)
+    out = codec.decode_batch(W)
+    assert ((0 <= out) & (out < (1 << 8))).all()

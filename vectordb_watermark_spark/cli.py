@@ -51,10 +51,6 @@ def cmd_connect(args) -> dict:  # /api/connect + /api/tables
     return {"connected": True, "tables": list_tables(spark)}
 
 
-def cmd_tables(args) -> dict:  # /api/tables
-    return cmd_connect(args)
-
-
 def cmd_columns(args) -> dict:  # /api/columns (vector columns flagged)
     from vectordb_watermark_spark.sources.catalog import (
         list_vector_columns,
@@ -156,6 +152,8 @@ def cmd_extract(args) -> dict:  # /api/extract-watermark
 def cmd_attack(args) -> dict:  # attack/*.py scripts
     from vectordb_watermark_spark.operators import attacks as A
 
+    if args.kind == "truncate" and args.keep_dims is None:
+        raise SystemExit("attack --kind truncate requires --keep-dims")
     spark = _spark(args)
     df = _load(spark, args)
     if args.kind == "gaussian":

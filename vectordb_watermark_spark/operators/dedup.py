@@ -304,16 +304,20 @@ def _auto_candidates(
     pairs: DataFrame | None,
     id_col: str,
     text_col: str,
-    auto_rows: int,
+    auto_rows: int | None,
     total: int | None,
 ) -> DataFrame | None:
     """pairs=None policy shared by the Jaccard verifiers: keep the exact
     all-pairs generator only below ``auto_rows`` rows; beyond it, default
     to MinHash-LSH candidates so the verifier is never O(N^2) by accident
     (precision stays exact — every emitted pair is re-verified — recall
-    becomes MinHash-LSH's)."""
+    becomes MinHash-LSH's).  ``auto_rows=None`` pins the exact path without
+    issuing the count job (callers asserting exactness, e.g. the oracle
+    gate, use this)."""
     if pairs is not None:
         return pairs
+    if auto_rows is None:
+        return None
     n = total if total is not None else df.count()
     if n > auto_rows:
         return minhash_candidate_pairs(df, id_col=id_col, text_col=text_col)
@@ -326,7 +330,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    auto_rows: int = JACCARD_AUTO_ROWS,
+    auto_rows: int | None = JACCARD_AUTO_ROWS,
     total: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard ``(a, b, jaccard)`` for candidate ``pairs``.
@@ -420,7 +424,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     width: int = NGRAM_WIDTH,
     threshold: float = 0.5,
-    auto_rows: int = JACCARD_AUTO_ROWS,
+    auto_rows: int | None = JACCARD_AUTO_ROWS,
     total: int | None = None,
 ) -> DataFrame:
     """Character n-gram Jaccard ``(a, b, jaccard)``: token-order-insensitive

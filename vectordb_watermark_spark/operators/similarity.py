@@ -145,7 +145,7 @@ def cosine_neardup_pairs(
     vec_col: str = "emb",
     method: str = "auto",
     batch_rows: int = 2048,
-    auto_rows: int = NEARDUP_AUTO_ROWS,
+    auto_rows: int | None = NEARDUP_AUTO_ROWS,
     neighbor_k: int = 32,
     total: int | None = None,
 ) -> DataFrame:
@@ -170,9 +170,12 @@ def cosine_neardup_pairs(
     the oracle anchor / no-numpy fallback.
     """
     if method == "auto":
-        n = total if total is not None else df.count()
-        method = "gemm" if n <= auto_rows else "lsh"
-        total = n
+        if auto_rows is None:  # pin exact without the count job
+            method = "gemm"
+        else:
+            n = total if total is not None else df.count()
+            method = "gemm" if n <= auto_rows else "lsh"
+            total = n
     if method == "lsh":
         from vectordb_watermark_spark.operators.knn import knn_edges_lsh
 

@@ -41,15 +41,16 @@ import numpy as np
 MSG_BITS = 24
 
 
-def _msg_to_bits(msgs: np.ndarray) -> np.ndarray:
-    """(B,) packed 24-bit ints -> (B, 24) float {0,1}, MSB first."""
-    shifts = np.arange(MSG_BITS - 1, -1, -1)
+def _msg_to_bits(msgs: np.ndarray, width: int = MSG_BITS) -> np.ndarray:
+    """(B,) packed ``width``-bit ints -> (B, width) float {0,1}, MSB first."""
+    shifts = np.arange(width - 1, -1, -1)
     return ((msgs[:, None] >> shifts[None, :]) & 1).astype(np.float64)
 
 
 def _bits_to_msg(bits: np.ndarray) -> np.ndarray:
-    """(B, 24) {0,1} -> (B,) packed ints, MSB first."""
-    shifts = np.arange(MSG_BITS - 1, -1, -1)
+    """(B, width) {0,1} -> (B,) packed ints, MSB first."""
+    width = bits.shape[1]
+    shifts = np.arange(width - 1, -1, -1)
     return (bits.astype(np.int64) << shifts[None, :]).sum(axis=1)
 
 
@@ -470,7 +471,7 @@ class TorchCodec:
         V = np.asarray(vectors, dtype=np.float64)
         norms = np.linalg.norm(V, axis=1, keepdims=True)
         v_n = V / (norms + 1e-8)
-        bits = _msg_to_bits(np.asarray(msgs))
+        bits = _msg_to_bits(np.asarray(msgs), self.msg_len)
         w = v_n + self._encode_delta(v_n, bits)
         w /= np.linalg.norm(w, axis=1, keepdims=True) + 1e-12
         return (w * norms).astype(np.float32)

@@ -24,7 +24,12 @@ and the full training lifecycle runs in numpy:
 - messages: 4-bit block index + CRC-4(0x3) + random 16-bit payload per
   sample (ref dataset.py:26-45);
 - early-stop bookkeeping: best-val-BER checkpoint with 0.0005 margin
-  (ref trainer.py:383-390).
+  (ref trainer.py:383-390).  Caveat inherited FROM the reference: validation
+  (and therefore checkpoint selection) runs at the epoch-grown delta_scale
+  (up to 1.5x base, ref trainer.py:299-301), while inference reconstructs
+  the BASE adaptive delta — reported best_val_ber is measured at a slightly
+  stronger embed than a freshly loaded codec uses.  Kept for parity; pass an
+  explicit delta at inference to reproduce the validated operating point.
 
 Everything is driven by one ``numpy.random.Generator`` — deterministic given
 the seed, unlike the reference's global torch/np/random soup.  Gradients are

@@ -207,6 +207,11 @@ def read_jdbc_vectors(
             f"(SELECT min({id_col}) AS lo, max({id_col}) AS hi FROM {table}) __bounds",
             properties=props,
         ).first()
+        if probe["lo"] is None or probe["hi"] is None:
+            raise ValueError(
+                f"cannot derive id bounds: {table} is empty — pass "
+                "lower/upper explicitly or load the table another way"
+            )
         lower = int(probe["lo"]) if lower is None else lower
         upper = int(probe["hi"]) if upper is None else upper
     df = spark.read.jdbc(

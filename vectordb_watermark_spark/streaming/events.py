@@ -333,7 +333,8 @@ def continuous_rollup(
         # delete(target) and rename(staged, target) — finish that swap
         # before reading, so the accumulated history is never lost.
         if not fs.exists(target) and fs.exists(staged):
-            fs.rename(staged, target)
+            if not fs.rename(staged, target):
+                raise RuntimeError(f"rollup swap recovery failed: {staged} -> {target}")
         if fs.exists(target):
             base = spark.read.parquet(rollup_path).withColumn(
                 "rk", F.concat_ws("|", F.col("window_start"), F.col("event_type"))
@@ -349,8 +350,14 @@ def continuous_rollup(
         # rollup tables are small (one row per window x type); a staged full
         # rewrite per refresh is the parquet-only equivalent of MERGE INTO
         merged.write.mode("overwrite").parquet(staged.toString())
-        fs.delete(target, True)
-        fs.rename(staged, target)
+        # Hadoop FS delete/rename signal failure via their return value, not
+        # an exception; a silently failed swap would drop this batch's
+        # updates while the checkpoint commits — fail the micro-batch
+        # instead so the checkpointed retry re-runs it.
+        if fs.exists(target) and not fs.delete(target, True):
+            raise RuntimeError(f"rollup swap: could not delete {target}")
+        if not fs.rename(staged, target):
+            raise RuntimeError(f"rollup swap: rename failed {staged} -> {target}")
 
     return (
         agg.writeStream.outputMode("update")
