@@ -254,6 +254,25 @@ def test_train_learned_codec_spark_wrapper(spark, tmp_path):
     w = codec.encode_batch(np.ones((2, 64), dtype=np.float32), np.array([1, 2]))
     assert w.shape == (2, 64)
 
+    # the check-model-first flow must now SEE the learned checkpoint:
+    # model_exists probes both kinds and load_codec returns the TorchCodec
+    # (previously it silently fell back to OrthogonalCodec — embed/extract
+    # never picked up a learned model)
+    from vectordb_watermark_spark.training import load_codec, model_exists, model_info
+
+    assert model_exists(64, str(tmp_path))
+    info = model_info(64, str(tmp_path))
+    assert info["learned_exists"] and info["active"] == "learned"
+    assert not info["calibrated_exists"]
+    loaded = load_codec(64, "any-key", str(tmp_path))
+    assert isinstance(loaded, TorchCodec)
+    # and the loaded codec decodes what it encodes (sanity, not accuracy)
+    got = loaded.decode_batch(loaded.encode_batch(
+        np.random.default_rng(0).standard_normal((4, 64)).astype(np.float32),
+        np.array([5, 6, 7, 8]),
+    ))
+    assert got.shape == (4,)
+
 
 def test_cli_verbs_roundtrip(spark, tmp_path):
     """The reference's backend API verbs as CLI subcommands: catalog probes,

@@ -85,13 +85,11 @@ def cmd_dim(args) -> dict:  # /api/get_vector_dimension
 
 
 def cmd_check_model(args) -> dict:  # /api/check_model
-    from vectordb_watermark_spark.training import model_exists, model_path
+    # reports BOTH checkpoint kinds (learned .npz / calibrated .json) and
+    # which one embed/extract would actually load (training.load_codec)
+    from vectordb_watermark_spark.training import model_info
 
-    return {
-        "dimension": args.dimension,
-        "exists": model_exists(args.dimension, args.results_dir),
-        "path": model_path(args.dimension, args.results_dir),
-    }
+    return {"dimension": args.dimension, **model_info(args.dimension, args.results_dir)}
 
 
 def cmd_train(args) -> dict:  # /api/train_model

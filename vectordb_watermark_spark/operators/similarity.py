@@ -159,8 +159,15 @@ def cosine_neardup_pairs(
     ``method='lsh'``: candidates from :func:`knn_edges_lsh` (``neighbor_k``
     bucket-local neighbors per row), verified with the exact cosine
     expression — precision is exact (every emitted pair really clears the
-    threshold); recall is the LSH graph's (contract-tested >= 0.95).  One
-    shuffle per LSH table side + two bounded equi-joins; nothing all-pairs.
+    threshold).  Recall is **per-row top-k bounded**: a row contributes at
+    most its ``neighbor_k`` nearest candidates, so in a dense duplicate
+    cluster with more than ``neighbor_k`` near-dups per row the *pair*
+    recall drops below the kNN-graph edge-recall contract (>= 0.95 is the
+    graph contract, not a pair guarantee).  Connected-components dedup is
+    unaffected (any one edge into the cluster merges it); for full pair
+    enumeration in dense clusters raise ``neighbor_k`` toward the expected
+    cluster size.  One shuffle per LSH table side + two bounded equi-joins;
+    nothing all-pairs.
 
     ``method='gemm'``: exact all-pairs — O(N^2) work, for moderate N or
     within blocking keys.  The build side (id, vec) is broadcast and each

@@ -377,8 +377,14 @@ class TorchCodec:
 
     Interface matches :class:`OrthogonalCodec` (encode_batch/decode_batch on
     packed 24-bit messages) so pipelines swap codecs without change.  Norm
-    handling mirrors the reference (pg_func.py:363-377): encode on the
-    L2-normalized vector, restore the cover norm.
+    handling: encode on the L2-normalized vector, then restore the cover
+    norm.  Deliberate deviation from the reference (pg_func.py:363-377),
+    which multiplies the raw stego (norm ~1±delta_scale) by the cover norm —
+    here the stego is re-unit-normalized first so the output norm equals the
+    cover norm EXACTLY (the P5 norm save/restore contract).  Decode is
+    invariant to this (decode_batch re-normalizes its input), so extraction
+    parity with a torch run is unaffected; only output norms differ, by the
+    ~(1±delta_scale) factor the reference leaks.
     """
 
     def __init__(self, dim: int, checkpoint_path: str | None = None,

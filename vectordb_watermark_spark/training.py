@@ -43,14 +43,48 @@ DEFAULT_RESULTS_DIR = "results"
 
 
 def model_path(dim: int, results_dir: str = DEFAULT_RESULTS_DIR) -> str:
-    """Per-dimension checkpoint path — same scheme as the reference's
-    ``results/vector_{D}d/best.pt`` (configs/config.py:39-53), JSON here."""
+    """Per-dimension *calibrated* checkpoint path — same scheme as the
+    reference's ``results/vector_{D}d/best.pt`` (configs/config.py:39-53),
+    JSON here (written by :func:`train_codec`)."""
     return os.path.join(results_dir, f"vector_{dim}d", "best.json")
 
 
+def learned_model_path(dim: int, results_dir: str = DEFAULT_RESULTS_DIR) -> str:
+    """Per-dimension *learned* checkpoint path (written by
+    :func:`train_learned_codec`): the torch-interoperable ``.npz`` twin of
+    the reference's ``best.pt``, loadable by
+    :class:`~vectordb_watermark_spark.plans.codec.TorchCodec`."""
+    return os.path.join(results_dir, f"vector_{dim}d", "best.npz")
+
+
 def model_exists(dim: int, results_dir: str = DEFAULT_RESULTS_DIR) -> bool:
-    """C6 model-exists probe (reference backend/app.py:150-164)."""
-    return os.path.exists(model_path(dim, results_dir))
+    """C6 model-exists probe (reference backend/app.py:150-164).
+
+    True when EITHER checkpoint kind is present — the learned ``.npz``
+    (train_learned_codec) or the calibrated ``.json`` (train_codec) — so the
+    check-model → train → embed loop picks up whichever trainer ran."""
+    return os.path.exists(learned_model_path(dim, results_dir)) or os.path.exists(
+        model_path(dim, results_dir)
+    )
+
+
+def model_info(dim: int, results_dir: str = DEFAULT_RESULTS_DIR) -> dict:
+    """Checkpoint inventory for the check-model verb: which kinds exist and
+    which one :func:`load_codec` would pick."""
+    learned = learned_model_path(dim, results_dir)
+    calibrated = model_path(dim, results_dir)
+    has_learned = os.path.exists(learned)
+    has_calibrated = os.path.exists(calibrated)
+    return {
+        "exists": has_learned or has_calibrated,
+        "learned_path": learned,
+        "learned_exists": has_learned,
+        "calibrated_path": calibrated,
+        "calibrated_exists": has_calibrated,
+        "active": "learned" if has_learned else (
+            "calibrated" if has_calibrated else "default"
+        ),
+    }
 
 
 def get_training_data(
@@ -163,11 +197,22 @@ def train_codec(
     return ckpt
 
 
-def load_codec(dim: int, key: str, results_dir: str = DEFAULT_RESULTS_DIR) -> OrthogonalCodec:
-    """Load a calibrated codec (falls back to adaptive default when no
-    checkpoint exists — same check-model-first flow as the reference
-    pipeline, pg_func.py:683)."""
-    if model_exists(dim, results_dir):
+def load_codec(dim: int, key: str, results_dir: str = DEFAULT_RESULTS_DIR):
+    """Load the best available codec for this dimension — same
+    check-model-first flow as the reference pipeline (pg_func.py:683).
+
+    Preference order mirrors the reference (whose ``best.pt`` is always the
+    learned model): a learned ``.npz`` checkpoint
+    (:func:`train_learned_codec`) loads as a
+    :class:`~vectordb_watermark_spark.plans.codec.TorchCodec`; else a
+    calibrated ``.json`` (:func:`train_codec`) sets the OrthogonalCodec
+    delta; else the adaptive default OrthogonalCodec."""
+    npz = learned_model_path(dim, results_dir)
+    if os.path.exists(npz):
+        from vectordb_watermark_spark.plans.codec import TorchCodec
+
+        return TorchCodec(dim, checkpoint_path=npz)
+    if os.path.exists(model_path(dim, results_dir)):
         with open(model_path(dim, results_dir)) as f:
             ckpt = json.load(f)
         return OrthogonalCodec(dim, key, delta=ckpt["delta"])
@@ -203,7 +248,7 @@ def train_learned_codec(
     pdf = get_training_data(df, vec_col, limit=sample_limit).toPandas()
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     dim = X.shape[1]
-    out_path = model_path(dim, results_dir)[: -len(".json")] + ".npz"
+    out_path = learned_model_path(dim, results_dir)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     result = train_reference_codec(
         X, vec_dim=dim, epochs=epochs, batch_size=batch_size,
