@@ -500,3 +500,32 @@ def test_ivf_persisted_index_prunes_partitions_and_recalls(spark, vectors, tmp_p
     assert got == mem, "persisted and in-memory IVF must agree"
     brute = {r["id"] for r in topk_cosine(vectors, qv, 10).collect()}
     assert len(set(got) & brute) >= 7, (got, brute)
+
+
+def test_ivf_build_reads_source_through_cache(spark, vectors):
+    """IVF build-time scan discipline: every pass after the persist — Lloyd
+    means, final assignment, index write — must read the InMemoryRelation,
+    not re-scan the source (one source scan total at 100 TB)."""
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _ivf_base,
+        _ivf_train,
+        ivf_assign,
+    )
+
+    base = _ivf_base(vectors, "id", "emb")
+    try:
+        cents = _ivf_train(base, 8, 2, "ivf")
+        plan = _ivf_assign_pass(base, cents)._jdf.queryExecution().toString()
+        assert "InMemoryRelation" in plan, plan
+    finally:
+        base.unpersist()
+
+    # the public entry materializes its assignment table through the cache
+    # and releases the base cache before returning
+    n_cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assigned, cents = ivf_assign(vectors, n_centroids=8, n_iters=1)
+    assert assigned.count() == vectors.count()
+    assert len(cents) == 8
+    assigned.unpersist()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_cached_before + 1

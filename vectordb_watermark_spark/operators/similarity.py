@@ -261,57 +261,54 @@ def ivf_assign(
 
     Seeds are the ``n_centroids`` rows with the smallest sha2(key|id) — a
     deterministic, order-free "random" sample.  Each Lloyd iteration is one
-    assignment pass (JVM-side distances against centroid literals) + one
+    assignment pass (Arrow GEMM against the centroid matrix) + one
     posexplode mean aggregation.  Returns (assignments ``(id, centroid)``,
     centroid list).  Centroid count is small (driver-side list) — the 100 TB
     scaling dimension is rows, not centroids.
+
+    Source-scan discipline: the ``(id, v)`` projection is persisted
+    (MEMORY_AND_DISK) before the Lloyd loop, so the seed sample, the
+    ``n_iters`` mean passes, and the final assignment all read the cache —
+    ONE source scan total at build time.  The returned assignment table
+    (``(id, centroid)``, a few bytes per row ≈ 0.01% of the vector bytes)
+    is itself persisted and materialized before the base cache is released;
+    the caller may ``.unpersist()`` it when done.
     """
+    base = _ivf_base(df, id_col, vec_col)
+    try:
+        centroids = _ivf_train(base, n_centroids, n_iters, key)
+        assigned = _ivf_assign_pass(base, centroids).select("id", "centroid").persist()
+        assigned.count()
+    finally:
+        base.unpersist()
+    return assigned, centroids
+
+
+def _ivf_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Persisted ``(id, v)`` projection shared by every IVF build pass."""
+    from pyspark import StorageLevel
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
+def _ivf_train(
+    base: DataFrame, n_centroids: int, n_iters: int, key: str
+) -> list[list[float]]:
+    """Lloyd training over a persisted ``(id, v)`` base; returns centroids."""
     from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
 
-    import numpy as np
-
     seeds = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  keyed_hash_hex(key, "seed", F.col(id_col)).alias("h"))
+        base.select("id", "v", keyed_hash_hex(key, "seed", F.col("id")).alias("h"))
         .orderBy("h")
         .limit(n_centroids)
         .collect()
     )
     centroids = [list(map(float, r["v"])) for r in seeds]
 
-    def assign(cents: list[list[float]]) -> DataFrame:
-        # centroid-count-many literals per row would be a huge Catalyst
-        # expression tree (slow to analyze/compile); a tiny Arrow kernel
-        # against the (C, D) centroid matrix is one GEMM per batch.
-        # Ties break to the smallest centroid index (argmin).
-        C = np.asarray(cents, dtype=np.float64)
-        cn = (C * C).sum(axis=1)
-
-        def kernel(batches):
-            import pyarrow as pa
-
-            from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
-
-            for rb in batches:
-                if not rb.num_rows:
-                    continue
-                X = list_array_to_matrix(rb.column(1), dtype=np.float64)
-                d2 = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        rb.column(0),
-                        rb.column(1),
-                        pa.array(d2.argmin(axis=1).astype(np.int32), type=pa.int32()),
-                    ],
-                    names=["id", "v", "centroid"],
-                )
-
-        return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInArrow(
-            kernel, schema="id long, v array<float>, centroid int"
-        )
-
     for _ in range(n_iters):
-        assigned = assign(centroids)
+        assigned = _ivf_assign_pass(base, centroids)
         means = (
             assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
             .groupBy("centroid", "pos")
@@ -323,8 +320,42 @@ def ivf_assign(
         )
         new = {r["centroid"]: list(map(float, r["mean"])) for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
 
-    return assign(centroids).select("id", "centroid"), centroids
+
+def _ivf_assign_pass(base: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """One assignment pass ``(id, v) -> (id, v, centroid)``.
+
+    Centroid-count-many literals per row would be a huge Catalyst expression
+    tree (slow to analyze/compile); a tiny Arrow kernel against the (C, D)
+    centroid matrix is one GEMM per batch.  Ties break to the smallest
+    centroid index (argmin).
+    """
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    rb.column(1),
+                    pa.array(d2.argmin(axis=1).astype(np.int32), type=pa.int32()),
+                ],
+                names=["id", "v", "centroid"],
+            )
+
+    return base.mapInArrow(kernel, schema="id long, v array<float>, centroid int")
 
 
 def ivf_topk_cosine(
@@ -339,19 +370,30 @@ def ivf_topk_cosine(
 ) -> DataFrame:
     """IVF-pruned cosine top-k: probe only the ``n_probe`` centroids nearest
     the query, then exact re-rank inside those partitions.  Approximate
-    (recall is a tested contract); scans ~n_probe/n_centroids of the data."""
+    (recall is a tested contract); scans ~n_probe/n_centroids of the data.
+
+    One source scan total: the persisted ``(id, v)`` base feeds training,
+    the probe filter (directly on the assignment pass output — no join back
+    to the source), and the re-rank; the k result rows are materialized
+    before the cache is released.  For repeated queries against one corpus
+    build the index once with :func:`ivf_write_index` and use
+    :func:`ivf_query_index` (partition-pruned reads) instead."""
     import numpy as np
 
-    assigned, centroids = ivf_assign(df, n_centroids, key=key, id_col=id_col, vec_col=vec_col)
-    q = np.asarray(query_vec, dtype=np.float64)
-    cdist = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: (cdist[i], i))[:n_probe]
-    sub = df.join(
-        F.broadcast(assigned.filter(F.col("centroid").isin(probe)).select(F.col("id").alias(id_col))),
-        id_col,
-        "left_semi",
-    )
-    return topk_cosine(sub, query_vec, k, id_col, vec_col)
+    base = _ivf_base(df, id_col, vec_col)
+    try:
+        centroids = _ivf_train(base, n_centroids, 3, key)
+        q = np.asarray(query_vec, dtype=np.float64)
+        cdist = [float(((np.asarray(c) - q) ** 2).sum()) for c in centroids]
+        probe = sorted(range(len(centroids)), key=lambda i: (cdist[i], i))[:n_probe]
+        sub = _ivf_assign_pass(base, centroids).filter(F.col("centroid").isin(probe))
+        rows = [
+            (r["id"], r["cos"], r["rank"])
+            for r in topk_cosine(sub, query_vec, k, "id", "v").collect()
+        ]
+    finally:
+        base.unpersist()
+    return df.sparkSession.createDataFrame(rows, "id long, cos double, rank int")
 
 
 def ivf_write_index(
@@ -373,14 +415,20 @@ def ivf_write_index(
     of the files, with no index server and no per-row structure (the
     directory layout IS the inverted file).  Rebuild cadence is a data
     freshness choice; appends go to their centroid partition.
+
+    Build cost: ONE source scan.  The ``(id, v)`` projection is persisted,
+    the Lloyd loop and the final assignment read the cache, and the
+    assignment pass output (which already carries ``v``) is written directly
+    — no join back to the source, no per-iteration re-scan.
     """
-    assigned, centroids = ivf_assign(
-        df, n_centroids, n_iters=n_iters, key=key, id_col=id_col, vec_col=vec_col
-    )
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        assigned, "id"
-    )
-    rows.write.mode("overwrite").partitionBy("centroid").parquet(f"{path}/vectors")
+    base = _ivf_base(df, id_col, vec_col)
+    try:
+        centroids = _ivf_train(base, n_centroids, n_iters, key)
+        _ivf_assign_pass(base, centroids).write.mode("overwrite").partitionBy(
+            "centroid"
+        ).parquet(f"{path}/vectors")
+    finally:
+        base.unpersist()
     spark = df.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
