@@ -607,6 +607,176 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # ---- remaining TPC-H shapes (q2/q9/q11/q16/q20/q21), adapted: the test
+    # ---- schema has no partsupp table and lineitem carries no commit/receipt
+    # ---- dates, so supply-cost/lateness predicates are re-expressed over
+    # ---- lineitem with the QUERY SHAPE preserved (correlated min subquery,
+    # ---- scalar-subquery HAVING, nested INs, double EXISTS / NOT EXISTS) —
+    # ---- these shapes, not the constants, are what exercise the engine.
+
+    def q2_min_cost_supplier(spark, sf):
+        # TPC-H q2 shape: correlated MIN subquery against a derived
+        # supplier-part table (min sale price stands in for ps_supplycost —
+        # MIN over exact doubles, so the equality join is engine-exact)
+        _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+        _t(spark, sf, "part").createOrReplaceTempView("v_part")
+        _t(spark, sf, "supplier").createOrReplaceTempView("v_supplier")
+        return spark.sql("""
+            WITH ps AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                     min(l_extendedprice) AS min_price
+              FROM v_lineitem GROUP BY l_partkey, l_suppkey
+            )
+            SELECT p.p_partkey, p.p_brand, s.s_name, ps.min_price AS best_price
+            FROM v_part p
+            JOIN ps ON ps.partkey = p.p_partkey
+            JOIN v_supplier s ON ps.suppkey = s.s_suppkey
+            WHERE p.p_size <= 10
+              AND ps.min_price = (SELECT min(ps2.min_price) FROM ps ps2
+                                  WHERE ps2.partkey = p.p_partkey)
+        """)
+
+    def q9_profit_by_nation_year(spark, sf):
+        # TPC-H q9 shape: 5-way join + LIKE part filter + (nation, year)
+        # rollup; profit proxy is revenue (no ps_supplycost in this schema)
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        supp = _t(spark, sf, "supplier")
+        nat = _t(spark, sf, "nation")
+        part = _t(spark, sf, "part")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+                  li.l_partkey == F.col("p_partkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("profit")
+            )
+        )
+
+    def q11_important_stock(spark, sf):
+        # TPC-H q11 shape: scalar subquery in HAVING (per-part value vs a
+        # fraction of the same aggregate over the whole filtered corpus)
+        _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+        _t(spark, sf, "supplier").createOrReplaceTempView("v_supplier")
+        _t(spark, sf, "nation").createOrReplaceTempView("v_nation")
+        return spark.sql("""
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+            FROM v_lineitem
+            JOIN v_supplier ON s_suppkey = l_suppkey
+            JOIN v_nation ON n_nationkey = s_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            GROUP BY l_partkey
+            HAVING sum(l_extendedprice) > (
+              SELECT 0.001 * sum(l_extendedprice)
+              FROM v_lineitem
+              JOIN v_supplier ON s_suppkey = l_suppkey
+              JOIN v_nation ON n_nationkey = s_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+        """)
+
+    def q16_parts_supplier_counts(spark, sf):
+        # TPC-H q16 shape: NOT IN subquery (suppliers with negative balance
+        # standing in for the complaints filter) + IN value list +
+        # count(DISTINCT) per attribute group
+        _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+        _t(spark, sf, "part").createOrReplaceTempView("v_part")
+        _t(spark, sf, "supplier").createOrReplaceTempView("v_supplier")
+        return spark.sql("""
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 11, 17, 23, 29, 37, 41)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM v_supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """)
+
+    def q20_excess_inventory(spark, sf):
+        # TPC-H q20 shape: nested IN subqueries with a HAVING threshold on
+        # the inner grouped aggregate (suppliers who shipped >50 units of
+        # any 'small%' part in 2000)
+        _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+        _t(spark, sf, "part").createOrReplaceTempView("v_part")
+        _t(spark, sf, "supplier").createOrReplaceTempView("v_supplier")
+        _t(spark, sf, "nation").createOrReplaceTempView("v_nation")
+        return spark.sql("""
+            SELECT s_name, n_name
+            FROM v_supplier JOIN v_nation ON n_nationkey = s_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM v_lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM v_part
+                                  WHERE p_name LIKE 'small%')
+                AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(l_quantity) > 50
+            )
+        """)
+
+    def q21_suppliers_waiting(spark, sf):
+        # TPC-H q21 shape: EXISTS (another supplier on the order) + NOT
+        # EXISTS (another supplier also late) over finalized orders;
+        # "late" = shipped >90 days after the order date (no
+        # commit/receipt dates in this schema)
+        _t(spark, sf, "lineitem").createOrReplaceTempView("v_lineitem")
+        _t(spark, sf, "orders").createOrReplaceTempView("v_orders")
+        _t(spark, sf, "supplier").createOrReplaceTempView("v_supplier")
+        _t(spark, sf, "nation").createOrReplaceTempView("v_nation")
+        return spark.sql("""
+            SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM v_supplier
+            JOIN v_nation ON n_nationkey = s_nationkey
+            JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN v_orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (SELECT 1 FROM v_lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+                              JOIN v_orders o3 ON o3.o_orderkey = l3.l_orderkey
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name, n_name
+        """)
+
+    # ---- round-4 curation additions: corpus audits a training-data
+    # ---- pipeline runs before fixing packing/mix decisions
+
+    def doc_length_percentiles(spark, sf):
+        from vectordb_watermark_spark.operators.quality import length_percentiles
+
+        return length_percentiles(_docs(spark, sf))
+
+    def embedding_dim_stats(spark, sf):
+        return V.vector_dim_stats(_vectors(spark, sf))
+
+    def lexical_diversity(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            T.distinct_token_count(F.col("text")).alias("n_types"),
+            (T.type_token_ratio(F.col("text")) + F.lit(0.0)).alias("ttr"),
+        )
+
+    def gopher_quality_flags(spark, sf):
+        from vectordb_watermark_spark.operators.quality import (
+            gopher_quality_flags as G,
+        )
+
+        return G(_docs(spark, sf))
+
+    def tfidf_top_terms_by_source(spark, sf):
+        from vectordb_watermark_spark.operators.quality import tfidf_top_terms
+
+        return tfidf_top_terms(_docs(spark, sf))
+
     def q5_nation_revenue(spark, sf):
         orders = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
@@ -1094,16 +1264,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def watermark_roundtrip(spark, sf):  # P6/P7/P8/P11/P12 composite
+        # Contract-oracle version of the engine's headline composite query:
+        # the pipeline is keyed-hash deterministic end to end (nonce pinned
+        # like tools/attack_grid.py), so success/msg_match/16-blocks are
+        # pinnable constants, total_decodes equals the deterministic carrier
+        # count min(max(floor(N*rate), 16), N), and the clean-decode floor
+        # (valid >= 90% of total; measured 100%) is an inequality contract.
         from vectordb_watermark_spark.plans.embed import embed_watermark
         from vectordb_watermark_spark.plans.extract import extract_watermark
 
         df = _vectors(spark, sf)
-        res = embed_watermark(df, "SPARK-GRAFT-2026", KEY, rate=0.2, knn_method="exact")
+        res = embed_watermark(
+            df, "SPARK-GRAFT-2026", KEY, rate=0.2, knn_method="exact", nonce=bytes(12)
+        )
         out = extract_watermark(res.updated, KEY, res.nonce_hex, rate=0.2, knn_method="exact")
         return spark.createDataFrame(
-            [(bool(out.success), out.message, int(out.recovered_blocks),
-              int(out.valid_decodes), int(out.total_decodes))],
-            "success boolean, message string, recovered_blocks int, valid_decodes int, total_decodes int",
+            [(
+                bool(out.success),
+                bool(out.message == "SPARK-GRAFT-2026"),
+                int(out.recovered_blocks),
+                int(out.total_decodes),
+                bool(out.valid_decodes >= int(0.9 * out.total_decodes)),
+            )],
+            "success boolean, msg_match boolean, recovered_blocks int, "
+            "total_decodes bigint, decode_floor_ok boolean",
+        )
+
+    def ivf_recall(spark, sf):  # IVF ANN inequality contract vs brute top-k
+        # recall@10 with n_probe=8/16 centroids measured 0.8 at sf0.01;
+        # pinned floor 0.7 leaves one-hit margin (same pattern as
+        # knn_lsh_recall).  The IVF build is keyed-hash deterministic.
+        df = _vectors(spark, sf)
+        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+        sub = df.filter(F.col("id") != 0)
+        brute = {r["id"] for r in S.topk_cosine(sub, qv, 10).collect()}
+        approx = {
+            r["id"]
+            for r in S.ivf_topk_cosine(sub, qv, k=10, n_centroids=16, n_probe=8).collect()
+        }
+        recall = len(brute & approx) / max(len(brute), 1)
+        return spark.createDataFrame(
+            [(bool(recall >= 0.7), 0.7, 10)],
+            "recall_ok boolean, min_recall double, k int",
+        )
+
+    def lsh_recall(spark, sf):  # sign-LSH ANN inequality contract
+        # recall@10 with 16 tables x 4 bits measured 1.0 at sf0.01; pinned
+        # floor 0.8.  Hyperplanes are keyed-hash derived — deterministic.
+        df = _vectors(spark, sf)
+        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+        sub = df.filter(F.col("id") != 0)
+        brute = {r["id"] for r in S.topk_cosine(sub, qv, 10).collect()}
+        approx = {
+            r["id"]
+            for r in S.lsh_topk_cosine(sub, qv, k=10, n_tables=16, n_bits=4).collect()
+        }
+        recall = len(brute & approx) / max(len(brute), 1)
+        return spark.createDataFrame(
+            [(bool(recall >= 0.8), 0.8, 10)],
+            "recall_ok boolean, min_recall double, k int",
         )
 
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
@@ -1117,68 +1336,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.lsh_topk_cosine(df.filter(F.col("id") != 0), qv, k=10, n_tables=12, n_bits=4)
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
-    # in dict order.  Queries whose oracles have never (or least recently) been
-    # exercised by a driver run come first; the 20 relational/attack queries
-    # that were green in BOTH r1 and r2 close the dict (they are double
-    # verified and covered by tests/).
+    # in dict order.  Rotation policy (COVERAGE.md): each round the window is
+    # recomposed so the LEAST-recently-verified oracles lead — every oracle
+    # then has a green row within the last two rounds.  Round-4 window:
+    # the 36 rows last verified in r1/r2, the 3 new contract-oracle rows
+    # (watermark_roundtrip, ivf_recall, lsh_recall), and the 11 round-4
+    # additions (remaining TPC-H shapes + curation audits).  Everything
+    # below the line was hash-green in round 3.
     return {
-        # -- new in r3 -------------------------------------------------------
-        "quality_repetition": quality_repetition,
-        "pii_redaction": pii_redaction,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "corpus_logfreq_score": corpus_logfreq_score,
-        "quality_resample": quality_resample,
-        "codec_eval": codec_eval,
-        "source_mix": source_mix,
-        "source_capped_sample": source_capped_sample,
-        # -- never driver-checked before r3 ---------------------------------
-        "corpus_curation": corpus_curation,
-        "dedup_components": dedup_components,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_quantize": embedding_quantize,
-        "knn_join_tables": knn_join_tables,
-        "paraphrase_candidates": paraphrase_candidates,
-        "sketch_distinct_tokens": sketch_distinct_tokens,
-        "top_tokens": top_tokens,
-        # -- green in r1 only (fell outside r2's 50-query window) -----------
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_stats": text_stats,
-        "lang_id": lang_id,
-        "doc_fingerprints": doc_fingerprints,
-        "ann_topk_cosine": ann_topk_cosine,
-        "cosine_neardup": cosine_neardup,
-        "events_sessionize": events_sessionize,
-        "media_metadata": media_metadata,
-        "carriers_by_threshold": carriers_by_threshold,
-        "pairwise_viz_stats": pairwise_viz_stats,
-        # -- rows-only (no exact SQL oracle possible) ------------------------
-        "knn_lsh_recall": knn_lsh_recall,
-        "pca_projection": pca_projection,
-        "knn_lsh_edges": knn_lsh_edges,
-        "watermark_roundtrip": watermark_roundtrip,
-        "ivf_topk": ivf_topk,
-        "lsh_topk": lsh_topk,
-        # -- flagship operators (green r1+r2) --------------------------------
-        "point_lookup": point_lookup,
-        "vector_scan": vector_scan,
-        "vector_stats": vector_stats,
-        "vector_mean": vector_mean,
-        "knn_degrees": knn_degrees,
-        "gated_degrees": gated_degrees,
-        "degree_histogram": degree_histogram,
-        "carrier_selection": carrier_selection,
-        "topk_degree_pool": topk_degree_pool,
-        "crc4_table": crc4_table,
-        "majority_vote_events": majority_vote_events,
-        "robust_vote_events": robust_vote_events,
-        "sample_keyed": sample_keyed,
-        "sample_stratified": sample_stratified,
-        # ---- anything below this line is outside a 50-query driver window;
-        # ---- every entry here was hash-green in at least one prior round.
+        # -- last verified r1/r2: re-check first (36) ------------------------
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
@@ -1215,6 +1381,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": events_value_quantiles,
         "events_json_extract": events_json_extract,
         "events_user_rollup": events_user_rollup,
+        # -- new contract oracles (replace r3 no_oracle rows) (3) ------------
+        "watermark_roundtrip": watermark_roundtrip,
+        "ivf_recall": ivf_recall,
+        "lsh_recall": lsh_recall,
+        # -- new in r4: remaining TPC-H shapes (6) ---------------------------
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q20_excess_inventory": q20_excess_inventory,
+        "q21_suppliers_waiting": q21_suppliers_waiting,
+        # -- new in r4: curation audits (5) ----------------------------------
+        "doc_length_percentiles": doc_length_percentiles,
+        "embedding_dim_stats": embedding_dim_stats,
+        "lexical_diversity": lexical_diversity,
+        "gopher_quality_flags": gopher_quality_flags,
+        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
+        # ---- 50-query window line: everything below was hash-green in r3 ---
+        "quality_repetition": quality_repetition,
+        "pii_redaction": pii_redaction,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "corpus_logfreq_score": corpus_logfreq_score,
+        "quality_resample": quality_resample,
+        "codec_eval": codec_eval,
+        "source_mix": source_mix,
+        "source_capped_sample": source_capped_sample,
+        "corpus_curation": corpus_curation,
+        "dedup_components": dedup_components,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_quantize": embedding_quantize,
+        "knn_join_tables": knn_join_tables,
+        "paraphrase_candidates": paraphrase_candidates,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
+        "top_tokens": top_tokens,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_cosine": ann_topk_cosine,
+        "cosine_neardup": cosine_neardup,
+        "events_sessionize": events_sessionize,
+        "media_metadata": media_metadata,
+        "carriers_by_threshold": carriers_by_threshold,
+        "pairwise_viz_stats": pairwise_viz_stats,
+        "knn_lsh_recall": knn_lsh_recall,
+        "point_lookup": point_lookup,
+        "vector_scan": vector_scan,
+        "vector_stats": vector_stats,
+        "vector_mean": vector_mean,
+        "knn_degrees": knn_degrees,
+        "gated_degrees": gated_degrees,
+        "degree_histogram": degree_histogram,
+        "carrier_selection": carrier_selection,
+        "topk_degree_pool": topk_degree_pool,
+        "crc4_table": crc4_table,
+        "majority_vote_events": majority_vote_events,
+        "robust_vote_events": robust_vote_events,
+        "sample_keyed": sample_keyed,
+        "sample_stratified": sample_stratified,
+        # -- rows-only (no exact SQL oracle possible) ------------------------
+        "pca_projection": pca_projection,
+        "knn_lsh_edges": knn_lsh_edges,
+        "ivf_topk": ivf_topk,
+        "lsh_topk": lsh_topk,
     }
 
 
@@ -1332,6 +1566,170 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
                    CAST(0.95 AS DOUBLE) AS min_recall,
                    CAST({KNN_K} AS INT) AS k""",
+        # Contract oracle for the headline composite: success/msg_match/16
+        # blocks pinned; total_decodes is the deterministic carrier count
+        # min(max(floor(N*rate), 16), N) computed from the table itself;
+        # decode_floor_ok pins valid >= 90% of total (measured: 100%).
+        "watermark_roundtrip": """
+            SELECT CAST(TRUE AS BOOLEAN) AS success,
+                   CAST(TRUE AS BOOLEAN) AS msg_match,
+                   CAST(16 AS INT) AS recovered_blocks,
+                   CAST(greatest(least(CAST(floor(count(*) * 0.2) AS BIGINT),
+                                       count(*)), 16) AS BIGINT) AS total_decodes,
+                   CAST(TRUE AS BOOLEAN) AS decode_floor_ok
+            FROM embeddings""",
+        "ivf_recall": """
+            SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
+                   CAST(0.7 AS DOUBLE) AS min_recall,
+                   CAST(10 AS INT) AS k""",
+        "lsh_recall": """
+            SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
+                   CAST(0.8 AS DOUBLE) AS min_recall,
+                   CAST(10 AS INT) AS k""",
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                     min(l_extendedprice) AS min_price
+              FROM lineitem GROUP BY l_partkey, l_suppkey
+            )
+            SELECT p.p_partkey, p.p_brand, s.s_name, ps.min_price AS best_price
+            FROM part p
+            JOIN ps ON ps.partkey = p.p_partkey
+            JOIN supplier s ON ps.suppkey = s.s_suppkey
+            WHERE p.p_size <= 10
+              AND ps.min_price = (SELECT min(ps2.min_price) FROM ps ps2
+                                  WHERE ps2.partkey = p.p_partkey)""",
+        "q9_profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)""",
+        "q11_important_stock": """
+            SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            GROUP BY l_partkey
+            HAVING sum(l_extendedprice) > (
+              SELECT 0.001 * sum(l_extendedprice)
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))""",
+        "q16_parts_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 11, 17, 23, 29, 37, 41)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size""",
+        "q20_excess_inventory": """
+            SELECT s_name, n_name
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+                AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(l_quantity) > 50
+            )""",
+        "q21_suppliers_waiting": """
+            SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name, n_name""",
+        "doc_length_percentiles": """
+            SELECT source,
+                   unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                           CAST(0.75 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS pct,
+                   unnest(qs) AS val
+            FROM (
+              SELECT source,
+                     list_transform(
+                       quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95]),
+                       x -> round(x, 6)) AS qs
+              FROM documents GROUP BY source
+            )""",
+        "embedding_dim_stats": """
+            SELECT CAST(ord - 1 AS INT) AS pos,
+                   round(avg(v), 6) + 0.0 AS mean_val,
+                   round(stddev_samp(v), 5) + 0.0 AS std_val,
+                   round(min(v), 6) + 0.0 AS min_val,
+                   round(max(v), 6) + 0.0 AS max_val
+            FROM (SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+            GROUP BY ord""",
+        "lexical_diversity": f"""
+            SELECT doc_id,
+                   {T.sql_distinct_token_count('text')} AS n_types,
+                   {T.sql_type_token_ratio('text')} + 0.0 AS ttr
+            FROM documents""",
+        "gopher_quality_flags": f"""
+            SELECT doc_id,
+                   ({T.sql_token_count('text')} >= 20
+                    AND {T.sql_token_count('text')} <= 100000) AS wc_ok,
+                   ({T.sql_mean_token_len('text')} >= 3.0
+                    AND {T.sql_mean_token_len('text')} <= 10.0) AS mean_len_ok,
+                   (CAST({T.sql_punct_count('text')} AS DOUBLE)
+                    / greatest(CAST({T.sql_token_count('text')} AS DOUBLE), 1.0)
+                    < 0.3) AS symbol_ok,
+                   ({T.sql_stopword_count('text')} >= 2) AS stopword_ok,
+                   (({T.sql_token_count('text')} >= 20
+                     AND {T.sql_token_count('text')} <= 100000)
+                    AND ({T.sql_mean_token_len('text')} >= 3.0
+                         AND {T.sql_mean_token_len('text')} <= 10.0)
+                    AND (CAST({T.sql_punct_count('text')} AS DOUBLE)
+                         / greatest(CAST({T.sql_token_count('text')} AS DOUBLE), 1.0)
+                         < 0.3)
+                    AND ({T.sql_stopword_count('text')} >= 2)) AS passes
+            FROM documents""",
+        "tfidf_top_terms_by_source": f"""
+            WITH tok AS (
+              SELECT source, unnest({T.sql_tokens('lower(text)')}) AS term
+              FROM documents
+            ), tf AS (
+              SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term
+            ), dfs AS (
+              SELECT term, count(DISTINCT source) AS dfs FROM tf GROUP BY term
+            ), ns AS (
+              SELECT CAST(count(DISTINCT source) AS BIGINT) AS s FROM documents
+            ), scored AS (
+              SELECT tf.source, tf.term,
+                     round(tf.tf * (ln((1.0 + ns.s) / (1.0 + dfs.dfs)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dfs USING (term) CROSS JOIN ns
+            ), ranked AS (
+              SELECT source, term, tfidf,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY tfidf DESC, term ASC) AS rk
+              FROM scored
+            )
+            SELECT source, term, CAST(rk AS INT) AS rank, tfidf + 0.0 AS tfidf
+            FROM ranked WHERE rk <= 5""",
         "point_lookup": f"""
             SELECT vec_id AS id, CAST(len(embedding) AS BIGINT) AS dim,
                    round({_NORM_SQL}, 5) + 0.0 AS norm

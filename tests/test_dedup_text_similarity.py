@@ -529,3 +529,105 @@ def test_ivf_build_reads_source_through_cache(spark, vectors):
     assert len(cents) == 8
     assigned.unpersist()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= n_cached_before + 1
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation audits
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_flags_rules(spark):
+    """Each flag must implement its rule exactly on hand-built documents."""
+    from vectordb_watermark_spark.operators.quality import gopher_quality_flags
+
+    good = "the quick brown fox jumps over a lazy dog near the old mill " * 3
+    short = "tiny doc"
+    symbols = "a ! b ! c ! d ! e !! , . ; ?? !! , . ; ?? !! , . ; ?? !! ,"
+    long_toks = " ".join(["supercalifragilistic"] * 30) + " the a of and"
+    df = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, long_toks)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows[0]["passes"], rows[0]
+    assert not rows[1]["wc_ok"] and not rows[1]["passes"]
+    assert not rows[2]["symbol_ok"] and not rows[2]["passes"]
+    assert not rows[3]["mean_len_ok"] and not rows[3]["passes"]
+
+
+def test_tfidf_top_terms_ranks_distinguishing_terms(spark):
+    """A term unique to one source must outrank corpus-wide terms there,
+    ranks must be 1..k per source, and the result deterministic."""
+    from vectordb_watermark_spark.operators.quality import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "common words here and quantum quantum quantum", "phys"),
+            (1, "common words here and quantum flux", "phys"),
+            (2, "common words here and sonnet sonnet sonnet", "poet"),
+            (3, "common words here and sonnet rhyme", "poet"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_top_terms(df, k=3)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["rank"], r["term"]))
+    assert sorted(r for r, _ in by_src["phys"]) == [1, 2, 3]
+    assert min(by_src["phys"])[1] == "quantum"
+    assert min(by_src["poet"])[1] == "sonnet"
+    again = tfidf_top_terms(df, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_length_percentiles_match_numpy(spark, docs):
+    """Exact percentiles must equal numpy 'linear' interpolation per group."""
+    from vectordb_watermark_spark.operators.quality import length_percentiles
+
+    got = {
+        (r["source"], r["pct"]): r["val"]
+        for r in length_percentiles(docs).collect()
+    }
+    pdf = docs.select("source", "n_chars").toPandas()
+    for src, grp in pdf.groupby("source"):
+        for pct in (0.25, 0.5, 0.75, 0.95):
+            want = float(np.percentile(grp["n_chars"].to_numpy(), pct * 100,
+                                       method="linear"))
+            assert abs(got[(src, pct)] - round(want, 6)) < 1e-6, (src, pct)
+
+
+def test_vector_dim_stats_match_numpy(spark, vectors):
+    from vectordb_watermark_spark.functions.vector import vector_dim_stats
+
+    X = np.array([np.asarray(r["emb"], dtype=np.float64)
+                  for r in vectors.collect()])
+    rows = {r["pos"]: r for r in vector_dim_stats(vectors).collect()}
+    assert len(rows) == X.shape[1]
+    for pos in (0, 7, X.shape[1] - 1):
+        assert abs(rows[pos]["mean_val"] - round(float(X[:, pos].mean()), 6)) < 1e-9
+        assert abs(rows[pos]["std_val"] - round(float(X[:, pos].std(ddof=1)), 5)) < 1e-9
+        assert rows[pos]["min_val"] == round(float(X[:, pos].min()), 6)
+        assert rows[pos]["max_val"] == round(float(X[:, pos].max()), 6)
+
+
+def test_lexical_diversity_bounds(spark):
+    from vectordb_watermark_spark.functions.text import (
+        distinct_token_count,
+        type_token_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d"), (2, ""), (3, "x x y y")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            distinct_token_count(F.col("text")).alias("n_types"),
+            type_token_ratio(F.col("text")).alias("ttr"),
+        ).collect()
+    }
+    assert rows[0]["n_types"] == 1 and rows[0]["ttr"] == 0.25
+    assert rows[1]["n_types"] == 4 and rows[1]["ttr"] == 1.0
+    assert rows[2]["n_types"] == 0 and rows[2]["ttr"] == 0.0
+    assert rows[3]["n_types"] == 2 and rows[3]["ttr"] == 0.5

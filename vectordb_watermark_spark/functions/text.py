@@ -272,6 +272,24 @@ def mean_token_len(text: Column) -> Column:
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
+def distinct_token_count(text: Column) -> Column:
+    """Number of distinct lowercase whitespace tokens."""
+    return F.size(F.array_distinct(tokens(F.lower(text)))).cast("long")
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens (0 for empty text).
+    Low TTR flags template/boilerplate text that per-row quality scores
+    miss; complements dup_token_fraction (TTR is its complement on the
+    same token stream, exposed in ratio form for thresholding)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
 #: PII patterns — valid and identical under Java regex (Spark) and RE2
 #: (DuckDB): no backreferences, no lookaround
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -326,6 +344,20 @@ def sql_mean_token_len(text_col: str) -> str:
         f"round(coalesce(list_aggregate(list_transform({toks},"
         f" x -> CAST(length(x) AS DOUBLE)), 'sum'), 0.0)"
         f" / greatest(len({toks}), 1), 6)"
+    )
+
+
+def sql_distinct_token_count(text_col: str) -> str:
+    toks = sql_tokens(f"lower({text_col})")
+    return f"CAST(len(list_distinct({toks})) AS BIGINT)"
+
+
+def sql_type_token_ratio(text_col: str) -> str:
+    toks = sql_tokens(f"lower({text_col})")
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"round(CAST(len(list_distinct({toks})) AS DOUBLE)"
+        f" / CAST(len({toks}) AS DOUBLE), 6) ELSE 0.0 END"
     )
 
 

@@ -105,6 +105,27 @@ def vector_stats(df: DataFrame, vec_col: str = "emb") -> DataFrame:
     )
 
 
+def vector_dim_stats(df: DataFrame, vec_col: str = "emb") -> DataFrame:
+    """Per-dimension profile ``(pos, mean_val, std_val, min_val, max_val)``
+    — embedding-column QC (dead dimensions, scale drift, clipping).
+
+    posexplode + one map-side-combined groupBy over D keys; output is D
+    rows regardless of corpus size.  Doubles are rounded (mean 6 dp, std
+    5 dp) for cross-engine hash stability.
+    """
+    return (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .select(F.col("pos").cast("int").alias("pos"), F.col("v").cast("double").alias("v"))
+        .groupBy("pos")
+        .agg(
+            (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("mean_val"),
+            (F.round(F.stddev_samp("v"), 5) + F.lit(0.0)).alias("std_val"),
+            (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_val"),
+            (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_val"),
+        )
+    )
+
+
 def quantize_int8(df: DataFrame, id_col: str = "id", vec_col: str = "emb") -> DataFrame:
     """Symmetric per-vector int8 quantization — the storage/bandwidth path a
     100 TB embedding corpus actually ships (4x smaller than float32, GEMM-able

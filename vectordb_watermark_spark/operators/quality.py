@@ -100,6 +100,131 @@ def source_mix(
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.3,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document-level quality rules (Rae et al. 2021 §A1.1),
+    the non-repetition half (repetition rules live in
+    functions/text.dup_token_fraction / top_bigram_fraction):
+
+    - ``wc_ok``       word count within [min_words, max_words]
+    - ``mean_len_ok`` mean token length within [min_mean_len, max_mean_len]
+    - ``symbol_ok``   punctuation-to-word ratio below max_symbol_ratio
+    - ``stopword_ok`` at least min_stopwords stopword hits
+    - ``passes``      conjunction of all four
+
+    Pure expression trees over one scan — no shuffle, no UDF; filters push
+    to the parquet scan when ``passes`` is used as a predicate.
+    """
+    from vectordb_watermark_spark.functions.text import (
+        mean_token_len,
+        punct_count,
+        stopword_count,
+        token_count,
+    )
+
+    n = token_count(F.col(text_col))
+    wc_ok = (n >= min_words) & (n <= max_words)
+    ml = mean_token_len(F.col(text_col))
+    mean_len_ok = (ml >= min_mean_len) & (ml <= max_mean_len)
+    symbol_ok = (
+        punct_count(F.col(text_col)).cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    ) < max_symbol_ratio
+    stopword_ok = stopword_count(F.col(text_col)) >= min_stopwords
+    return df.select(
+        F.col(id_col),
+        wc_ok.alias("wc_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (wc_ok & mean_len_ok & symbol_ok & stopword_ok).alias("passes"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source top-``k`` TF-IDF terms ``(source, term, rank, tfidf)`` —
+    corpus characterization (what distinguishes each domain's vocabulary).
+
+    tf = term count within the source; idf = ln((1+S)/(1+df_s)) + 1 over
+    the S sources (smoothed sklearn form).  Two map-side-combined groupBys
+    (term-in-source counts, then source-document-frequencies — both tiny
+    versus the corpus by Zipf), one broadcast-size join, and a per-source
+    top-k window over the already-aggregated term table.  Deterministic
+    tie-break: tfidf (rounded BEFORE ranking) desc, term asc.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(source_col).alias("source"),
+                  F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.countDistinct("source").alias("dfs"))
+    n_sources = df.agg(F.countDistinct(F.col(source_col)).alias("s"))
+    scored = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source", "term",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("s")) / (1.0 + F.col("dfs"))) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("source", "term", "rank", (F.col("tfidf") + F.lit(0.0)).alias("tfidf"))
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Per-group EXACT percentiles of a numeric column ``(group, pct, val)``
+    — length-distribution audit before choosing truncation/packing budgets.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation, the
+    same definition as DuckDB ``quantile_cont`` / numpy 'linear'), not
+    ``percentile_approx`` — at any scale this is one shuffle on the group
+    key and a per-group sort of that group's values; the groups here are
+    few (domains/sources), so exactness costs nothing material.
+    """
+    arr = "array({})".format(",".join(repr(p) for p in pcts))
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"percentile({value_col}, {arr})").alias("qs")
+    )
+    pct_arr = F.array(*[F.lit(p) for p in pcts])
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.posexplode("qs").alias("__i", "val"),
+    ).select(
+        F.col(group_col),
+        F.element_at(pct_arr, F.col("__i") + 1).alias("pct"),
+        F.round(F.col("val"), 6).alias("val"),
+    )
+
+
 def cap_per_source(
     df: DataFrame,
     max_per_source: int,
