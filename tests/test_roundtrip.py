@@ -550,3 +550,91 @@ def test_evaluate_codec_distributed_report(spark, vectors):
     r2 = evaluate_codec(vectors.repartition(7), codec).first()
     assert (r["n"], r["ber"], r["crc_valid_rate"]) == (r2["n"], r2["ber"], r2["crc_valid_rate"])
     assert abs(r["mean_cos"] - r2["mean_cos"]) < 2e-6  # float agg order only
+
+
+def test_reference_pt_checkpoint_layout(tmp_path):
+    """Regression-lock the reference best.pt layout (watermark.py:110-133):
+    top-level enc/dec state dicts whose keys and adaptive shapes follow
+    watermark.py:12-40 for each dimension.  The .npz twin of the SAME
+    checkpoint must load and run torch-free; the .pt path must either run
+    (torch present: saved with torch.save, loaded weights_only, and agree
+    bit-for-bit with the .npz twin) or fail with the precise torch-required
+    guidance (torch absent, as in this sandbox)."""
+    from vectordb_watermark_spark.plans.codec import (
+        TorchCodec,
+        decoder_state_shapes,
+        encoder_state_shapes,
+        export_torch_checkpoint_to_npz,
+    )
+
+    # exact reference layouts, spot-pinned per dimension (hand-derived from
+    # encoder.py:13-67 / decoder.py:6-44 with watermark.py:12-40 params —
+    # NOT read back from the functions under test)
+    expected = {
+        64: {  # depth 4, hidden_mul 2 -> hidden 128
+            "n_enc": 4 * 10 + 4, "n_dec": 4 * 6 + 4,
+            "enc_spot": {
+                "blocks.0.fc1.weight": (128, 64),
+                "blocks.3.msg_fc.2.weight": (128, 128),  # vec_dim*2 x hidden
+                "out_fc.weight": (64, 64),
+            },
+            "dec_spot": {"blocks.3.fc1.weight": (128, 64), "out_fc.weight": (24, 64)},
+        },
+        384: {  # depth 8, hidden_mul 3 -> hidden 1152
+            "n_enc": 8 * 10 + 4, "n_dec": 8 * 6 + 4,
+            "enc_spot": {
+                "blocks.7.fc1.weight": (1152, 384),
+                "blocks.0.msg_fc.0.weight": (1152, 24),
+                "blocks.0.msg_fc.2.weight": (768, 1152),
+            },
+            "dec_spot": {"blocks.7.fc2.weight": (384, 1152), "out_fc.bias": (24,)},
+        },
+    }
+    rng = np.random.default_rng(11)
+    for dim, exp in expected.items():
+        enc_shapes = encoder_state_shapes(dim)
+        dec_shapes = decoder_state_shapes(dim)
+        assert len(enc_shapes) == exp["n_enc"] and len(dec_shapes) == exp["n_dec"], dim
+        for k, s in exp["enc_spot"].items():
+            assert enc_shapes[k] == s, (dim, k)
+        for k, s in exp["dec_spot"].items():
+            assert dec_shapes[k] == s, (dim, k)
+
+        ckpt = {
+            "enc": {k: rng.standard_normal(s) * 0.05 for k, s in enc_shapes.items()},
+            "dec": {k: rng.standard_normal(s) * 0.05 for k, s in dec_shapes.items()},
+        }
+        V = rng.standard_normal((3, dim)).astype(np.float32)
+        msgs = np.array([1, 2, 3])
+
+        npz = str(tmp_path / f"best_{dim}.npz")
+        np.savez(npz, **{f"{p}/{k}": v for p in ("enc", "dec")
+                         for k, v in ckpt[p].items()})
+        npz_codec = TorchCodec(dim, checkpoint_path=npz)
+        w_npz = npz_codec.encode_batch(V, msgs)
+        assert w_npz.shape == (3, dim)
+
+        pt = str(tmp_path / f"best_{dim}.pt")
+        try:
+            import torch
+        except ImportError:
+            # sandbox path: a .pt can only be unpickled by torch — the
+            # loader must say so, naming the .npz escape hatch
+            with open(pt, "wb") as f:
+                f.write(b"PK\x03\x04stub")
+            with pytest.raises(ImportError, match="requires torch"):
+                TorchCodec(dim, checkpoint_path=pt).encode_batch(V, msgs)
+            with pytest.raises(ImportError, match="requires torch"):
+                export_torch_checkpoint_to_npz(pt, npz, dim)
+        else:  # torch machine: full parity drive
+            torch.save(
+                {p: {k: torch.tensor(v) for k, v in ckpt[p].items()}
+                 for p in ("enc", "dec")}, pt)
+            pt_codec = TorchCodec(dim, checkpoint_path=pt)
+            np.testing.assert_allclose(pt_codec.encode_batch(V, msgs), w_npz,
+                                       rtol=0, atol=1e-12)
+            npz2 = str(tmp_path / f"exported_{dim}.npz")
+            assert export_torch_checkpoint_to_npz(pt, npz2, dim)["depth"] >= 4
+            np.testing.assert_allclose(
+                TorchCodec(dim, checkpoint_path=npz2).encode_batch(V, msgs), w_npz,
+                rtol=0, atol=1e-12)

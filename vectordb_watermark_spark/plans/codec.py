@@ -302,6 +302,36 @@ def decoder_state_shapes(vec_dim: int, msg_len: int = MSG_BITS,
     return shapes
 
 
+def export_torch_checkpoint_to_npz(
+    pt_path: str, npz_path: str, vec_dim: int, msg_len: int = MSG_BITS
+) -> dict:
+    """Convert a reference ``best.pt`` (watermark.py:110-133 layout: top-level
+    ``enc``/``dec`` state dicts) to the flat ``.npz`` twin TorchCodec runs
+    torch-free.  Requires torch only for the unpickle; validates the layout
+    (keys + adaptive shapes) before writing.  Returns the validated params.
+    """
+    try:
+        import torch
+    except ImportError as exc:
+        raise ImportError(
+            "export_torch_checkpoint_to_npz requires torch to unpickle the "
+            ".pt file; run it once on a torch machine, then ship the .npz."
+        ) from exc
+    raw = torch.load(pt_path, map_location="cpu", weights_only=True)
+    if "enc" not in raw or "dec" not in raw:
+        raise ValueError("checkpoint missing 'enc' or 'dec' state dict")
+    ckpt = {
+        part: {k: v.cpu().numpy() for k, v in raw[part].items()}
+        for part in ("enc", "dec")
+    }
+    params = validate_checkpoint(ckpt, vec_dim, msg_len)
+    np.savez(
+        npz_path,
+        **{f"{part}/{k}": v for part in ("enc", "dec") for k, v in ckpt[part].items()},
+    )
+    return params
+
+
 def validate_checkpoint(ckpt, vec_dim: int, msg_len: int = MSG_BITS) -> dict:
     """Structurally validate a reference-format checkpoint mapping
     ``{'enc': state_dict, 'dec': state_dict}`` (ref watermark.py:110-133:
