@@ -202,18 +202,24 @@ def read_jdbc_vectors(
     """
     props = {"fetchsize": str(fetch_size), **(properties or {})}
     if lower is None or upper is None:
+        # alias must not start with '_' — legal in Postgres but a syntax
+        # error in stricter engines (Derby), caught by the embedded-Derby
+        # integration test
         probe = spark.read.jdbc(
             url,
-            f"(SELECT min({id_col}) AS lo, max({id_col}) AS hi FROM {table}) __bounds",
+            f"(SELECT min({id_col}) AS lo, max({id_col}) AS hi FROM {table}) bounds_probe",
             properties=props,
         ).first()
-        if probe["lo"] is None or probe["hi"] is None:
+        # engines that fold unquoted identifiers to upper case (Derby,
+        # Oracle, DB2) return the aliases as LO/HI — read case-insensitively
+        bounds = {k.lower(): v for k, v in probe.asDict().items()}
+        if bounds["lo"] is None or bounds["hi"] is None:
             raise ValueError(
                 f"cannot derive id bounds: {table} is empty — pass "
                 "lower/upper explicitly or load the table another way"
             )
-        lower = int(probe["lo"]) if lower is None else lower
-        upper = int(probe["hi"]) if upper is None else upper
+        lower = int(bounds["lo"]) if lower is None else lower
+        upper = int(bounds["hi"]) if upper is None else upper
     df = spark.read.jdbc(
         url,
         table,
@@ -249,16 +255,28 @@ def stage_jdbc_updates(
 
 def merge_from_staging_sql(
     target: str, staging: str, key_col: str = "id", update_cols: list[str] | None = None,
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", dialect: str = "postgres",
 ) -> str:
     """Second half of the writeback: the single set-based server-side merge
     statement to run against the database (psql / any DBAPI conn) after
-    :func:`stage_jdbc_updates`.  One UPDATE..FROM touches every staged row —
+    :func:`stage_jdbc_updates`.  One statement touches every staged row —
     the scale-correct replacement for the reference's per-row UPDATE loop.
-    ``vec_col`` (staged as text) is cast back through pgvector's input
-    parser with ``::vector``."""
+
+    ``dialect='postgres'`` (default) emits ``UPDATE..FROM`` with the staged
+    text vector cast back through pgvector's input parser (``::vector``).
+    ``dialect='ansi'`` emits SQL:2003 ``MERGE INTO`` (no pgvector cast) for
+    engines without ``UPDATE..FROM`` — exercised end-to-end against
+    embedded Apache Derby in `test_jdbc_derby_roundtrip`."""
     if update_cols is None:
         update_cols = [vec_col]
+    if dialect == "ansi":
+        sets = ", ".join(f"{c} = s.{c}" for c in update_cols)
+        return (
+            f"MERGE INTO {target} t USING {staging} s ON t.{key_col} = s.{key_col} "
+            f"WHEN MATCHED THEN UPDATE SET {sets}"
+        )
+    if dialect != "postgres":
+        raise ValueError(f"unknown dialect {dialect!r} (postgres|ansi)")
     sets = ", ".join(
         f"{c} = s.{c}::vector" if c == vec_col else f"{c} = s.{c}"
         for c in update_cols
