@@ -71,6 +71,11 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true", help="regenerate the corpus")
     ap.add_argument("--unit-norm", action="store_true",
                     help="L2-normalized corpus (harsher attack regime)")
+    ap.add_argument("--knn-method", default="auto",
+                    choices=["auto", "exact", "broadcast", "lsh"],
+                    help="kNN strategy for both embed and extract")
+    ap.add_argument("--skip-attack", action="store_true",
+                    help="lifecycle only (skip the attacked extract)")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
@@ -90,20 +95,25 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     t0 = time.time()
-    res = embed_watermark(df, msg, key, rate=args.rate, nonce=b"\x00" * 12)
+    res = embed_watermark(df, msg, key, rate=args.rate, nonce=b"\x00" * 12,
+                          knn_method=args.knn_method)
     res.updated.write.mode("overwrite").parquet(WM_OUT)
     timings["embed_write_s"] = round(time.time() - t0, 1)
 
     wm = spark.read.parquet(WM_OUT)
     t0 = time.time()
-    ext = extract_watermark(wm, key, res.nonce_hex, rate=args.rate)
+    ext = extract_watermark(wm, key, res.nonce_hex, rate=args.rate,
+                            knn_method=args.knn_method)
     timings["extract_s"] = round(time.time() - t0, 1)
     assert ext.success and ext.message == msg, f"clean extract failed: {ext.error}"
 
-    t0 = time.time()
-    attacked = gaussian_attack(wm, ratio=0.5, sigma=0.05, seed_key="atk")
-    ext_a = extract_watermark(attacked, key, res.nonce_hex, rate=args.rate)
-    timings["extract_gauss05_50_s"] = round(time.time() - t0, 1)
+    ext_a = None
+    if not args.skip_attack:
+        t0 = time.time()
+        attacked = gaussian_attack(wm, ratio=0.5, sigma=0.05, seed_key="atk")
+        ext_a = extract_watermark(attacked, key, res.nonce_hex, rate=args.rate,
+                                  knn_method=args.knn_method)
+        timings["extract_gauss05_50_s"] = round(time.time() - t0, 1)
 
     print(json.dumps({
         "metric": "scale_bench_seconds",
@@ -112,11 +122,12 @@ def main() -> None:
         "rows": args.rows,
         "dim": args.dim,
         "unit_norm": args.unit_norm,
+        "knn_method": args.knn_method,
         "carriers": res.n_carriers,
         "clean_valid": ext.valid_decodes,
         "clean_total": ext.total_decodes,
-        "attacked_success": ext_a.success,
-        "attacked_valid": ext_a.valid_decodes,
+        "attacked_success": ext_a.success if ext_a is not None else None,
+        "attacked_valid": ext_a.valid_decodes if ext_a is not None else None,
         **timings,
     }))
 

@@ -88,6 +88,13 @@ def knn_edges_exact(
 #: argpartition over the full (B, C) matrix plus a candidate-merge column
 #: group, so B=512/C=4096 (15.1 s) and B=256/C=8192 (15.0 s) beat
 #: B=1024/C=2048 (17.8 s) on the same workload.
+#: auto-dispatch crossover from exact broadcast-GEMM to LSH.  The GEMM is
+#: O(N^2 D): ~10 s/pass at 200k x 192-d on local[32] and quadratically worse
+#: beyond (>20 min/pass measured at 1M x 192-d), while the LSH build stays
+#: near-linear.  200k keeps the exact path wherever it costs under ~a
+#: minute; larger corpora take the LSH path whose recall is contract-gated.
+_AUTO_LSH_ROWS = 200_000
+
 _COL_BLOCK = 4096
 _PROBE_ROWS = 512
 
@@ -333,7 +340,7 @@ def knn_join(
     """
     if method == "auto":
         n = build_df.count()
-        method = "broadcast" if n <= 1_000_000 else "lsh"
+        method = "broadcast" if n <= _AUTO_LSH_ROWS else "lsh"
         if method == "lsh":
             kwargs.setdefault("total_build", n)
     if method == "broadcast":
@@ -684,9 +691,12 @@ def knn_edges(
 ) -> DataFrame:
     """kNN edge DataFrame ``(src, dst, dist2, rank)``; see module docstring."""
     if method == "auto":
-        # exact JVM NLJ below ~2k rows; broadcast-numpy to ~1M; LSH beyond
+        # exact JVM NLJ below ~2k rows; broadcast-numpy GEMM to _AUTO_LSH_ROWS;
+        # LSH beyond.  The crossover is compute, not memory: the GEMM is
+        # O(N^2 D) — measured at 384-d on local[32], 100k costs ~10 s/pass
+        # but 1M costs >20 min/pass (100x), while LSH stays near-linear.
         n = df.count()
-        method = "exact" if n <= 2000 else ("broadcast" if n <= 1_000_000 else "lsh")
+        method = "exact" if n <= 2000 else ("broadcast" if n <= _AUTO_LSH_ROWS else "lsh")
         if method == "lsh":
             kwargs.setdefault("total", n)  # reuse the count for adaptive bits
     if method == "exact":
