@@ -1243,6 +1243,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_bits omitted: occupancy-adaptive sizing (~96 rows/bucket)
         return K.knn_edges_lsh(df, k=KNN_K, key=KEY, dim=64)
 
+    def pca_invariants(spark, sf):  # M1 contract: sign-invariant PCA pins
+        # The raw projection is unpinnable (eigenvector sign ambiguity), but
+        # PCA's defining invariants are not: axis variances in descending
+        # order, centered output, decorrelated axes (measured at sf0.01:
+        # var 0.0366 >= 0.0336, means ~1e-8, |corr| ~3e-7).
+        from vectordb_watermark_spark.operators.viz import project_2d
+
+        rows = project_2d(_vectors(spark, sf), max_rows=200, seed_key="viz-42").collect()
+        n = len(rows)
+        xs = [r["x"] for r in rows]
+        ys = [r["y"] for r in rows]
+        mx, my = sum(xs) / n, sum(ys) / n
+        vx = sum((v - mx) ** 2 for v in xs) / n
+        vy = sum((v - my) ** 2 for v in ys) / n
+        cxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+        corr = cxy / max((vx * vy) ** 0.5, 1e-300)
+        return spark.createDataFrame(
+            [(
+                bool(n >= 50),
+                bool(vx >= vy),
+                bool(abs(mx) < 1e-4 and abs(my) < 1e-4),
+                bool(abs(corr) < 0.01),
+            )],
+            "sample_ok boolean, var_ordered boolean, centered boolean, "
+            "axes_uncorrelated boolean",
+        )
+
+    def lsh_edges_exactness(spark, sf):  # J1 contract: LSH edges carry EXACT
+        # distances.  The edge SET is approximate (recall pinned by
+        # knn_lsh_recall) but every emitted edge must be exact: its dist2
+        # matches the expression-recomputed distance (float32-storage
+        # tolerance; measured max diff 3.7e-7), no self loops, and exactly
+        # k edges per source.
+        from vectordb_watermark_spark.operators import knn as K
+
+        df = _vectors(spark, sf)
+        edges = K.knn_edges_lsh(df, k=KNN_K, key=KEY, dim=64).cache()
+        joined = (
+            edges.join(df.select(F.col("id").alias("src"), F.col("emb").alias("va")), "src")
+            .join(df.select(F.col("id").alias("dst"), F.col("emb").alias("vb")), "dst")
+        )
+        chk = joined.agg(
+            F.max(F.abs(F.col("dist2") - V.sq_euclidean(F.col("va"), F.col("vb")))).alias("md"),
+            F.sum((F.col("src") == F.col("dst")).cast("int")).alias("loops"),
+        ).first()
+        per_src = edges.groupBy("src").count().agg(
+            F.min("count").alias("lo"), F.max("count").alias("hi")
+        ).first()
+        edges.unpersist()
+        return spark.createDataFrame(
+            [(
+                bool(chk["md"] is not None and chk["md"] < 1e-5),
+                bool((chk["loops"] or 0) == 0),
+                bool(per_src["lo"] == KNN_K and per_src["hi"] == KNN_K),
+                int(KNN_K),
+            )],
+            "dist_exact boolean, no_self_loops boolean, k_edges_per_src boolean, k int",
+        )
+
     def knn_lsh_recall(spark, sf):  # J1 LSH contract: recall vs exact graph.
         # Inequality oracle (VERDICT r2 item 6): the DuckDB twin pins the
         # constant row (TRUE, 0.95, K); the Spark side only reproduces it when
@@ -1444,7 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_vote_events": robust_vote_events,
         "sample_keyed": sample_keyed,
         "sample_stratified": sample_stratified,
-        # -- rows-only (no exact SQL oracle possible) ------------------------
+        # -- invariant contracts for the approximate/ambiguous ops (rotate
+        # -- into the r5 window; locally oracle-green via check_oracle) ------
+        "pca_invariants": pca_invariants,
+        "lsh_edges_exactness": lsh_edges_exactness,
+        # -- rows-only (raw result sets of the ops whose contracts are pinned
+        # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
         "knn_lsh_edges": knn_lsh_edges,
         "ivf_topk": ivf_topk,
@@ -1582,6 +1646,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
                    CAST(0.7 AS DOUBLE) AS min_recall,
                    CAST(10 AS INT) AS k""",
+        "pca_invariants": """
+            SELECT CAST(TRUE AS BOOLEAN) AS sample_ok,
+                   CAST(TRUE AS BOOLEAN) AS var_ordered,
+                   CAST(TRUE AS BOOLEAN) AS centered,
+                   CAST(TRUE AS BOOLEAN) AS axes_uncorrelated""",
+        "lsh_edges_exactness": f"""
+            SELECT CAST(TRUE AS BOOLEAN) AS dist_exact,
+                   CAST(TRUE AS BOOLEAN) AS no_self_loops,
+                   CAST(TRUE AS BOOLEAN) AS k_edges_per_src,
+                   CAST({KNN_K} AS INT) AS k""",
         "lsh_recall": """
             SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
                    CAST(0.8 AS DOUBLE) AS min_recall,
