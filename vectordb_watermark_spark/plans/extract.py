@@ -103,11 +103,19 @@ def decode_carriers(
 ) -> DataFrame:
     """Decode carrier rows -> (id, blk, crc, payload) int columns.
 
-    Semi-join selects carriers (broadcast when small — SURVEY.md §2.7 JN1);
-    the codec runs Arrow-batched; bit-splitting of the 24-bit message happens
-    JVM-side on the packed int.
+    Semi-join selects carriers (SURVEY.md §2.7 JN1); the codec runs
+    Arrow-batched; bit-splitting of the 24-bit message happens JVM-side on
+    the packed int.
+
+    The join is deliberately NOT force-broadcast: carriers are ~rate (e.g.
+    10%) of the table, so at 100 TB the id set alone is gigabytes — an
+    unconditional broadcast hint would OOM the driver.  AQE converts the
+    shuffle join to a broadcast join at runtime whenever the carrier side
+    is actually under the threshold (every test/bench scale), so the small
+    case keeps the broadcast plan while the huge case degrades to a
+    correct shuffle semi-join instead of failing.
     """
-    sel = vectors.join(F.broadcast(carrier_ids.select(id_col)), id_col, "left_semi").select(
+    sel = vectors.join(carrier_ids.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
     )
 
