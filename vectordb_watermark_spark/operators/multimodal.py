@@ -5,10 +5,11 @@ plumbing — schemas, Arrow batch shapes, mapInPandas kernels, partitioning —
 is real and tested.  Codec support is tiered by what this environment can
 honestly decode:
 
-- **uncompressed container formats decode for REAL** with stdlib
-  struct/numpy only: PCM WAV (RIFF), binary PPM (P6), and uncompressed
-  24/32-bit BMP — full parse -> pixels/samples -> resize / features;
-- **compressed formats** (JPEG/PNG/MP4, magic-sniffed) raise
+- **real decodes** with stdlib struct/zlib/numpy only: PCM WAV (RIFF),
+  binary PPM (P6), uncompressed 24/32-bit BMP, and **PNG** (8-bit
+  gray/RGB(A), all five scanline filters — zlib inflate + unfilter needs
+  no codec library) — full parse -> pixels/samples -> resize / features;
+- **codec-bound formats** (JPEG/MP4, magic-sniffed) raise
   ``NotImplementedError`` with guidance, exactly where a PIL/libav call
   would slot in — no image/audio codec library ships here;
 - a deterministic FAKE format (``FAKEIMG``/``FAKEAUD``/``FAKEVID`` headers)
@@ -37,15 +38,16 @@ MAGIC_FAKEVID = b"FAKEVID\x00"
 #: compressed formats we recognize but cannot decode without a codec library
 COMPRESSED_MAGICS = {
     b"\xff\xd8\xff": "image/jpeg",
-    b"\x89PNG": "image/png",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
-#: uncompressed container formats decoded for real (stdlib/numpy only)
+#: container formats decoded for real (stdlib/numpy only — PNG needs just
+#: stdlib zlib + per-scanline unfiltering, no Pillow)
 UNCOMPRESSED_MAGICS = {
     b"RIFF": "audio/wav",
     b"P6": "image/ppm",
     b"BM": "image/bmp",
+    b"\x89PNG": "image/png",
 }
 #: all sniffed real-world magics (metadata-level recognition)
 REAL_MAGICS = {**COMPRESSED_MAGICS, **UNCOMPRESSED_MAGICS}
@@ -166,6 +168,144 @@ def _decode_ppm(raw: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, px
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def make_png(arr: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (stdlib zlib; 8-bit gray/RGB/RGBA/gray+alpha).
+
+    ``row_filters`` optionally sets the filter byte per scanline (0 none,
+    1 sub, 2 up, 3 average, 4 paeth) — the forward filters are applied so
+    the decoder's unfilter paths can be tested against ground truth.
+    """
+    import zlib
+
+    h, w, nch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    filters = row_filters or [0] * h
+    prev = np.zeros(w * nch, dtype=np.int32)
+    scan = bytearray()
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        out = row.copy()
+        for i in range(w * nch):
+            a = int(row[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if f == 1:
+                out[i] = (row[i] - a) & 0xFF
+            elif f == 2:
+                out[i] = (row[i] - b) & 0xFF
+            elif f == 3:
+                out[i] = (row[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                out[i] = (row[i] - _png_paeth(a, b, c)) & 0xFF
+        scan.append(f)
+        scan += out.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(typ + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Real PNG decode — stdlib zlib + numpy, no Pillow.
+
+    Supports the dominant on-disk shape: 8-bit depth, color types
+    0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA), non-interlaced, all
+    five scanline filters (none/sub/up/average/paeth).  Alpha is dropped
+    (same convention as the BMP path); 16-bit, palette, and Adam7
+    interlacing raise with guidance.  Unfiltering is sequential by spec
+    (sub/average/paeth reference the just-decoded left neighbor), so rows
+    run a per-byte loop — correctness-grade; the batch parallelism at
+    scale comes from Spark partitioning, one image per row.
+    """
+    import zlib
+
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos : pos + 4], "big")
+        typ = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB(A) PNGs decode here "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace}); "
+            "install Pillow for palette/16-bit/Adam7 inputs"
+        )
+    nch = _PNG_CHANNELS[ctype]
+    data = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(data) != h * (stride + 1):
+        raise ValueError(f"corrupt PNG: {len(data)} != {h}*({stride}+1)")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    posn = 0
+    for y in range(h):
+        f = data[posn]
+        cur = np.frombuffer(data, np.uint8, stride, posn + 1).copy()
+        posn += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:
+            cur += prev  # uint8 wraparound is the spec's mod-256
+        elif f in (1, 3, 4):
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                if f == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (cur[i] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cur[i] = (cur[i] + _png_paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = out[y]
+    arr = out.reshape(h, w, nch)
+    if ctype == 4:
+        arr = arr[:, :, :1]  # drop alpha
+    elif ctype == 6:
+        arr = arr[:, :, :3]
+    return w, h, arr.shape[2], np.ascontiguousarray(arr).tobytes()
+
+
 def _decode_bmp(raw: bytes) -> tuple[int, int, int, bytes]:
     """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER): real decode.
     Handles bottom-up and top-down row order and 4-byte row padding;
@@ -231,9 +371,9 @@ def _decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
 def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -> DataFrame:
     """Decode image bytes -> ``(id, width, height, channels, pixels)``.
 
-    PPM (P6) and uncompressed BMP decode for REAL (stdlib/numpy); the fake
-    format parses too; compressed formats (JPEG/PNG) raise at the stub
-    point."""
+    PPM (P6), uncompressed BMP, and PNG (8-bit gray/RGB(A)) decode for
+    REAL (stdlib struct/zlib/numpy); the fake format parses too; JPEG
+    raises at the codec stub point."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -247,6 +387,8 @@ def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -
                     w, h, c, px = _decode_ppm(raw)
                 elif raw[:2] == b"BM":
                     w, h, c, px = _decode_bmp(raw)
+                elif raw.startswith(_PNG_SIG):
+                    w, h, c, px = _decode_png(raw)
                 else:
                     raise ValueError("not a decodable image payload")
                 rows.append((r[id_col], w, h, c, px))
