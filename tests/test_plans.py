@@ -183,3 +183,20 @@ def test_corpus_logfreq_plan_shape(spark, queries):
 def test_repetition_and_pii_are_shuffle_free(spark, queries):
     assert "Exchange" not in _plan(queries["quality_repetition"](spark, SF))
     assert "Exchange" not in _plan(queries["pii_redaction"](spark, SF))
+
+
+def test_round4_tpch_shapes_decorrelate_cleanly(spark, queries):
+    """The adapted q2/q11/q16/q20/q21 exist to exercise Catalyst's subquery
+    decorrelation — their physical plans must contain no cartesian product
+    and no unintended nested-loop join, and q21's EXISTS / NOT EXISTS must
+    land as semi/anti joins."""
+    for name in ("q2_min_cost_supplier", "q11_important_stock",
+                 "q16_parts_supplier_counts", "q20_excess_inventory",
+                 "q21_suppliers_waiting"):
+        p = _plan(queries[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    p21 = _plan(queries["q21_suppliers_waiting"](spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    p16 = _plan(queries["q16_parts_supplier_counts"](spark, SF))
+    assert "LeftAnti" in p16  # NOT IN -> null-aware anti join
