@@ -631,3 +631,29 @@ def test_lexical_diversity_bounds(spark):
     assert rows[1]["n_types"] == 4 and rows[1]["ttr"] == 1.0
     assert rows[2]["n_types"] == 0 and rows[2]["ttr"] == 0.0
     assert rows[3]["n_types"] == 2 and rows[3]["ttr"] == 0.5
+
+
+def test_ivf_append_index_without_retrain(spark, vectors, tmp_path):
+    """Appending to a persisted IVF index must assign new rows to existing
+    centroids (no retrain), keep partition pruning working, and make the
+    new vectors findable by ivf_query_index."""
+    from vectordb_watermark_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    old = vectors.filter(F.col("id") >= 10)
+    ivf_write_index(old, idx, n_centroids=8, key="ivf")
+
+    fresh = vectors.filter(F.col("id") < 10)
+    assert ivf_append_index(fresh, idx) == fresh.count()
+
+    total = spark.read.parquet(f"{idx}/vectors").count()
+    assert total == vectors.count()
+    # an appended vector's own embedding must retrieve it at rank 1 with
+    # every centroid probed (exact search over the full index)
+    qv = [float(x) for x in vectors.filter(F.col("id") == 3).first()["emb"]]
+    top = ivf_query_index(spark, idx, qv, k=1, n_probe=8).first()
+    assert top["id"] == 3 and top["cos"] == 1.0

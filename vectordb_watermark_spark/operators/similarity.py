@@ -437,6 +437,41 @@ def ivf_write_index(
     return centroids
 
 
+def ivf_append_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> int:
+    """Append new vectors to a persisted IVF index WITHOUT retraining:
+    assign each row to its nearest existing centroid (one Arrow GEMM pass,
+    no Lloyd iterations, ONE source scan) and append to that centroid's
+    partition directory.  Returns the number of appended rows.
+
+    This is the freshness path the index layout was designed for: appends
+    only touch the partitions they land in, queries keep pruning by
+    ``centroid IN (...)``, and centroid drift is absorbed until the next
+    full :func:`ivf_write_index` rebuild (the usual IVF maintenance
+    trade-off, decided by data-drift cadence, not by this function).
+    """
+    spark = df.sparkSession
+    cents = sorted(
+        ((r["centroid"], [float(x) for x in r["cvec"]])
+         for r in spark.read.parquet(f"{path}/centroids").collect())
+    )
+    if [c for c, _ in cents] != list(range(len(cents))):
+        raise ValueError(f"corrupt IVF centroid table at {path}/centroids")
+    base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
+    try:
+        _ivf_assign_pass(base, [v for _, v in cents]).write.mode("append").partitionBy(
+            "centroid"
+        ).parquet(f"{path}/vectors")
+        n = base.count()
+    finally:
+        base.unpersist()
+    return int(n)
+
+
 def ivf_query_index(
     spark,
     path: str,
