@@ -88,12 +88,14 @@ def knn_edges_exact(
 #: argpartition over the full (B, C) matrix plus a candidate-merge column
 #: group, so B=512/C=4096 (15.1 s) and B=256/C=8192 (15.0 s) beat
 #: B=1024/C=2048 (17.8 s) on the same workload.
-#: auto-dispatch crossover from exact broadcast-GEMM to LSH.  The GEMM is
-#: O(N^2 D): ~10 s/pass at 200k x 192-d on local[32] and quadratically worse
-#: beyond (>20 min/pass measured at 1M x 192-d), while the LSH build stays
-#: near-linear.  200k keeps the exact path wherever it costs under ~a
-#: minute; larger corpora take the LSH path whose recall is contract-gated.
-_AUTO_LSH_ROWS = 200_000
+#: auto-dispatch crossover from exact broadcast-GEMM to LSH, measured on the
+#: full embed+extract lifecycle at 384-d (192-d graph features), local[32]:
+#: 100k broadcast 47.8 s ~ LSH 45.7 s (tie — exactness tips it to GEMM);
+#: 200k broadcast 195.8 s vs LSH 87.6 s (2.2x); 1M broadcast >20 min/pass
+#: (first task wave unfinished at 12 min) vs LSH 507 s lifecycle.  The GEMM
+#: is O(N^2 D) so the gap only widens; above the tie point the near-linear
+#: LSH path (recall contract-gated) wins.
+_AUTO_LSH_ROWS = 100_000
 
 _COL_BLOCK = 4096
 _PROBE_ROWS = 512
