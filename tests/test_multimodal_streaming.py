@@ -591,3 +591,70 @@ def test_real_png_decode_all_filters(spark):
     )
     with _pytest.raises(Exception, match="codec library|NotImplemented"):
         M.decode_images(jpeg_df).collect()
+
+
+def test_incremental_index_across_microbatches(spark, tmp_path):
+    """Streaming IVF maintenance: batch 1 bootstraps centroids, batch 2
+    appends to existing centroids without retraining; after both, the
+    persisted index answers queries over ALL streamed vectors with
+    partition pruning intact; writing a batch twice (dynamic partition
+    overwrite) must not duplicate rows."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import ivf_query_index
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(9)
+    vecs = [(i, [float(round(x, 4)) for x in rng.standard_normal(16)])
+            for i in range(60)]
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    for name, rows in (("a", vecs[:40]), ("b", vecs[40:])):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    stream = (
+        spark.readStream.schema("id long, emb array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "ivf_stream")
+    q = incremental_index(
+        stream, idx, str(tmp_path / "ckpt"), n_centroids=4, key="ivf"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert stored.count() == 60
+    assert stored.select("id").distinct().count() == 60
+    assert spark.read.parquet(f"{idx}/centroids").count() == 4
+
+    # a streamed vector retrieves itself at rank 1 with all centroids probed
+    target = dict(vecs)[55]
+    top = ivf_query_index(spark, idx, target, k=1, n_probe=4).first()
+    assert top["id"] == 55 and top["cos"] == 1.0
+
+    # retry idempotence: re-writing one batch's partitions replaces, never
+    # duplicates (dynamic partition overwrite on (centroid, batch))
+    from pyspark.sql import functions as SF
+    from vectordb_watermark_spark.operators.similarity import _ivf_assign_pass, _ivf_base
+
+    cents = [
+        [float(x) for x in r["cvec"]]
+        for r in sorted(spark.read.parquet(f"{idx}/centroids").collect(),
+                        key=lambda r: r["centroid"])
+    ]
+    replay = spark.createDataFrame(vecs[40:], "id long, emb array<float>")
+    base = _ivf_base(replay, "id", "emb")
+    try:
+        (_ivf_assign_pass(base, cents).withColumn("batch", SF.lit(1))
+         .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .partitionBy("centroid", "batch").parquet(f"{idx}/vectors"))
+    finally:
+        base.unpersist()
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60

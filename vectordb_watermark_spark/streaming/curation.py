@@ -99,3 +99,81 @@ def incremental_dedup(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(handle)
     )
+
+
+def incremental_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    key: str = "ivf",
+):
+    """Streaming ANN-index maintenance sink: keep a persisted IVF index
+    (operators/similarity layout, queried by ``ivf_query_index``)
+    continuously fresh as vectors ARRIVE.  Returns the DataStreamWriter
+    (call ``.start()``).
+
+    - **bootstrap**: the first batch trains the coarse centroids (keyed-hash
+      seeded Lloyd — deterministic, so a retried bootstrap rewrites the
+      identical centroid table) and writes them beside the vectors;
+    - **steady state**: each batch assigns its vectors to the nearest
+      EXISTING centroid in one Arrow GEMM pass (no retrain — the same
+      freshness trade as ``ivf_append_index``) and lands them in their
+      centroid partition;
+    - **idempotence**: vectors are partitioned by ``(centroid, batch)`` with
+      dynamic partition overwrite, so a checkpoint-retried micro-batch
+      replaces exactly its own ``batch=<id>`` subpartitions instead of
+      double-appending.  Queries prune on the first-level ``centroid=``
+      directories unchanged; the second level only subdivides files.
+
+    Centroid drift is absorbed until a periodic batch-layer
+    ``ivf_write_index`` rebuild — the standard IVF maintenance cadence.
+    """
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _ivf_base,
+        _ivf_train,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+        cpath = f"{index_path}/centroids"
+        base = _ivf_base(batch_df, id_col, vec_col)
+        try:
+            if fs.exists(jvm_path(cpath)):
+                cents = [
+                    [float(x) for x in r["cvec"]]
+                    for r in sorted(
+                        spark.read.parquet(cpath).collect(),
+                        key=lambda r: r["centroid"],
+                    )
+                ]
+            else:
+                cents = _ivf_train(base, n_centroids, n_iters, key)
+                spark.createDataFrame(
+                    [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                    "centroid int, cvec array<double>",
+                ).coalesce(1).write.mode("overwrite").parquet(cpath)
+            (
+                _ivf_assign_pass(base, cents)
+                .withColumn("batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid", "batch")
+                .parquet(f"{index_path}/vectors")
+            )
+        finally:
+            base.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
