@@ -657,3 +657,21 @@ def test_ivf_append_index_without_retrain(spark, vectors, tmp_path):
     qv = [float(x) for x in vectors.filter(F.col("id") == 3).first()["emb"]]
     top = ivf_query_index(spark, idx, qv, k=1, n_probe=8).first()
     assert top["id"] == 3 and top["cos"] == 1.0
+
+
+def test_ivf_topk_preserves_id_type(spark):
+    """ivf_topk_cosine must work with non-bigint id columns: the result id
+    column keeps the caller's type end to end (assignment kernel schema is
+    derived from the input, result schema from the source column)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(f"doc-{i}", [float(round(x, 4)) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, emb array<float>")
+    qv = rows[7][1]
+    out = S.ivf_topk_cosine(df, qv, k=3, n_centroids=4, n_probe=4,
+                            id_col="doc_id", vec_col="emb")
+    assert out.schema["id"].dataType.simpleString() == "string"
+    got = out.collect()
+    assert got[0]["id"] == "doc-7" and got[0]["cos"] == 1.0

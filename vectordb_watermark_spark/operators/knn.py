@@ -691,7 +691,18 @@ def knn_edges(
     method: str = "auto",
     **kwargs,
 ) -> DataFrame:
-    """kNN edge DataFrame ``(src, dst, dist2, rank)``; see module docstring."""
+    """kNN edge DataFrame ``(src, dst, dist2, rank)``; see module docstring.
+
+    ``method='auto'`` dispatches on the CURRENT row count, which makes it a
+    convenience for exploration, not a durable contract: blind watermark
+    extraction must rebuild the same graph it embedded with, so an upgrade
+    that moves a threshold — or an attack that deletes rows across one
+    (embed at 110k -> LSH, subset-attack to 70k -> broadcast) — changes the
+    graph construction between embed and extract and degrades carrier
+    overlap (redundancy + CRC + the vote absorb some of it; don't rely on
+    that).  Production embeds should pin ``knn_method`` explicitly and
+    reuse it at extract time.
+    """
     if method == "auto":
         # exact JVM NLJ below ~2k rows; broadcast-numpy GEMM to _AUTO_LSH_ROWS;
         # LSH beyond.  The crossover is compute, not memory: the GEMM is

@@ -284,6 +284,19 @@ def ivf_assign(
     return assigned, centroids
 
 
+def _load_centroids(spark, path: str) -> list[list[float]]:
+    """Read a persisted IVF centroid table, ordered and validated: centroid
+    ids must be exactly 0..C-1 (a torn/partial overwrite would otherwise
+    silently misassign every vector by list position)."""
+    rows = sorted(
+        ((r["centroid"], [float(x) for x in r["cvec"]])
+         for r in spark.read.parquet(f"{path}/centroids").collect())
+    )
+    if [c for c, _ in rows] != list(range(len(rows))) or not rows:
+        raise ValueError(f"corrupt IVF centroid table at {path}/centroids")
+    return [v for _, v in rows]
+
+
 def _ivf_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Persisted ``(id, v)`` projection shared by every IVF build pass."""
     from pyspark import StorageLevel
@@ -329,10 +342,12 @@ def _ivf_assign_pass(base: DataFrame, cents: list[list[float]]) -> DataFrame:
     Centroid-count-many literals per row would be a huge Catalyst expression
     tree (slow to analyze/compile); a tiny Arrow kernel against the (C, D)
     centroid matrix is one GEMM per batch.  Ties break to the smallest
-    centroid index (argmin).
+    centroid index (argmin).  The id column keeps the caller's type (the
+    Arrow kernel passes it through untouched).
     """
     import numpy as np
 
+    id_type = base.schema["id"].dataType.simpleString()
     C = np.asarray(cents, dtype=np.float64)
     cn = (C * C).sum(axis=1)
 
@@ -355,7 +370,7 @@ def _ivf_assign_pass(base: DataFrame, cents: list[list[float]]) -> DataFrame:
                 names=["id", "v", "centroid"],
             )
 
-    return base.mapInArrow(kernel, schema="id long, v array<float>, centroid int")
+    return base.mapInArrow(kernel, schema=f"id {id_type}, v array<float>, centroid int")
 
 
 def ivf_topk_cosine(
@@ -374,11 +389,19 @@ def ivf_topk_cosine(
 
     One source scan total: the persisted ``(id, v)`` base feeds training,
     the probe filter (directly on the assignment pass output — no join back
-    to the source), and the re-rank; the k result rows are materialized
-    before the cache is released.  For repeated queries against one corpus
-    build the index once with :func:`ivf_write_index` and use
-    :func:`ivf_query_index` (partition-pruned reads) instead."""
+    to the source), and the re-rank.  EAGER by necessity: the k result rows
+    (bounded) are materialized before the cache is released; the returned
+    DataFrame preserves the caller's id column type.  For repeated queries
+    against one corpus build the index once with :func:`ivf_write_index`
+    and use :func:`ivf_query_index` (partition-pruned reads) instead."""
     import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
     base = _ivf_base(df, id_col, vec_col)
     try:
@@ -393,7 +416,12 @@ def ivf_topk_cosine(
         ]
     finally:
         base.unpersist()
-    return df.sparkSession.createDataFrame(rows, "id long, cos double, rank int")
+    schema = StructType([
+        StructField("id", df.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+        StructField("rank", IntegerType()),
+    ])
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def ivf_write_index(
@@ -454,16 +482,10 @@ def ivf_append_index(
     full :func:`ivf_write_index` rebuild (the usual IVF maintenance
     trade-off, decided by data-drift cadence, not by this function).
     """
-    spark = df.sparkSession
-    cents = sorted(
-        ((r["centroid"], [float(x) for x in r["cvec"]])
-         for r in spark.read.parquet(f"{path}/centroids").collect())
-    )
-    if [c for c, _ in cents] != list(range(len(cents))):
-        raise ValueError(f"corrupt IVF centroid table at {path}/centroids")
+    cents = _load_centroids(df.sparkSession, path)
     base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
     try:
-        _ivf_assign_pass(base, [v for _, v in cents]).write.mode("append").partitionBy(
+        _ivf_assign_pass(base, cents).write.mode("append").partitionBy(
             "centroid"
         ).parquet(f"{path}/vectors")
         n = base.count()
@@ -485,10 +507,10 @@ def ivf_query_index(
     happens at plan time (asserted in tests), not per row."""
     import numpy as np
 
-    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cents = _load_centroids(spark, path)
     q = np.asarray(query_vec, dtype=np.float64)
     order = sorted(
-        ((float(((np.asarray(r["cvec"]) - q) ** 2).sum()), r["centroid"]) for r in cents)
+        (float(((np.asarray(v) - q) ** 2).sum()), i) for i, v in enumerate(cents)
     )
     probe = [c for _, c in order[:n_probe]]
     sub = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe))

@@ -106,7 +106,10 @@ def embed_watermark(
 
     ``degrees`` may be supplied to reuse a precomputed degree table (e.g.
     when experimenting with several keys over one corpus).  ``nonce`` is for
-    deterministic tests only.
+    deterministic tests only.  For production embeds pin ``knn_method``
+    explicitly (and reuse it at extract): ``'auto'`` dispatches on the
+    current row count, and blind extraction must rebuild the graph the same
+    way it was built here (see operators/knn.knn_edges).
     """
     if len(message) != 16:
         raise ValueError("message must be exactly 16 characters")

@@ -136,6 +136,7 @@ def incremental_index(
         _ivf_assign_pass,
         _ivf_base,
         _ivf_train,
+        _load_centroids,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -148,13 +149,10 @@ def incremental_index(
         base = _ivf_base(batch_df, id_col, vec_col)
         try:
             if fs.exists(jvm_path(cpath)):
-                cents = [
-                    [float(x) for x in r["cvec"]]
-                    for r in sorted(
-                        spark.read.parquet(cpath).collect(),
-                        key=lambda r: r["centroid"],
-                    )
-                ]
+                # shared loader validates contiguity: a torn centroid table
+                # fails the micro-batch (retryable) instead of silently
+                # misassigning every subsequent batch by list position
+                cents = _load_centroids(spark, index_path)
             else:
                 cents = _ivf_train(base, n_centroids, n_iters, key)
                 spark.createDataFrame(

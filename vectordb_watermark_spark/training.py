@@ -206,7 +206,16 @@ def load_codec(dim: int, key: str, results_dir: str = DEFAULT_RESULTS_DIR):
     (:func:`train_learned_codec`) loads as a
     :class:`~vectordb_watermark_spark.plans.codec.TorchCodec`; else a
     calibrated ``.json`` (:func:`train_codec`) sets the OrthogonalCodec
-    delta; else the adaptive default OrthogonalCodec."""
+    delta; else the adaptive default OrthogonalCodec.
+
+    **Pitfall (same as the reference's best.pt)**: the codec is part of the
+    watermark — a corpus embedded under one codec only extracts under that
+    codec.  Training a learned checkpoint AFTER embedding flips what
+    ``codec=None`` resolves to, so extraction of the earlier watermark
+    fails (the AES-GCM auth tag catches it — wrong decode never returns a
+    forged message).  For mixed fleets pass ``codec=`` explicitly to both
+    embed and extract, or version the ``results_dir`` alongside the corpus;
+    ``model_info()['active']`` reports what this resolver would pick."""
     npz = learned_model_path(dim, results_dir)
     if os.path.exists(npz):
         from vectordb_watermark_spark.plans.codec import TorchCodec
