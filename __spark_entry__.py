@@ -978,6 +978,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_pairs(spark, sf):
         return D.minhash_candidate_pairs(_docs(spark, sf))
 
+    def crawl_dedup_join(spark, sf):  # cross-corpus near-dup join
+        # "new crawl" (doc_id < 250) vs "existing corpus" (doc_id >= 250):
+        # banded candidates only across the split, each exact-verified
+        d = _docs(spark, sf)
+        return D.minhash_join(
+            d.filter(F.col("doc_id") < 250),
+            d.filter(F.col("doc_id") >= 250),
+            threshold=0.5,
+        )
+
     def dedup_jaccard_pairs(spark, sf):
         return D.jaccard_pairs(_docs(spark, sf), pairs=None, threshold=0.35, auto_rows=None)
 
@@ -1484,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_tokens": sketch_distinct_tokens,
         "top_tokens": top_tokens,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "crawl_dedup_join": crawl_dedup_join,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -2274,6 +2285,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
             WHERE x.doc_id < y.doc_id""",
+        "crawl_dedup_join": f"""
+            WITH sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < 250 AND y.doc_id >= 250
+            ),
+            t AS (SELECT doc_id, {toks_set} AS toks FROM documents)
+            SELECT a, b, jaccard FROM (
+              SELECT c.a, c.b,
+                     round(CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(list_distinct(x.toks || y.toks))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM cand c
+              JOIN t x ON x.doc_id = c.a
+              JOIN t y ON y.doc_id = c.b
+            ) WHERE jaccard >= 0.5""",
         "dedup_jaccard_pairs": f"""
             WITH t AS (SELECT doc_id, {toks_set} AS toks FROM documents)
             SELECT a, b, jaccard FROM (

@@ -675,3 +675,26 @@ def test_ivf_topk_preserves_id_type(spark):
     assert out.schema["id"].dataType.simpleString() == "string"
     got = out.collect()
     assert got[0]["id"] == "doc-7" and got[0]["cos"] == 1.0
+
+
+def test_minhash_join_cross_corpus(spark):
+    """Cross-corpus near-dup join: a crawl doc duplicating a corpus doc must
+    pair with it (and only with near-dups), ids never pair within one side,
+    and the verified jaccard is exact."""
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+         (101, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 100
+         (2, "totally different words nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    cand = {(r["a"], r["b"]) for r in D.minhash_join(crawl, corpus).collect()}
+    assert (1, 100) in cand
+    assert all(a in (1, 2) and b in (100, 101) for a, b in cand)
+
+    ver = {(r["a"], r["b"]): r["jaccard"]
+           for r in D.minhash_join(crawl, corpus, threshold=0.9).collect()}
+    assert ver == {(1, 100): 1.0}

@@ -639,3 +639,64 @@ def benchmark_overlap(
         .filter(F.col("n_overlap") >= min_overlap)
         .select(F.col("id").alias(id_col), "n_overlap")
     )
+
+
+def minhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Cross-corpus near-dup JOIN: pairs ``(a, b)`` with ``a`` from ``left``
+    and ``b`` from ``right`` sharing at least one MinHash LSH band — the
+    batch operator for "dedup this new crawl against the existing training
+    corpus" (the streaming twin is curation.incremental_dedup's accept
+    gate, which only catches identical signatures).
+
+    With ``threshold`` set, every candidate is re-verified with EXACT token
+    Jaccard and the output gains a ``jaccard`` column — precision becomes
+    exact (every emitted pair truly clears the threshold); recall stays the
+    banding's.
+
+    Plan shape for 100 TB: one signature scan per side (Arrow kernel, no
+    shuffle), band explode (n_bands small-fixed rows per doc), ONE equi-join
+    on ``(band, band_hash)`` + distinct over pairs — never an
+    N_left x N_right product; the verify joins token sets back by id
+    (two hash joins on already-banded candidates).
+    """
+    ls = minhash_signatures(left, id_col, text_col, n_hashes)
+    rs = minhash_signatures(right, id_col, text_col, n_hashes)
+    lb = minhash_bands(ls, band_size).select(F.col("id").alias("a"), "band", "band_hash")
+    rb = minhash_bands(rs, band_size).select(F.col("id").alias("b"), "band", "band_hash")
+    cand = lb.join(rb, ["band", "band_hash"]).select("a", "b").distinct()
+    if threshold is None:
+        return cand
+
+    from vectordb_watermark_spark.functions.text import tokens
+
+    lt = left.select(
+        F.col(id_col).alias("a"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__ta"),
+    )
+    rt = right.select(
+        F.col(id_col).alias("b"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__tb"),
+    )
+    union_n = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    jac = F.when(
+        union_n > 0,
+        F.round(
+            F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("double")
+            / union_n.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(lt, "a")
+        .join(rt, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
