@@ -698,3 +698,29 @@ def test_minhash_join_cross_corpus(spark):
     ver = {(r["a"], r["b"]): r["jaccard"]
            for r in D.minhash_join(crawl, corpus, threshold=0.9).collect()}
     assert ver == {(1, 100): 1.0}
+
+
+def test_round4_ops_partition_invariant(spark, docs):
+    """Cluster-correctness property: the new curation operators must return
+    identical results under different partitionings (no RNG, no
+    partition-order dependence)."""
+    from vectordb_watermark_spark.operators.quality import (
+        length_percentiles,
+        tfidf_top_terms,
+    )
+
+    few = docs.coalesce(1)
+    many = docs.repartition(13)
+    for op in (lambda d: tfidf_top_terms(d, k=5),
+               lambda d: length_percentiles(d)):
+        a = sorted(map(tuple, op(few).collect()))
+        b = sorted(map(tuple, op(many).collect()))
+        assert a == b
+
+    j1 = sorted(map(tuple, D.minhash_join(
+        few.filter(F.col("doc_id") < 100), few.filter(F.col("doc_id") >= 100),
+        threshold=0.5).collect()))
+    j2 = sorted(map(tuple, D.minhash_join(
+        many.filter(F.col("doc_id") < 100), many.filter(F.col("doc_id") >= 100),
+        threshold=0.5).collect()))
+    assert j1 == j2 and len(j1) > 0
