@@ -652,9 +652,67 @@ def test_incremental_index_across_microbatches(spark, tmp_path):
     replay = spark.createDataFrame(vecs[40:], "id long, emb array<float>")
     base = _ivf_base(replay, "id", "emb")
     try:
-        (_ivf_assign_pass(base, cents).withColumn("batch", SF.lit(1))
+        (_ivf_assign_pass(base, cents).withColumn("batch", SF.lit("stream-1"))
          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
          .partitionBy("centroid", "batch").parquet(f"{idx}/vectors"))
     finally:
         base.unpersist()
     assert spark.read.parquet(f"{idx}/vectors").count() == 60
+
+
+def test_ivf_writers_compose_on_one_index(spark, tmp_path):
+    """The failure mode the shared (centroid, batch) layout exists to
+    prevent: a full ivf_write_index build, a streamed micro-batch, and an
+    ivf_append_index append must all land in ONE readable index — no
+    conflicting directory depths — and a query must see every vector."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_query_index,
+        ivf_write_index,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(17)
+    vecs = [(i, [float(round(x, 4)) for x in rng.standard_normal(12)])
+            for i in range(60)]
+    full = spark.createDataFrame(vecs[:30], "id long, emb array<float>")
+    idx = str(tmp_path / "ivf_mixed")
+    ivf_write_index(full, idx, n_centroids=4, key="ivf")
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    spark.createDataFrame(vecs[30:45], "id long, emb array<float>").coalesce(1)\
+        .write.parquet(str(stage))
+    shutil.copy(next(stage.glob("part-*.parquet")), src / "s.parquet")
+    q = incremental_index(
+        spark.readStream.schema("id long, emb array<float>").parquet(str(src)),
+        idx, str(tmp_path / "ck"), n_centroids=4, key="ivf",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    appended = spark.createDataFrame(vecs[45:], "id long, emb array<float>")
+    assert ivf_append_index(appended, idx) == 15
+
+    allv = spark.read.parquet(f"{idx}/vectors")
+    assert allv.count() == 60 and allv.select("id").distinct().count() == 60
+    assert set(r["batch"] for r in allv.select("batch").distinct().collect()) \
+        == {"full", "stream-0", "append-1"}
+    target = dict(vecs)[50]
+    top = ivf_query_index(spark, idx, target, k=1, n_probe=4).first()
+    assert top["id"] == 50 and top["cos"] == 1.0
+
+    # schema guards: wrong dimension and wrong id type fail fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="-d"):
+        ivf_append_index(
+            spark.createDataFrame([(99, [1.0] * 8)], "id long, emb array<float>"), idx
+        )
+    with _pytest.raises(ValueError, match="id type"):
+        ivf_append_index(
+            spark.createDataFrame([("x", [1.0] * 12)], "id string, emb array<float>"), idx
+        )

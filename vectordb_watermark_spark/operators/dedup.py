@@ -217,11 +217,21 @@ def minhash_signatures_expr(
 
 
 def minhash_bands(
-    sigs: DataFrame, band_size: int = BAND_SIZE
+    sigs: DataFrame, band_size: int = BAND_SIZE, n_hashes: int = N_MINHASH
 ) -> DataFrame:
     """Explode signatures into ``(id, band, band_hash)`` LSH bucket keys.
-    Documents sharing any (band, band_hash) are near-dup candidates."""
-    n = N_MINHASH  # length is fixed by minhash_signatures
+    Documents sharing any (band, band_hash) are near-dup candidates.
+
+    ``n_hashes`` MUST match the signature length and divide into whole
+    bands: slicing past the signature would make the out-of-range bands
+    hash a constant for every document — a silent all-pairs degeneration.
+    """
+    if n_hashes <= 0 or n_hashes > N_MINHASH or n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be a positive multiple of "
+            f"band_size={band_size} and at most {N_MINHASH}"
+        )
+    n = n_hashes
     bands = []
     for b in range(n // band_size):
         seg = F.slice(F.col("sig"), b * band_size + 1, band_size)
@@ -277,7 +287,7 @@ def minhash_candidate_pairs(
 
     # cross-group: band match decided once per group pair (distinct is over
     # group pairs, not member pairs), then expanded via two equi-joins
-    rbands = minhash_bands(groups.select(F.col("gid").alias("id"), "sig"), band_size)
+    rbands = minhash_bands(groups.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
     rpairs = (
         _spread(rbands).select("band", "band_hash", F.col("id").alias("ra"))
         .join(rbands.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
@@ -324,6 +334,21 @@ def _auto_candidates(
     return None
 
 
+def _token_set(text):
+    """Distinct lowercase whitespace tokens — THE token projection every
+    exact-Jaccard verifier (and its DuckDB twin) is pinned to."""
+    return F.array_distinct(tokens(F.lower(text)))
+
+
+def _jaccard_expr(ta, tb):
+    """Exact token-set Jaccard, rounded to 6 dp — shared by
+    :func:`jaccard_pairs` and :func:`minhash_join` so the oracle-pinned
+    definition lives in exactly one place."""
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -343,10 +368,7 @@ def jaccard_pairs(
     Verification stage of MinHash-LSH dedup; also standalone n-gram Jaccard.
     """
     pairs = _auto_candidates(df, pairs, id_col, text_col, auto_rows, total)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("toks"),
-    )
+    toks = df.select(F.col(id_col).alias("id"), _token_set(F.col(text_col)).alias("toks"))
     if pairs is None:
         a = toks.select(F.col("id").alias("a"), F.col("toks").alias("ta"))
         b = toks.select(F.col("id").alias("b"), F.col("toks").alias("tb"))
@@ -356,11 +378,8 @@ def jaccard_pairs(
             pairs.join(toks.withColumnRenamed("id", "a").withColumnRenamed("toks", "ta"), "a")
             .join(toks.withColumnRenamed("id", "b").withColumnRenamed("toks", "tb"), "b")
         )
-    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
-    union = F.size(F.array_union(F.col("ta"), F.col("tb"))).cast("double")
-    j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        joined.select("a", "b", F.round(j, 6).alias("jaccard"))
+        joined.select("a", "b", _jaccard_expr(F.col("ta"), F.col("tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -669,34 +688,17 @@ def minhash_join(
     """
     ls = minhash_signatures(left, id_col, text_col, n_hashes)
     rs = minhash_signatures(right, id_col, text_col, n_hashes)
-    lb = minhash_bands(ls, band_size).select(F.col("id").alias("a"), "band", "band_hash")
-    rb = minhash_bands(rs, band_size).select(F.col("id").alias("b"), "band", "band_hash")
+    lb = minhash_bands(ls, band_size, n_hashes).select(F.col("id").alias("a"), "band", "band_hash")
+    rb = minhash_bands(rs, band_size, n_hashes).select(F.col("id").alias("b"), "band", "band_hash")
     cand = lb.join(rb, ["band", "band_hash"]).select("a", "b").distinct()
     if threshold is None:
         return cand
 
-    from vectordb_watermark_spark.functions.text import tokens
-
-    lt = left.select(
-        F.col(id_col).alias("a"),
-        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__ta"),
-    )
-    rt = right.select(
-        F.col(id_col).alias("b"),
-        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("__tb"),
-    )
-    union_n = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
-    jac = F.when(
-        union_n > 0,
-        F.round(
-            F.size(F.array_intersect(F.col("__ta"), F.col("__tb"))).cast("double")
-            / union_n.cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    lt = left.select(F.col(id_col).alias("a"), _token_set(F.col(text_col)).alias("__ta"))
+    rt = right.select(F.col(id_col).alias("b"), _token_set(F.col(text_col)).alias("__tb"))
     return (
         cand.join(lt, "a")
         .join(rt, "b")
-        .select("a", "b", jac.alias("jaccard"))
+        .select("a", "b", _jaccard_expr(F.col("__ta"), F.col("__tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -444,6 +444,12 @@ def ivf_write_index(
     directory layout IS the inverted file).  Rebuild cadence is a data
     freshness choice; appends go to their centroid partition.
 
+    Layout: ``centroid=X/batch=Y/`` — ONE layout shared by this full build
+    (``batch=full``), :func:`ivf_append_index` (``batch=append-N``), and
+    the streaming sink (``batch=stream-N``), so the three writers compose
+    on one index without conflicting directory depths; pruning happens on
+    the first (centroid) level regardless.
+
     Build cost: ONE source scan.  The ``(id, v)`` projection is persisted,
     the Lloyd loop and the final assignment read the cache, and the
     assignment pass output (which already carries ``v``) is written directly
@@ -452,17 +458,32 @@ def ivf_write_index(
     base = _ivf_base(df, id_col, vec_col)
     try:
         centroids = _ivf_train(base, n_centroids, n_iters, key)
-        _ivf_assign_pass(base, centroids).write.mode("overwrite").partitionBy(
-            "centroid"
-        ).parquet(f"{path}/vectors")
+        _ivf_assign_pass(base, centroids).withColumn("batch", F.lit("full")).write.mode(
+            "overwrite"
+        ).partitionBy("centroid", "batch").parquet(f"{path}/vectors")
     finally:
         base.unpersist()
-    spark = df.sparkSession
+    _write_centroids_atomic(df.sparkSession, path, centroids)
+    return centroids
+
+
+def _write_centroids_atomic(spark, path: str, centroids: list[list[float]]) -> None:
+    """Stage the centroid table and rename into place: a crash mid-write
+    must never leave a torn ``{path}/centroids`` directory (readers would
+    fail permanently; a retried streaming bootstrap would see the directory
+    exist and skip re-training — the swap makes existence imply complete)."""
+    tmp = f"{path}/centroids__tmp"
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid int, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    return centroids
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    target = jvm_path(f"{path}/centroids")
+    if fs.exists(target):
+        fs.delete(target, True)
+    if not fs.rename(jvm_path(tmp), target):
+        raise IOError(f"failed to move staged centroid table into {path}/centroids")
 
 
 def ivf_append_index(
@@ -481,13 +502,42 @@ def ivf_append_index(
     ``centroid IN (...)``, and centroid drift is absorbed until the next
     full :func:`ivf_write_index` rebuild (the usual IVF maintenance
     trade-off, decided by data-drift cadence, not by this function).
+
+    Appended rows land in a fresh ``batch=append-N`` subpartition of the
+    shared ``centroid=X/batch=Y/`` layout; the appended id type and vector
+    dimension are validated against the stored index up front — a mismatch
+    would otherwise write conflicting parquet schemas into the shared
+    directories and only fail at some later read.
     """
-    cents = _load_centroids(df.sparkSession, path)
+    spark = df.sparkSession
+    cents = _load_centroids(spark, path)
+    from vectordb_watermark_spark.sources.io import vector_dim
+
+    dim = vector_dim(df, vec_col)
+    if dim != len(cents[0]):
+        raise ValueError(
+            f"appended vectors are {dim}-d but the index at {path} is "
+            f"{len(cents[0])}-d"
+        )
+    existing = spark.read.parquet(f"{path}/vectors")
+    stored_t = existing.schema["id"].dataType
+    new_t = df.schema[id_col].dataType
+    if stored_t != new_t:
+        raise ValueError(
+            f"appended id type {new_t.simpleString()} does not match the "
+            f"index's id type {stored_t.simpleString()}"
+        )
+    appends = [
+        int(str(v).split("-", 1)[1])
+        for v in (r["batch"] for r in existing.select("batch").distinct().collect())
+        if str(v).startswith("append-")
+    ]
+    batch_tag = f"append-{(max(appends) + 1) if appends else 1}"
     base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
     try:
-        _ivf_assign_pass(base, cents).write.mode("append").partitionBy(
-            "centroid"
-        ).parquet(f"{path}/vectors")
+        _ivf_assign_pass(base, cents).withColumn("batch", F.lit(batch_tag)).write.mode(
+            "append"
+        ).partitionBy("centroid", "batch").parquet(f"{path}/vectors")
         n = base.count()
     finally:
         base.unpersist()

@@ -125,9 +125,13 @@ def incremental_index(
       centroid partition;
     - **idempotence**: vectors are partitioned by ``(centroid, batch)`` with
       dynamic partition overwrite, so a checkpoint-retried micro-batch
-      replaces exactly its own ``batch=<id>`` subpartitions instead of
-      double-appending.  Queries prune on the first-level ``centroid=``
-      directories unchanged; the second level only subdivides files.
+      replaces exactly its own ``batch=stream-<id>`` subpartitions instead
+      of double-appending.  Queries prune on the first-level ``centroid=``
+      directories unchanged; the second level only subdivides files.  The
+      ``batch`` tags are namespaced (``full`` / ``append-N`` /
+      ``stream-N``) so this sink, ``ivf_write_index``, and
+      ``ivf_append_index`` share ONE directory layout and compose on the
+      same index without conflicting partition depths.
 
     Centroid drift is absorbed until a periodic batch-layer
     ``ivf_write_index`` rebuild — the standard IVF maintenance cadence.
@@ -137,6 +141,7 @@ def incremental_index(
         _ivf_base,
         _ivf_train,
         _load_centroids,
+        _write_centroids_atomic,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -155,13 +160,13 @@ def incremental_index(
                 cents = _load_centroids(spark, index_path)
             else:
                 cents = _ivf_train(base, n_centroids, n_iters, key)
-                spark.createDataFrame(
-                    [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-                    "centroid int, cvec array<double>",
-                ).coalesce(1).write.mode("overwrite").parquet(cpath)
+                # staged write + rename: a crash mid-bootstrap must not
+                # leave a torn centroids dir that every retry then fails
+                # to load (existence implies complete)
+                _write_centroids_atomic(spark, index_path, cents)
             (
                 _ivf_assign_pass(base, cents)
-                .withColumn("batch", F.lit(int(batch_id)))
+                .withColumn("batch", F.lit(f"stream-{int(batch_id)}"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("centroid", "batch")
