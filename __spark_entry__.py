@@ -1367,36 +1367,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_decodes bigint, decode_floor_ok boolean",
         )
 
-    def ivf_recall(spark, sf):  # IVF ANN inequality contract vs brute top-k
-        # recall@10 with n_probe=8/16 centroids measured 0.8 at sf0.01;
-        # pinned floor 0.7 leaves one-hit margin (same pattern as
-        # knn_lsh_recall).  The IVF build is keyed-hash deterministic.
+    def _ann_mean_recall(spark, sf, topk_fn, query_ids=(0, 1, 2)) -> float:
+        # mean recall@10 over several query points: single-query recall at
+        # 500 rows swings +/-0.1 per hit, so the contract rides on the mean
+        # (measured IVF per-query [0.8, 0.7, 0.9] -> mean 0.8)
         df = _vectors(spark, sf)
-        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
-        sub = df.filter(F.col("id") != 0)
-        brute = {r["id"] for r in S.topk_cosine(sub, qv, 10).collect()}
-        approx = {
-            r["id"]
-            for r in S.ivf_topk_cosine(sub, qv, k=10, n_centroids=16, n_probe=8).collect()
-        }
-        recall = len(brute & approx) / max(len(brute), 1)
+        recalls = []
+        for qid in query_ids:
+            qv = [float(x) for x in df.filter(F.col("id") == qid).first()["emb"]]
+            sub = df.filter(F.col("id") != qid)
+            brute = {r["id"] for r in S.topk_cosine(sub, qv, 10).collect()}
+            approx = {r["id"] for r in topk_fn(sub, qv)}
+            recalls.append(len(brute & approx) / max(len(brute), 1))
+        return sum(recalls) / len(recalls)
+
+    def ivf_recall(spark, sf):  # IVF ANN inequality contract vs brute top-k
+        # mean recall@10 over 3 queries with n_probe=8/16 centroids measured
+        # 0.8 at sf0.01; pinned floor 0.7.  Keyed-hash deterministic.
+        recall = _ann_mean_recall(
+            spark, sf,
+            lambda sub, qv: S.ivf_topk_cosine(
+                sub, qv, k=10, n_centroids=16, n_probe=8
+            ).collect(),
+        )
         return spark.createDataFrame(
             [(bool(recall >= 0.7), 0.7, 10)],
             "recall_ok boolean, min_recall double, k int",
         )
 
     def lsh_recall(spark, sf):  # sign-LSH ANN inequality contract
-        # recall@10 with 16 tables x 4 bits measured 1.0 at sf0.01; pinned
-        # floor 0.8.  Hyperplanes are keyed-hash derived — deterministic.
-        df = _vectors(spark, sf)
-        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
-        sub = df.filter(F.col("id") != 0)
-        brute = {r["id"] for r in S.topk_cosine(sub, qv, 10).collect()}
-        approx = {
-            r["id"]
-            for r in S.lsh_topk_cosine(sub, qv, k=10, n_tables=16, n_bits=4).collect()
-        }
-        recall = len(brute & approx) / max(len(brute), 1)
+        # mean recall@10 over 3 queries with 16 tables x 4 bits measured 1.0
+        # at sf0.01; pinned floor 0.8.  Hyperplanes keyed-hash derived.
+        recall = _ann_mean_recall(
+            spark, sf,
+            lambda sub, qv: S.lsh_topk_cosine(
+                sub, qv, k=10, n_tables=16, n_bits=4
+            ).collect(),
+        )
         return spark.createDataFrame(
             [(bool(recall >= 0.8), 0.8, 10)],
             "recall_ok boolean, min_recall double, k int",
