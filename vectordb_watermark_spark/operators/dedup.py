@@ -680,17 +680,43 @@ def minhash_join(
     exact (every emitted pair truly clears the threshold); recall stays the
     banding's.
 
-    Plan shape for 100 TB: one signature scan per side (Arrow kernel, no
-    shuffle), band explode (n_bands small-fixed rows per doc), ONE equi-join
-    on ``(band, band_hash)`` + distinct over pairs — never an
-    N_left x N_right product; the verify joins token sets back by id
-    (two hash joins on already-banded candidates).
+    Plan shape for 100 TB — same duplicate-mass defense as
+    :func:`minhash_candidate_pairs`: each side collapses identical
+    signatures to one representative FIRST (one groupBy(sig) shuffle per
+    side), the band equi-join + distinct runs at group level, and the
+    quadratic member expansion happens AFTER the last shuffle, streamed out
+    of codegen'd joins.  A million-template-copies-per-side corpus band-joins
+    one group pair, never 10^12 id pairs; the verify joins token sets back
+    by id (two hash joins on already-banded candidates).
     """
-    ls = minhash_signatures(left, id_col, text_col, n_hashes)
-    rs = minhash_signatures(right, id_col, text_col, n_hashes)
-    lb = minhash_bands(ls, band_size, n_hashes).select(F.col("id").alias("a"), "band", "band_hash")
-    rb = minhash_bands(rs, band_size, n_hashes).select(F.col("id").alias("b"), "band", "band_hash")
-    cand = lb.join(rb, ["band", "band_hash"]).select("a", "b").distinct()
+    lg = (
+        minhash_signatures(left, id_col, text_col, n_hashes)
+        .groupBy("sig")
+        .agg(F.min("id").alias("gid"), F.collect_list("id").alias("members"))
+        .cache()
+    )
+    rg = (
+        minhash_signatures(right, id_col, text_col, n_hashes)
+        .groupBy("sig")
+        .agg(F.min("id").alias("gid"), F.collect_list("id").alias("members"))
+        .cache()
+    )
+    # materialize before the plan fans out (diamond-lineage barrier — the
+    # band and member branches would otherwise race into concurrent full
+    # evaluations of the signature scan)
+    lg.count()
+    rg.count()
+    lb = minhash_bands(lg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
+    rb = minhash_bands(rg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
+    gpairs = (
+        _spread(lb).select("band", "band_hash", F.col("id").alias("la"))
+        .join(rb.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
+        .select("la", "rb")
+        .distinct()
+    )
+    lmem = lg.select(F.col("gid").alias("la"), F.explode("members").alias("a"))
+    rmem = rg.select(F.col("gid").alias("rb"), F.explode("members").alias("b"))
+    cand = gpairs.join(lmem, "la").join(rmem, "rb").select("a", "b")
     if threshold is None:
         return cand
 
