@@ -144,6 +144,29 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with per-row-group BLOOM FILTERS on ``bloom_cols`` —
+    the third pruning lever after partition and min/max pruning: a point
+    lookup (S4) on a high-cardinality key over 100 TB skips every row group
+    whose bloom filter excludes the value, even where min/max ranges
+    overlap (typical for hash-ish ids scattered across files).  ``ndv`` is
+    the expected distinct values per row group (sizes the filter).  Readers
+    need no opt-in — parquet-mr consults the filter during row-group
+    selection."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)
+
+
 def truncate_table(df: DataFrame) -> DataFrame:
     """S11 table truncate (reference attack/clear.py:16 `DELETE FROM t`):
     an empty frame with the same schema — write it with mode='overwrite'."""
