@@ -978,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_pairs(spark, sf):
         return D.minhash_candidate_pairs(_docs(spark, sf))
 
+    def doc_embeddings(spark, sf):  # M6 bulk embedding generation
+        return T.hash_embed_documents(_docs(spark, sf))
+
     def crawl_dedup_join(spark, sf):  # cross-corpus near-dup join
         # "new crawl" (doc_id < 250) vs "existing corpus" (doc_id >= 250):
         # banded candidates only across the split, each exact-verified
@@ -1502,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": top_tokens,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "crawl_dedup_join": crawl_dedup_join,
+        "doc_embeddings": doc_embeddings,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -2292,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
             WHERE x.doc_id < y.doc_id""",
+        "doc_embeddings": T.sql_hash_embed(64),
         "crawl_dedup_join": f"""
             WITH sigs AS (
               SELECT doc_id, {mh_cols} FROM

@@ -724,3 +724,25 @@ def test_round4_ops_partition_invariant(spark, docs):
         many.filter(F.col("doc_id") < 100), many.filter(F.col("doc_id") >= 100),
         threshold=0.5).collect()))
     assert j1 == j2 and len(j1) > 0
+
+
+def test_hash_embed_documents_properties(spark):
+    """Feature-hashing embeddings: unit norm per doc, identical docs get
+    identical vectors, disjoint-vocabulary docs get (near-)orthogonal ones,
+    and empty docs emit nothing."""
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, "zeta eta theta iota kappa"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = T.hash_embed_documents(df, dim=32).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["pos"]] = r["val"]
+    assert 3 not in by_doc
+    assert by_doc[0] == by_doc[1]
+    for d in (0, 2):
+        assert abs(sum(v * v for v in by_doc[d].values()) - 1.0) < 1e-4, d
+    # disjoint vocab -> dot product only from chance bucket collisions
+    dot = sum(by_doc[0].get(p, 0.0) * v for p, v in by_doc[2].items())
+    assert abs(dot) < 0.9

@@ -371,3 +371,87 @@ def sql_pii(text_col: str) -> dict[str, str]:
             f" '{PHONE_RE}', '<PHONE>', 'g')"
         ),
     }
+
+
+def hash_embed_documents(
+    df, dim: int = 64, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Bulk embedding generation (SURVEY §7.2 M6): deterministic
+    feature-hashing document embeddings — the hashing trick (Weinberger et
+    al. 2009): each token hashes to a bucket ``w mod dim`` with sign from an
+    independent hash bit, contributions sum per bucket (token multiplicity
+    counts), and the vector is L2-normalized.
+
+    Returns the oracle-friendly exploded form ``(id, pos, val)`` with one
+    row per RECEIVING bucket (a bucket whose +1/-1 contributions cancel
+    still appears, with val 0.0).  Arrow kernel over one scan — the same
+    plumbing (tokenize -> batch kernel -> vector column) a neural encoder
+    drops into, with the hash replaced by a model forward; token words are
+    the same 60-bit sha256 prefixes as the MinHash kernel.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from vectordb_watermark_spark.operators.dedup import _tokenize_ascii
+    from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism
+
+    sel = spread_to_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+
+    def kernel(batches):
+        import hashlib as _hl
+
+        import numpy as np
+
+        memo: dict = {}
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            ids_out, pos_out, val_out = [], [], []
+            for rid, text in zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()):
+                acc: dict[int, float] = {}
+                for t in _tokenize_ascii(text):
+                    w = memo.get(t)
+                    if w is None:
+                        w = int(_hl.sha256(t.encode()).hexdigest()[:15], 16)
+                        memo[t] = w
+                    b = w % dim
+                    acc[b] = acc.get(b, 0.0) + (1.0 if (w // dim) % 2 == 1 else -1.0)
+                if not acc:
+                    continue
+                norm = max(float(np.sqrt(sum(v * v for v in acc.values()))), 1e-12)
+                for b in sorted(acc):
+                    ids_out.append(rid)
+                    pos_out.append(b)
+                    val_out.append(round(acc[b] / norm, 6) + 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_out, type=pa.int64()),
+                    pa.array(pos_out, type=pa.int32()),
+                    pa.array(val_out, type=pa.float64()),
+                ],
+                names=["id", "pos", "val"],
+            )
+
+    return sel.mapInArrow(kernel, schema="id long, pos int, val double")
+
+
+def sql_hash_embed(dim: int = 64) -> str:
+    """DuckDB twin of :func:`hash_embed_documents` over ``documents``."""
+    w = "CAST(CAST(('0x' || substr(sha256(t), 1, 15)) AS UBIGINT) AS BIGINT)"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS t FROM documents
+        ), words AS (
+          SELECT doc_id, {w} AS w FROM tok
+        ), contrib AS (
+          SELECT doc_id, CAST(w % {dim} AS INT) AS pos,
+                 CASE WHEN (w // {dim}) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+          FROM words
+        ), acc AS (
+          SELECT doc_id, pos, sum(s) AS v FROM contrib GROUP BY doc_id, pos
+        ), nrm AS (
+          SELECT doc_id, greatest(sqrt(sum(v * v)), 1e-12) AS n
+          FROM acc GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id, a.pos, round(a.v / nrm.n, 6) + 0.0 AS val
+        FROM acc a JOIN nrm USING (doc_id)"""
