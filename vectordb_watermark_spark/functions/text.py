@@ -420,9 +420,16 @@ def hash_embed_documents(
                     continue
                 norm = max(float(np.sqrt(sum(v * v for v in acc.values()))), 1e-12)
                 for b in sorted(acc):
+                    x = acc[b] / norm
+                    # DuckDB round() is half-AWAY-from-zero; Python round()
+                    # is half-to-even — on representable ties (e.g. 1/128)
+                    # they differ in the 6th decimal and the oracle hash
+                    # would diverge.  floor(|x|*1e6 + 0.5) is the faithful
+                    # twin over this value range.
+                    q = float(np.floor(abs(x) * 1e6 + 0.5)) / 1e6
                     ids_out.append(rid)
                     pos_out.append(b)
-                    val_out.append(round(acc[b] / norm, 6) + 0.0)
+                    val_out.append((q if x >= 0 else -q) + 0.0)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids_out, type=pa.int64()),
@@ -437,7 +444,9 @@ def hash_embed_documents(
 
 def sql_hash_embed(dim: int = 64) -> str:
     """DuckDB twin of :func:`hash_embed_documents` over ``documents``."""
-    w = "CAST(CAST(('0x' || substr(sha256(t), 1, 15)) AS UBIGINT) AS BIGINT)"
+    from vectordb_watermark_spark.functions.hashing import sql_word60
+
+    w = sql_word60("sha256(t)")
     return f"""
         WITH tok AS (
           SELECT doc_id, unnest({sql_tokens('lower(text)')}) AS t FROM documents

@@ -246,6 +246,28 @@ def minhash_bands(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+def _sig_groups(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int
+) -> DataFrame:
+    """Signature groups ``(sig, gid, members)`` — the duplicate-mass
+    collapse shared by :func:`minhash_candidate_pairs` and
+    :func:`minhash_join`.  ``collect_set`` (not list) so a repeated
+    ``id_col`` value cannot emit duplicate pairs downstream (ids are
+    expected unique per corpus; the set guards the common repeat case).
+    Cached and materialized before returning: the band and member branches
+    both read it, and an unmaterialized cache would race them into
+    concurrent full evaluations of the signature scan (the diamond-lineage
+    barrier, true at any scale)."""
+    g = (
+        minhash_signatures(df, id_col, text_col, n_hashes)
+        .groupBy("sig")
+        .agg(F.min("id").alias("gid"), F.collect_set("id").alias("members"))
+        .cache()
+    )
+    g.count()
+    return g
+
+
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE,
@@ -265,15 +287,7 @@ def minhash_candidate_pairs(
     the last shuffle, streamed straight out of codegen'd joins.  Output set is
     identical (the DuckDB oracle pins it).
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
-    groups = sigs.groupBy("sig").agg(
-        F.min("id").alias("gid"), F.collect_list("id").alias("members")
-    ).cache()
-    # materialize the cache before the plan fans out: the within/band/across
-    # branches all read `groups`, and an unmaterialized cache would race them
-    # into concurrent full evaluations of the signature scan (true at any
-    # scale — this is the diamond-lineage barrier, not a small-N tweak)
-    groups.count()
+    groups = _sig_groups(df, id_col, text_col, n_hashes)
     mem = groups.select("gid", F.explode("members").alias("id"))
 
     # within-group all pairs; the probe side is spread so one giant duplicate
@@ -689,23 +703,8 @@ def minhash_join(
     one group pair, never 10^12 id pairs; the verify joins token sets back
     by id (two hash joins on already-banded candidates).
     """
-    lg = (
-        minhash_signatures(left, id_col, text_col, n_hashes)
-        .groupBy("sig")
-        .agg(F.min("id").alias("gid"), F.collect_list("id").alias("members"))
-        .cache()
-    )
-    rg = (
-        minhash_signatures(right, id_col, text_col, n_hashes)
-        .groupBy("sig")
-        .agg(F.min("id").alias("gid"), F.collect_list("id").alias("members"))
-        .cache()
-    )
-    # materialize before the plan fans out (diamond-lineage barrier — the
-    # band and member branches would otherwise race into concurrent full
-    # evaluations of the signature scan)
-    lg.count()
-    rg.count()
+    lg = _sig_groups(left, id_col, text_col, n_hashes)
+    rg = _sig_groups(right, id_col, text_col, n_hashes)
     lb = minhash_bands(lg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
     rb = minhash_bands(rg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
     gpairs = (
