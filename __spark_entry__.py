@@ -1162,6 +1162,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             T.token_count(F.col("text")).alias("n_tokens"),
         ).filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.33))
 
+    def curation_keep_best(spark, sf):
+        # quality-aware canonical selection: keep the BEST-scoring document
+        # of each verified near-dup cluster (deterministic tie-break), not
+        # the min-id one — singletons always survive
+        docs = _docs(spark, sf)
+        verified = D.jaccard_pairs(
+            docs, pairs=D.minhash_candidate_pairs(docs), threshold=0.5
+        ).select("a", "b")
+        return D.canonical_by_quality(docs, D.connected_components(verified))
+
     def knn_join_tables(spark, sf):
         # general kNN similarity join between two tables: probe ids < 100
         # against the disjoint rest of the corpus, k=4 (exact broadcast-GEMM)
@@ -1506,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "crawl_dedup_join": crawl_dedup_join,
         "doc_embeddings": doc_embeddings,
+        "curation_keep_best": curation_keep_best,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -2400,6 +2411,60 @@ def oracle_sql() -> dict[str, str]:
             WHERE coalesce(l.comp, d.doc_id) = d.doc_id
               AND {T.sql_lang_id('text')} = 'en'
               AND {T.sql_quality_score('text')} >= 0.33""",
+        # quality-aware canonical: same verified-component derivation as
+        # corpus_curation, then the per-component quality argmax (tie-break
+        # quality desc, id asc); rows outside any component are singletons
+        "curation_keep_best": f"""
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cpairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            ),
+            toksets AS (SELECT doc_id, {toks_set} AS toks FROM documents),
+            vpairs AS (
+              SELECT a, b FROM (
+                SELECT c.a, c.b,
+                       CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                            THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                 / len(list_distinct(x.toks || y.toks))
+                            ELSE 0.0 END AS jac
+                FROM cpairs c
+                JOIN toksets x ON x.doc_id = c.a
+                JOIN toksets y ON y.doc_id = c.b
+              ) WHERE round(jac, 6) >= 0.5
+            ),
+            edges AS (SELECT a, b FROM vpairs UNION SELECT b, a FROM vpairs),
+            reach(id, comp) AS (
+              SELECT a AS id, a AS comp FROM edges
+              UNION
+              SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+            scored AS (SELECT doc_id AS id,
+                              {T.sql_quality_score('text')} + 0.0 AS q
+                       FROM documents),
+            winners AS (
+              SELECT l.comp, s.id, s.q,
+                     row_number() OVER (PARTITION BY l.comp
+                                        ORDER BY s.q DESC, s.id ASC) AS rk
+              FROM scored s JOIN labels l ON l.id = s.id
+            )
+            SELECT id AS doc_id, round(q, 6) + 0.0 AS quality,
+                   CAST(FALSE AS BOOLEAN) AS singleton
+            FROM winners WHERE rk = 1
+            UNION ALL
+            SELECT s.id AS doc_id, round(s.q, 6) + 0.0 AS quality,
+                   CAST(TRUE AS BOOLEAN) AS singleton
+            FROM scored s LEFT JOIN labels l ON l.id = s.id
+            WHERE l.id IS NULL""",
         # exact cross-table kNN join: brute-force in SQL with the identical
         # (dist2, dst) deterministic tie-break
         "knn_join_tables": """

@@ -746,3 +746,20 @@ def test_hash_embed_documents_properties(spark):
     # disjoint vocab -> dot product only from chance bucket collisions
     dot = sum(by_doc[0].get(p, 0.0) * v for p, v in by_doc[2].items())
     assert abs(dot) < 0.9
+
+
+def test_canonical_by_quality_keeps_best_not_first(spark):
+    """The cluster winner must be the highest-quality member (tie-break
+    quality desc, id asc), NOT the min id; singletons always survive."""
+    rich = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the hills where it rests for a while today") * 3
+    poor = "x!!! y!!! z!!!"
+    docs = spark.createDataFrame(
+        [(1, poor), (2, rich), (3, "unrelated singleton text entirely")],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame([(1, 1), (2, 1)], "id long, comp long")
+    rows = {r["doc_id"]: r for r in D.canonical_by_quality(docs, comps).collect()}
+    assert set(rows) == {2, 3}, rows      # best of cluster + the singleton
+    assert not rows[2]["singleton"] and rows[3]["singleton"]
+    assert rows[2]["quality"] > 0.5

@@ -727,3 +727,48 @@ def minhash_join(
         .select("a", "b", _jaccard_expr(F.col("__ta"), F.col("__tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def canonical_by_quality(
+    df: DataFrame,
+    components: DataFrame,
+    quality_col_expr=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware canonical selection: keep the BEST-scoring document of
+    each near-dup cluster instead of the min-id one — what production
+    curation stacks actually do (the first-crawled copy is often the
+    boilerplate-laden one).
+
+    ``components`` is :func:`connected_components` output ``(id, comp)``;
+    rows absent from it are singletons and always kept.  ``quality_col_expr``
+    defaults to functions/text.quality_score over ``text_col``.  Tie-break is
+    deterministic: (quality desc, id asc).  One join + one per-component
+    window over the (small) clustered subset — unclustered rows never enter
+    the window.
+    """
+    from pyspark.sql import Window
+
+    from vectordb_watermark_spark.functions.text import quality_score
+
+    q = (
+        quality_score(F.col(text_col))
+        if quality_col_expr is None
+        else quality_col_expr
+    )
+    scored = df.select(F.col(id_col).alias("id"), (q + F.lit(0.0)).alias("__q"))
+    labeled = scored.join(components, "id", "inner")
+    w = Window.partitionBy("comp").orderBy(F.col("__q").desc(), F.col("id").asc())
+    winners = (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("id").alias(id_col), F.round("__q", 6).alias("quality"),
+                F.lit(False).alias("singleton"))
+    )
+    singles = (
+        scored.join(components, "id", "left_anti")
+        .select(F.col("id").alias(id_col), F.round("__q", 6).alias("quality"),
+                F.lit(True).alias("singleton"))
+    )
+    return winners.unionByName(singles)
