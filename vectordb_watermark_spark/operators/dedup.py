@@ -257,7 +257,14 @@ def _sig_groups(
     Cached and materialized before returning: the band and member branches
     both read it, and an unmaterialized cache would race them into
     concurrent full evaluations of the signature scan (the diamond-lineage
-    barrier, true at any scale)."""
+    barrier, true at any scale).
+
+    Cache LIFETIME is owned by the result DataFrame the public caller
+    returns: callers must pass this handle to :func:`_tie_lifetime` so the
+    cache is unpersisted exactly when the candidate DataFrame is dropped —
+    never earlier (the result still evaluates through it) and never a
+    session-lifetime leak (the pre-round-5 behavior, one ~corpus-sized
+    cached table leaked per call)."""
     g = (
         minhash_signatures(df, id_col, text_col, n_hashes)
         .groupBy("sig")
@@ -266,6 +273,37 @@ def _sig_groups(
     )
     g.count()
     return g
+
+
+def _tie_lifetime(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of ``cached`` (persisted intermediate) DataFrames to
+    ``result``: they are unpersisted when ``result`` is garbage-collected,
+    or deterministically via ``result._vwm_release()``.
+
+    This is the ownership contract for operators whose returned (lazy)
+    DataFrame still evaluates through a cached intermediate: unpersisting
+    before return would force a full recompute per downstream action, while
+    never unpersisting leaks executor storage for the session (the failure
+    mode the IVF path's try/finally fixed for its eager writes).  GC-scoped
+    release matches the true dependency: as long as the caller can still
+    evaluate the result, the cache serves it; once the result is dropped,
+    nothing can reference the cache.  Idempotent and safe after session
+    shutdown."""
+    import weakref
+
+    handles = tuple(cached)
+
+    def _release() -> None:
+        for h in handles:
+            try:
+                h.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release
+
+    fin = weakref.finalize(result, _release)
+    fin.atexit = False  # interpreter teardown: the JVM is going away anyway
+    result._vwm_release = fin  # deterministic handle for callers/tests
+    return result
 
 
 def minhash_candidate_pairs(
@@ -286,6 +324,11 @@ def minhash_candidate_pairs(
     that is a 10^12-row shuffle; here the quadratic expansion happens after
     the last shuffle, streamed straight out of codegen'd joins.  Output set is
     identical (the DuckDB oracle pins it).
+
+    The internal signature-group cache is released when the returned
+    DataFrame is dropped (or via ``result._vwm_release()``) — see
+    :func:`_tie_lifetime`; repeated calls no longer accumulate executor
+    storage.
     """
     groups = _sig_groups(df, id_col, text_col, n_hashes)
     mem = groups.select("gid", F.explode("members").alias("id"))
@@ -312,10 +355,13 @@ def minhash_candidate_pairs(
     across = (
         rpairs.join(mem.select(F.col("gid").alias("ra"), F.col("id").alias("x")), "ra")
         .join(mem.select(F.col("gid").alias("rb"), F.col("id").alias("y")), "rb")
-        # different groups are disjoint but not ordered — normalize, don't filter
+        # different groups are disjoint but not ordered — normalize, don't
+        # filter; a<b afterwards only drops degenerate self-pairs that a
+        # repeated id with differing texts would place in two groups
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .filter(F.col("a") < F.col("b"))
     )
-    return within.unionAll(across)
+    return _tie_lifetime(within.unionAll(across), groups)
 
 
 #: jaccard verifiers fall back from all-pairs to MinHash-LSH candidates
@@ -715,18 +761,25 @@ def minhash_join(
     )
     lmem = lg.select(F.col("gid").alias("la"), F.explode("members").alias("a"))
     rmem = rg.select(F.col("gid").alias("rb"), F.explode("members").alias("b"))
-    cand = gpairs.join(lmem, "la").join(rmem, "rb").select("a", "b")
+    # distinct: a repeated id with DIFFERING texts lands in two signature
+    # groups, and both group-pairs expand to the same (a, b) — the SQL twin
+    # applies SELECT DISTINCT, so match it.  Cheap relative to the band
+    # join: it shuffles only the true near-dup cross-pairs, a small
+    # fraction of either corpus (and AQE coalesces the post-expansion
+    # partitions); with unique ids per side it deduplicates nothing.
+    cand = gpairs.join(lmem, "la").join(rmem, "rb").select("a", "b").distinct()
     if threshold is None:
-        return cand
+        return _tie_lifetime(cand, lg, rg)
 
     lt = left.select(F.col(id_col).alias("a"), _token_set(F.col(text_col)).alias("__ta"))
     rt = right.select(F.col(id_col).alias("b"), _token_set(F.col(text_col)).alias("__tb"))
-    return (
+    verified = (
         cand.join(lt, "a")
         .join(rt, "b")
         .select("a", "b", _jaccard_expr(F.col("__ta"), F.col("__tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    return _tie_lifetime(verified, lg, rg)
 
 
 def canonical_by_quality(
