@@ -464,26 +464,88 @@ def ivf_write_index(
     finally:
         base.unpersist()
     _write_centroids_atomic(df.sparkSession, path, centroids)
+    _write_index_meta_atomic(
+        df.sparkSession, path,
+        df.schema[id_col].dataType.simpleString(), len(centroids[0]), 1,
+    )
     return centroids
 
 
+def _swap_dir_atomic(spark, staged: str, target_path: str) -> None:
+    """Move a fully-written staged directory into place.  An existing target
+    is renamed ASIDE first (``<target>__old``) and deleted only after the
+    staged directory has landed — so a crash at any point leaves either the
+    complete old version or the complete new one recoverable, never a
+    deleted-but-not-replaced hole.  The reader-visible gap shrinks to the
+    instant between the two metadata renames (vs. the whole delete + staged
+    commit under delete-then-rename); concurrent REBUILD-while-serving on
+    object stores without atomic dir rename still needs external fencing —
+    documented at the callers."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(target_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    target = jvm_path(target_path)
+    old = jvm_path(f"{target_path}__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_old = False
+    if fs.exists(target):
+        if not fs.rename(target, old):
+            raise IOError(f"failed to move previous {target_path} aside")
+        had_old = True
+    if not fs.rename(jvm_path(staged), target):
+        raise IOError(f"failed to move staged directory into {target_path}")
+    if had_old:
+        fs.delete(old, True)
+
+
 def _write_centroids_atomic(spark, path: str, centroids: list[list[float]]) -> None:
-    """Stage the centroid table and rename into place: a crash mid-write
+    """Stage the centroid table and swap it into place: a crash mid-write
     must never leave a torn ``{path}/centroids`` directory (readers would
     fail permanently; a retried streaming bootstrap would see the directory
-    exist and skip re-training — the swap makes existence imply complete)."""
+    exist and skip re-training — the swap makes existence imply complete).
+    On REBUILD the previous table is renamed aside before the staged one
+    lands (see :func:`_swap_dir_atomic`), so a concurrent reader's window
+    of missing-directory is two renames, not a delete plus a full commit."""
     tmp = f"{path}/centroids__tmp"
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "centroid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir_atomic(spark, tmp, f"{path}/centroids")
+
+
+def _write_index_meta_atomic(
+    spark, path: str, id_type: str, dim: int, next_append_seq: int
+) -> None:
+    """Persist the index's tiny metadata sidecar ``{path}/index_meta``
+    (single-row parquet: stored id type, vector dim, next append sequence)
+    with the same staged-swap discipline as the centroid table.
+
+    This is what keeps :func:`ivf_append_index` METADATA-CHEAP at 100 TB:
+    without it, deriving the id type and the next ``append-N`` tag means a
+    full-index schema read plus a distinct over every partition's file
+    listing — an object-store metadata storm per append.  With it, an
+    append touches the sidecar and its own new partitions, nothing else."""
+    tmp = f"{path}/index_meta__tmp"
+    spark.createDataFrame(
+        [(str(id_type), int(dim), int(next_append_seq))],
+        "id_type string, dim int, next_append_seq int",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir_atomic(spark, tmp, f"{path}/index_meta")
+
+
+def _load_index_meta(spark, path: str) -> dict | None:
+    """Read the index metadata sidecar, or ``None`` for a pre-sidecar index
+    (then the caller falls back to deriving metadata from the index itself
+    and self-heals by writing the sidecar)."""
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    target = jvm_path(f"{path}/centroids")
-    if fs.exists(target):
-        fs.delete(target, True)
-    if not fs.rename(jvm_path(tmp), target):
-        raise IOError(f"failed to move staged centroid table into {path}/centroids")
+    if not fs.exists(jvm_path(f"{path}/index_meta")):
+        return None
+    row = spark.read.parquet(f"{path}/index_meta").collect()
+    if len(row) != 1:
+        raise ValueError(f"corrupt IVF metadata sidecar at {path}/index_meta")
+    return row[0].asDict()
 
 
 def ivf_append_index(
@@ -508,6 +570,14 @@ def ivf_append_index(
     dimension are validated against the stored index up front — a mismatch
     would otherwise write conflicting parquet schemas into the shared
     directories and only fail at some later read.
+
+    METADATA-CHEAP by design: the stored id type and the next ``append-N``
+    sequence come from the single-row ``index_meta`` sidecar, so an append
+    touches the sidecar plus its own new partitions — it never lists or
+    schema-reads the (100 TB) index itself.  A pre-sidecar index falls back
+    to deriving both from the index ONCE and self-heals by writing the
+    sidecar.  Appends are serialized by the sidecar's staged-swap (run one
+    appender at a time per index — same contract as the full rebuild).
     """
     spark = df.sparkSession
     cents = _load_centroids(spark, path)
@@ -519,20 +589,30 @@ def ivf_append_index(
             f"appended vectors are {dim}-d but the index at {path} is "
             f"{len(cents[0])}-d"
         )
-    existing = spark.read.parquet(f"{path}/vectors")
-    stored_t = existing.schema["id"].dataType
-    new_t = df.schema[id_col].dataType
-    if stored_t != new_t:
+    new_t = df.schema[id_col].dataType.simpleString()
+    meta = _load_index_meta(spark, path)
+    if meta is None:
+        # pre-sidecar index: derive id type + next sequence from the index
+        # itself (the expensive path, once), then self-heal the sidecar
+        existing = spark.read.parquet(f"{path}/vectors")
+        stored_t = existing.schema["id"].dataType.simpleString()
+        appends = [
+            int(str(v).split("-", 1)[1])
+            for v in (r["batch"] for r in existing.select("batch").distinct().collect())
+            if str(v).startswith("append-")
+        ]
+        meta = {
+            "id_type": stored_t,
+            "dim": len(cents[0]),
+            "next_append_seq": (max(appends) + 1) if appends else 1,
+        }
+    if meta["id_type"] != new_t:
         raise ValueError(
-            f"appended id type {new_t.simpleString()} does not match the "
-            f"index's id type {stored_t.simpleString()}"
+            f"appended id type {new_t} does not match the "
+            f"index's id type {meta['id_type']}"
         )
-    appends = [
-        int(str(v).split("-", 1)[1])
-        for v in (r["batch"] for r in existing.select("batch").distinct().collect())
-        if str(v).startswith("append-")
-    ]
-    batch_tag = f"append-{(max(appends) + 1) if appends else 1}"
+    seq = int(meta["next_append_seq"])
+    batch_tag = f"append-{seq}"
     base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
     try:
         _ivf_assign_pass(base, cents).withColumn("batch", F.lit(batch_tag)).write.mode(
@@ -541,6 +621,7 @@ def ivf_append_index(
         n = base.count()
     finally:
         base.unpersist()
+    _write_index_meta_atomic(spark, path, meta["id_type"], int(meta["dim"]), seq + 1)
     return int(n)
 
 

@@ -142,6 +142,7 @@ def incremental_index(
         _ivf_train,
         _load_centroids,
         _write_centroids_atomic,
+        _write_index_meta_atomic,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -164,6 +165,13 @@ def incremental_index(
                 # leave a torn centroids dir that every retry then fails
                 # to load (existence implies complete)
                 _write_centroids_atomic(spark, index_path, cents)
+                # metadata sidecar: lets ivf_append_index stay
+                # metadata-cheap on a stream-bootstrapped index too
+                _write_index_meta_atomic(
+                    spark, index_path,
+                    batch_df.schema[id_col].dataType.simpleString(),
+                    len(cents[0]), 1,
+                )
             (
                 _ivf_assign_pass(base, cents)
                 .withColumn("batch", F.lit(f"stream-{int(batch_id)}"))
