@@ -1435,68 +1435,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — every oracle
-    # then has a driver-green row within the last two rounds.  Round-5 window:
-    # the 48 rows last driver-verified in round 3 plus the two invariant
-    # contracts added late in round 4 (pca_invariants, lsh_edges_exactness,
-    # until now only check_oracle-green).  Everything below the line was
-    # hash-green in the round-4 driver gate (CORRECTNESS_r04.json).  The 4
-    # rows-only entries stay at the very bottom permanently: in-window they
-    # record only a weak rows-only check, and their contracts are pinned by
-    # the hash-verified contract rows (knn_lsh_recall, ivf_recall, lsh_recall,
-    # pca_invariants, lsh_edges_exactness).
+    # then has a driver-green row within the last two rounds.  Round-6 window:
+    # the 50 rows last driver-verified in round 4 (CORRECTNESS_r04.json).
+    # Everything below the line was hash-green in the round-5 driver gate
+    # (CORRECTNESS_r05.json).  The 4 rows-only entries stay at the very bottom
+    # permanently: in-window they record only a weak rows-only check, and
+    # their contracts are pinned by the hash-verified contract rows
+    # (knn_lsh_recall, ivf_recall, lsh_recall, pca_invariants,
+    # lsh_edges_exactness).
     return {
-        # -- r5 window: last driver-verified r3, or check_oracle-only (50) ---
-        "quality_repetition": quality_repetition,
-        "pii_redaction": pii_redaction,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "corpus_logfreq_score": corpus_logfreq_score,
-        "quality_resample": quality_resample,
-        "codec_eval": codec_eval,
-        "source_mix": source_mix,
-        "source_capped_sample": source_capped_sample,
-        "corpus_curation": corpus_curation,
-        "dedup_components": dedup_components,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_quantize": embedding_quantize,
-        "knn_join_tables": knn_join_tables,
-        "paraphrase_candidates": paraphrase_candidates,
-        "sketch_distinct_tokens": sketch_distinct_tokens,
-        "top_tokens": top_tokens,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "crawl_dedup_join": crawl_dedup_join,
-        "doc_embeddings": doc_embeddings,
-        "curation_keep_best": curation_keep_best,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_stats": text_stats,
-        "lang_id": lang_id,
-        "doc_fingerprints": doc_fingerprints,
-        "ann_topk_cosine": ann_topk_cosine,
-        "cosine_neardup": cosine_neardup,
-        "events_sessionize": events_sessionize,
-        "media_metadata": media_metadata,
-        "carriers_by_threshold": carriers_by_threshold,
-        "pairwise_viz_stats": pairwise_viz_stats,
-        "knn_lsh_recall": knn_lsh_recall,
-        "point_lookup": point_lookup,
-        "vector_scan": vector_scan,
-        "vector_stats": vector_stats,
-        "vector_mean": vector_mean,
-        "knn_degrees": knn_degrees,
-        "gated_degrees": gated_degrees,
-        "degree_histogram": degree_histogram,
-        "carrier_selection": carrier_selection,
-        "topk_degree_pool": topk_degree_pool,
-        "crc4_table": crc4_table,
-        "majority_vote_events": majority_vote_events,
-        "robust_vote_events": robust_vote_events,
-        "sample_keyed": sample_keyed,
-        "sample_stratified": sample_stratified,
-        "pca_invariants": pca_invariants,
-        "lsh_edges_exactness": lsh_edges_exactness,
-        # ---- 50-query window line: below was driver-green in round 4 -------
+        # -- r6 window: the 50 rows last driver-verified in round 4 ----------
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
@@ -1547,6 +1495,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": lexical_diversity,
         "gopher_quality_flags": gopher_quality_flags,
         "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
+        # ---- 50-query window line: below was driver-green in round 5 -------
+        "quality_repetition": quality_repetition,
+        "pii_redaction": pii_redaction,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "corpus_logfreq_score": corpus_logfreq_score,
+        "quality_resample": quality_resample,
+        "codec_eval": codec_eval,
+        "source_mix": source_mix,
+        "source_capped_sample": source_capped_sample,
+        "corpus_curation": corpus_curation,
+        "dedup_components": dedup_components,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_quantize": embedding_quantize,
+        "knn_join_tables": knn_join_tables,
+        "paraphrase_candidates": paraphrase_candidates,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
+        "top_tokens": top_tokens,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "crawl_dedup_join": crawl_dedup_join,
+        "doc_embeddings": doc_embeddings,
+        "curation_keep_best": curation_keep_best,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_cosine": ann_topk_cosine,
+        "cosine_neardup": cosine_neardup,
+        "events_sessionize": events_sessionize,
+        "media_metadata": media_metadata,
+        "carriers_by_threshold": carriers_by_threshold,
+        "pairwise_viz_stats": pairwise_viz_stats,
+        "knn_lsh_recall": knn_lsh_recall,
+        "point_lookup": point_lookup,
+        "vector_scan": vector_scan,
+        "vector_stats": vector_stats,
+        "vector_mean": vector_mean,
+        "knn_degrees": knn_degrees,
+        "gated_degrees": gated_degrees,
+        "degree_histogram": degree_histogram,
+        "carrier_selection": carrier_selection,
+        "topk_degree_pool": topk_degree_pool,
+        "crc4_table": crc4_table,
+        "majority_vote_events": majority_vote_events,
+        "robust_vote_events": robust_vote_events,
+        "sample_keyed": sample_keyed,
+        "sample_stratified": sample_stratified,
+        "pca_invariants": pca_invariants,
+        "lsh_edges_exactness": lsh_edges_exactness,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
