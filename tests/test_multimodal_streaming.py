@@ -716,3 +716,142 @@ def test_ivf_writers_compose_on_one_index(spark, tmp_path):
         ivf_append_index(
             spark.createDataFrame([("x", [1.0] * 12)], "id string, emb array<float>"), idx
         )
+
+
+def test_incremental_index_rebootstrap_preserves_append_seq(spark, tmp_path):
+    """Re-bootstrap over an existing vectors directory (ADVICE r5): if the
+    centroid table is lost on a previously-appended index (deleted, or the
+    swap crash window), the streaming bootstrap must NOT reset the append
+    sequence to 1 — that would route the next ivf_append_index into the
+    already-populated batch=append-1 partition, mixing new rows with stale
+    ones.  With the sidecar also lost, the sequence is re-derived from the
+    directory listing; with the sidecar surviving, it wins outright."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_index_meta,
+        ivf_append_index,
+        ivf_write_index,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(23)
+    vecs = [(i, [float(round(x, 4)) for x in rng.standard_normal(12)])
+            for i in range(60)]
+    idx = str(tmp_path / "ivf_reboot")
+    ivf_write_index(
+        spark.createDataFrame(vecs[:30], "id long, emb array<float>"),
+        idx, n_centroids=4, key="ivf",
+    )
+    ivf_append_index(
+        spark.createDataFrame(vecs[30:40], "id long, emb array<float>"), idx
+    )
+    assert _load_index_meta(spark, idx)["next_append_seq"] == 2
+
+    # lose BOTH the centroid table and the sidecar, then re-bootstrap
+    shutil.rmtree(f"{idx}/centroids")
+    shutil.rmtree(f"{idx}/index_meta")
+    src = tmp_path / "reboot_src"
+    src.mkdir()
+    stage = tmp_path / "reboot_stage"
+    spark.createDataFrame(vecs[40:50], "id long, emb array<float>").coalesce(1)\
+        .write.parquet(str(stage))
+    shutil.copy(next(stage.glob("part-*.parquet")), src / "s.parquet")
+    q = incremental_index(
+        spark.readStream.schema("id long, emb array<float>").parquet(str(src)),
+        idx, str(tmp_path / "reboot_ck"), n_centroids=4, key="ivf",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    # listing-derived: max(append-N) + 1, not a reset to 1
+    assert _load_index_meta(spark, idx)["next_append_seq"] == 2
+    ivf_append_index(
+        spark.createDataFrame(vecs[50:], "id long, emb array<float>"), idx
+    )
+    allv = spark.read.parquet(f"{idx}/vectors")
+    assert allv.count() == 60 and allv.select("id").distinct().count() == 60
+    assert set(r["batch"] for r in allv.select("batch").distinct().collect()) \
+        == {"full", "append-1", "stream-0", "append-2"}
+
+
+def test_streaming_ivf_reader_during_maintenance(spark, tmp_path):
+    """Reader-during-maintenance soak (VERDICT r5 task #7): while the
+    streaming sink lands micro-batches — including a replayed (retried)
+    batch — a concurrent ivf_query_index reader must never see a torn index:
+    every poll either succeeds with a well-formed top-1 hit from the already
+    committed vector set, or (in the centroid-swap window) fails with the
+    loader's loud contiguity error, never a wrong/partial answer."""
+    import shutil
+    import threading
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import ivf_query_index
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(31)
+    vecs = [(i, [float(round(x, 4)) for x in rng.standard_normal(12)])
+            for i in range(80)]
+    idx = str(tmp_path / "ivf_soak")
+    src = tmp_path / "soak_src"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        stage = tmp_path / f"soak_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / f"{name}.parquet")
+
+    drop_file("b0", vecs[:20])
+    # bootstrap batch first so the reader has an index to poll
+    q = incremental_index(
+        spark.readStream.schema("id long, emb array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(str(src)),
+        idx, str(tmp_path / "soak_ck"), n_centroids=4, key="ivf",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    qv = dict(vecs)[7]
+    stop = threading.Event()
+    outcomes = {"ok": 0, "torn": [], "polls": 0}
+
+    def reader():
+        while not stop.is_set():
+            outcomes["polls"] += 1
+            try:
+                top = ivf_query_index(spark, idx, qv, k=1, n_probe=4).first()
+                # id 7 is in the committed bootstrap batch: a well-formed
+                # read always finds it at cos 1.0 regardless of how many
+                # later batches have landed
+                if top is None or top["id"] != 7 or top["cos"] != 1.0:
+                    outcomes["torn"].append(top)
+                else:
+                    outcomes["ok"] += 1
+            except Exception:
+                # loud loader/contiguity error in a swap window: acceptable
+                pass
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        # three more micro-batches land while the reader polls, then one
+        # replayed batch (retry path: dynamic partition overwrite replaces
+        # batch=stream-1's partitions rather than double-appending)
+        for n, (lo, hi) in enumerate([(20, 40), (40, 60), (60, 80)], start=1):
+            drop_file(f"b{n}", vecs[lo:hi])
+            q = incremental_index(
+                spark.readStream.schema("id long, emb array<float>")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)),
+                idx, str(tmp_path / "soak_ck"), n_centroids=4, key="ivf",
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+    finally:
+        stop.set()
+        t.join(30)
+
+    assert outcomes["torn"] == []
+    assert outcomes["ok"] >= 3  # the reader really ran during maintenance
+    allv = spark.read.parquet(f"{idx}/vectors")
+    assert allv.count() == 80 and allv.select("id").distinct().count() == 80

@@ -259,51 +259,107 @@ def _sig_groups(
     concurrent full evaluations of the signature scan (the diamond-lineage
     barrier, true at any scale).
 
-    Cache LIFETIME is owned by the result DataFrame the public caller
-    returns: callers must pass this handle to :func:`_tie_lifetime` so the
-    cache is unpersisted exactly when the candidate DataFrame is dropped —
-    never earlier (the result still evaluates through it) and never a
-    session-lifetime leak (the pre-round-5 behavior, one ~corpus-sized
-    cached table leaked per call)."""
+    Cache LIFETIME is owned by the module-level bounded registry: public
+    callers pass the cached handle to :func:`_register_caches`, which keeps
+    the most recent :data:`SIG_CACHE_CAPACITY` signature-group tables alive
+    and unpersists the rest in LRU order — never a session-lifetime leak
+    (the pre-round-5 behavior, one ~corpus-sized cached table leaked per
+    call), and never a too-early release under the common chained pattern
+    ``minhash_candidate_pairs(df).filter(...).count()`` (the round-5
+    GC-scoped design released the cache the moment the intermediate Python
+    handle was refcount-dropped — before the action ran)."""
     g = (
         minhash_signatures(df, id_col, text_col, n_hashes)
         .groupBy("sig")
-        .agg(F.min("id").alias("gid"), F.collect_set("id").alias("members"))
+        .agg(F.min("id").alias("__min_id"), F.collect_set("id").alias("members"))
+        # gid must be UNIQUE per signature group: with gid = min(id) alone, a
+        # repeated id with DIFFERING texts that is the minimum of both its
+        # groups would give two groups the same gid, conflating their member
+        # lists downstream (duplicate within-group pairs, spurious
+        # cross-group candidates — ADVICE r5).  The (min id, 64-bit sig
+        # hash) struct is unique for all practical purposes: a collision
+        # needs the same minimum member AND an xxhash64 collision between
+        # that member's two signatures.
+        .select(
+            F.struct(
+                F.col("__min_id").alias("m"), F.xxhash64("sig").alias("h")
+            ).alias("gid"),
+            "sig",
+            "members",
+        )
         .cache()
     )
     g.count()
     return g
 
 
-def _tie_lifetime(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Tie the lifetime of ``cached`` (persisted intermediate) DataFrames to
-    ``result``: they are unpersisted when ``result`` is garbage-collected,
-    or deterministically via ``result._vwm_release()``.
+#: how many signature-group caches the bounded registry keeps alive (LRU).
+#: 2 is the per-call maximum (minhash_join holds one per side), so the most
+#: recent operator call always evaluates through warm caches; raise it if a
+#: workload interleaves actions on several dedup results.
+SIG_CACHE_CAPACITY = 2
+
+#: (session id, analyzed-plan semantic hash) -> cached signature-group
+#: DataFrame.  Plan-keyed on purpose: Spark's CacheManager matches cache
+#: entries by analyzed-plan equality, so a repeated call over the same input
+#: re-registers the SAME underlying cache entry — keying by object identity
+#: would let LRU eviction of the older handle unpersist the data out from
+#: under the newer one.
+_SIG_CACHES: "OrderedDict[tuple[int, int], DataFrame]" = __import__(
+    "collections"
+).OrderedDict()
+
+
+def _register_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Register ``cached`` (persisted intermediate) DataFrames in the
+    module's bounded LRU registry and return ``result`` unchanged.
 
     This is the ownership contract for operators whose returned (lazy)
     DataFrame still evaluates through a cached intermediate: unpersisting
     before return would force a full recompute per downstream action, while
-    never unpersisting leaks executor storage for the session (the failure
-    mode the IVF path's try/finally fixed for its eager writes).  GC-scoped
-    release matches the true dependency: as long as the caller can still
-    evaluate the result, the cache serves it; once the result is dropped,
-    nothing can reference the cache.  Idempotent and safe after session
-    shutdown."""
-    import weakref
-
-    handles = tuple(cached)
-
-    def _release() -> None:
-        for h in handles:
+    never unpersisting leaks executor storage for the session.  The round-5
+    design tied release to GC of the result handle, but derived DataFrames
+    do not keep their Python parent alive — ``op(df).filter(...).count()``
+    dropped the cache before the action ran (ADVICE r5).  The registry
+    decouples lifetime from Python object graphs entirely: the newest
+    :data:`SIG_CACHE_CAPACITY` caches stay warm, older ones are unpersisted
+    in LRU order.  Correctness never depends on the cache (an evicted
+    intermediate just recomputes); :func:`release_signature_caches` is the
+    deterministic drain for long-running services.  A beneficial side
+    effect of plan-keyed reuse: calling the same operator twice on the same
+    input serves the second call from the materialized cache."""
+    for g in cached:
+        try:
+            key = (
+                id(g.sparkSession),
+                int(g._jdf.queryExecution().analyzed().semanticHash()),
+            )
+        except Exception:  # non-classic backend: fall back to object identity
+            key = (id(g.sparkSession), id(g))
+        if key in _SIG_CACHES:
+            _SIG_CACHES.move_to_end(key)
+            _SIG_CACHES[key] = g
+            continue
+        _SIG_CACHES[key] = g
+        while len(_SIG_CACHES) > SIG_CACHE_CAPACITY:
+            _, old = _SIG_CACHES.popitem(last=False)
             try:
-                h.unpersist()
+                old.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to release
-
-    fin = weakref.finalize(result, _release)
-    fin.atexit = False  # interpreter teardown: the JVM is going away anyway
-    result._vwm_release = fin  # deterministic handle for callers/tests
     return result
+
+
+def release_signature_caches() -> None:
+    """Unpersist every registered signature-group cache now.  Idempotent and
+    safe after session shutdown; long-running services call this between
+    corpora instead of waiting for LRU eviction."""
+    while _SIG_CACHES:
+        _, g = _SIG_CACHES.popitem(last=False)
+        try:
+            g.unpersist()
+        except Exception:
+            pass
 
 
 def minhash_candidate_pairs(
@@ -325,10 +381,10 @@ def minhash_candidate_pairs(
     the last shuffle, streamed straight out of codegen'd joins.  Output set is
     identical (the DuckDB oracle pins it).
 
-    The internal signature-group cache is released when the returned
-    DataFrame is dropped (or via ``result._vwm_release()``) — see
-    :func:`_tie_lifetime`; repeated calls no longer accumulate executor
-    storage.
+    The internal signature-group cache lives in the module's bounded LRU
+    registry — see :func:`_register_caches`; repeated calls never
+    accumulate executor storage beyond ``SIG_CACHE_CAPACITY`` tables, and
+    :func:`release_signature_caches` drains it deterministically.
     """
     groups = _sig_groups(df, id_col, text_col, n_hashes)
     mem = groups.select("gid", F.explode("members").alias("id"))
@@ -361,7 +417,7 @@ def minhash_candidate_pairs(
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .filter(F.col("a") < F.col("b"))
     )
-    return _tie_lifetime(within.unionAll(across), groups)
+    return _register_caches(within.unionAll(across), groups)
 
 
 #: jaccard verifiers fall back from all-pairs to MinHash-LSH candidates
@@ -769,7 +825,7 @@ def minhash_join(
     # partitions); with unique ids per side it deduplicates nothing.
     cand = gpairs.join(lmem, "la").join(rmem, "rb").select("a", "b").distinct()
     if threshold is None:
-        return _tie_lifetime(cand, lg, rg)
+        return _register_caches(cand, lg, rg)
 
     lt = left.select(F.col(id_col).alias("a"), _token_set(F.col(text_col)).alias("__ta"))
     rt = right.select(F.col(id_col).alias("b"), _token_set(F.col(text_col)).alias("__tb"))
@@ -779,7 +835,7 @@ def minhash_join(
         .select("a", "b", _jaccard_expr(F.col("__ta"), F.col("__tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return _tie_lifetime(verified, lg, rg)
+    return _register_caches(verified, lg, rg)
 
 
 def canonical_by_quality(

@@ -28,6 +28,13 @@ from pyspark.sql.window import Window
 from vectordb_watermark_spark.functions.vector import cosine_similarity, sq_euclidean
 
 
+class ConcurrentAppendError(RuntimeError):
+    """Two appenders raced for the same IVF batch tag — see
+    :func:`ivf_append_index` FAILURE SEMANTICS.  Loud by design: the
+    alternative is one batch silently vanishing in the shared write-staging
+    directory."""
+
+
 def _vec_lit(vec: list[float]) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
@@ -486,7 +493,15 @@ def _swap_dir_atomic(spark, staged: str, target_path: str) -> None:
     target = jvm_path(target_path)
     old = jvm_path(f"{target_path}__old")
     if fs.exists(old):
-        fs.delete(old, True)
+        if not fs.exists(target):
+            # crash window of a previous swap: the only complete copy is the
+            # aside — restore it BEFORE anything else, so a concurrent
+            # reader sees the previous version again and a crash during
+            # THIS swap still leaves a complete copy recoverable
+            if not fs.rename(old, target):
+                raise IOError(f"failed to restore {target_path} from __old")
+        else:
+            fs.delete(old, True)
     had_old = False
     if fs.exists(target):
         if not fs.rename(target, old):
@@ -576,8 +591,22 @@ def ivf_append_index(
     touches the sidecar plus its own new partitions — it never lists or
     schema-reads the (100 TB) index itself.  A pre-sidecar index falls back
     to deriving both from the index ONCE and self-heals by writing the
-    sidecar.  Appends are serialized by the sidecar's staged-swap (run one
-    appender at a time per index — same contract as the full rebuild).
+    sidecar.
+
+    FAILURE SEMANTICS (both failure modes are loud or clean, never silent):
+
+    - *crash-idempotent*: the sidecar is bumped to ``seq+1`` BEFORE the
+      data write, so a crash mid-append only skips a batch tag — a blind
+      retry reads the bumped sequence and lands under a FRESH tag instead
+      of double-writing the failed attempt's partition (an aborted write
+      job leaves no committed files, so the skipped tag holds no rows);
+    - *concurrent appenders*: each append atomically claims its tag via
+      ``createNewFile`` on ``{path}/append_claims/append-N.claim``.  Two
+      simultaneous appenders that both read sequence N race on one claim
+      file: the loser gets a loud :class:`ConcurrentAppendError` instead of
+      the silent lost-batch the shared ``_temporary`` staging directory
+      would otherwise allow.  The intended discipline is still one appender
+      at a time per index; the claim turns a violation into an error.
     """
     spark = df.sparkSession
     cents = _load_centroids(spark, path)
@@ -613,6 +642,23 @@ def ivf_append_index(
         )
     seq = int(meta["next_append_seq"])
     batch_tag = f"append-{seq}"
+    # claim-before-write protocol (see FAILURE SEMANTICS in the docstring):
+    # 1. bump the sidecar first — a crash from here on only skips a tag,
+    #    so a blind retry is safe (it claims a fresh tag);
+    # 2. atomically claim THIS tag — a concurrent appender that read the
+    #    same stale sequence loses the createNewFile race and fails loud;
+    # 3. only then write data under the claimed tag.
+    _write_index_meta_atomic(spark, path, meta["id_type"], int(meta["dim"]), seq + 1)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jvm_path(f"{path}/append_claims"))
+    if not fs.createNewFile(jvm_path(f"{path}/append_claims/{batch_tag}.claim")):
+        raise ConcurrentAppendError(
+            f"batch tag {batch_tag} at {path} is already claimed: another "
+            f"appender read the same sequence number concurrently (or a "
+            f"crashed attempt claimed it — then simply retry: the bumped "
+            f"sidecar routes the retry to a fresh tag)"
+        )
     base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
     try:
         _ivf_assign_pass(base, cents).withColumn("batch", F.lit(batch_tag)).write.mode(
@@ -621,7 +667,6 @@ def ivf_append_index(
         n = base.count()
     finally:
         base.unpersist()
-    _write_index_meta_atomic(spark, path, meta["id_type"], int(meta["dim"]), seq + 1)
     return int(n)
 
 

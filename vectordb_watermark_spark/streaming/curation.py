@@ -141,6 +141,7 @@ def incremental_index(
         _ivf_base,
         _ivf_train,
         _load_centroids,
+        _load_index_meta,
         _write_centroids_atomic,
         _write_index_meta_atomic,
     )
@@ -166,11 +167,33 @@ def incremental_index(
                 # to load (existence implies complete)
                 _write_centroids_atomic(spark, index_path, cents)
                 # metadata sidecar: lets ivf_append_index stay
-                # metadata-cheap on a stream-bootstrapped index too
+                # metadata-cheap on a stream-bootstrapped index too.  A
+                # re-bootstrap OVER existing vectors (deleted centroid
+                # table, or the swap crash window) must not reset the
+                # append sequence — a hardcoded 1 would route the next
+                # append into an already-populated batch=append-1
+                # partition, mixing new rows with stale ones.  Derive it
+                # from the directory listing instead (the expensive path,
+                # once — same self-heal ivf_append_index uses).
+                prior = _load_index_meta(spark, index_path)
+                if prior is not None:
+                    # surviving sidecar wins: skipped (crash-claimed) tags
+                    # can legitimately exceed the listing-derived max
+                    next_seq = int(prior["next_append_seq"])
+                elif fs.exists(jvm_path(f"{index_path}/vectors")):
+                    appends = [
+                        int(str(r["batch"]).split("-", 1)[1])
+                        for r in spark.read.parquet(f"{index_path}/vectors")
+                        .select("batch").distinct().collect()
+                        if str(r["batch"]).startswith("append-")
+                    ]
+                    next_seq = (max(appends) + 1) if appends else 1
+                else:
+                    next_seq = 1
                 _write_index_meta_atomic(
                     spark, index_path,
                     batch_df.schema[id_col].dataType.simpleString(),
-                    len(cents[0]), 1,
+                    len(cents[0]), next_seq,
                 )
             (
                 _ivf_assign_pass(base, cents)
