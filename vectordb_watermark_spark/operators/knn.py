@@ -683,6 +683,27 @@ def knn_join_lsh(
 # dispatcher + degrees
 # ---------------------------------------------------------------------------
 
+def resolve_knn_method(
+    df: DataFrame, method: str = "auto", total: int | None = None
+) -> tuple[str, int | None]:
+    """Resolve ``'auto'`` to the concrete graph method for the CURRENT row
+    count; concrete methods pass through unchanged.  Returns ``(method,
+    total)`` with the count reused so callers don't pay it twice.
+
+    Crossovers: exact JVM NLJ below ~2k rows; broadcast-numpy GEMM to
+    ``_AUTO_LSH_ROWS``; LSH beyond.  The crossover is compute, not memory:
+    the GEMM is O(N^2 D) — measured at 384-d on local[32], 100k costs
+    ~10 s/pass but 1M costs >20 min/pass (100x), while LSH stays
+    near-linear.  Embed pipelines call this FIRST and persist the resolved
+    method in their embed-time metadata, so blind extraction can rebuild
+    the identical graph even after the corpus row count (or this
+    function's thresholds) changed."""
+    if method != "auto":
+        return method, total
+    n = total if total is not None else df.count()
+    return ("exact" if n <= 2000 else "broadcast" if n <= _AUTO_LSH_ROWS else "lsh"), n
+
+
 def knn_edges(
     df: DataFrame,
     id_col: str = "id",
@@ -704,12 +725,7 @@ def knn_edges(
     reuse it at extract time.
     """
     if method == "auto":
-        # exact JVM NLJ below ~2k rows; broadcast-numpy GEMM to _AUTO_LSH_ROWS;
-        # LSH beyond.  The crossover is compute, not memory: the GEMM is
-        # O(N^2 D) — measured at 384-d on local[32], 100k costs ~10 s/pass
-        # but 1M costs >20 min/pass (100x), while LSH stays near-linear.
-        n = df.count()
-        method = "exact" if n <= 2000 else ("broadcast" if n <= _AUTO_LSH_ROWS else "lsh")
+        method, n = resolve_knn_method(df, method)
         if method == "lsh":
             kwargs.setdefault("total", n)  # reuse the count for adaptive bits
     if method == "exact":

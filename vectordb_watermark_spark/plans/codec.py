@@ -146,6 +146,22 @@ class OrthogonalCodec:
         bits = _det_dot(V, self.basis) > 0.0
         return _bits_to_msg(bits)
 
+    def fingerprint(self) -> str:
+        """Content fingerprint of everything decode depends on: codec kind,
+        dim, delta, and the key-derived basis seed (NOT the raw key — the
+        fingerprint travels in embed-time metadata).  Two codecs with equal
+        fingerprints decode identically; a mismatch at extract time means
+        the decode would read garbage coefficients — the silent
+        0-valid-decodes failure the embed metadata exists to make loud."""
+        seed = hashlib.sha256(f"{self.key}|codec|{self.dim}".encode()).hexdigest()[:16]
+        return hashlib.sha256(
+            f"orthogonal|{self.dim}|{self.delta!r}|{seed}".encode()
+        ).hexdigest()[:16]
+
+    @property
+    def kind(self) -> str:
+        return "orthogonal"
+
     @property
     def _graph_prefix(self) -> int:
         """Leading-coordinate count the graph features live on: truncation
@@ -517,3 +533,21 @@ class TorchCodec:
         V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-8)
         bits = self._decode_logits(V) > 0.0  # sigmoid(x) > 0.5  <=>  x > 0
         return _bits_to_msg(bits)
+
+    def fingerprint(self) -> str:
+        """Content fingerprint over the loaded weights (shape + bytes of
+        every enc/dec array) plus dim and msg_len — see
+        :meth:`OrthogonalCodec.fingerprint` for the contract.  Forces the
+        checkpoint load if it hasn't happened yet."""
+        state = self._ensure_state()
+        h = hashlib.sha256(f"torch|{self.dim}|{self.msg_len}".encode())
+        for part in ("enc", "dec"):
+            for name in sorted(state[part]):
+                arr = np.ascontiguousarray(state[part][name])
+                h.update(f"|{part}/{name}|{arr.shape}|".encode())
+                h.update(arr.tobytes())
+        return h.hexdigest()[:16]
+
+    @property
+    def kind(self) -> str:
+        return "torch"

@@ -40,6 +40,14 @@ class EmbedResult:
     nonce_hex: str
     n_carriers: int
     embed_rate: float
+    #: embed-time pinning metadata (persist NEXT TO the nonce): the RESOLVED
+    #: kNN method ('auto' is resolved against the embed-time row count, so a
+    #: later extract never re-dispatches on a changed count), k, rate, dim,
+    #: and the codec kind + content fingerprint.  extract_watermark accepts
+    #: this dict as ``embed_meta`` and turns a mismatched graph/codec rebuild
+    #: into a loud warning (or auto-selects the pinned method) instead of
+    #: silently decoding nothing.  JSON-serializable by construction.
+    metadata: dict | None = None
 
 
 def _msg24_col(blk: F.Column, payloads: list[int]) -> F.Column:
@@ -132,6 +140,7 @@ def embed_watermark(
             DEFAULT_RESULTS_DIR if results_dir is None else results_dir,
         )
 
+    resolved_method = knn_method
     if degrees is None:
         # the graph is built on watermark-invariant features so extraction
         # re-derives the identical graph (plans/codec.py graph_features).
@@ -139,7 +148,13 @@ def embed_watermark(
         # probe side); degrees is cached because carrier selection issues
         # several small driver actions (count, degree histogram) over it.
         gdf = with_graph_features(df, codec, id_col, vec_col).cache()
-        edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
+        # resolve 'auto' HERE and pin the concrete method in the returned
+        # metadata: blind extraction must rebuild the graph the same way,
+        # and a count-dispatched 'auto' diverges when rows were added,
+        # deleted (subset attack), or the crossover thresholds moved
+        resolved_method, total = K.resolve_knn_method(gdf, knn_method)
+        kn_kwargs = {"total": total} if resolved_method == "lsh" and total else {}
+        edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=resolved_method, **kn_kwargs)
         # distance-gated degrees (knn.gated_in_degrees): long edges from
         # off-manifold (attacked/destroyed) vectors are pruned and such
         # vectors are excluded from the carrier pool — the same rule at
@@ -169,4 +184,16 @@ def embed_watermark(
         nonce_hex=nonce_hex,
         n_carriers=n_carriers,
         embed_rate=rate,
+        metadata={
+            # 'auto' stays 'auto' only on the precomputed-degrees path,
+            # where no graph was built here and the true method is the
+            # caller's to record
+            "knn_method": resolved_method,
+            "k": int(k),
+            "rate": float(rate),
+            "dim": int(codec.dim),
+            "codec_kind": codec.kind,
+            "codec_fingerprint": codec.fingerprint(),
+            "nonce_hex": nonce_hex,
+        },
     )
