@@ -122,6 +122,53 @@ def test_sig_group_caches_bounded_registry(spark):
     assert joined.count() > 0
 
 
+def test_sig_cache_key_digest_and_thread_safety(spark):
+    """Cache-registry hardening (ADVICE r6): the registry key carries a
+    sha256 digest of the CANONICALIZED plan alongside the 32-bit
+    semanticHash, so two distinct plans cannot silently alias one registry
+    slot via a hash collision, while semantically-equal plans (re-created
+    handles over the same input) still share one key — the deliberate
+    plan-keyed reuse.  Registry mutations are lock-guarded for
+    multi-threaded drivers."""
+    import threading
+
+    rows = [(i, f"text {i}") for i in range(6)]
+    df_a = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k1 = D._plan_cache_key(df_a.select("doc_id"))
+    k2 = D._plan_cache_key(df_a.select("doc_id"))  # same plan, new handle
+    k3 = D._plan_cache_key(df_a.select("text"))    # distinct plan
+    assert k1 == k2, "semantically-equal plans must share one key"
+    assert k1 != k3 and k1[2] != k3[2], "distinct plans must differ in digest"
+    assert len(k1) == 3 and len(k1[2]) == 64  # sha256 hex digest present
+
+    # concurrent register/release over lightweight fakes (fall back to the
+    # object-identity key): the OrderedDict must stay consistent and bounded
+    class _Fake:
+        def unpersist(self):
+            pass
+
+    D.release_signature_caches()
+    errors = []
+
+    def hammer():
+        try:
+            for _ in range(200):
+                D._register_caches(None, _Fake())
+                D.release_signature_caches()
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    D.release_signature_caches()
+    assert len(D._SIG_CACHES) == 0
+
+
 def test_minhash_pairs_repeated_id_distinct_groups_not_conflated(spark):
     """gid uniqueness (ADVICE r5): a repeated id with DIFFERING texts that is
     the minimum member of BOTH its signature groups must not conflate the two
@@ -869,6 +916,86 @@ def test_ivf_append_crash_retry_lands_fresh_tag(spark, vectors, tmp_path):
     assert batches == {"full", "append-2"}  # append-1 skipped, never reused
     assert written.filter(F.col("id") < 10).count() == fresh.count()
     assert _load_index_meta(spark, idx)["next_append_seq"] == 3
+
+
+def test_ivf_rebuild_clears_stale_claims(spark, vectors, tmp_path):
+    """Rebuild hygiene (ADVICE r6): ivf_write_index resets next_append_seq
+    to 1, so it must also clear {path}/append_claims — otherwise the first
+    append after rebuilding a previously-appended index raises a spurious
+    ConcurrentAppendError on the already-claimed append-1 tag."""
+    import os
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_index_meta,
+        ivf_append_index,
+        ivf_write_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(vectors.filter(F.col("id") >= 10), idx, n_centroids=4, key="ivf")
+    ivf_append_index(vectors.filter(F.col("id") < 10), idx)  # claims append-1
+    assert os.path.exists(f"{idx}/append_claims/append-1.claim")
+
+    # full rebuild: sequence restarts at 1 AND the old generation's claims go
+    ivf_write_index(vectors, idx, n_centroids=4, key="ivf")
+    assert _load_index_meta(spark, idx)["next_append_seq"] == 1
+    assert not os.path.exists(f"{idx}/append_claims")
+
+    # the first post-rebuild append lands first try under append-1
+    fresh = vectors.filter(F.col("id") < 5)
+    assert ivf_append_index(fresh, idx) == fresh.count()
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(f"{idx}/vectors").select("batch").distinct().collect()
+    }
+    assert batches == {"full", "append-1"}
+
+
+def test_ivf_append_stale_writer_cannot_roll_sequence_back(
+    spark, vectors, tmp_path, monkeypatch
+):
+    """Monotonic sidecar bump (ADVICE r6): a DELAYED appender holding a stale
+    sequence N must not roll next_append_seq backward from the current M —
+    it writes max(stored, N+1), fails its claim loudly, and the next healthy
+    appender proceeds at M with zero spurious retries."""
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    idx = str(tmp_path / "ivf")
+    S.ivf_write_index(vectors.filter(F.col("id") >= 10), idx, n_centroids=4, key="ivf")
+    S.ivf_append_index(vectors.filter(F.col("id") < 5), idx)   # append-1
+    S.ivf_append_index(vectors.filter(F.col("id") < 10), idx)  # append-2
+    assert S._load_index_meta(spark, idx)["next_append_seq"] == 3
+
+    # delayed appender: its FIRST sidecar read returns the stale sequence 1;
+    # the guard's re-read (and everything after) sees the real sidecar
+    real = S._load_index_meta
+    calls = {"n": 0}
+
+    def delayed_read(sp, p):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            stale = dict(real(sp, p))
+            stale["next_append_seq"] = 1
+            return stale
+        return real(sp, p)
+
+    monkeypatch.setattr(S, "_load_index_meta", delayed_read)
+    with pytest.raises(S.ConcurrentAppendError, match="append-1"):
+        S.ivf_append_index(vectors.filter(F.col("id") < 3), idx)
+    monkeypatch.setattr(S, "_load_index_meta", real)
+
+    # the sequence did NOT roll back to 2 — still 3, and the next healthy
+    # appender lands immediately under append-3
+    assert S._load_index_meta(spark, idx)["next_append_seq"] == 3
+    fresh = vectors.filter(F.col("id") < 3)
+    assert S.ivf_append_index(fresh, idx) == fresh.count()
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(f"{idx}/vectors").select("batch").distinct().collect()
+    }
+    assert batches == {"full", "append-1", "append-2", "append-3"}
 
 
 def test_swap_dir_atomic_restores_from_old_crash_window(spark, tmp_path):

@@ -299,15 +299,39 @@ def _sig_groups(
 #: workload interleaves actions on several dedup results.
 SIG_CACHE_CAPACITY = 2
 
-#: (session id, analyzed-plan semantic hash) -> cached signature-group
-#: DataFrame.  Plan-keyed on purpose: Spark's CacheManager matches cache
-#: entries by analyzed-plan equality, so a repeated call over the same input
-#: re-registers the SAME underlying cache entry — keying by object identity
-#: would let LRU eviction of the older handle unpersist the data out from
-#: under the newer one.
-_SIG_CACHES: "OrderedDict[tuple[int, int], DataFrame]" = __import__(
+#: (session id, analyzed-plan semantic hash, canonicalized-plan digest) ->
+#: cached signature-group DataFrame.  Plan-keyed on purpose: Spark's
+#: CacheManager matches cache entries by analyzed-plan equality, so a
+#: repeated call over the same input re-registers the SAME underlying cache
+#: entry — keying by object identity would let LRU eviction of the older
+#: handle unpersist the data out from under the newer one.  The 32-bit
+#: semanticHash alone can collide between two DISTINCT plans in one session
+#: (silently aliasing their entries and leaking the replaced cache — ADVICE
+#: r6), so the key also carries a sha256 digest of the CANONICALIZED plan
+#: string: canonicalization normalizes expression ids, so semantically-equal
+#: plans still share one key, while distinct plans practically never do.
+_SIG_CACHES: "OrderedDict[tuple[int, int, str], DataFrame]" = __import__(
     "collections"
 ).OrderedDict()
+
+#: registry mutations are lock-guarded: multi-threaded drivers (one session,
+#: many query threads — a normal Spark pattern) would otherwise corrupt the
+#: OrderedDict or double-unpersist under concurrent register/release.
+_SIG_LOCK = __import__("threading").Lock()
+
+
+def _plan_cache_key(g: DataFrame) -> tuple:
+    try:
+        analyzed = g._jdf.queryExecution().analyzed()
+        return (
+            id(g.sparkSession),
+            int(analyzed.semanticHash()),
+            __import__("hashlib").sha256(
+                analyzed.canonicalized().toString().encode()
+            ).hexdigest(),
+        )
+    except Exception:  # non-classic backend: fall back to object identity
+        return (id(getattr(g, "sparkSession", None)), id(g), "")
 
 
 def _register_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -329,20 +353,17 @@ def _register_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
     effect of plan-keyed reuse: calling the same operator twice on the same
     input serves the second call from the materialized cache."""
     for g in cached:
-        try:
-            key = (
-                id(g.sparkSession),
-                int(g._jdf.queryExecution().analyzed().semanticHash()),
-            )
-        except Exception:  # non-classic backend: fall back to object identity
-            key = (id(g.sparkSession), id(g))
-        if key in _SIG_CACHES:
-            _SIG_CACHES.move_to_end(key)
+        key = _plan_cache_key(g)
+        evicted = []
+        with _SIG_LOCK:
+            if key in _SIG_CACHES:
+                _SIG_CACHES.move_to_end(key)
+                _SIG_CACHES[key] = g
+                continue
             _SIG_CACHES[key] = g
-            continue
-        _SIG_CACHES[key] = g
-        while len(_SIG_CACHES) > SIG_CACHE_CAPACITY:
-            _, old = _SIG_CACHES.popitem(last=False)
+            while len(_SIG_CACHES) > SIG_CACHE_CAPACITY:
+                evicted.append(_SIG_CACHES.popitem(last=False)[1])
+        for old in evicted:  # unpersist outside the lock (JVM round-trip)
             try:
                 old.unpersist()
             except Exception:
@@ -354,8 +375,11 @@ def release_signature_caches() -> None:
     """Unpersist every registered signature-group cache now.  Idempotent and
     safe after session shutdown; long-running services call this between
     corpora instead of waiting for LRU eviction."""
-    while _SIG_CACHES:
-        _, g = _SIG_CACHES.popitem(last=False)
+    while True:
+        with _SIG_LOCK:
+            if not _SIG_CACHES:
+                return
+            _, g = _SIG_CACHES.popitem(last=False)
         try:
             g.unpersist()
         except Exception:

@@ -471,8 +471,18 @@ def ivf_write_index(
     finally:
         base.unpersist()
     _write_centroids_atomic(df.sparkSession, path, centroids)
+    # a rebuild restarts the append sequence at 1, so the claim files of the
+    # PREVIOUS generation must go with it: clear them BEFORE resetting the
+    # sidecar (crash between the two leaves old-seq sidecar + no claims —
+    # appends just continue at the old sequence; the reverse order would
+    # leave seq=1 racing into already-claimed tags, a spurious
+    # ConcurrentAppendError per prior append — ADVICE r6)
+    spark = df.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jvm_path(f"{path}/append_claims"), True)
     _write_index_meta_atomic(
-        df.sparkSession, path,
+        spark, path,
         df.schema[id_col].dataType.simpleString(), len(centroids[0]), 1,
     )
     return centroids
@@ -648,7 +658,17 @@ def ivf_append_index(
     # 2. atomically claim THIS tag — a concurrent appender that read the
     #    same stale sequence loses the createNewFile race and fails loud;
     # 3. only then write data under the claimed tag.
-    _write_index_meta_atomic(spark, path, meta["id_type"], int(meta["dim"]), seq + 1)
+    # The bump is MONOTONIC: a delayed appender holding a stale sequence N
+    # must not roll next_append_seq backward from the current M (healthy
+    # appenders would then burn O(M-N) spurious claim failures climbing
+    # back — ADVICE r6).  Re-read the sidecar and write max(stored, seq+1);
+    # the claim file stays the race arbiter, the guard only prevents the
+    # backward roll.
+    cur = _load_index_meta(spark, path)
+    stored_next = int(cur["next_append_seq"]) if cur is not None else seq
+    _write_index_meta_atomic(
+        spark, path, meta["id_type"], int(meta["dim"]), max(stored_next, seq + 1)
+    )
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.mkdirs(jvm_path(f"{path}/append_claims"))
