@@ -1,0 +1,205 @@
+"""Embed-time pinning metadata contract (VERDICT r6 'What's wrong' #1/#2).
+
+``EmbedResult.metadata`` pins everything blind extraction must re-derive
+identically — the RESOLVED kNN method, k, rate, dim, codec kind + content
+fingerprint, nonce — and ``extract_watermark(embed_meta=...)`` consumes it:
+pinned values drive the rebuild, contradictions raise
+:class:`EmbedMetaMismatchError` instead of silently decoding nothing
+(reference analogue: the blind re-derivation contract, pg_func.py:759-776,
+which simply assumes embed and extract rebuild identical graphs).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from tests.test_roundtrip import _fake_checkpoint
+from vectordb_watermark_spark.operators import knn as K
+from vectordb_watermark_spark.plans.codec import OrthogonalCodec, TorchCodec
+from vectordb_watermark_spark.plans.embed import embed_watermark
+from vectordb_watermark_spark.plans.extract import (
+    EmbedMetaMismatchError,
+    extract_watermark,
+)
+
+MSG = "EMBEDMETA-MSG-16"
+KEY = "meta-key-1"
+NONCE = bytes.fromhex("0f0e0d0c0b0a090807060504")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return (
+        load(spark, "embeddings")
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def embedded(vectors):
+    res = embed_watermark(vectors, MSG, KEY, rate=0.2, knn_method="auto", nonce=NONCE)
+    df = res.updated.cache()
+    df.count()
+    return res, df
+
+
+# ---------------------------------------------------------------------------
+# producer half: metadata contents
+# ---------------------------------------------------------------------------
+
+def test_embed_metadata_pins_resolved_method_and_codec(embedded):
+    """'auto' is resolved at embed time and the CONCRETE method is pinned,
+    alongside k/rate/dim and the codec kind + fingerprint; the dict is
+    JSON-serializable (it must persist next to the nonce)."""
+    res, _ = embedded
+    meta = res.metadata
+    assert meta["knn_method"] in ("exact", "broadcast", "lsh")  # never 'auto'
+    assert meta["k"] == K.DEFAULT_K
+    assert meta["rate"] == 0.2
+    assert meta["dim"] == 64
+    assert meta["codec_kind"] == "orthogonal"
+    assert meta["codec_fingerprint"] == OrthogonalCodec(64, KEY).fingerprint()
+    assert meta["nonce_hex"] == res.nonce_hex
+    assert json.loads(json.dumps(meta)) == meta
+
+
+def test_resolve_knn_method_crossovers(spark):
+    """'auto' dispatches on row count at the documented crossovers; concrete
+    methods pass through untouched without paying a count."""
+    small = spark.range(10).select(F.col("id"), F.array(F.lit(1.0)).alias("emb"))
+    m, n = K.resolve_knn_method(small, "auto")
+    assert (m, n) == ("exact", 10)
+    m, n = K.resolve_knn_method(small, "auto", total=5000)
+    assert m == "broadcast" and n == 5000
+    m, n = K.resolve_knn_method(small, "auto", total=10_000_000)
+    assert m == "lsh"
+    assert K.resolve_knn_method(small, "lsh") == ("lsh", None)  # no count job
+
+
+# ---------------------------------------------------------------------------
+# codec fingerprints: deterministic, content-sensitive
+# ---------------------------------------------------------------------------
+
+def test_orthogonal_fingerprint_determinism_and_sensitivity():
+    fp = OrthogonalCodec(64, KEY).fingerprint()
+    assert fp == OrthogonalCodec(64, KEY).fingerprint()  # fresh instance
+    assert fp != OrthogonalCodec(64, "other-key").fingerprint()
+    assert fp != OrthogonalCodec(64, KEY, delta=0.5).fingerprint()
+    assert fp != OrthogonalCodec(128, KEY).fingerprint()
+    assert KEY not in fp  # the raw key must not travel in metadata
+
+
+def test_torch_fingerprint_sensitivity_to_weights():
+    state = _fake_checkpoint(64)
+    fp = TorchCodec(64, state=state).fingerprint()
+    assert fp == TorchCodec(64, state=state).fingerprint()
+    bumped = {p: dict(state[p]) for p in state}
+    name = sorted(bumped["dec"])[0]
+    bumped["dec"][name] = np.asarray(bumped["dec"][name]) + 1e-3
+    assert fp != TorchCodec(64, state=bumped).fingerprint()
+    assert TorchCodec(64, state=state).kind == "torch"
+
+
+# ---------------------------------------------------------------------------
+# consumer half: round-trip and loud mismatches
+# ---------------------------------------------------------------------------
+
+def test_metadata_roundtrip_through_extract(embedded, monkeypatch):
+    """extract_watermark(embed_meta=...) recovers the message AND rebuilds
+    the graph with the PINNED method — the default 'auto' argument never
+    re-dispatches on the (possibly changed) extract-time row count."""
+    res, df = embedded
+    seen = {}
+    real = K.knn_edges
+
+    def recording(gdf, id_col="id", vec_col="emb", k=K.DEFAULT_K,
+                  method="auto", **kw):
+        seen["method"] = method
+        return real(gdf, id_col, vec_col, k=k, method=method, **kw)
+
+    monkeypatch.setattr(K, "knn_edges", recording)
+    out = extract_watermark(df, KEY, res.nonce_hex, embed_meta=res.metadata)
+    assert out.success and out.message == MSG
+    assert seen["method"] == res.metadata["knn_method"] != "auto"
+
+
+def test_contradictory_knn_method_fails_loud(embedded):
+    res, df = embedded
+    with pytest.raises(EmbedMetaMismatchError, match="knn_method"):
+        extract_watermark(
+            df, KEY, res.nonce_hex, knn_method="lsh", embed_meta=res.metadata
+        )
+
+
+def test_contradictory_k_and_rate_fail_loud(embedded):
+    res, df = embedded
+    with pytest.raises(EmbedMetaMismatchError, match="k="):
+        extract_watermark(
+            df, KEY, res.nonce_hex, k=K.DEFAULT_K + 5, embed_meta=res.metadata
+        )
+    with pytest.raises(EmbedMetaMismatchError, match="rate"):
+        extract_watermark(
+            df, KEY, res.nonce_hex, rate=0.7, embed_meta=res.metadata
+        )
+
+
+def test_stale_nonce_fails_loud(embedded):
+    res, df = embedded
+    with pytest.raises(EmbedMetaMismatchError, match="nonce"):
+        extract_watermark(df, KEY, "ff" * 12, embed_meta=res.metadata)
+
+
+def test_retrained_codec_fails_loud_not_silent(embedded):
+    """THE failure mode the metadata exists for: a codec rebuilt differently
+    (retrained checkpoint / different delta) decodes garbage.  Without
+    embed_meta the extract returns a SILENT zero-decode failure; with it the
+    fingerprint check raises before any work runs."""
+    res, df = embedded
+    # a retrained codec = a different basis (key-derived); delta-only drift
+    # would still decode (the orthogonal decode reads basis signs only)
+    drifted = OrthogonalCodec(64, "retrained-elsewhere")
+
+    silent = extract_watermark(df, KEY, res.nonce_hex, codec=drifted)
+    assert not silent.success  # the silent failure embed_meta makes loud
+
+    with pytest.raises(EmbedMetaMismatchError, match="fingerprint"):
+        extract_watermark(
+            df, KEY, res.nonce_hex, codec=drifted, embed_meta=res.metadata
+        )
+
+
+def test_codec_kind_mismatch_fails_loud(embedded):
+    res, df = embedded
+    with pytest.raises(EmbedMetaMismatchError, match="kind"):
+        extract_watermark(
+            df, KEY, res.nonce_hex,
+            codec=TorchCodec(64, state=_fake_checkpoint(64)),
+            embed_meta=res.metadata,
+        )
+
+
+def test_dimension_change_fails_loud(embedded):
+    """A table whose vectors are no longer embed-dim (hard truncation, wrong
+    table) resolves a smaller-dim codec; the dim pin catches it up front."""
+    res, df = embedded
+    truncated = df.select("id", F.slice("emb", 1, 32).alias("emb"))
+    with pytest.raises(EmbedMetaMismatchError, match="dim"):
+        extract_watermark(df=truncated, key=KEY, nonce_hex=res.nonce_hex,
+                          embed_meta=res.metadata)
+
+
+def test_auto_pinned_meta_pins_nothing(embedded):
+    """The precomputed-degrees embed path leaves knn_method='auto' in the
+    metadata (no graph was built at embed time): such a pin must not block
+    an explicit extract-side method choice."""
+    res, df = embedded
+    meta = dict(res.metadata, knn_method="auto")
+    out = extract_watermark(df, KEY, res.nonce_hex, knn_method="exact",
+                            embed_meta=meta)
+    assert out.success and out.message == MSG

@@ -44,9 +44,10 @@ class EmbedResult:
     #: kNN method ('auto' is resolved against the embed-time row count, so a
     #: later extract never re-dispatches on a changed count), k, rate, dim,
     #: and the codec kind + content fingerprint.  extract_watermark accepts
-    #: this dict as ``embed_meta`` and turns a mismatched graph/codec rebuild
-    #: into a loud warning (or auto-selects the pinned method) instead of
-    #: silently decoding nothing.  JSON-serializable by construction.
+    #: this dict as ``embed_meta``: the pinned knn_method/k/rate drive the
+    #: blind re-derivation, and a mismatched graph/codec rebuild raises
+    #: plans.extract.EmbedMetaMismatchError instead of silently decoding
+    #: nothing.  JSON-serializable by construction.
     metadata: dict | None = None
 
 

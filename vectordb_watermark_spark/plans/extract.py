@@ -87,6 +87,94 @@ def collect_vote_tallies(
     return total, n_valid, valid_counts
 
 
+class EmbedMetaMismatchError(ValueError):
+    """The extract-side graph/codec configuration contradicts the embed-time
+    pinning metadata (:attr:`EmbedResult.metadata`).  Raised INSTEAD of
+    running a decode that would silently recover nothing — the exact failure
+    mode the metadata exists to make loud (reference analogue: the blind
+    re-derivation contract, pg_func.py:759-776, which assumes embed and
+    extract rebuild identical graphs)."""
+
+
+def _apply_embed_meta(
+    embed_meta: dict,
+    knn_method: str,
+    k: int,
+    rate: float,
+    nonce_hex: str | None,
+    default_k: int,
+) -> tuple[str, int, float]:
+    """Resolve (knn_method, k, rate) against the embed-time pins.
+
+    Pinned values WIN over signature defaults; an explicit caller value that
+    contradicts its pin raises :class:`EmbedMetaMismatchError` — the caller
+    is about to rebuild a different graph (or pick a different carrier set)
+    than the one the watermark was embedded through, and the extract would
+    silently decode nothing.  A pinned method of ``'auto'`` (the
+    precomputed-degrees embed path, where no graph was built at embed time)
+    pins nothing.
+    """
+    pinned = embed_meta.get("knn_method")
+    if pinned and pinned != "auto":
+        if knn_method not in ("auto", pinned):
+            raise EmbedMetaMismatchError(
+                f"knn_method={knn_method!r} contradicts the embed-time pin "
+                f"{pinned!r}: the graph would be rebuilt with a different "
+                f"method than the watermark was embedded through"
+            )
+        knn_method = pinned
+    if "k" in embed_meta:
+        pk = int(embed_meta["k"])
+        if k not in (default_k, pk):
+            raise EmbedMetaMismatchError(
+                f"k={k} contradicts the embed-time pin k={pk}"
+            )
+        k = pk
+    if "rate" in embed_meta:
+        pr = float(embed_meta["rate"])
+        if rate is not None and rate != pr and rate != 0.1:
+            raise EmbedMetaMismatchError(
+                f"rate={rate} contradicts the embed-time pin rate={pr}: the "
+                f"re-derived carrier set would differ from the embedded one"
+            )
+        rate = pr
+    pinned_nonce = embed_meta.get("nonce_hex")
+    if pinned_nonce and nonce_hex and pinned_nonce != nonce_hex:
+        raise EmbedMetaMismatchError(
+            "nonce_hex does not match the embed-time nonce in embed_meta: "
+            "decryption would fail even on a perfect extract"
+        )
+    return knn_method, k, rate
+
+
+def _check_codec_against_meta(codec, embed_meta: dict) -> None:
+    """Verify the resolved extract-side codec against the embed-time pins:
+    dim, kind, and content fingerprint.  A mismatch means decode_batch would
+    read garbage coefficients (retrained checkpoint, different key/delta, or
+    truncated vectors resolving to a smaller-dim codec) — fail loudly."""
+    if "dim" in embed_meta and int(embed_meta["dim"]) != int(codec.dim):
+        raise EmbedMetaMismatchError(
+            f"codec dim {codec.dim} != embed-time dim {embed_meta['dim']}: "
+            f"the table's vector dimension changed since embed (truncation/"
+            f"pad attack or wrong table) — decode cannot succeed"
+        )
+    kind = embed_meta.get("codec_kind")
+    if kind and codec.kind != kind:
+        raise EmbedMetaMismatchError(
+            f"codec kind {codec.kind!r} != embed-time kind {kind!r}: a "
+            f"different codec family would decode garbage — pass the "
+            f"embed-time codec (or its results_dir)"
+        )
+    fp = embed_meta.get("codec_fingerprint")
+    if fp and codec.fingerprint() != fp:
+        raise EmbedMetaMismatchError(
+            "codec fingerprint mismatch: the extract-side codec is not the "
+            "embed-time codec (retrained checkpoint or different key/delta). "
+            "Decoding would silently recover nothing — pass the embed-time "
+            "codec or point results_dir at the embed-time checkpoint"
+        )
+
+
 @dataclass
 class ExtractResult:
     success: bool
@@ -165,10 +253,26 @@ def extract_watermark(
     codec=None,
     results_dir: str | None = None,
     degrees: DataFrame | None = None,
+    embed_meta: dict | None = None,
 ) -> ExtractResult:
-    """Blindly extract and decrypt the watermark message."""
+    """Blindly extract and decrypt the watermark message.
+
+    ``embed_meta`` is the embed-time pinning dict from
+    :attr:`~vectordb_watermark_spark.plans.embed.EmbedResult.metadata`
+    (persist it next to the nonce).  When supplied, the pinned
+    ``knn_method``/``k``/``rate`` are used to rebuild the graph and carrier
+    set EXACTLY as at embed time — so a count-dispatched ``'auto'`` cannot
+    re-dispatch to a different method after rows were added or deleted — and
+    the resolved codec's dim/kind/content fingerprint are verified against
+    the pins.  Any contradiction raises :class:`EmbedMetaMismatchError`
+    instead of silently decoding nothing.
+    """
     if not key:
         raise ValueError("encryption key must be non-empty")
+    if embed_meta is not None:
+        knn_method, k, rate = _apply_embed_meta(
+            embed_meta, knn_method, k, rate, nonce_hex, K.DEFAULT_K
+        )
 
     if codec is None:
         # check-model-first flow (ref pg_func.py:683): a calibrated
@@ -180,6 +284,8 @@ def extract_watermark(
             vector_dim(df, vec_col), key,
             DEFAULT_RESULTS_DIR if results_dir is None else results_dir,
         )
+    if embed_meta is not None:
+        _check_codec_against_meta(codec, embed_meta)
 
     if degrees is None:
         # same watermark-invariant graph features as the embed side — the
