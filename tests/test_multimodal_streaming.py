@@ -59,9 +59,12 @@ def test_decode_resize_features_pipeline(media):
     assert all(0.0 <= f <= 1.0 for f in feats[0])
 
 
-def test_decode_real_format_raises_stub_error(spark, media):
+def test_decode_corrupt_jpeg_fails_loud(spark, media):
+    # id 4 carries a JPEG magic with garbage after it: the real baseline
+    # decoder must fail loudly on the corrupt marker stream, never return
+    # fabricated pixels
     jpeg = media.filter(F.col("id") == 4)
-    with pytest.raises(Exception, match="NotImplementedError|image/jpeg"):
+    with pytest.raises(Exception, match="no SOS|truncated|marker"):
         M.decode_images(jpeg).collect()
 
 
@@ -580,17 +583,83 @@ def test_real_png_decode_all_filters(spark):
     feats = M.image_features(M.decode_images(df)).collect()[0]["features"]
     assert len(feats) == 6
 
-    # unsupported PNG shapes raise with guidance; JPEG still codec-stubbed
+    # unsupported PNG shapes raise with guidance
     bad16 = bytearray(make_png(rgb))
     # IHDR depth byte: sig(8) + len(4) + type(4) + w(4) + h(4) = offset 24
     bad16[24] = 16
     with _pytest.raises((NotImplementedError, ValueError)):
         _decode_png(bytes(bad16))
-    jpeg_df = spark.createDataFrame(
-        [(0, b"\xff\xd8\xff\xe0fakejpeg")], "id long, media binary"
+
+
+def test_real_jpeg_decode_baseline(spark):
+    """Baseline JPEG decodes for REAL (VERDICT r6 task #2, carried since
+    r4): Huffman + dequant + IDCT on stdlib/numpy.  Ground truth is this
+    module's own spec-valid encoder (make_jpeg — quant/Huffman tables travel
+    in DQT/DHT like any real file); the decode must land pixel-close (PSNR
+    floor) across quality levels, gray/RGB, 4:2:0 subsampling, restart
+    markers, and non-multiple-of-8 dims.  Progressive still raises at the
+    codec stub; the distributed kernel routes by magic sniff."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
     )
-    with _pytest.raises(Exception, match="codec library|NotImplemented"):
-        M.decode_images(jpeg_df).collect()
+
+    def psnr(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+        return 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+
+    rng = np.random.default_rng(33)
+    # piecewise-smooth + mild noise: representative JPEG content (pure
+    # uniform noise would measure the format, not the decoder)
+    base = rng.integers(0, 256, (3, 4, 3)).astype(np.float64)
+    img = np.clip(
+        np.kron(base, np.ones((16, 16, 1))) + rng.normal(0, 4, (48, 64, 3)),
+        0, 255,
+    ).astype(np.uint8)
+
+    for kw, floor in [
+        (dict(quality=95), 35.0),
+        (dict(quality=75), 33.0),
+        (dict(quality=95, subsample=True), 33.0),   # 4:2:0 MCU path
+        (dict(quality=90, restart_interval=3), 33.0),  # DRI/RSTn path
+    ]:
+        raw = make_jpeg(img, **kw)
+        w, h, c, px = _decode_jpeg(raw)
+        assert (w, h, c) == (64, 48, 3)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, c)
+        assert psnr(img, got) > floor, kw
+
+    # grayscale single-component scan
+    raw = make_jpeg(img[:, :, 0], quality=92)
+    w, h, c, px = _decode_jpeg(raw)
+    assert (w, h, c) == (64, 48, 1)
+    assert psnr(img[:, :, :1], np.frombuffer(px, np.uint8).reshape(h, w, 1)) > 35.0
+
+    # non-multiple-of-8 dims: edge padding must crop back exactly
+    odd = img[:45, :61]
+    w, h, c, px = _decode_jpeg(make_jpeg(odd, quality=90, subsample=True))
+    assert (w, h, c) == (61, 45, 3)
+    assert psnr(odd, np.frombuffer(px, np.uint8).reshape(h, w, c)) > 32.0
+
+    # distributed kernel + magic-sniff routing + metadata type
+    df = spark.createDataFrame(
+        [(0, make_jpeg(img, quality=95))], "id long, media binary"
+    )
+    r = M.decode_images(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (64, 48, 3)
+    assert M.media_metadata(df).collect()[0]["media_type"] == "image/jpeg"
+    feats = M.image_features(M.decode_images(df)).collect()[0]["features"]
+    assert len(feats) == 6
+
+    # progressive (SOF2) raises at the stub point with guidance
+    sof2 = b"\xff\xd8\xff\xc2" + _struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        _decode_jpeg(sof2)
 
 
 def test_incremental_index_across_microbatches(spark, tmp_path):

@@ -6,12 +6,14 @@ is real and tested.  Codec support is tiered by what this environment can
 honestly decode:
 
 - **real decodes** with stdlib struct/zlib/numpy only: PCM WAV (RIFF),
-  binary PPM (P6), uncompressed 24/32-bit BMP, and **PNG** (8-bit
-  gray/RGB(A), all five scanline filters — zlib inflate + unfilter needs
-  no codec library) — full parse -> pixels/samples -> resize / features;
-- **codec-bound formats** (JPEG/MP4, magic-sniffed) raise
-  ``NotImplementedError`` with guidance, exactly where a PIL/libav call
-  would slot in — no image/audio codec library ships here;
+  binary PPM (P6), uncompressed 24/32-bit BMP, **PNG** (8-bit gray/RGB(A),
+  all five scanline filters — zlib inflate + unfilter), and **baseline
+  JPEG** (SOF0/1, Huffman + dequant + IDCT, gray/YCbCr, any integer chroma
+  subsampling, restart markers) — full parse -> pixels/samples -> resize /
+  features;
+- **codec-bound formats** (MP4; progressive JPEG) raise
+  ``NotImplementedError`` with guidance, exactly where a libav/PIL call
+  would slot in — no media codec library ships here;
 - a deterministic FAKE format (``FAKEIMG``/``FAKEAUD``/``FAKEVID`` headers)
   additionally exercises every kernel end-to-end in tests.
 
@@ -37,17 +39,18 @@ MAGIC_FAKEAUD = b"FAKEAUD\x00"
 MAGIC_FAKEVID = b"FAKEVID\x00"
 #: compressed formats we recognize but cannot decode without a codec library
 COMPRESSED_MAGICS = {
-    b"\xff\xd8\xff": "image/jpeg",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
 #: container formats decoded for real (stdlib/numpy only — PNG needs just
-#: stdlib zlib + per-scanline unfiltering, no Pillow)
+#: stdlib zlib + per-scanline unfiltering; baseline JPEG needs struct +
+#: numpy: Huffman + dequant + IDCT all live in this module)
 UNCOMPRESSED_MAGICS = {
     b"RIFF": "audio/wav",
     b"P6": "image/ppm",
     b"BM": "image/bmp",
     b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
 }
 #: all sniffed real-world magics (metadata-level recognition)
 REAL_MAGICS = {**COMPRESSED_MAGICS, **UNCOMPRESSED_MAGICS}
@@ -306,6 +309,471 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, bytes]:
     return w, h, arr.shape[2], np.ascontiguousarray(arr).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# baseline JPEG (ITU T.81 / JFIF) — real decode, stdlib struct + numpy only
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: _JPEG_ZZ[i] = row-major position of the i-th zigzag
+#: coefficient (generated, not transcribed — anti-diagonals, alternating)
+_JPEG_ZZ = np.array(
+    [
+        r * 8 + (d - r)
+        for d in range(15)
+        for r in (range(d, -1, -1) if d % 2 == 0 else range(d + 1))
+        if r < 8 and (d - r) < 8
+    ],
+    dtype=np.int64,
+)
+
+#: Annex K.1/K.2 example quantization tables (row-major), the de-facto
+#: standard bases every quality-scaled encoder uses
+_JPEG_QL = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64)
+_JPEG_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64)
+
+
+def _jpeg_dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix T: forward F = T @ S @ T.T, inverse
+    S = T.T @ F @ T (T.81 A.3.3 with c(0)=sqrt(1/8), c(u>0)=1/2)."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    T = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    T[0, :] = np.sqrt(1.0 / 8.0)
+    return T
+
+
+_JPEG_T = _jpeg_dct_mat()
+
+#: fixture Huffman tables (spec-valid, carried in DHT like any other): DC =
+#: twelve 4-bit codes for categories 0-11; AC = 162 8-bit codes covering
+#: EOB, ZRL and every (run, size) pair.  Fixed-length canonical codes keep
+#: the encoder trivial while the decoder exercises the same DHT machinery
+#: real files use (the all-ones code stays unused in both, per the spec).
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """DHT (BITS, HUFFVAL) -> {(code_length, code): symbol} per T.81 C.2."""
+    table: dict[tuple[int, int], int] = {}
+    code, idx = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[idx]
+            code += 1
+            idx += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    return {sym: (ln, code) for (ln, code), sym in _huff_canonical(bits, vals).items()}
+
+
+def _jpeg_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg-convention quality scaling of the Annex K base tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    ql = np.clip(np.floor((_JPEG_QL * scale + 50.0) / 100.0), 1, 255)
+    qc = np.clip(np.floor((_JPEG_QC * scale + 50.0) / 100.0), 1, 255)
+    return ql, qc
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.buf = (self.buf << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.buf)
+                if self.buf == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.buf = 0
+                self.n = 0
+
+    def pad_to_byte(self) -> None:
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per F.1.2.3
+
+
+def _jpeg_encode_coef_bits(v: int) -> tuple[int, int]:
+    """Amplitude coding (F.1.2.1): value -> (size category, appended bits)."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def make_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-JFIF encoder (stdlib/numpy) — the ground-truth
+    fixture generator for :func:`_decode_jpeg`, same role :func:`make_png`
+    plays for the PNG path.  8-bit gray or RGB; ``subsample=True`` emits
+    4:2:0 (2x2 Y per MCU); ``restart_interval`` emits DRI + RSTn markers.
+    Spec-valid output: quant + Huffman tables travel in DQT/DHT segments."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    if nch not in (1, 3):
+        raise ValueError("make_jpeg wants gray or RGB input")
+    ql, qc = _jpeg_quant_tables(quality)
+    x = arr.astype(np.float64)
+    if nch == 3:
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qts = [ql, qc, qc]
+        qids = [0, 1, 1]
+    else:
+        planes, samp, qts, qids = [x[:, :, 0]], [(1, 1)], [ql], [0]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+
+    blocks: list[np.ndarray] = []  # per component: (by, bx, 8, 8) quantized
+    for plane, (hi, vi), qt in zip(planes, samp, qts):
+        if (hi, vi) != (hmax, vmax):
+            # box-mean downsample by the integer sampling ratio
+            fy, fx = vmax // vi, hmax // hi
+            py = -(-plane.shape[0] // fy) * fy
+            px = -(-plane.shape[1] // fx) * fx
+            p = np.pad(plane, ((0, py - plane.shape[0]), (0, px - plane.shape[1])), "edge")
+            plane = p.reshape(py // fy, fy, px // fx, fx).mean(axis=(1, 3))
+        by, bx = mcy * vi, mcx * hi
+        p = np.pad(
+            plane,
+            ((0, by * 8 - plane.shape[0]), (0, bx * 8 - plane.shape[1])),
+            "edge",
+        ) - 128.0
+        blk = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = _JPEG_T @ blk.reshape(by, bx, 8, 8) @ _JPEG_T.T
+        blocks.append(np.round(coef / qt.reshape(8, 8)).astype(np.int64))
+
+    dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    wtr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    mcu_i = 0
+    rst_i = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.pad_to_byte()
+                wtr.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                rst_i += 1
+                preds = [0] * len(planes)
+            for ci, (hi, vi) in enumerate(samp):
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = blocks[ci][my * vi + byy, mx * hi + bxx].reshape(64)[_JPEG_ZZ]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s, bits = _jpeg_encode_coef_bits(diff)
+                        ln, code = dc_map[s]
+                        wtr.put(code, ln)
+                        if s:
+                            wtr.put(bits, s)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = (nz[-1] + 1) if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_map[0xF0]
+                                wtr.put(code, ln)
+                                run -= 16
+                            s, bits = _jpeg_encode_coef_bits(v)
+                            ln, code = ac_map[(run << 4) | s]
+                            wtr.put(code, ln)
+                            wtr.put(bits, s)
+                            run = 0
+                        if last < 63:
+                            ln, code = ac_map[0x00]
+                            wtr.put(code, ln)
+            mcu_i += 1
+    wtr.pad_to_byte()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.astype(np.uint8).reshape(64)[_JPEG_ZZ]))
+    if nch == 3:
+        out += seg(0xDB, bytes([1]) + bytes(qc.astype(np.uint8).reshape(64)[_JPEG_ZZ]))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nch))
+    for ci, ((hi, vi), qid) in enumerate(zip(samp, qids)):
+        sof += bytes([ci + 1, (hi << 4) | vi, qid])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([nch])
+    for ci in range(nch):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += seg(0xDA, bytes(sos))
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy segment")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else -1
+                if nxt != 0x00:
+                    raise ValueError("marker inside JPEG entropy segment")
+                self.pos += 2
+            else:
+                self.pos += 1
+            self.buf = b
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def receive(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self, idx: int) -> None:
+        """Byte-align and consume the expected RSTn marker (F.2.1.3.1)."""
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (idx % 8)
+        ):
+            raise ValueError("missing/mismatched JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: low-order bits -> signed amplitude."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _decode_jpeg(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Real baseline-JPEG decode — stdlib struct + numpy, no Pillow.
+
+    Supports the dominant on-disk shape: baseline sequential DCT (SOF0/SOF1),
+    8-bit samples, gray or 3-component YCbCr, any integer chroma subsampling
+    (4:4:4/4:2:2/4:2:0), interleaved single scan, restart markers, 8/16-bit
+    quant tables.  Progressive (SOF2) and arithmetic coding raise with
+    guidance.  Huffman decoding is a per-bit Python loop — correctness-grade
+    like the PNG unfilter; batch parallelism at scale comes from Spark
+    partitioning, one image per row.  Verified against :func:`make_jpeg`
+    ground truth (PSNR floor) in tests.
+    """
+    if raw[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict] = {}  # (class, id) -> decode table
+    sof = None
+    restart = 0
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
+        body = raw[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                prec, tid = body[bp] >> 4, body[bp] & 0xF
+                bp += 1
+                if prec:
+                    vals = np.frombuffer(body[bp : bp + 128], dtype=">u2").astype(np.float64)
+                    bp += 128
+                else:
+                    vals = np.frombuffer(body[bp : bp + 64], dtype=np.uint8).astype(np.float64)
+                    bp += 64
+                qts[tid] = vals  # zigzag order, matching the coef stream
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+            _prec, ih, iw, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            sof = {"w": iw, "h": ih, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) is out of the baseline decoder's "
+                "scope; install Pillow for progressive inputs"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            bp = 0
+            while bp < len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1 : bp + 17])
+                nval = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nval])
+                huffs[(tc, th)] = _huff_canonical(bits, vals)
+                bp += 17 + nval
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = body[1 + 2 * ci : 3 + 2 * ci]
+                comp = next(c for c in sof["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            return _jpeg_decode_scan(raw, pos, sof, scan, qts, huffs, restart)
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(
+    raw: bytes, pos: int, sof: dict, scan: list, qts: dict, huffs: dict, restart: int
+) -> tuple[int, int, int, bytes]:
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcy * c["v"] * 8, mcx * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    }
+    rd = _JpegBitReader(raw, pos)
+    preds = {c["id"]: 0 for c in comps}
+    zz = np.zeros(64, dtype=np.float64)
+    mcu_i = 0
+    rst_i = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart and mcu_i and mcu_i % restart == 0:
+                rd.sync_restart(rst_i)
+                rst_i += 1
+                preds = {c["id"]: 0 for c in comps}
+            for comp, dct, act in scan:
+                qt = qts[comp["tq"]]
+                dtab, atab = huffs[(0, dct)], huffs[(1, act)]
+                for byy in range(comp["v"]):
+                    for bxx in range(comp["h"]):
+                        zz[:] = 0.0
+                        s = _jpeg_huff_decode(rd, dtab)
+                        diff = _jpeg_extend(rd.receive(s), s) if s else 0
+                        preds[comp["id"]] += diff
+                        zz[0] = preds[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _jpeg_huff_decode(rd, atab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0xF
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            zz[k] = _jpeg_extend(rd.receive(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_JPEG_ZZ] = zz * qt  # dequant + dezigzag
+                        sp = _JPEG_T.T @ blk.reshape(8, 8) @ _JPEG_T + 128.0
+                        y0 = (my * comp["v"] + byy) * 8
+                        x0 = (mx * comp["h"] + bxx) * 8
+                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = sp
+            mcu_i += 1
+
+    out_planes = []
+    for c in comps:
+        p = planes[c["id"]]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy * c["v"] != vmax or fx * c["h"] != hmax:
+            raise NotImplementedError(
+                f"non-integer JPEG sampling ratio {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax}"
+            )
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, np.ascontiguousarray(gray[:, :, None]).tobytes()
+    if len(out_planes) != 3:
+        raise NotImplementedError(f"{len(out_planes)}-component JPEG (CMYK?)")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    return w, h, 3, np.ascontiguousarray(rgb).tobytes()
+
+
 def _decode_bmp(raw: bytes) -> tuple[int, int, int, bytes]:
     """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER): real decode.
     Handles bottom-up and top-down row order and 4-byte row padding;
@@ -371,9 +839,9 @@ def _decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
 def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -> DataFrame:
     """Decode image bytes -> ``(id, width, height, channels, pixels)``.
 
-    PPM (P6), uncompressed BMP, and PNG (8-bit gray/RGB(A)) decode for
-    REAL (stdlib struct/zlib/numpy); the fake format parses too; JPEG
-    raises at the codec stub point."""
+    PPM (P6), uncompressed BMP, PNG (8-bit gray/RGB(A)), and baseline JPEG
+    decode for REAL (stdlib struct/zlib/numpy); the fake format parses too;
+    progressive JPEG raises at the codec stub point."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -389,6 +857,8 @@ def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -
                     w, h, c, px = _decode_bmp(raw)
                 elif raw.startswith(_PNG_SIG):
                     w, h, c, px = _decode_png(raw)
+                elif raw[:3] == b"\xff\xd8\xff":
+                    w, h, c, px = _decode_jpeg(raw)
                 else:
                     raise ValueError("not a decodable image payload")
                 rows.append((r[id_col], w, h, c, px))
