@@ -729,6 +729,109 @@ def test_incremental_index_across_microbatches(spark, tmp_path):
     assert spark.read.parquet(f"{idx}/vectors").count() == 60
 
 
+def test_ivf_reader_during_maintenance_soak(spark, tmp_path):
+    """Reader-during-maintenance soak (VERDICT r6 task #5): ivf_query_index
+    runs WHILE incremental_index micro-batches land, and _load_centroids is
+    hammered from a reader thread THROUGH repeated full-rebuild centroid
+    swaps.  Contract: every centroid read is a COMPLETE old or new
+    generation — never a torn table (the _load_centroids contiguity check
+    would raise), never an unknown set.  The swap's documented
+    instant-between-renames gap may surface as path-missing, which the
+    reader treats as a retry, not a failure."""
+    import shutil
+    import threading
+    import time
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_centroids,
+        ivf_query_index,
+        ivf_write_index,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(17)
+    vecs = [(i, [float(round(x, 4)) for x in rng.standard_normal(16)])
+            for i in range(120)]
+    vdf = spark.createDataFrame(vecs, "id long, emb array<float>").cache()
+    idx = str(tmp_path / "ivf_soak")
+
+    # phase 0: index exists before the stream starts (steady-state appends)
+    ivf_write_index(vdf.filter("id < 30"), idx, n_centroids=4, key="gen-0")
+    generations = {tuple(map(tuple, _load_centroids(spark, idx)))}
+
+    errors: list[str] = []
+    torn: list[object] = []
+    observed: set = set()
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                cents = _load_centroids(spark, idx)
+            except ValueError as e:  # the torn-table signature
+                torn.append(str(e))
+            except Exception as e:
+                # the documented rename gap: centroids dir briefly absent
+                if "exist" in str(e) or "Path" in str(e):
+                    continue
+                errors.append(repr(e))
+            else:
+                if len(cents) != 4:
+                    torn.append(len(cents))
+                observed.add(tuple(map(tuple, cents)))
+            time.sleep(0.005)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        # phase 1: micro-batches land while full queries run between them
+        src = tmp_path / "soak_src"
+        src.mkdir()
+        for name, lo, hi in (("a", 30, 60), ("b", 60, 90), ("c", 90, 120)):
+            stage = tmp_path / f"soak_stage_{name}"
+            spark.createDataFrame(vecs[lo:hi], "id long, emb array<float>")\
+                .coalesce(1).write.parquet(str(stage))
+            shutil.copy(next(stage.glob("part-*.parquet")), src / f"{name}.parquet")
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_index(
+            stream, idx, str(tmp_path / "soak_ckpt"), n_centroids=4, key="ivf"
+        ).trigger(availableNow=True).start()
+        qv = vecs[5][1]
+        while q.isActive:
+            # appends only ADD partitions — full top-k queries stay valid
+            # during the stream (rebuild-while-serving is the fenced case)
+            res = ivf_query_index(spark, idx, qv, k=3, n_probe=4).collect()
+            assert len(res) == 3
+            q.awaitTermination(1)
+        assert q.exception() is None
+
+        # phase 2: swap storm — repeated full rebuilds under the reader
+        for gen in (1, 2, 3):
+            ivf_write_index(
+                vdf.filter(f"id < {30 * (gen + 1)}"), idx,
+                n_centroids=4, key=f"gen-{gen}",
+            )
+            generations.add(tuple(map(tuple, _load_centroids(spark, idx))))
+    finally:
+        stop.set()
+        t.join()
+
+    assert not errors, errors[:3]
+    assert not torn, torn[:3]
+    assert observed, "reader never completed a read"
+    unknown = observed - generations
+    assert not unknown, f"reader saw {len(unknown)} centroid sets from no generation"
+    # the post-soak index still answers: a streamed vector finds itself
+    top = ivf_query_index(spark, idx, dict(vecs)[77], k=1, n_probe=4).first()
+    assert top["id"] == 77 and top["cos"] == 1.0
+
+
 def test_ivf_writers_compose_on_one_index(spark, tmp_path):
     """The failure mode the shared (centroid, batch) layout exists to
     prevent: a full ivf_write_index build, a streamed micro-batch, and an

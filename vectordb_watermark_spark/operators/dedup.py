@@ -525,7 +525,11 @@ def jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 30
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Group near-dup pairs into clusters: ``(id, comp)`` where ``comp`` is
     the minimum id reachable from ``id`` — the canonical-document assignment
@@ -535,19 +539,38 @@ def connected_components(
     round, each node takes the minimum label among itself and its
     neighbors; converges in O(graph diameter) rounds (near-dup clusters are
     dense — diameter is tiny).  Each round is one join + one map-side-
-    combined aggregate; ``localCheckpoint`` truncates the iterative lineage
-    so the plan does not grow with rounds (the standard Spark iterative-
+    combined aggregate; checkpointing truncates the iterative lineage so
+    the plan does not grow with rounds (the standard Spark iterative-
     algorithm hygiene).  Deterministic: the fixpoint is unique.
+
+    CHECKPOINT DURABILITY (VERDICT r6 task #4): by default the lineage is
+    cut with ``localCheckpoint`` — executor-local blocks, fast, but LOST if
+    an executor dies, which aborts the whole multi-round job.  At 100 TB a
+    label propagation spanning many rounds must survive executor loss, so
+    ``checkpoint_dir`` switches to RELIABLE ``checkpoint()`` into that
+    (HDFS/object-store) directory: each round's labels are persisted files
+    a replacement executor can re-read, making round N restart-safe instead
+    of recompute-from-scratch.  Labels are identical either way (tested);
+    the knob only trades write cost for fault tolerance.
     """
-    edges = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        # setCheckpointDir is session-global; set it only when asked, and
+        # leave it in place afterwards (cheap, and concurrent callers with
+        # different dirs are a driver-code error better made visible)
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    edges = _cut(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .unionAll(pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = _cut(
         edges.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint()
+    )
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges.a == labels.id)
@@ -555,13 +578,13 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        new_labels = _cut(
             labels.join(prop, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
             )
-        ).localCheckpoint()
+        )
         changed = (
             new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
             .filter(F.col("comp") != F.col("old"))
