@@ -130,3 +130,96 @@ def test_keyed_hash_twins_agree(spark, fuzz_con, ids):
     ).fetchall()
     for g, w in zip(got, want):
         assert g["u"] == pytest.approx(w[1], abs=0) and g["w"] == w[2], g["id"]
+
+
+# ---------------------------------------------------------------------------
+# sampling twins (VERDICT r6 task #8): the keyed / stratified / weighted
+# samplers previously had fixed-input oracles only — fuzz arbitrary ids,
+# KEYS, and RATES and assert the two engines select the SAME rows.  The
+# samplers are pure functions of keyed_uniform, so any drift here means a
+# real selection divergence, not a formatting one.
+# ---------------------------------------------------------------------------
+
+_ids = st.lists(st.integers(0, 2**40), min_size=1, max_size=25, unique=True)
+_key = st.text(alphabet="abcxyz019-_", min_size=1, max_size=8)
+_rate = st.floats(min_value=0.05, max_value=0.95)
+
+
+@given(_ids, _key, _rate)
+@settings(max_examples=20, deadline=None)
+def test_keyed_sampler_twins_agree(spark, fuzz_con, ids, key, rate):
+    """O5 keyed sampler: filter keyed_uniform(key, id) < rate — identical
+    kept-sets for arbitrary keys and rates."""
+    from vectordb_watermark_spark.functions import hashing as H
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted(
+        r["id"]
+        for r in df.filter(H.keyed_uniform(key, "v", F.col("id")) < F.lit(rate)).collect()
+    )
+    fuzz_con.execute("CREATE OR REPLACE TABLE fzs(id BIGINT)")
+    fuzz_con.executemany("INSERT INTO fzs VALUES (?)", [(i,) for i in ids])
+    u = H.sql_keyed_uniform(f"'{key}'", "'v'", "id")
+    want = sorted(
+        r[0] for r in fuzz_con.execute(f"SELECT id FROM fzs WHERE {u} < {rate!r}").fetchall()
+    )
+    assert got == want, (key, rate)
+
+
+@given(_ids, _key, st.tuples(_rate, _rate, _rate))
+@settings(max_examples=20, deadline=None)
+def test_stratified_sampler_twins_agree(spark, fuzz_con, ids, key, rates):
+    """O5 stratified extension: per-stratum keyed rates (stratum = id % 3)
+    — identical kept-sets for arbitrary keys and rate vectors."""
+    from vectordb_watermark_spark.functions import hashing as H
+
+    r0, r1, r2 = rates
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    rate_col = (
+        F.when(F.col("id") % 3 == 0, r0)
+        .when(F.col("id") % 3 == 1, r1)
+        .otherwise(r2)
+    )
+    got = sorted(
+        r["id"]
+        for r in df.filter(H.keyed_uniform(key, "s", F.col("id")) < rate_col).collect()
+    )
+    fuzz_con.execute("CREATE OR REPLACE TABLE fzt(id BIGINT)")
+    fuzz_con.executemany("INSERT INTO fzt VALUES (?)", [(i,) for i in ids])
+    u = H.sql_keyed_uniform(f"'{key}'", "'s'", "id")
+    case = f"CASE id % 3 WHEN 0 THEN {r0!r} WHEN 1 THEN {r1!r} ELSE {r2!r} END"
+    want = sorted(
+        r[0] for r in fuzz_con.execute(f"SELECT id FROM fzt WHERE {u} < {case}").fetchall()
+    )
+    assert got == want, (key, rates)
+
+
+@given(_ids, _key, st.integers(1, 8))
+@settings(max_examples=20, deadline=None)
+def test_weighted_sampler_twins_agree(spark, fuzz_con, ids, key, k):
+    """O5 Efraimidis-Spirakis weighted sampler: top-k by log(u)/w (the
+    pow-free monotone form the oracle uses) — identical selections AND
+    order for arbitrary keys, k, and id-derived weights."""
+    from vectordb_watermark_spark.functions import hashing as H
+
+    k = min(k, len(ids))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    w_col = (F.col("id") % 7 + 1).cast("double")
+    score = F.log(H.keyed_uniform(key, "w", F.col("id"))) / w_col
+    got = [
+        r["id"]
+        for r in df.select("id", score.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("id").asc())
+        .limit(k)
+        .collect()
+    ]
+    fuzz_con.execute("CREATE OR REPLACE TABLE fzw(id BIGINT)")
+    fuzz_con.executemany("INSERT INTO fzw VALUES (?)", [(i,) for i in ids])
+    u = H.sql_keyed_uniform(f"'{key}'", "'w'", "id")
+    want = [
+        r[0]
+        for r in fuzz_con.execute(
+            f"SELECT id FROM fzw ORDER BY ln({u}) / (id % 7 + 1) DESC, id LIMIT {k}"
+        ).fetchall()
+    ]
+    assert got == want, (key, k)
