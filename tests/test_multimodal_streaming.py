@@ -591,6 +591,61 @@ def test_real_png_decode_all_filters(spark):
         _decode_png(bytes(bad16))
 
 
+def test_mp4_container_parse_and_sample_extraction(spark):
+    """ISO BMFF container layer is REAL (box walk + stsz/stsc/stco/stss
+    resolution): metadata inventory and raw sample/keyframe byte extraction
+    work without any codec library; only the codec decode of those samples
+    stays stubbed."""
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _parse_mp4,
+        make_mp4,
+        mp4_metadata,
+        mp4_sample_bytes,
+    )
+
+    samples = [bytes([i]) * (10 + i) for i in range(10)]
+    raw = make_mp4(samples, width=64, height=48, timescale=600,
+                   sample_delta=20, sync_every=3)
+
+    # container-level parse: every sample byte-exact through the tables
+    t = _parse_mp4(raw)["tracks"][0]
+    assert (t["type"], t["codec"], t["width"], t["height"]) == ("vide", "avc1", 64, 48)
+    for si, (off, size, sync) in enumerate(t["samples"]):
+        assert raw[off : off + size] == samples[si]
+        assert sync == (si % 3 == 0)
+
+    df = spark.createDataFrame(
+        [(7, raw), (8, make_mp4(samples[:4], width=16, height=16))],
+        "id long, media binary",
+    )
+    # metadata kernel + sniff
+    meta = {r["id"]: r for r in mp4_metadata(df).collect()}
+    assert meta[7]["n_samples"] == 10 and meta[7]["codec"] == "avc1"
+    assert meta[7]["duration_ms"] == _pytest.approx(10 * 20 / 600 * 1000)
+    assert meta[8]["width"] == 16 and meta[8]["n_tracks"] == 1
+    assert (
+        M.media_metadata(df).filter(F.col("id") == 7).first()["media_type"]
+        == "video/mp4"
+    )
+
+    # distributed extraction: every-2nd sample, and keyframes only
+    rows = mp4_sample_bytes(df.filter(F.col("id") == 7), every_k=2).collect()
+    assert [r["sample_idx"] for r in rows] == [0, 2, 4, 6, 8]
+    assert all(bytes(r["data"]) == samples[r["sample_idx"]] for r in rows)
+    keys = mp4_sample_bytes(df.filter(F.col("id") == 7), sync_only=True).collect()
+    assert [r["sample_idx"] for r in keys] == [0, 3, 6, 9]
+    assert all(r["is_sync"] for r in keys)
+
+    # the codec DECODE is still the stubbed boundary
+    with _pytest.raises(Exception, match="codec library|NotImplemented"):
+        M.decode_images(df.filter(F.col("id") == 7)).collect()
+    # non-MP4 payloads fail the parse loudly
+    with _pytest.raises(ValueError, match="ISO BMFF"):
+        _parse_mp4(b"\x00\x00\x00\x08freeJUNK")
+
+
 def test_real_jpeg_decode_baseline(spark):
     """Baseline JPEG decodes for REAL (VERDICT r6 task #2, carried since
     r4): Huffman + dequant + IDCT on stdlib/numpy.  Ground truth is this

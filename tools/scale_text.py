@@ -6,7 +6,12 @@ token-level mutations + exact copies) and runs the dedup/text family at that
 scale: exact groups, MinHash signatures + LSH candidate pairs, SimHash +
 banded near-pairs, text stats, language ID.  Prints one JSON line.  Usage::
 
-    python tools/scale_text.py [--rows 100000] [--fresh]
+    python tools/scale_text.py [--rows 100000] [--fresh] [--pipeline]
+
+``--pipeline`` additionally runs the full curation chain at that scale —
+LSH candidates -> exact-Jaccard verify -> connected components ->
+quality-aware canonical selection — the end-to-end path the
+``corpus_curation``/``curation_keep_best`` oracles pin at small SF.
 """
 
 from __future__ import annotations
@@ -29,7 +34,13 @@ VOCAB_SIZE = 20_000
 
 def make_corpus(spark, rows: int, path: str) -> None:
     """Deterministic synthetic corpus: 2% template clusters (exact copies),
-    18% near-dups (template + small mutations), 80% unique documents."""
+    18% near-dups (template + small mutations), 80% unique documents.
+
+    The template count scales with the corpus (``max(200, rows // 500)``)
+    so the mean dup-cluster size stays ~100 docs while the cluster COUNT
+    grows — the regime real corpora live in (a fixed 200 templates at 1M
+    rows would instead benchmark the adversarial giant-cluster case, where
+    within-cluster pair counts grow quadratically with corpus size)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
@@ -48,7 +59,8 @@ def make_corpus(spark, rows: int, path: str) -> None:
                 def words(r, m):  # zipf-ish draw over the shared vocabulary
                     return [f"w{v}" for v in (r.zipf(1.3, m) % VOCAB_SIZE)]
 
-                templates = [" ".join(words(trng, 40)) for _ in range(200)]
+                n_templates = max(200, rows // 500)
+                templates = [" ".join(words(trng, 40)) for _ in range(n_templates)]
                 ids, texts = [], []
                 for i in range(lo, hi):
                     u = rng.random()
@@ -75,6 +87,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--pipeline", action="store_true")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
@@ -112,6 +125,33 @@ def main() -> None:
             T.lang_id(F.col("text")).alias("lang"),
         ).count(),
     )
+
+    if args.pipeline:
+        # full curation chain, one stage per timing row so the expensive
+        # step is attributable.  Verified pairs / components / canonical
+        # winners are materialized counts, not lazy handles.
+        def _verified():
+            cand = D.minhash_candidate_pairs(docs)
+            v = D.jaccard_pairs(docs, pairs=cand, threshold=0.5).select("a", "b")
+            v.write.mode("overwrite").parquet(".scratch/verified_pairs.parquet")
+            return spark.read.parquet(".scratch/verified_pairs.parquet").count()
+
+        run("verify_pairs", _verified)
+        verified = spark.read.parquet(".scratch/verified_pairs.parquet")
+
+        def _components():
+            labels = D.connected_components(verified)
+            labels.write.mode("overwrite").parquet(".scratch/cc_labels.parquet")
+            return spark.read.parquet(".scratch/cc_labels.parquet").count()
+
+        run("components", _components)
+        labels = spark.read.parquet(".scratch/cc_labels.parquet")
+
+        run(
+            "canonical",
+            lambda: D.canonical_by_quality(docs, labels).count(),
+        )
+        D.release_signature_caches()
 
     print(json.dumps({
         "metric": "scale_text_seconds",

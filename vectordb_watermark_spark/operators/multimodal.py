@@ -11,9 +11,13 @@ honestly decode:
   JPEG** (SOF0/1, Huffman + dequant + IDCT, gray/YCbCr, any integer chroma
   subsampling, restart markers) — full parse -> pixels/samples -> resize /
   features;
-- **codec-bound formats** (MP4; progressive JPEG) raise
-  ``NotImplementedError`` with guidance, exactly where a libav/PIL call
-  would slot in — no media codec library ships here;
+- **MP4 / ISO BMFF**: the CONTAINER layer is real (box walk, track/codec
+  metadata, stsz/stsc/stco/stss sample-table resolution, raw sample and
+  keyframe byte extraction — :func:`mp4_metadata` /
+  :func:`mp4_sample_bytes`); only the codec DECODE of those samples (and
+  progressive JPEG) raises ``NotImplementedError`` with guidance, exactly
+  where a libav/PIL call would slot in — no media codec library ships
+  here;
 - a deterministic FAKE format (``FAKEIMG``/``FAKEAUD``/``FAKEVID`` headers)
   additionally exercises every kernel end-to-end in tests.
 
@@ -834,6 +838,312 @@ def _decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return rate, x
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO 14496-12) — real container PARSE, stdlib-only.
+# Box walk, track metadata, and sample-table resolution (stsz/stsc/stco/
+# stss) are genuinely implemented: a pipeline can inventory tracks and
+# extract raw (compressed) sample/keyframe bytes to hand to an external
+# decoder.  Only the video-codec DECODE of those samples stays stubbed.
+# ---------------------------------------------------------------------------
+
+def _mp4_boxes(raw: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(raw[pos : pos + 4], "big")
+        typ = raw[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(raw[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("corrupt MP4 box structure")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(raw: bytes, start: int, end: int, typ: bytes):
+    for t, b, e in _mp4_boxes(raw, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def make_mp4(
+    samples: list[bytes],
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 600,
+    sample_delta: int = 20,
+    sync_every: int = 3,
+    codec: bytes = b"avc1",
+) -> bytes:
+    """Minimal valid ISO BMFF file: ``ftyp + mdat(samples) + moov`` with a
+    single video track whose sample tables (stts/stsc/stsz/stco/stss)
+    describe ``samples`` as one chunk.  The sample payloads are opaque (no
+    codec encode) — this is the container-layer ground truth for
+    :func:`mp4_metadata` / :func:`mp4_sample_bytes`, the same fixture role
+    :func:`make_jpeg`/:func:`make_png` play for images."""
+
+    def box(typ: bytes, *bodies: bytes) -> bytes:
+        body = b"".join(bodies)
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ: bytes, ver_flags: int, *bodies: bytes) -> bytes:
+        return box(typ, struct.pack(">I", ver_flags), *bodies)
+
+    n = len(samples)
+    dur = n * sample_delta
+    ftyp = box(b"ftyp", b"isom", struct.pack(">I", 512), b"isom", b"mp41")
+    assert len(ftyp) == 0x18  # keeps the metadata sniffer's magic valid
+    mdat = box(b"mdat", b"".join(samples))
+    data_offset = len(ftyp) + 8  # first sample byte (one chunk)
+
+    # VisualSampleEntry: 8-byte box header + 78-byte body (14496-12 §12.1.3)
+    stsd_entry = (
+        struct.pack(">I", 8 + 78) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 0x18) + struct.pack(">h", -1)
+    )
+    stbl = box(
+        b"stbl",
+        full(b"stsd", 0, struct.pack(">I", 1), stsd_entry),
+        full(b"stts", 0, struct.pack(">III", 1, n, sample_delta)),
+        full(b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1)),
+        full(b"stsz", 0, struct.pack(">II", 0, n),
+             b"".join(struct.pack(">I", len(s)) for s in samples)),
+        full(b"stco", 0, struct.pack(">II", 1, data_offset)),
+        full(b"stss", 0, struct.pack(">I", (n + sync_every - 1) // sync_every),
+             b"".join(struct.pack(">I", i + 1) for i in range(0, n, sync_every))),
+    )
+    minf = box(
+        b"minf",
+        full(b"vmhd", 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        box(b"dinf", full(b"dref", 0, struct.pack(">I", 1), full(b"url ", 1))),
+        stbl,
+    )
+    mdia = box(
+        b"mdia",
+        full(b"mdhd", 0, struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0)),
+        full(b"hdlr", 0, struct.pack(">I", 0), b"vide", b"\x00" * 12, b"v\x00"),
+        minf,
+    )
+    tkhd = full(
+        b"tkhd", 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = full(
+        b"mvhd", 0,
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd, box(b"trak", tkhd, mdia))
+    return ftyp + mdat + moov
+
+
+def _parse_mp4(raw: bytes) -> dict:
+    """Parse the container: brand, movie duration, per-track metadata, and
+    each track's fully-resolved sample table ``(offset, size, is_sync)``."""
+    if raw[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    info: dict = {"brand": raw[8:12].decode("latin1"), "tracks": []}
+    moov = _mp4_find(raw, 0, len(raw), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    ms, me = moov
+    mvhd = _mp4_find(raw, ms, me, b"mvhd")
+    if mvhd is not None:
+        b, _ = mvhd
+        ver = raw[b]
+        if ver == 1:
+            ts = int.from_bytes(raw[b + 20 : b + 24], "big")
+            dur = int.from_bytes(raw[b + 24 : b + 32], "big")
+        else:
+            ts = int.from_bytes(raw[b + 12 : b + 16], "big")
+            dur = int.from_bytes(raw[b + 16 : b + 20], "big")
+        info["duration_ms"] = (dur / ts * 1000.0) if ts else 0.0
+    for t, tb, te in _mp4_boxes(raw, ms, me):
+        if t != b"trak":
+            continue
+        track: dict = {"type": "", "codec": "", "width": 0, "height": 0}
+        mdia = _mp4_find(raw, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        db, de = mdia
+        hdlr = _mp4_find(raw, db, de, b"hdlr")
+        if hdlr is not None:
+            track["type"] = raw[hdlr[0] + 8 : hdlr[0] + 12].decode("latin1")
+        tkhd = _mp4_find(raw, tb, te, b"tkhd")
+        if tkhd is not None:
+            b_, e_ = tkhd
+            track["width"] = int.from_bytes(raw[e_ - 8 : e_ - 4], "big") >> 16
+            track["height"] = int.from_bytes(raw[e_ - 4 : e_], "big") >> 16
+        minf = _mp4_find(raw, db, de, b"minf")
+        stbl = _mp4_find(raw, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        sb, se = stbl
+        stsd = _mp4_find(raw, sb, se, b"stsd")
+        if stsd is not None and int.from_bytes(raw[stsd[0] + 4 : stsd[0] + 8], "big") >= 1:
+            track["codec"] = raw[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
+
+        def _full(typ: bytes):
+            f = _mp4_find(raw, sb, se, typ)
+            return None if f is None else (f[0] + 4, f[1])  # skip ver/flags
+
+        sizes: list[int] = []
+        stsz = _full(b"stsz")
+        if stsz is not None:
+            b_, _ = stsz
+            fixed = int.from_bytes(raw[b_ : b_ + 4], "big")
+            count = int.from_bytes(raw[b_ + 4 : b_ + 8], "big")
+            sizes = (
+                [fixed] * count
+                if fixed
+                else [
+                    int.from_bytes(raw[b_ + 8 + 4 * i : b_ + 12 + 4 * i], "big")
+                    for i in range(count)
+                ]
+            )
+        chunk_offsets: list[int] = []
+        stco = _full(b"stco")
+        if stco is not None:
+            b_, _ = stco
+            cn = int.from_bytes(raw[b_ : b_ + 4], "big")
+            chunk_offsets = [
+                int.from_bytes(raw[b_ + 4 + 4 * i : b_ + 8 + 4 * i], "big")
+                for i in range(cn)
+            ]
+        stsc_entries: list[tuple[int, int]] = []
+        stsc = _full(b"stsc")
+        if stsc is not None:
+            b_, _ = stsc
+            en = int.from_bytes(raw[b_ : b_ + 4], "big")
+            for i in range(en):
+                e0 = b_ + 4 + 12 * i
+                stsc_entries.append(
+                    (
+                        int.from_bytes(raw[e0 : e0 + 4], "big"),
+                        int.from_bytes(raw[e0 + 4 : e0 + 8], "big"),
+                    )
+                )
+        syncs: set[int] = set()
+        stss = _full(b"stss")
+        if stss is not None:
+            b_, _ = stss
+            sn = int.from_bytes(raw[b_ : b_ + 4], "big")
+            syncs = {
+                int.from_bytes(raw[b_ + 4 + 4 * i : b_ + 8 + 4 * i], "big") - 1
+                for i in range(sn)
+            }
+        # resolve (offset, size, sync) per sample: walk chunks per stsc runs
+        samples: list[tuple[int, int, bool]] = []
+        si = 0
+        for ci, coff in enumerate(chunk_offsets):
+            per = 0
+            for first, spc in stsc_entries:
+                if ci + 1 >= first:
+                    per = spc
+            off = coff
+            for _ in range(per):
+                if si >= len(sizes):
+                    break
+                samples.append((off, sizes[si], si in syncs or not syncs))
+                off += sizes[si]
+                si += 1
+        track["samples"] = samples
+        info["tracks"].append(track)
+    return info
+
+
+def mp4_metadata(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -> DataFrame:
+    """Container-level MP4 metadata per row — brand, duration, track
+    inventory, first video track's codec/dims/sample count.  Real parse
+    (ISO 14496-12 box walk), no codec library involved."""
+    schema = (
+        "id long, brand string, duration_ms double, n_tracks int, "
+        "track_types array<string>, codec string, width int, height int, "
+        "n_samples long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                info = _parse_mp4(bytes(r[bytes_col]))
+                vid = next(
+                    (t for t in info["tracks"] if t["type"] == "vide"),
+                    info["tracks"][0] if info["tracks"] else None,
+                )
+                rows.append((
+                    r[id_col],
+                    info["brand"],
+                    float(info.get("duration_ms", 0.0)),
+                    len(info["tracks"]),
+                    [t["type"] for t in info["tracks"]],
+                    vid["codec"] if vid else "",
+                    vid["width"] if vid else 0,
+                    vid["height"] if vid else 0,
+                    len(vid["samples"]) if vid else 0,
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["id", "brand", "duration_ms", "n_tracks",
+                             "track_types", "codec", "width", "height",
+                             "n_samples"],
+                )
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=schema)
+
+
+def mp4_sample_bytes(
+    df: DataFrame,
+    every_k: int = 1,
+    sync_only: bool = False,
+    id_col: str = "id",
+    bytes_col: str = "media",
+) -> DataFrame:
+    """Extract raw (still-compressed) sample bytes from MP4 video tracks —
+    one output row per selected sample, resolved through the real
+    stsz/stsc/stco/stss tables.  ``sync_only`` keeps keyframes.  This is
+    the honest boundary of a no-codec environment: the CONTAINER layer is
+    fully parsed and the bytes are ready for an external decoder; only the
+    codec decode itself remains stubbed (:data:`COMPRESSED_MAGICS`)."""
+    schema = "id long, sample_idx int, is_sync boolean, byte_len long, data binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[bytes_col])
+                info = _parse_mp4(raw)
+                vid = next((t for t in info["tracks"] if t["type"] == "vide"), None)
+                if vid is None:
+                    continue
+                for si, (off, size, sync) in enumerate(vid["samples"]):
+                    if si % every_k or (sync_only and not sync):
+                        continue
+                    rows.append((r[id_col], si, bool(sync), size, raw[off : off + size]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["id", "sample_idx", "is_sync", "byte_len", "data"]
+                )
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=schema)
 
 
 def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -> DataFrame:
