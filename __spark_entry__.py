@@ -1007,6 +1007,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash_pairs(spark, sf):
         return D.simhash_near_pairs(D.simhash(_docs(spark, sf)), max_hamming=12)
 
+    def dup_ngram_spans(spark, sf):
+        # exact substring dedup, detection half: corpus-duplicated 8-grams
+        return D.duplicate_ngram_spans(_docs(spark, sf))
+
+    def span_scrubbed_docs(spark, sf):
+        # exact substring dedup, removal half: duplicated spans cut out
+        return D.scrub_duplicate_spans(_docs(spark, sf))
+
+    def bigram_lm_scores(spark, sf):
+        # bigram stupid-backoff LM score (CCNet-style perplexity filter)
+        from vectordb_watermark_spark.operators.quality import bigram_lm_score
+
+        return bigram_lm_score(_docs(spark, sf))
+
     # ---- training-data pipeline: text analysis ----
 
     def text_stats(spark, sf):
@@ -1546,6 +1560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": lexical_diversity,
         "gopher_quality_flags": gopher_quality_flags,
         "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
+        # -- new in round 7 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, driver-gated on a later rotation) --------
+        "dup_ngram_spans": dup_ngram_spans,
+        "span_scrubbed_docs": span_scrubbed_docs,
+        "bigram_lm_scores": bigram_lm_scores,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -2566,6 +2585,92 @@ def oracle_sql() -> dict[str, str]:
                            ELSE 0.0 END, 6) AS jaccard
               FROM t x JOIN t y ON x.doc_id < y.doc_id
             ) WHERE jaccard >= 0.5""",
+        # exact substring dedup (operators/dedup.duplicate_ngram_spans /
+        # scrub_duplicate_spans): token 8-grams duplicated across >= 2
+        # distinct docs; scrub removes every covered token position
+        "dup_ngram_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, {T.sql_tokens('lower(text)')} AS l FROM documents
+            ),
+            g AS (
+              SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, len(l) - 7)) AS t(i)
+              WHERE len(l) >= 8
+            )
+            SELECT g AS ngram, count(DISTINCT doc_id) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2""",
+        "span_scrubbed_docs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     {T.sql_tokens('text')} AS lraw,
+                     {T.sql_tokens('lower(text)')} AS l
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, i, array_to_string(l[i:i+7], ' ') AS g
+              FROM toks, LATERAL unnest(generate_series(1, len(l) - 7)) AS t(i)
+              WHERE len(l) >= 8
+            ),
+            dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+            cover AS (
+              SELECT DISTINCT g.doc_id, g.i + off AS p
+              FROM g JOIN dup USING (g),
+                   LATERAL unnest(generate_series(0, 7)) AS o(off)
+            ),
+            tokpos AS (
+              SELECT doc_id, unnest(lraw) AS tok, generate_subscripts(lraw, 1) AS p
+              FROM toks
+            ),
+            kept AS (
+              SELECT t.doc_id, t.tok, t.p FROM tokpos t
+              LEFT JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.doc_id IS NULL
+            ),
+            reb AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   CAST(len(b.lraw) AS BIGINT) AS n_tokens,
+                   CAST(len(b.lraw) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks b LEFT JOIN reb r USING (doc_id)""",
+        # bigram stupid-backoff LM (operators/quality.bigram_lm_score):
+        # P(w2|w1) = cnt12/cnt1 when the pruned bigram table has the pair,
+        # else alpha * cnt2 / total
+        "bigram_lm_scores": f"""
+            WITH toks AS (
+              SELECT doc_id, {T.sql_tokens('lower(text)')} AS l FROM documents
+            ),
+            uni AS (
+              SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+            ),
+            tot AS (SELECT sum(cnt) AS total FROM uni),
+            pairs AS (
+              SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+              FROM toks, LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+              WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT w1, w2, count(*) AS cnt FROM pairs
+              GROUP BY w1, w2 HAVING count(*) >= 2
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     CASE WHEN b.cnt IS NOT NULL
+                          THEN log10(b.cnt / CAST(u1.cnt AS DOUBLE))
+                          ELSE log10(0.4 * u2.cnt / CAST(t.total AS DOUBLE)) END AS lp
+              FROM pairs p
+              LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+              JOIN uni u1 ON p.w1 = u1.w
+              JOIN uni u2 ON p.w2 = u2.w
+              CROSS JOIN tot t
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS bigram_lm_score
+            FROM scored GROUP BY doc_id""",
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id AS id, unnest({toks_set}) AS tok FROM documents

@@ -1154,3 +1154,212 @@ def test_canonical_by_quality_keeps_best_not_first(spark):
     assert set(rows) == {2, 3}, rows      # best of cluster + the singleton
     assert not rows[2]["singleton"] and rows[3]["singleton"]
     assert rows[2]["quality"] > 0.5
+
+
+# ---- round 7: exact substring dedup (duplicated n-gram spans) ----------
+
+
+def _span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        # docs 1 and 2 share the 8-token run embedded in different contexts
+        (1, f"One two {shared} three four"),
+        (2, f"{shared} five six seven"),
+        # doc 3: original casing variant of the shared run (matches lowercased)
+        (3, f"prefix ALPHA Beta gamma delta epsilon zeta eta THETA suffix"),
+        # doc 4: unique content, nothing removed
+        (4, "unique words that appear nowhere else in this tiny corpus"),
+        # doc 5: shorter than n tokens, emits no grams
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_ngram_spans_detects_shared_run(spark):
+    from vectordb_watermark_spark.operators.dedup import duplicate_ngram_spans
+
+    spans = duplicate_ngram_spans(_span_docs(spark), n=8).toPandas()
+    # the only 8-gram present in >= 2 docs is the shared run itself
+    assert list(spans["ngram"]) == ["alpha beta gamma delta epsilon zeta eta theta"]
+    assert list(spans["n_docs"]) == [3]
+    assert list(spans["n_occ"]) == [3]
+
+
+def test_scrub_duplicate_spans_union_and_casing(spark):
+    from vectordb_watermark_spark.operators.dedup import scrub_duplicate_spans
+
+    out = (
+        scrub_duplicate_spans(_span_docs(spark), n=8)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # every input doc is present, including the untouched ones
+    assert list(out.index) == [1, 2, 3, 4, 5]
+    assert out.loc[1, "clean_text"] == "One two three four"
+    assert out.loc[2, "clean_text"] == "five six seven"
+    # original casing survives outside AND the span match was case-blind
+    assert out.loc[3, "clean_text"] == "prefix suffix"
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[5, "n_removed"] == 0
+    assert out.loc[1, "n_tokens"] == 12 and out.loc[1, "n_removed"] == 8
+
+
+def test_scrub_overlapping_spans_remove_whole_run(spark):
+    """A duplicated run LONGER than n is removed in full: every n-window of
+    the run is itself duplicated, and coverage is the union of windows."""
+    from vectordb_watermark_spark.operators.dedup import scrub_duplicate_spans
+
+    run = " ".join(f"t{i}" for i in range(12))  # 12-token duplicated run
+    docs = spark.createDataFrame(
+        [(1, f"head {run} tail"), (2, f"{run} coda")],
+        "doc_id long, text string",
+    )
+    out = scrub_duplicate_spans(docs, n=8).toPandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "head tail"
+    assert out.loc[2, "clean_text"] == "coda"
+    assert out.loc[1, "n_removed"] == 12
+
+
+def test_scrub_accepts_precomputed_span_table(spark):
+    """The 100 TB shape: build the span table once over the corpus, then
+    scrub shards against it — shard-local scrubbing must equal whole-corpus
+    scrubbing."""
+    from vectordb_watermark_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        scrub_duplicate_spans,
+    )
+    import pandas as pd
+
+    docs = _span_docs(spark)
+    spans = duplicate_ngram_spans(docs, n=8)
+    whole = scrub_duplicate_spans(docs, n=8).toPandas()
+    shard1 = scrub_duplicate_spans(docs.filter("doc_id <= 2"), spans=spans, n=8)
+    shard2 = scrub_duplicate_spans(docs.filter("doc_id > 2"), spans=spans, n=8)
+    sharded = pd.concat([shard1.toPandas(), shard2.toPandas()])
+    a = whole.sort_values("doc_id").reset_index(drop=True)
+    b = sharded.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_scrub_fully_duplicated_doc_empties(spark):
+    from vectordb_watermark_spark.operators.dedup import scrub_duplicate_spans
+
+    run = " ".join(f"x{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, run), (2, run)], "doc_id long, text string"
+    )
+    out = scrub_duplicate_spans(docs, n=8).toPandas().set_index("doc_id")
+    assert set(out["clean_text"]) == {""}
+    assert list(out["n_removed"]) == [8, 8]
+
+
+def test_span_ops_partition_invariant(spark, docs):
+    from vectordb_watermark_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        scrub_duplicate_spans,
+    )
+
+    for build in (
+        lambda d: duplicate_ngram_spans(d),
+        lambda d: scrub_duplicate_spans(d),
+    ):
+        a = build(docs).toPandas()
+        b = build(docs.repartition(7, "doc_id")).toPandas()
+        key = sorted(a.columns)
+        a = a[key].sort_values(key).reset_index(drop=True)
+        b = b[key].sort_values(key).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
+
+# ---- round 7: bigram stupid-backoff LM ---------------------------------
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """3-doc corpus small enough to verify the backoff arithmetic by hand.
+
+    corpus: 'a b a b', 'a b c', 'c a'
+    unigrams: a=4, b=3, c=2, total=9
+    bigrams (min_count=2): (a,b)=3   [others are singletons -> pruned]
+    doc1 pairs: (a,b),(b,a),(a,b) ->
+        (a,b): log10(3/4); (b,a): backoff log10(0.4*4/9)
+    """
+    import math
+
+    from vectordb_watermark_spark.operators.quality import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    out = bigram_lm_score(docs).toPandas().set_index("doc_id").sort_index()
+    ab = math.log10(3 / 4)
+    ba = math.log10(0.4 * 4 / 9)
+    bc = math.log10(0.4 * 2 / 9)
+    ca = math.log10(0.4 * 4 / 9)
+    assert out.loc[1, "n_bigrams"] == 3
+    assert abs(out.loc[1, "bigram_lm_score"] - round((2 * ab + ba) / 3, 6)) < 1e-9
+    assert abs(out.loc[2, "bigram_lm_score"] - round((ab + bc) / 2, 6)) < 1e-9
+    assert abs(out.loc[3, "bigram_lm_score"] - round(ca, 6)) < 1e-9
+
+
+def test_bigram_lm_single_token_docs_absent(spark):
+    from vectordb_watermark_spark.operators.quality import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a pair here"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = bigram_lm_score(docs).toPandas()
+    assert set(out["doc_id"]) == {2}
+
+
+def test_bigram_lm_precomputed_tables_reused_across_shards(spark):
+    """Scoring a shard against corpus-level count tables equals the shard's
+    rows of the whole-corpus scoring — the reuse contract the docstring
+    promises."""
+    import pandas as pd
+
+    from vectordb_watermark_spark.functions.text import tokens  # noqa: F401
+    from vectordb_watermark_spark.operators.quality import (
+        bigram_counts,
+        bigram_lm_score,
+        token_frequencies,
+    )
+
+    docs = load(spark, "documents")
+    uni = token_frequencies(docs)
+    bi = bigram_counts(docs)
+    whole = bigram_lm_score(docs).toPandas()
+    shard = bigram_lm_score(
+        docs.filter("doc_id < 20"), unigrams=uni, bigrams=bi
+    ).toPandas()
+    a = whole[whole.doc_id < 20].sort_values("doc_id").reset_index(drop=True)
+    b = shard.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bigram_lm_detects_shuffled_tokens(spark):
+    """The signal the unigram logfreq proxy cannot see: a token-shuffled
+    document has an IDENTICAL unigram profile but a worse bigram score than
+    the fluent original, because its adjacencies fall out of the pruned
+    bigram table into backoff."""
+    from vectordb_watermark_spark.operators.quality import (
+        bigram_lm_score,
+        corpus_logfreq_score,
+    )
+
+    fluent = "the cat sat on the mat " * 5
+    shuffled = "mat the on sat the cat " * 5  # same bag of tokens
+    filler = [(i, "the cat sat on the mat again today") for i in range(10, 20)]
+    docs = spark.createDataFrame(
+        [(1, fluent.strip()), (2, shuffled.strip())] + filler,
+        "doc_id long, text string",
+    )
+    lm = bigram_lm_score(docs).toPandas().set_index("doc_id")
+    uni = corpus_logfreq_score(docs).toPandas().set_index("doc_id")
+    assert lm.loc[1, "bigram_lm_score"] > lm.loc[2, "bigram_lm_score"]
+    # unigram proxy is blind to the shuffle (same tokens, same multiplicity)
+    assert abs(uni.loc[1, "logfreq_score"] - uni.loc[2, "logfreq_score"]) < 1e-6

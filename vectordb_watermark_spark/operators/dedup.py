@@ -928,3 +928,134 @@ def canonical_by_quality(
                 F.lit(True).alias("singleton"))
     )
     return winners.unionByName(singles)
+
+
+SPAN_NGRAM = 8  # tokens per span n-gram (Lee et al. 2022 use 50 at web scale)
+
+
+def _doc_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``(id, pos, g)`` token ``n``-grams with 1-based start position over
+    lowercase whitespace tokens.  Pure Catalyst: ``transform`` over a
+    ``sequence`` of start offsets + ``slice`` — no UDF, no shuffle.  Docs
+    shorter than ``n`` tokens emit nothing (guarded: Spark's ``sequence``
+    DESCENDS when start > stop, so the branch is required, not cosmetic)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, n)).alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s")).select(
+        "id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SPAN_NGRAM,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-duplicated token spans ``(ngram, n_docs, n_occ)``: every token
+    ``n``-gram that appears in at least ``min_docs`` DISTINCT documents —
+    the detection half of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": duplicated
+    spans are memorized verbatim by LMs; doc-level dedup misses them because
+    the surrounding documents differ).
+
+    Scale shape: explode to n-grams (map-side, no shuffle), ONE map-side-
+    combined ``groupBy(gram)``.  The suffix-array machinery of the paper is
+    replaced by the fixed-width-window + hash-aggregate plan, which is the
+    shuffle-minimal Spark formulation of the same predicate and
+    embarrassingly parallel at 100 TB (Zipf keeps the duplicated-gram table
+    small relative to the corpus).
+    """
+    g = _doc_ngrams(_spread(df), id_col, text_col, n)
+    return (
+        g.groupBy("g")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("g").alias("ngram"), "n_docs", "n_occ")
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SPAN_NGRAM,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-duplicated spans from every document — the removal half
+    of exact substring dedup.  Returns ``(id, clean_text, n_tokens,
+    n_removed)`` with EVERY input document present (``clean_text = ''``
+    when the whole document was duplicated boilerplate).
+
+    A token position is removed iff it is covered by ANY duplicated
+    ``n``-gram occurrence (the union of overlapping duplicated windows — a
+    duplicated run of length L >= n is removed in full).  Matching is on
+    lowercase tokens; the surviving text keeps the ORIGINAL casing, with
+    whitespace runs normalized to single spaces (positional alignment holds
+    because lowercasing never changes whitespace).
+
+    ``spans`` accepts a precomputed :func:`duplicate_ngram_spans` table —
+    e.g. built once over the full corpus, then reused to scrub shards, the
+    way a 100 TB pipeline would run it (build the span table in pass 1,
+    broadcast-or-shuffle join it in pass 2).  Plan: n-gram explode + one
+    equi-join on the gram + one position-union distinct + one anti-join +
+    one per-doc aggregate; the rebuild sorts positions INSIDE each doc's
+    collected array (``array_sort`` of (pos, tok) structs) — no window, no
+    global sort.
+    """
+    if spans is None:
+        spans = duplicate_ngram_spans(df, id_col, text_col, n, min_docs)
+    dup = spans.select(F.col("ngram").alias("g"))
+    g = _doc_ngrams(_spread(df), id_col, text_col, n)
+    cover = (
+        g.join(dup, "g")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    raw = tokens(F.col(text_col))
+    tokpos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(raw).alias("p0", "tok")
+    ).select("id", (F.col("p0") + F.lit(1)).alias("p"), "tok")
+    kept = tokpos.join(cover, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(raw).cast("long").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )

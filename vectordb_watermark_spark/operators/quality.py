@@ -252,3 +252,100 @@ def cap_per_source(
         .filter(F.col("__rk") <= max_per_source)
         .drop("__rk")
     )
+
+
+def bigram_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus bigram-frequency table ``(w1, w2, cnt)`` over adjacent
+    lowercase whitespace tokens, pruned to ``cnt >= min_count`` (the
+    pruning is what gives the stupid-backoff in :func:`bigram_lm_score`
+    something to back off TO — unpruned, every bigram of the training
+    corpus trivially has count >= 1).  Adjacent pairs come from zipping the
+    token array against itself shifted by one (``slice`` twice +
+    ``arrays_zip``) — pure Catalyst, no shuffle until the ONE map-side-
+    combined ``groupBy``."""
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+            F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        df.select(F.explode(pairs).alias("pr"))
+        .select(F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    min_count: int = 2,
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """``(id, n_bigrams, bigram_lm_score)``: mean log10 bigram stupid-backoff
+    probability of the document — the 2-gram upgrade of
+    :func:`corpus_logfreq_score`'s unigram proxy (CCNet filters on exactly
+    this signal, with a KenLM 5-gram; stupid backoff is Brants et al. 2007's
+    web-scale simplification, no discounting to fit):
+
+        P(w2 | w1) = cnt(w1 w2) / cnt(w1)           if cnt(w1 w2) >= min_count
+                     alpha * cnt(w2) / total        otherwise (backoff)
+
+    Word-salad scores low (its bigrams are all backoff), fluent-but-common
+    text scores high; unlike the unigram score it catches shuffled-token
+    documents whose unigram profile is perfectly corpus-typical.  Documents
+    with fewer than 2 tokens emit no bigrams and are absent from the output
+    (same contract as the oracle twin).
+
+    ``unigrams``/``bigrams`` accept precomputed :func:`token_frequencies` /
+    :func:`bigram_counts` tables — built once, reused across scoring shards
+    (the 100 TB shape: two count passes, then a score pass that joins two
+    Zipf-small side tables, broadcast while they fit, AQE decides).
+    """
+    if unigrams is None:
+        unigrams = token_frequencies(df, text_col)
+    if bigrams is None:
+        bigrams = bigram_counts(df, text_col, min_count)
+    total = unigrams.agg(F.sum("cnt").alias("__t"))
+
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+            F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_pairs = df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("pr")).select(
+        "id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+    )
+    u1 = unigrams.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = unigrams.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
+    bi = bigrams.select("w1", "w2", F.col("cnt").alias("cb"))
+    lp = F.when(
+        F.col("cb").isNotNull(),
+        F.log10(F.col("cb") / F.col("c1").cast("double")),
+    ).otherwise(
+        F.log10(F.lit(alpha) * F.col("c2") / F.col("__t").cast("double"))
+    )
+    return (
+        doc_pairs.join(bi, ["w1", "w2"], "left")
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("bigram_lm_score"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "bigram_lm_score")
+    )
