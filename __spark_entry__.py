@@ -1015,6 +1015,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact substring dedup, removal half: duplicated spans cut out
         return D.scrub_duplicate_spans(_docs(spark, sf))
 
+    def bpe_token_counts(spark, sf):
+        # learned-subword token accounting: train BPE on the corpus itself,
+        # report per-doc fertility.  Deterministic (lexicographic tie-break)
+        # but iterative — not SQL-expressible, so rows-only; the exactness
+        # contract is pinned by tests/test_tokenizer.py (hand-verified
+        # merges + trainer-state == encoder equivalence).
+        from vectordb_watermark_spark.operators.tokenizer import (
+            bpe_token_stats,
+            train_bpe,
+        )
+
+        docs = _docs(spark, sf)
+        return bpe_token_stats(docs, train_bpe(docs, num_merges=100))
+
     def bigram_lm_scores(spark, sf):
         # bigram stupid-backoff LM score (CCNet-style perplexity filter)
         from vectordb_watermark_spark.operators.quality import bigram_lm_score
@@ -1571,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_edges": knn_lsh_edges,
         "ivf_topk": ivf_topk,
         "lsh_topk": lsh_topk,
+        "bpe_token_counts": bpe_token_counts,
     }
 
 

@@ -1,0 +1,222 @@
+"""Byte-pair-encoding tokenizer: distributed training + distributed encode.
+
+A training-data pipeline needs REAL token counts — packing, budgeting, and
+per-source token accounting all change when "tokens" means a learned subword
+vocabulary instead of whitespace words (functions/text.token_count) or the
+BPE-ish regex (word_count_regex).  This module learns that vocabulary from
+the corpus itself with classic BPE (Sennrich et al. 2016) and applies it at
+scale.
+
+Scale shape (the same split HuggingFace tokenizers / SentencePiece use):
+
+1. **Word-frequency pass — distributed.**  The corpus-sized work is ONE
+   map-side-combined ``groupBy(word)`` over lowercase whitespace words.
+   Zipf's law collapses 100 TB of text into a vocabulary table of millions
+   of rows; ``min_word_count`` prunes the hapax tail (which cannot win a
+   merge anyway at any reasonable ``min_pair_count``).
+2. **Merge loop — driver-side over the pruned word-freq table.**  Each BPE
+   iteration needs the GLOBAL argmax pair, a sequential dependency; real
+   tokenizer trainers run this loop single-node over exactly this table
+   (HF `trainers::BpeTrainer` consumes a word->count map).  The collect is
+   bounded by ``max_words`` (loudly enforced, not silently truncated —
+   raise ``min_word_count`` to shrink the table; at web scale you also
+   train on a keyed-hash sample the way functions/hashing.sample_keyed
+   provides).
+3. **Encode — distributed.**  Merges are a small broadcast artifact (one
+   string pair per merge); encoding is an Arrow-batched ``mapInPandas``
+   kernel that memoizes per DISTINCT word within each batch (Zipf again:
+   the memo hit-rate is the corpus's type/token ratio).
+
+Determinism: ties on pair count break lexicographically, so the merge list
+is a pure function of the word-frequency table — partition-order free.
+Training and encoding share ONE greedy merge-application routine
+(:func:`_apply_merge`), so they cannot drift.
+
+No reference analogue (the reference has no text pipeline); the contract is
+pinned by pytest: hand-verified merges, encode==train-state equivalence,
+lossless detokenization, and partition invariance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.functions.text import tokens
+
+#: refuse to collect a word-frequency table larger than this (see module
+#: docstring — raise min_word_count or sample instead of lifting the cap)
+MAX_TRAIN_WORDS = 2_000_000
+
+
+def _apply_merge(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Greedy left-to-right non-overlapping application of one merge —
+    the single definition shared by training and encoding."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """``(word, cnt)`` over lowercase whitespace words — the distributed
+    pass of BPE training.  Identical shape to quality.token_frequencies
+    (kept separate: tokenizer vocab and quality vocab evolve different
+    pruning defaults)."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    min_word_count: int = 1,
+    min_pair_count: int = 2,
+    max_words: int = MAX_TRAIN_WORDS,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the ordered
+    merge list ``[(left, right), ...]`` (the entire tokenizer artifact —
+    the vocabulary is the chars plus one entry per merge).
+
+    Stops early when no pair reaches ``min_pair_count``.  See the module
+    docstring for why the merge loop itself is driver-side and what bounds
+    the collect.
+    """
+    wf = word_frequencies(df, text_col, min_word_count)
+    n = wf.count()
+    if n > max_words:
+        raise ValueError(
+            f"word-frequency table has {n} rows > max_words={max_words}; "
+            "raise min_word_count or train on a keyed-hash sample "
+            "(functions/hashing.sample_keyed)"
+        )
+    rows = wf.collect()
+    # word -> (symbols, freq); symbols start as characters
+    vocab: dict[str, tuple[list[str], int]] = {
+        r["word"]: (list(r["word"]), int(r["cnt"])) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        # deterministic argmax: highest count, then lexicographic pair
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < min_pair_count:
+            break
+        merges.append((a, b))
+        ab = a + b
+        vocab = {
+            w: (_apply_merge(syms, a, b, ab) if ab in w else syms, freq)
+            for w, (syms, freq) in vocab.items()
+        }
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_tokens: bool = True,
+) -> DataFrame:
+    """Apply a learned merge list to every document — Arrow-batched
+    ``mapInPandas`` kernel, memoized per distinct word per batch.
+
+    Returns ``(id, bpe_tokens array<string>, n_bpe_tokens)`` (drop the
+    array with ``keep_tokens=False`` when only counts are needed — the
+    projection prunes the heavy column before any shuffle).  Tokens are
+    over lowercase whitespace words; ``concat(tokens of word) == word``
+    always (BPE merges never alter spelling), so detokenization is
+    ``' '.join`` — pinned by test.
+    """
+    merge_list = list(merges)
+    out_schema = (
+        f"{id_col} long, bpe_tokens array<string>, n_bpe_tokens long"
+        if keep_tokens
+        else f"{id_col} long, n_bpe_tokens long"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            t = memo.get(w)
+            if t is None:
+                t = list(w)
+                for a, b in merge_list:
+                    if a + b in w:
+                        t = _apply_merge(t, a, b, a + b)
+                memo[w] = t
+            return t
+
+        for pdf in batches:
+            toks_col = []
+            counts = []
+            for text in pdf["__text"]:
+                toks: list[str] = []
+                for w in (text or "").lower().split():
+                    toks.extend(enc_word(w))
+                counts.append(len(toks))
+                if keep_tokens:
+                    toks_col.append(toks)
+            out = {"__id": pdf["__id"], "n_bpe_tokens": counts}
+            if keep_tokens:
+                out["bpe_tokens"] = toks_col
+            cols = (
+                ["__id", "bpe_tokens", "n_bpe_tokens"]
+                if keep_tokens
+                else ["__id", "n_bpe_tokens"]
+            )
+            yield pd.DataFrame(out)[cols].rename(columns={"__id": id_col})
+
+    sel = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return sel.mapInPandas(kernel, schema=out_schema)
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, n_words, n_bpe_tokens, tokens_per_word)`` — the fertility
+    audit (tokens-per-word) that decides whether a vocabulary fits a
+    corpus; count-only encode (no token array materialized)."""
+    enc = bpe_encode(df, merges, id_col, text_col, keep_tokens=False)
+    words = df.select(
+        F.col(id_col).alias(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("long").alias("n_words"),
+    )
+    return words.join(enc, id_col).select(
+        id_col,
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("tokens_per_word"),
+    )
