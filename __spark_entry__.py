@@ -1450,6 +1450,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "recall_ok boolean, min_recall double, k int",
         )
 
+    def pq_recall(spark, sf):  # product-quantization ANN inequality contract
+        # ADC shortlist (80) + exact re-rank, m=8 n_codes=64: mean recall@10
+        # over 3 queries measured 0.93-1.0 at sf0.01; pinned floor 0.6.
+        # Keyed-hash-seeded training; see operators/pq.py.
+        from vectordb_watermark_spark.operators import pq as P
+
+        df = _vectors(spark, sf)
+        books = P.pq_train(df, m=8, n_codes=64, n_iters=4)
+        codes = P.pq_encode(df, books).cache()
+        total = 0.0
+        for qid in (0, 7, 13):
+            qv = [float(x) for x in df.filter(F.col("id") == qid).first()["emb"]]
+            sub = df.filter(F.col("id") != qid)
+            exact = {r["id"] for r in S.topk_cosine(sub, qv, 10, "id", "emb").collect()}
+            got = {
+                r["id"]
+                for r in P.pq_topk_cosine(
+                    sub, qv, k=10, codebooks=books,
+                    codes=codes.filter(F.col("id") != qid),
+                    rerank_with=sub, shortlist=80,
+                ).collect()
+            }
+            total += len(exact & got) / 10.0
+        codes.unpersist()
+        return spark.createDataFrame(
+            [(bool(total / 3 >= 0.6), 0.6, 10)],
+            "recall_ok boolean, min_recall double, k int",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1579,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": dup_ngram_spans,
         "span_scrubbed_docs": span_scrubbed_docs,
         "bigram_lm_scores": bigram_lm_scores,
+        "pq_recall": pq_recall,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -1718,6 +1748,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": """
             SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
                    CAST(0.7 AS DOUBLE) AS min_recall,
+                   CAST(10 AS INT) AS k""",
+        "pq_recall": """
+            SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
+                   CAST(0.6 AS DOUBLE) AS min_recall,
                    CAST(10 AS INT) AS k""",
         "pca_invariants": """
             SELECT CAST(TRUE AS BOOLEAN) AS sample_ok,

@@ -1,0 +1,350 @@
+"""Product quantization (PQ) for memory-scale similarity search.
+
+At 100 TB the ANN bottleneck stops being compute and becomes the VECTOR
+PAYLOAD: a 384-d float32 embedding is 1.5 KB/row, so a billion-row corpus
+is 1.5 TB of vectors before any index structure.  PQ (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search") splits each vector into
+``m`` subvectors and quantizes each against its own ``n_codes``-entry
+codebook: the row payload drops to ``m`` small integers (e.g. 8 bytes at
+m=8, n_codes<=256 — 192x smaller than 384-d float32), and query-time
+scoring becomes ``m`` table lookups per row (asymmetric distance
+computation, ADC) — no decompression, no original vectors touched.
+
+Spark-first shape:
+
+- **train**: keyed-hash-seeded Lloyd iterations where each distributed pass
+  computes ALL ``m`` subspace assignments at once inside one Arrow kernel
+  and emits per-batch partial sums — ``n_iters`` jobs total, not
+  ``m * n_iters``; the driver folds the (m * n_codes)-row partials.
+- **encode**: one Arrow kernel pass, codes stored as ``array<int>`` — a
+  columnar-friendly payload that parquet RLE/dict-compresses further.
+- **query**: ADC is a per-row gather against a broadcast (m, n_codes)
+  lookup table — embarrassingly parallel, followed by the same
+  TakeOrderedAndProject top-k every other search operator uses.  The
+  approximate cosine uses the EXACT reconstruction norm (subspaces are an
+  orthogonal decomposition, so |recon|^2 = sum of chosen-codeword norms —
+  also just table lookups).
+- **re-rank**: production PQ searches fetch an ADC shortlist then re-rank
+  the shortlist with exact distances (FAISS IVFADC does exactly this);
+  ``pq_topk_cosine(..., rerank_with=df)`` joins the shortlist (semi-join,
+  bounded) back to the raw vectors for the exact final order.
+
+Determinism: codebook seeding is keyed-hash (partition-order free), argmin
+ties break to the smallest code index, and given a FIXED codebook both
+encode and ADC are bit-deterministic per row (pinned by partition-invariance
+test).  Training partial-sum folding sorts partials by (sub, code, min id in
+batch) so a fixed partitioning always reproduces the same codebooks; across
+DIFFERENT partitionings float64 summation grouping may differ in the last
+ulps, which is why the quality gates are threshold contracts (recall /
+reconstruction-error floors), the same policy as ivf_recall/lsh_recall.
+
+No reference analogue (the reference searches full-precision vectors in the
+vector DB); cited pattern is the public FAISS/ScaNN architecture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pq_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("v")
+    )
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    return dim // m
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    key: str = "pq",
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> np.ndarray:
+    """Train PQ codebooks; returns float64 ndarray ``(m, n_codes, dim//m)``.
+
+    Seeds are the ``n_codes`` vectors ranked first by keyed hash (same
+    scheme as IVF coarse training), sliced per subspace.  Each Lloyd
+    iteration is ONE distributed pass: the kernel assigns every subvector of
+    every row and emits per-batch partial sums keyed (sub, code); empty
+    cells keep their previous codeword.
+    """
+    from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
+
+    base = _pq_base(df, id_col, vec_col)
+    first = base.select(F.size("v").alias("d")).first()
+    if first is None:
+        raise ValueError("pq_train: empty input")
+    dsub = _check_geometry(int(first["d"]), m)
+
+    seeds = (
+        base.select("v", keyed_hash_hex(key, "pqseed", F.col("id")).alias("h"))
+        .orderBy("h")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"pq_train: need >= n_codes={n_codes} rows, have {len(seeds)}"
+        )
+    # (n_codes, dim) -> (m, n_codes, dsub)
+    S = np.asarray([list(map(float, r["v"])) for r in seeds], dtype=np.float64)
+    books = np.transpose(S.reshape(n_codes, m, dsub), (1, 0, 2)).copy()
+
+    for _ in range(n_iters):
+        B = books  # capture for the kernel closure
+
+        def kernel(batches):
+            import pyarrow as pa
+
+            from vectordb_watermark_spark.functions.arrowmat import (
+                list_array_to_matrix,
+            )
+
+            for rb in batches:
+                if not rb.num_rows:
+                    continue
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+                n = X.shape[0]
+                Xs = X.reshape(n, m, dsub)
+                subs, codes, cnts, sums = [], [], [], []
+                for s in range(m):
+                    cb = B[s]  # (n_codes, dsub)
+                    d2 = (
+                        (Xs[:, s, :] ** 2).sum(axis=1)[:, None]
+                        + (cb**2).sum(axis=1)[None, :]
+                        - 2.0 * (Xs[:, s, :] @ cb.T)
+                    )
+                    a = d2.argmin(axis=1)
+                    for c in range(n_codes):
+                        mask = a == c
+                        k = int(mask.sum())
+                        if k:
+                            subs.append(s)
+                            codes.append(c)
+                            cnts.append(k)
+                            sums.append(Xs[mask, s, :].sum(axis=0).tolist())
+                min_id = int(np.min(ids)) if n else 0
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(subs, type=pa.int32()),
+                        pa.array(codes, type=pa.int32()),
+                        pa.array([min_id] * len(subs), type=pa.int64()),
+                        pa.array(cnts, type=pa.int64()),
+                        pa.array(sums, type=pa.list_(pa.float64())),
+                    ],
+                    names=["sub", "code", "bmin", "cnt", "vsum"],
+                )
+
+        partials = base.mapInArrow(
+            kernel,
+            schema="sub int, code int, bmin long, cnt long, vsum array<double>",
+        ).collect()
+        # deterministic fold order for a fixed partitioning
+        partials.sort(key=lambda r: (r["sub"], r["code"], r["bmin"]))
+        acc = np.zeros((m, n_codes, dsub), dtype=np.float64)
+        cnt = np.zeros((m, n_codes), dtype=np.int64)
+        for r in partials:
+            acc[r["sub"], r["code"]] += np.asarray(r["vsum"], dtype=np.float64)
+            cnt[r["sub"], r["code"]] += r["cnt"]
+        new = books.copy()
+        nz = cnt > 0
+        new[nz] = acc[nz] / cnt[nz][:, None]
+        books = new
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """``(id, codes array<int>)`` — one Arrow pass, no shuffle.  Given a
+    fixed codebook this is bit-deterministic (float64 per-row distances,
+    argmin ties to the smallest code)."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = _pq_base(df, id_col, vec_col)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        cn = (B**2).sum(axis=2)  # (m, n_codes)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            n = X.shape[0]
+            Xs = X.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                d2 = (
+                    (Xs[:, s, :] ** 2).sum(axis=1)[:, None]
+                    + cn[s][None, :]
+                    - 2.0 * (Xs[:, s, :] @ B[s].T)
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(codes.tolist(), type=pa.list_(pa.int32()))],
+                names=["id", "codes"],
+            )
+
+    return base.mapInArrow(kernel, schema=f"id {id_type}, codes array<int>")
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    id_col: str = "id",
+) -> DataFrame:
+    """``(id, cos_approx)`` asymmetric-distance cosine for every encoded row:
+    numerator and reconstruction norm are both (m, n_codes) table lookups
+    against the broadcast query tables — no original vectors read."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    qs = q.reshape(m, dsub)
+    T_dot = np.einsum("sd,scd->sc", qs, B)  # (m, n_codes)
+    T_nrm = (B**2).sum(axis=2)  # (m, n_codes)
+    qn = float(np.sqrt((q**2).sum()))
+    id_type = codes.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            C = np.asarray(rb.column(1).to_pylist(), dtype=np.int64)
+            rows = np.arange(m)
+            num = T_dot[rows[None, :], C].sum(axis=1)
+            nrm = np.sqrt(T_nrm[rows[None, :], C].sum(axis=1))
+            denom = qn * nrm
+            cos = np.where(denom > 0, num / np.where(denom > 0, denom, 1.0), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(np.round(cos, 9), type=pa.float64())],
+                names=["id", "cos_approx"],
+            )
+
+    sel = codes.select(F.col(id_col).alias("id"), F.col("codes"))
+    return sel.mapInArrow(kernel, schema=f"id {id_type}, cos_approx double")
+
+
+def pq_topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 3,
+    key: str = "pq",
+    id_col: str = "id",
+    vec_col: str = "emb",
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """PQ top-k: train (or reuse ``codebooks``), encode (or reuse ``codes``),
+    ADC-score, take top-k.  ``(id, cos, rank)`` — same shape as
+    topk_cosine/ivf_topk_cosine.
+
+    ``rerank_with``: the production pattern — take an ADC shortlist of
+    ``shortlist`` (default ``4*k``) candidates, then re-rank ONLY those with
+    exact cosine against the raw vectors (one bounded semi-join; the full
+    corpus is still scored compressed).  Recall then approaches exact
+    search while the heavy scan stays on the 8-byte codes.
+    """
+    from vectordb_watermark_spark.operators.similarity import topk_cosine
+
+    if codebooks is None:
+        codebooks = pq_train(df, m, n_codes, n_iters, key, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(df, codebooks, id_col, vec_col)
+    scored = pq_adc_scores(codes, query_vec, codebooks, "id")
+
+    if rerank_with is not None:
+        n_short = shortlist or 4 * k
+        short = scored.orderBy(
+            F.col("cos_approx").desc(), F.col("id").asc()
+        ).limit(n_short)
+        sub = _pq_base(rerank_with, id_col, vec_col).join(
+            short.select("id"), "id", "semi"
+        )
+        return topk_cosine(sub, query_vec, k, "id", "v")
+
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("cos_approx").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos_approx").desc(), F.col("id").asc())
+    return top.select(
+        "id",
+        F.col("cos_approx").alias("cos"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def pq_reconstruction_mse(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> float:
+    """Mean squared reconstruction error over the corpus — the train-quality
+    scalar (decreases as codebooks fit; the test contract pins it against
+    the no-training baseline)."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+    base = _pq_base(df, id_col, vec_col)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        cn = (B**2).sum(axis=2)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            n = X.shape[0]
+            Xs = X.reshape(n, m, dsub)
+            err = np.zeros(n, dtype=np.float64)
+            for s in range(m):
+                d2 = (
+                    (Xs[:, s, :] ** 2).sum(axis=1)[:, None]
+                    + cn[s][None, :]
+                    - 2.0 * (Xs[:, s, :] @ B[s].T)
+                )
+                err += np.maximum(d2.min(axis=1), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([float(err.sum())], type=pa.float64()),
+                    pa.array([n], type=pa.int64()),
+                ],
+                names=["e", "n"],
+            )
+
+    agg = (
+        base.mapInArrow(kernel, schema="e double, n long")
+        .agg(F.sum("e").alias("e"), F.sum("n").alias("n"))
+        .first()
+    )
+    return float(agg["e"]) / max(int(agg["n"]), 1)
