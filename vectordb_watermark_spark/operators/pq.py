@@ -348,3 +348,270 @@ def pq_reconstruction_mse(
         .first()
     )
     return float(agg["e"]) / max(int(agg["n"]), 1)
+
+
+# ---- persisted IVF-PQ index (FAISS "IVFADC" shape) ---------------------
+
+
+def _residual_encode_pass(
+    assigned: DataFrame, cents: list[list[float]], books: np.ndarray
+) -> DataFrame:
+    """``(id, v, centroid) -> (id, centroid, codes)`` in ONE Arrow pass:
+    subtract the coarse centroid, quantize the residual against the global
+    PQ codebooks."""
+    B = np.asarray(books, dtype=np.float64)
+    m, n_codes, dsub = B.shape
+    C = np.asarray(cents, dtype=np.float64)
+    id_type = assigned.schema["id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        cn = (B**2).sum(axis=2)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            cent = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            R = X - C[cent]
+            n = R.shape[0]
+            Rs = R.reshape(n, m, dsub)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                d2 = (
+                    (Rs[:, s, :] ** 2).sum(axis=1)[:, None]
+                    + cn[s][None, :]
+                    - 2.0 * (Rs[:, s, :] @ B[s].T)
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    rb.column(2),
+                    pa.array(codes.tolist(), type=pa.list_(pa.int32())),
+                ],
+                names=["id", "centroid", "codes"],
+            )
+
+    return assigned.mapInArrow(
+        kernel, schema=f"id {id_type}, centroid int, codes array<int>"
+    )
+
+
+def _residual_pass(assigned: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """``(id, v, centroid) -> (id, r)`` residual vectors for PQ training."""
+    C = np.asarray(cents, dtype=np.float64)
+    id_type = assigned.schema["id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            cent = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            R = X - C[cent]
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(R.tolist(), type=pa.list_(pa.float32()))],
+                names=["id", "r"],
+            )
+
+    return assigned.mapInArrow(kernel, schema=f"id {id_type}, r array<float>")
+
+
+def ivf_pq_write_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    coarse_iters: int = 3,
+    pq_iters: int = 3,
+    key: str = "ivfpq",
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> tuple[list[list[float]], np.ndarray]:
+    """Persist an IVF-PQ index: coarse centroids partition the corpus
+    (plan-time pruning, same layout rule as similarity.ivf_write_index), PQ
+    codes quantize the RESIDUAL ``x - centroid`` (the FAISS IVFPQ choice —
+    residuals are smaller and better-conditioned than raw vectors, so the
+    same code budget buys more precision).
+
+    Layout::
+
+        {path}/codes/centroid=X/          (id, codes array<int>)
+        {path}/centroids/                 coarse centroid table (staged swap)
+        {path}/pq_codebooks/              (sub, code, vec) parquet (staged swap)
+
+    The row payload stored is ``m`` ints per vector — the original vectors
+    are NOT in the index; query-time exact re-rank (optional) joins the ADC
+    shortlist back to whatever raw-vector table the caller designates.
+    Build cost: one source scan persisted, then coarse train + residual PQ
+    train + one encode pass over the cache.
+    """
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _ivf_train,
+        _swap_dir_atomic,
+        _write_centroids_atomic,
+    )
+
+    spark = df.sparkSession
+    base = _pq_base(df, id_col, vec_col).persist()
+    try:
+        cents = _ivf_train(base, n_centroids, coarse_iters, key)
+        assigned = _ivf_assign_pass(base, cents).persist()
+        try:
+            res = _residual_pass(assigned, cents)
+            books = pq_train(
+                res, m, n_codes, pq_iters, key, id_col="id", vec_col="r"
+            )
+            _residual_encode_pass(assigned, cents, books).write.mode(
+                "overwrite"
+            ).partitionBy("centroid").parquet(f"{path}/codes")
+        finally:
+            assigned.unpersist()
+    finally:
+        base.unpersist()
+    _write_centroids_atomic(spark, path, cents)
+    mm, nc, dsub = books.shape
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(mm)
+        for c in range(nc)
+    ]
+    staged = f"{path}/pq_codebooks__staged"
+    spark.createDataFrame(rows, "sub int, code int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staged)
+    _swap_dir_atomic(spark, staged, f"{path}/pq_codebooks")
+    return cents, books
+
+
+def _load_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    m = 1 + max(r["sub"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    dsub = len(rows[0]["vec"])
+    B = np.zeros((m, n_codes, dsub), dtype=np.float64)
+    for r in rows:
+        B[r["sub"], r["code"]] = r["vec"]
+    return B
+
+
+def ivf_pq_query_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Top-k cosine against a persisted IVF-PQ index: prune to the
+    ``n_probe`` nearest centroid partitions (plan-time partition filter,
+    same mechanism as ivf_query_index), ADC-score ONLY those codes, then
+    optionally exact-re-rank the shortlist against ``rerank_with``.
+
+    The residual reconstruction ``recon = c + r_hat`` keeps both the dot
+    product and the norm as table lookups: ``q . recon = q . c + sum_s
+    Tq[s,code]`` and ``|recon|^2 = |c|^2 + 2 sum_s Tc[cent][s,code] +
+    sum_s Tn[s,code]`` (subspaces are orthogonal coordinate blocks).  All
+    tables are (m, n_codes)-sized broadcast constants — at 100 TB the scan
+    reads ~n_probe/n_centroids of an already-192x-smaller payload.
+    """
+    from vectordb_watermark_spark.operators.similarity import _load_centroids
+
+    cents = _load_centroids(spark, path)
+    B = _load_codebooks(spark, path)
+    m, n_codes, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    C = np.asarray(cents, dtype=np.float64)
+    order = sorted(
+        (float(((C[i] - q) ** 2).sum()), i) for i in range(C.shape[0])
+    )
+    probe = [i for _, i in order[:n_probe]]
+
+    qs = q.reshape(m, dsub)
+    T_q = np.einsum("sd,scd->sc", qs, B)  # (m, n_codes)
+    T_n = (B**2).sum(axis=2)
+    # per-centroid tables, probed centroids only
+    T_c = {i: np.einsum("sd,scd->sc", C[i].reshape(m, dsub), B) for i in probe}
+    qc = {i: float(q @ C[i]) for i in probe}
+    cn2 = {i: float((C[i] ** 2).sum()) for i in probe}
+    qn = float(np.sqrt((q**2).sum()))
+
+    codes = spark.read.parquet(f"{path}/codes").filter(F.col("centroid").isin(probe))
+    id_type = codes.schema["id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        rows_idx = np.arange(m)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            Ccol = np.asarray(
+                rb.column(names.index("codes")).to_pylist(), dtype=np.int64
+            )
+            cent = (
+                rb.column(names.index("centroid"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lookup_q = T_q[rows_idx[None, :], Ccol].sum(axis=1)
+            lookup_n = T_n[rows_idx[None, :], Ccol].sum(axis=1)
+            num = np.empty(len(cent))
+            r2 = np.empty(len(cent))
+            for i in np.unique(cent):
+                mask = cent == i
+                num[mask] = qc[int(i)] + lookup_q[mask]
+                r2[mask] = (
+                    cn2[int(i)]
+                    + 2.0 * T_c[int(i)][rows_idx[None, :], Ccol[mask]].sum(axis=1)
+                    + lookup_n[mask]
+                )
+            nrm = np.sqrt(np.maximum(r2, 0.0))
+            denom = qn * nrm
+            cos = np.where(denom > 0, num / np.where(denom > 0, denom, 1.0), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("id")),
+                    pa.array(np.round(cos, 9), type=pa.float64()),
+                ],
+                names=["id", "cos_approx"],
+            )
+
+    scored = codes.mapInArrow(kernel, schema=f"id {id_type}, cos_approx double")
+
+    if rerank_with is not None:
+        from vectordb_watermark_spark.operators.similarity import topk_cosine
+
+        n_short = shortlist or 4 * k
+        short = scored.orderBy(
+            F.col("cos_approx").desc(), F.col("id").asc()
+        ).limit(n_short)
+        sub = _pq_base(rerank_with, id_col, vec_col).join(
+            short.select("id"), "id", "semi"
+        )
+        return topk_cosine(sub, query_vec, k, "id", "v")
+
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("cos_approx").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos_approx").desc(), F.col("id").asc())
+    return top.select(
+        "id",
+        F.col("cos_approx").alias("cos"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
