@@ -1029,6 +1029,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return bpe_token_stats(docs, train_bpe(docs, num_merges=100))
 
+    def corpus_snapshot_diff(spark, sf):
+        # incremental-pipeline audit: added/removed/changed between two
+        # simulated corpus snapshots (md5 hash pinned on both engines;
+        # production default is xxhash64)
+        from vectordb_watermark_spark.operators.snapshots import snapshot_diff
+
+        d = _docs(spark, sf)
+        old = d.filter(F.col("doc_id") < 400)
+        new = d.filter(F.col("doc_id") >= 100).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+        return snapshot_diff(
+            old, new, content_cols=["source", "text"],
+            hash_fn=lambda cols: F.md5(F.concat_ws("|", *cols)),
+        )
+
+    def corpus_snapshot_stats(spark, sf):
+        from vectordb_watermark_spark.operators.snapshots import snapshot_diff_stats
+
+        d = _docs(spark, sf)
+        old = d.filter(F.col("doc_id") < 400)
+        new = d.filter(F.col("doc_id") >= 100).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            ),
+        )
+        return snapshot_diff_stats(
+            old, new, content_cols=["source", "text"],
+            hash_fn=lambda cols: F.md5(F.concat_ws("|", *cols)),
+        )
+
     def bigram_lm_scores(spark, sf):
         # bigram stupid-backoff LM score (CCNet-style perplexity filter)
         from vectordb_watermark_spark.operators.quality import bigram_lm_score
@@ -1609,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrubbed_docs": span_scrubbed_docs,
         "bigram_lm_scores": bigram_lm_scores,
         "pq_recall": pq_recall,
+        "corpus_snapshot_diff": corpus_snapshot_diff,
+        "corpus_snapshot_stats": corpus_snapshot_stats,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -2685,6 +2722,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(b.lraw) AS BIGINT) AS n_tokens,
                    CAST(len(b.lraw) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
             FROM toks b LEFT JOIN reb r USING (doc_id)""",
+        # corpus snapshot diff (operators/snapshots.py): md5 pinned on both
+        # engines; 'upper' simulates changed rows, the id ranges simulate
+        # add/remove churn
+        "corpus_snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(concat_ws('|', CAST(source AS VARCHAR), CAST(text AS VARCHAR))) AS oh
+              FROM documents WHERE doc_id < 400
+            ),
+            new AS (
+              SELECT doc_id,
+                     md5(concat_ws('|', CAST(source AS VARCHAR),
+                         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END)) AS nh
+              FROM documents WHERE doc_id >= 100
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.oh IS NULL THEN 'added'
+                        WHEN n.nh IS NULL THEN 'removed'
+                        WHEN o.oh <> n.nh THEN 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE CASE WHEN o.oh IS NULL THEN 'added'
+                       WHEN n.nh IS NULL THEN 'removed'
+                       WHEN o.oh <> n.nh THEN 'changed' END IS NOT NULL""",
+        "corpus_snapshot_stats": """
+            WITH old AS (
+              SELECT doc_id, md5(concat_ws('|', CAST(source AS VARCHAR), CAST(text AS VARCHAR))) AS oh
+              FROM documents WHERE doc_id < 400
+            ),
+            new AS (
+              SELECT doc_id,
+                     md5(concat_ws('|', CAST(source AS VARCHAR),
+                         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END)) AS nh
+              FROM documents WHERE doc_id >= 100
+            ),
+            j AS (SELECT o.oh, n.nh FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+            SELECT CAST(sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN nh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL AND oh <> nh THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN oh IS NOT NULL AND oh = nh THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+            FROM j""",
         # bigram stupid-backoff LM (operators/quality.bigram_lm_score):
         # P(w2|w1) = cnt12/cnt1 when the pruned bigram table has the pair,
         # else alpha * cnt2 / total
