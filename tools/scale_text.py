@@ -140,7 +140,12 @@ def main() -> None:
         verified = spark.read.parquet(".scratch/verified_pairs.parquet")
 
         def _components():
-            labels = D.connected_components(verified)
+            # reliable checkpoints: at this scale the propagation runs
+            # multiple rounds — exercise the restart-safe knob at its
+            # intended scale (VERDICT r6 task #4 / r7 task #1)
+            labels = D.connected_components(
+                verified, checkpoint_dir=".scratch/cc_checkpoints"
+            )
             labels.write.mode("overwrite").parquet(".scratch/cc_labels.parquet")
             return spark.read.parquet(".scratch/cc_labels.parquet").count()
 
