@@ -1341,6 +1341,56 @@ def test_bigram_lm_precomputed_tables_reused_across_shards(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_bigram_lm_oov_tokens_floor_not_dropped(spark):
+    """A shard scored against PRECOMPUTED tables (the 100 TB reuse shape) may
+    contain tokens the vocabulary has never seen.  Contract (VERDICT r7
+    'What's wrong' #4): every input doc with >= 2 tokens appears in the
+    output with ALL its bigrams counted, and an OOV bigram scores no better
+    than the rarest in-vocab backoff."""
+    import math
+
+    from vectordb_watermark_spark.operators.quality import (
+        bigram_counts,
+        bigram_lm_score,
+        token_frequencies,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    uni = token_frequencies(train)  # a=4, b=3, c=2; total=9
+    bi = bigram_counts(train)  # (a,b)=3
+    shard = spark.createDataFrame(
+        [
+            (10, "a b"),          # fully in-vocab
+            (11, "a zzz"),        # OOV second token
+            (12, "zzz qqq"),      # fully OOV doc — must NOT vanish
+            (13, "zzz b"),        # OOV first token, in-vocab second
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        bigram_lm_score(shard, unigrams=uni, bigrams=bi)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert set(out.index) == {10, 11, 12, 13}
+    assert (out["n_bigrams"] == 1).all()
+    floor = math.log10(0.4 * 1 / 9)  # coalesced count 1
+    rarest_invocab = math.log10(0.4 * 2 / 9)  # c, the rarest real token
+    assert abs(out.loc[10, "bigram_lm_score"] - round(math.log10(3 / 4), 6)) < 1e-9
+    assert abs(out.loc[11, "bigram_lm_score"] - round(floor, 6)) < 1e-9
+    assert abs(out.loc[12, "bigram_lm_score"] - round(floor, 6)) < 1e-9
+    # OOV-w2 backoff never beats any in-vocab backoff
+    assert out.loc[11, "bigram_lm_score"] <= round(rarest_invocab, 6)
+    # OOV w1 with in-vocab w2 backs off on the REAL w2 count (b=3)
+    assert abs(
+        out.loc[13, "bigram_lm_score"] - round(math.log10(0.4 * 3 / 9), 6)
+    ) < 1e-9
+
+
 def test_bigram_lm_detects_shuffled_tokens(spark):
     """The signal the unigram logfreq proxy cannot see: a token-shuffled
     document has an IDENTICAL unigram profile but a worse bigram score than

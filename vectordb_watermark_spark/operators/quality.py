@@ -309,7 +309,13 @@ def bigram_lm_score(
     ``unigrams``/``bigrams`` accept precomputed :func:`token_frequencies` /
     :func:`bigram_counts` tables — built once, reused across scoring shards
     (the 100 TB shape: two count passes, then a score pass that joins two
-    Zipf-small side tables, broadcast while they fit, AQE decides).
+    Zipf-small side tables, broadcast while they fit, AQE decides).  Tokens
+    ABSENT from a precomputed unigram table (OOV — new shard scored against
+    an old vocabulary) back off with a floor count of 1, the rarest-possible
+    in-vocab mass, so unseen tokens are penalized instead of silently
+    dropped; every input document with >= 2 tokens appears in the output
+    regardless of vocabulary coverage.  Self-scored corpora (the default,
+    and the oracle twin) have no OOV tokens, so the floor never fires there.
     """
     if unigrams is None:
         unigrams = token_frequencies(df, text_col)
@@ -331,16 +337,24 @@ def bigram_lm_score(
     u1 = unigrams.select(F.col("token").alias("w1"), F.col("cnt").alias("c1"))
     u2 = unigrams.select(F.col("token").alias("w2"), F.col("cnt").alias("c2"))
     bi = bigrams.select("w1", "w2", F.col("cnt").alias("cb"))
+    # OOV floor (precomputed-table reuse): left-join the unigram tables and
+    # coalesce the backoff count to 1 — an unseen w2 scores like the rarest
+    # in-vocab token; a bigram hit with a pruned/missing w1 count also falls
+    # through to backoff (cb/NULL would otherwise poison the average)
     lp = F.when(
-        F.col("cb").isNotNull(),
+        F.col("cb").isNotNull() & F.col("c1").isNotNull(),
         F.log10(F.col("cb") / F.col("c1").cast("double")),
     ).otherwise(
-        F.log10(F.lit(alpha) * F.col("c2") / F.col("__t").cast("double"))
+        F.log10(
+            F.lit(alpha)
+            * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
+            / F.col("__t").cast("double")
+        )
     )
     return (
         doc_pairs.join(bi, ["w1", "w2"], "left")
-        .join(u1, "w1")
-        .join(u2, "w2")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
         .crossJoin(F.broadcast(total))
         .groupBy("id")
         .agg(
