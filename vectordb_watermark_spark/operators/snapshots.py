@@ -28,6 +28,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _hash_inputs(content_cols: list[str]) -> list[Column]:
+    """Null-disambiguated hash inputs: each content column is preceded by
+    its is-null marker ('true'/'false').  Spark hash functions SKIP null
+    inputs (the accumulator is unchanged) and concat_ws drops them, so
+    without the marker a value swapped between a NULL and a sibling column
+    — old ``(NULL, 'x')`` vs new ``('x', NULL)`` — would hash identically
+    and be reported 'unchanged': a silent false negative in an audit
+    primitive.  The marker makes the null PATTERN part of the hash while
+    leaving values untouched (both engines cast booleans to
+    'true'/'false', so the md5/concat_ws oracle twin stays exact)."""
+    return [
+        x
+        for c in content_cols
+        for x in (
+            F.col(c).isNull().cast("string"),
+            F.col(c).cast("string"),
+        )
+    ]
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -47,7 +67,7 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: no content columns to compare")
 
     def h(df: DataFrame) -> Column:
-        cols = [F.col(c).cast("string") for c in content_cols]
+        cols = _hash_inputs(content_cols)
         return hash_fn(cols) if hash_fn is not None else F.xxhash64(*cols)
 
     o = old.select(F.col(id_col).alias("id"), h(old).alias("oh"))
@@ -82,7 +102,7 @@ def snapshot_diff_stats(
         raise ValueError("snapshot_diff_stats: no content columns to compare")
 
     def h(df: DataFrame) -> Column:
-        cols = [F.col(c).cast("string") for c in content_cols]
+        cols = _hash_inputs(content_cols)
         return hash_fn(cols) if hash_fn is not None else F.xxhash64(*cols)
 
     o = old.select(F.col(id_col).alias("id"), h(old).alias("oh"))
