@@ -646,6 +646,50 @@ def test_mp4_container_parse_and_sample_extraction(spark):
         _parse_mp4(b"\x00\x00\x00\x08freeJUNK")
 
 
+def test_mp4_ops_accept_string_ids(spark):
+    """Media ids need not be long (ADVICE r7): the MP4 kernels derive the id
+    type from the input schema, like the PQ/BPE operators."""
+    from vectordb_watermark_spark.operators.multimodal import (
+        make_mp4,
+        mp4_metadata,
+        mp4_sample_bytes,
+    )
+
+    raw = make_mp4([b"aa", b"bbb", b"cccc"], width=8, height=8)
+    df = spark.createDataFrame([("vid-1", raw)], "id string, media binary")
+    meta = mp4_metadata(df).collect()
+    assert meta[0]["id"] == "vid-1" and meta[0]["n_samples"] == 3
+    rows = mp4_sample_bytes(df).collect()
+    assert len(rows) == 3 and all(r["id"] == "vid-1" for r in rows)
+
+
+def test_jpeg_non_interleaved_scan_fails_loud():
+    """A spec-legal baseline file with multiple non-interleaved scans
+    (SOS lists fewer components than SOF) must raise, not silently decode
+    the first component's bits as all three (ADVICE r7)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+    )
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    raw = make_jpeg(img, quality=90)
+    i = raw.find(b"\xff\xda")
+    seg_len = int.from_bytes(raw[i + 2 : i + 4], "big")
+    body = raw[i + 4 : i + 2 + seg_len]
+    assert body[0] == 3
+    # rewrite the SOS header to a single-component (non-interleaved) scan:
+    # ns=1, first component spec, original ss/se/ah_al trailer
+    new_body = bytes([1]) + body[1:3] + body[1 + 2 * 3 :]
+    new_seg = b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
+    hacked = raw[:i] + new_seg + raw[i + 2 + seg_len :]
+    with _pytest.raises(NotImplementedError, match="non-interleaved"):
+        _decode_jpeg(hacked)
+
+
 def test_real_jpeg_decode_baseline(spark):
     """Baseline JPEG decodes for REAL (VERDICT r6 task #2, carried since
     r4): Huffman + dequant + IDCT on stdlib/numpy.  Ground truth is this

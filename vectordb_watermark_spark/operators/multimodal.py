@@ -689,6 +689,18 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, bytes]:
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
+            if ns < len(sof["comps"]):
+                # spec-legal baseline files may carry multiple
+                # NON-interleaved scans (one component each); this decoder
+                # reads a single fully-interleaved scan, and decoding the
+                # first partial scan as all components would return garbage
+                # pixels silently — fail loud instead (module contract)
+                raise NotImplementedError(
+                    f"non-interleaved JPEG scan ({ns} of "
+                    f"{len(sof['comps'])} components in SOS) is out of the "
+                    "baseline decoder's scope; install Pillow for "
+                    "multi-scan inputs"
+                )
             scan = []
             for ci in range(ns):
                 cs, tt = body[1 + 2 * ci : 3 + 2 * ci]
@@ -1073,8 +1085,9 @@ def mp4_metadata(df: DataFrame, id_col: str = "id", bytes_col: str = "media") ->
     """Container-level MP4 metadata per row — brand, duration, track
     inventory, first video track's codec/dims/sample count.  Real parse
     (ISO 14496-12 box walk), no codec library involved."""
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        "id long, brand string, duration_ms double, n_tracks int, "
+        f"id {id_type}, brand string, duration_ms double, n_tracks int, "
         "track_types array<string>, codec string, width int, height int, "
         "n_samples long"
     )
@@ -1123,7 +1136,11 @@ def mp4_sample_bytes(
     the honest boundary of a no-codec environment: the CONTAINER layer is
     fully parsed and the bytes are ready for an external decoder; only the
     codec decode itself remains stubbed (:data:`COMPRESSED_MAGICS`)."""
-    schema = "id long, sample_idx int, is_sync boolean, byte_len long, data binary"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"id {id_type}, sample_idx int, is_sync boolean, byte_len long, "
+        "data binary"
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
