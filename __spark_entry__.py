@@ -1514,6 +1514,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "recall_ok boolean, min_recall double, k int",
         )
 
+    def ann_batch_exactness(spark, sf):  # batched multi-query ANN contract
+        # ivf_query_index_batch must return EXACTLY the single-query path's
+        # (id, cos, rank) per query while scanning the probed partitions
+        # once (plan pinned by test; the agreement is the contract here)
+        import shutil
+        import tempfile
+
+        from vectordb_watermark_spark.operators.similarity import (
+            ivf_query_index,
+            ivf_query_index_batch,
+            ivf_write_index,
+        )
+
+        df = _vectors(spark, sf)
+        tmp = tempfile.mkdtemp(prefix="annbatch-")
+        try:
+            idx = f"{tmp}/ivf"
+            ivf_write_index(df, idx, n_centroids=16, key="ivf")
+            qids = [0, 7, 13, 21, 40]
+            qvecs = {
+                r["id"]: [float(x) for x in r["emb"]]
+                for r in df.filter(F.col("id").isin(qids)).collect()
+            }
+            queries = spark.createDataFrame(
+                [(int(q), qvecs[q]) for q in qids], "qid long, qvec array<float>"
+            )
+            by_q: dict = {}
+            for r in ivf_query_index_batch(
+                spark, idx, queries, k=10, n_probe=6
+            ).collect():
+                by_q.setdefault(r["qid"], []).append((r["rank"], r["id"], r["cos"]))
+            ok = True
+            for q in qids:
+                single = [
+                    (r["rank"], r["id"], r["cos"])
+                    for r in ivf_query_index(
+                        spark, idx, qvecs[q], k=10, n_probe=6
+                    ).collect()
+                ]
+                ok = ok and sorted(by_q.get(q, [])) == sorted(single)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            [(bool(ok), len(qids), 10)],
+            "batch_agrees boolean, n_queries int, k int",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1652,6 +1699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "pca_invariants": pca_invariants,
         "lsh_edges_exactness": lsh_edges_exactness,
+        # -- new in round 8 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, driver-gated on a later rotation) --------
+        "ann_batch_exactness": ann_batch_exactness,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -1795,6 +1845,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall": """
             SELECT CAST(TRUE AS BOOLEAN) AS recall_ok,
                    CAST(0.6 AS DOUBLE) AS min_recall,
+                   CAST(10 AS INT) AS k""",
+        "ann_batch_exactness": """
+            SELECT CAST(TRUE AS BOOLEAN) AS batch_agrees,
+                   CAST(5 AS INT) AS n_queries,
                    CAST(10 AS INT) AS k""",
         "pca_invariants": """
             SELECT CAST(TRUE AS BOOLEAN) AS sample_ok,

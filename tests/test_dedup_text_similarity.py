@@ -658,6 +658,53 @@ def test_ivf_persisted_index_prunes_partitions_and_recalls(spark, vectors, tmp_p
     assert len(set(got) & brute) >= 7, (got, brute)
 
 
+def test_ivf_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):
+    """Batched multi-query probing (VERDICT r7 task #8): per-query results
+    equal the single-query path exactly, the probed-partition read happens
+    ONCE (one parquet scan in the plan), and partition pruning survives."""
+    import contextlib
+    import io
+
+    from vectordb_watermark_spark.operators.similarity import (
+        ivf_query_index,
+        ivf_query_index_batch,
+        ivf_write_index,
+    )
+
+    idx = str(tmp_path / "ivfb")
+    ivf_write_index(vectors, idx, n_centroids=16, key="ivf")
+    qids = [0, 7, 13, 21, 40]
+    qvecs = {
+        r["id"]: [float(x) for x in r["emb"]]
+        for r in vectors.filter(F.col("id").isin(qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(int(q), qvecs[q]) for q in qids], "qid long, qvec array<float>"
+    )
+    batch = ivf_query_index_batch(spark, idx, queries, k=10, n_probe=6)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        batch.explain("formatted")
+    plan = buf.getvalue()
+    # formatted mode prints each node in the tree AND the detail section;
+    # one physical scan therefore appears once in the tree block
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, "query batch must scan ONCE"
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    got = batch.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"], r["cos"]))
+    for q in qids:
+        single = [
+            (r["rank"], r["id"], r["cos"])
+            for r in ivf_query_index(spark, idx, qvecs[q], k=10, n_probe=6).collect()
+        ]
+        assert sorted(by_q[q]) == sorted(single), f"qid={q}"
+
+
 def test_ivf_build_reads_source_through_cache(spark, vectors):
     """IVF build-time scan discipline: every pass after the persist — Lloyd
     means, final assignment, index write — must read the InMemoryRelation,

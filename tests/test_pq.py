@@ -187,6 +187,48 @@ def test_ivf_pq_index_roundtrip_and_recall(spark, vectors, tmp_path):
     assert total / n_q >= 0.5
 
 
+def test_ivf_pq_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):
+    """Batched ADC probing: per-query agreement with the single-query path,
+    one compressed-codes scan for the whole batch, pruning intact."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "ivfpqb")
+    P.ivf_pq_write_index(vectors, path, n_centroids=16, m=8, n_codes=64)
+    qids = [0, 7, 13]
+    qvecs = {
+        r["id"]: [float(x) for x in r["emb"]]
+        for r in vectors.filter(F.col("id").isin(qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(int(q), qvecs[q]) for q in qids], "qid long, qvec array<float>"
+    )
+    batch = P.ivf_pq_query_index_batch(spark, path, queries, k=10, n_probe=6)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        batch.explain("formatted")
+    plan = buf.getvalue()
+    # formatted mode prints each node in the tree AND the detail section;
+    # one physical scan therefore appears once in the tree block
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, "query batch must scan ONCE"
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    got = batch.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["id"], r["cos"]))
+    for q in qids:
+        single = [
+            (r["rank"], r["id"], r["cos"])
+            for r in P.ivf_pq_query_index(
+                spark, path, qvecs[q], k=10, n_probe=6
+            ).collect()
+        ]
+        assert sorted(by_q[q]) == sorted(single), f"qid={q}"
+
+
 def test_ivf_pq_query_prunes_partitions(spark, vectors, tmp_path):
     path = str(tmp_path / "ivfpq2")
     P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)

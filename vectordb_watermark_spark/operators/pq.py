@@ -640,3 +640,137 @@ def ivf_pq_query_index(
         F.col("cos_approx").alias("cos"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def ivf_pq_query_index_batch(
+    spark,
+    path: str,
+    queries,
+    k: int = 10,
+    n_probe: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """``(qid, id, cos, rank)`` — ADC top-k for EVERY query in ONE pruned
+    scan of the compressed codes (the batched twin of
+    :func:`ivf_pq_query_index`; same amortization argument as
+    ``similarity.ivf_query_index_batch``: a retrieval workload probing
+    thousands of queries must not re-read the index per query).
+
+    The per-query dot tables ``T_q`` are small broadcast constants
+    (``nq x m x n_codes`` float64 — a few MB at realistic batch sizes);
+    the per-centroid tables are shared across queries.  Scan pruning is
+    the union of every query's ``n_probe`` nearest centroids (plan-time
+    partition filter).  Per-query results agree exactly with the
+    single-query path (pinned by test).
+    """
+    from pyspark.sql import Window
+
+    from vectordb_watermark_spark.operators.similarity import _load_centroids
+
+    cents = _load_centroids(spark, path)
+    B = _load_codebooks(spark, path)
+    m, n_codes, dsub = B.shape
+    qrows = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if not qrows:
+        raise ValueError("ivf_pq_query_index_batch: empty query block")
+    qids = [r["qid"] for r in qrows]
+    Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * dsub}")
+    C = np.asarray(cents, dtype=np.float64)
+    qn = np.sqrt((Q**2).sum(axis=1))
+
+    d2 = (Q**2).sum(1)[:, None] + (C**2).sum(1)[None, :] - 2.0 * (Q @ C.T)
+    probe_per_q = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    by_centroid: dict[int, list[int]] = {}
+    for qi in range(Q.shape[0]):
+        for c in probe_per_q[qi]:
+            by_centroid.setdefault(int(c), []).append(qi)
+    probe_union = sorted(by_centroid)
+
+    Qs = Q.reshape(Q.shape[0], m, dsub)
+    T_q = np.einsum("qsd,scd->qsc", Qs, B)  # (nq, m, n_codes)
+    T_n = (B**2).sum(axis=2)  # (m, n_codes)
+    T_c = {
+        i: np.einsum("sd,scd->sc", C[i].reshape(m, dsub), B)
+        for i in probe_union
+    }
+    qc = Q @ C[probe_union].T if probe_union else np.zeros((Q.shape[0], 0))
+    qc = {c: qc[:, j] for j, c in enumerate(probe_union)}
+    cn2 = {i: float((C[i] ** 2).sum()) for i in probe_union}
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("centroid").isin(probe_union)
+    )
+    id_type = codes.schema["id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        rows_idx = np.arange(m)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            id_col_arrow = rb.column(names.index("id"))
+            ids = np.asarray(id_col_arrow.to_pylist())
+            Ccol = np.asarray(
+                rb.column(names.index("codes")).to_pylist(), dtype=np.int64
+            )
+            cent = (
+                rb.column(names.index("centroid"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lookup_n = T_n[rows_idx[None, :], Ccol].sum(axis=1)
+            out_qid, out_id, out_cos = [], [], []
+            for c in np.unique(cent):
+                ql = by_centroid.get(int(c))
+                if not ql:
+                    continue
+                mask = cent == c
+                Cc, idc = Ccol[mask], ids[mask]
+                # reconstruction norm is query-independent per row
+                r2 = (
+                    cn2[int(c)]
+                    + 2.0 * T_c[int(c)][rows_idx[None, :], Cc].sum(axis=1)
+                    + lookup_n[mask]
+                )
+                nrm = np.sqrt(np.maximum(r2, 0.0))
+                top = min(k, Cc.shape[0])
+                for qi in ql:
+                    num = qc[int(c)][qi] + T_q[qi][rows_idx[None, :], Cc].sum(
+                        axis=1
+                    )
+                    denom = qn[qi] * nrm
+                    cos = np.where(
+                        denom > 0, num / np.where(denom > 0, denom, 1.0), 0.0
+                    )
+                    cos = np.round(cos, 9)
+                    order = np.lexsort((idc, -cos))[:top]
+                    out_qid.extend([qids[qi]] * len(order))
+                    out_id.extend(idc[order].tolist())
+                    out_cos.extend(float(x) for x in cos[order])
+            if out_qid:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_qid),
+                        pa.array(out_id, type=id_col_arrow.type),
+                        pa.array(out_cos, type=pa.float64()),
+                    ],
+                    names=["qid", "id", "cos"],
+                )
+
+    cand = codes.mapInArrow(
+        kernel, schema=f"qid {qid_type}, id {id_type}, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
