@@ -1561,6 +1561,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "batch_agrees boolean, n_queries int, k int",
         )
 
+    def text_normalize(spark, sf):  # Unicode NFC + whitespace-collapse pass
+        # combining-sequence prefix/suffix injected so the NFC work is real:
+        # 'e'+U+0301 must compose to the precomposed e-acute ('x'+U+0301 has
+        # no precomposition and must pass through), whitespace runs collapse
+        from vectordb_watermark_spark.functions.text import normalize_text
+
+        d = _docs(spark, sf)
+        messy = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("Cafe\u0301 \t "), F.col("text"),
+                F.lit(" \n x\u0301y"),
+            ).alias("text"),
+        )
+        return normalize_text(messy)
+
+    def semdedup_contract(spark, sf):  # SemDeDup invariants contract
+        # cluster-bounded semantic dedup (Abbas et al. 2023 shape): every
+        # row present, keep <=> canonical==id, canonical is the component
+        # min (never > id), and every canonical row is itself kept
+        from vectordb_watermark_spark.operators.similarity import semantic_dedup
+
+        df = _vectors(spark, sf)
+        out = semantic_dedup(df, n_clusters=8, eps=0.1).cache()
+        try:
+            n = out.count()
+            keep_iff = (
+                out.filter(
+                    F.col("keep") != (F.col("canonical") == F.col("id"))
+                ).count() == 0
+            )
+            canon_le = out.filter(F.col("canonical") > F.col("id")).count() == 0
+            dangling = (
+                out.select(F.col("canonical").alias("id")).distinct()
+                .join(out.filter("keep").select("id"), "id", "left_anti")
+                .count() == 0
+            )
+        finally:
+            out.unpersist()
+        return spark.createDataFrame(
+            [(int(n), bool(keep_iff), bool(canon_le), bool(dangling))],
+            "n_rows long, keep_iff_canonical boolean, "
+            "canonical_is_min boolean, canonicals_kept boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1702,6 +1747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 8 (below the driver window; full-green locally via
         # -- tools/check_oracle.py, driver-gated on a later rotation) --------
         "ann_batch_exactness": ann_batch_exactness,
+        "semdedup_contract": semdedup_contract,
+        "text_normalize": text_normalize,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -1850,6 +1897,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(TRUE AS BOOLEAN) AS batch_agrees,
                    CAST(5 AS INT) AS n_queries,
                    CAST(10 AS INT) AS k""",
+        "semdedup_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS keep_iff_canonical,
+                   CAST(TRUE AS BOOLEAN) AS canonical_is_min,
+                   CAST(TRUE AS BOOLEAN) AS canonicals_kept
+            FROM embeddings""",
+        # NFC normalization (functions/text.normalize_text): DuckDB
+        # nfc_normalize is the cross-engine anchor; whitespace class is the
+        # explicit [ \t\n\r\f] so Java and RE2 regex semantics agree
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       nfc_normalize('Cafe' || chr(769) || ' ' || chr(9) ||
+                                     ' ' || text || ' ' || chr(10) || ' x' ||
+                                     chr(769) || 'y'),
+                       '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+',
+                       ' ', 'g')) AS norm_text
+            FROM documents""",
         "pca_invariants": """
             SELECT CAST(TRUE AS BOOLEAN) AS sample_ok,
                    CAST(TRUE AS BOOLEAN) AS var_ordered,

@@ -658,6 +658,114 @@ def test_ivf_persisted_index_prunes_partitions_and_recalls(spark, vectors, tmp_p
     assert len(set(got) & brute) >= 7, (got, brute)
 
 
+def test_normalize_text_unicode_and_whitespace(spark):
+    """NFC composes 'e'+COMBINING ACUTE to the precomposed codepoint (so
+    dedup/fingerprints see one spelling), NFKC additionally folds
+    compatibility forms, whitespace runs collapse, None passes through."""
+    from vectordb_watermark_spark.functions.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Café  du \t\n monde"),
+            (2, "ﬁne"),              # LATIN SMALL LIGATURE FI
+            (3, None),
+            (4, "  already clean  "),
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r["norm_text"] for r in normalize_text(docs).collect()}
+    assert nfc[1] == "Caf\u00e9 du monde"
+    assert nfc[2] == "ﬁne"  # NFC leaves compatibility ligatures alone
+    assert nfc[3] is None
+    assert nfc[4] == "already clean"
+
+    nfkc = {
+        r["doc_id"]: r["norm_text"]
+        for r in normalize_text(docs, form="NFKC").collect()
+    }
+    assert nfkc[2] == "fine"  # NFKC folds the ligature
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        normalize_text(docs, form="NFX")
+
+    sids = spark.createDataFrame(
+        [("a", "x\u0301  y")], "doc_id string, text string"
+    )
+    got = normalize_text(sids).collect()[0]
+    assert got["doc_id"] == "a" and got["norm_text"] == "x\u0301 y"
+
+
+def _semdedup_fixture(spark):
+    """3 well-separated direction groups in 8-d; per group: a base row, two
+    exact copies, and one distinct row 25 degrees away (pairwise cos 0.82 <
+    0.95 threshold).  Expected keep-set: base + distinct per group."""
+    import math
+
+    rows = []
+    c, s = math.cos(math.radians(25)), math.sin(math.radians(25))
+    for g in range(3):
+        base = [0.0] * 8
+        base[g] = 1.0
+        other = [0.0] * 8
+        other[g], other[g + 3] = c, s
+        gid = g * 10
+        rows += [
+            (gid + 0, base),
+            (gid + 1, list(base)),          # exact dup
+            (gid + 2, list(base)),          # exact dup
+            (gid + 3, other),               # distinct (cos(25deg)=0.906<0.95? no:
+        ]                                    # vs base cos = c = 0.906 < 0.95 -> kept
+    return spark.createDataFrame(rows, "id long, emb array<float>")
+
+
+def test_semantic_dedup_collapses_within_cluster_groups(spark):
+    from vectordb_watermark_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    df = _semdedup_fixture(spark)
+    out = semantic_dedup(df, n_clusters=3, eps=0.05).toPandas()
+    keep = sorted(out[out["keep"]]["id"])
+    assert keep == [0, 3, 10, 13, 20, 23]
+    canon = dict(zip(out["id"], out["canonical"]))
+    for g in range(3):
+        gid = g * 10
+        assert canon[gid + 1] == gid and canon[gid + 2] == gid
+        assert canon[gid + 3] == gid + 3
+
+    # within this fixture there are no cross-cluster near-dups, so the
+    # cluster-bounded pair set equals the global exact pair set
+    sem = {
+        (r["a"], r["b"])
+        for r in semantic_dedup_pairs(df, n_clusters=3, eps=0.05).collect()
+    }
+    brute = {
+        (r["a"], r["b"])
+        for r in cosine_neardup_pairs(df, threshold=0.95, method="gemm").collect()
+    }
+    assert sem == brute and len(sem) == 9  # 3 groups x C(3,2) dup pairs
+
+
+def test_semantic_dedup_partition_invariant_and_guard(spark):
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_fixture(spark)
+    a = semantic_dedup(df, n_clusters=3, eps=0.05).toPandas()
+    b = semantic_dedup(df.repartition(7, "id"), n_clusters=3, eps=0.05).toPandas()
+    a = a.sort_values("id").reset_index(drop=True)
+    b = b.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(df, n_clusters=1, eps=0.05, max_cluster_rows=3).collect()
+
+
 def test_ivf_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):
     """Batched multi-query probing (VERDICT r7 task #8): per-query results
     equal the single-query path exactly, the probed-partition read happens

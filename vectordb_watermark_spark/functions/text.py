@@ -464,3 +464,53 @@ def sql_hash_embed(dim: int = 64) -> str:
         )
         SELECT a.doc_id AS id, a.pos, round(a.v / nrm.n, 6) + 0.0 AS val
         FROM acc a JOIN nrm USING (doc_id)"""
+
+
+def normalize_text(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    form: str = "NFC",
+    collapse_ws: bool = True,
+):
+    """Unicode text normalization — the cleanup stage every corpus pipeline
+    runs before dedup/tokenization (C4/CCNet shape): canonical Unicode
+    composition (NFC by default; NFKC/NFD/NFKD accepted) plus optional
+    whitespace-run collapse + trim.  Two bytewise-different encodings of
+    the same text ('e' + COMBINING ACUTE vs the precomposed e-acute) must
+    dedup/fingerprint identically — without this pass they silently don't.
+
+    Spark-first split: the whitespace collapse is pure Catalyst
+    (``regexp_replace`` in whole-stage codegen, explicit ``[ \\t\\n\\r\\f]``
+    class so the Java and RE2 oracle twins agree); only the Unicode
+    normalization itself — genuinely not expressible in Catalyst — runs in
+    an Arrow-batched ``mapInPandas`` kernel (stdlib ``unicodedata``, no
+    external deps).  Returns ``(id, norm_text)``.
+    """
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    sel = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "norm_text": pdf["__t"].map(
+                        lambda s: unicodedata.normalize(form, s)
+                        if s is not None
+                        else None
+                    ),
+                }
+            )
+
+    out = sel.mapInPandas(kernel, schema=f"__id {id_type}, norm_text string")
+    norm = F.col("norm_text")
+    if collapse_ws:
+        norm = F.trim(F.regexp_replace(norm, "[ \\t\\n\\r\\f]+", " "))
+    return out.select(F.col("__id").alias(id_col), norm.alias("norm_text"))

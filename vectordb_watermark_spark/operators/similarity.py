@@ -256,6 +256,124 @@ def cosine_neardup_pairs(
     return probe.mapInArrow(kernel, schema="a long, b long, cos double")
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.05,
+    key: str = "semdedup",
+    id_col: str = "id",
+    vec_col: str = "emb",
+    batch_rows: int = 2048,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style within-cluster near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): coarse k-means partitions the corpus, then EXACT
+    pairwise cosine runs ONLY inside each cluster — the published recipe
+    for bounding the quadratic term (all-pairs over N becomes ~n_clusters
+    independent all-pairs over N/n_clusters, a 1/n_clusters work cut with
+    embarrassing parallelism across clusters).
+
+    Returns ``(a, b, cos, cluster)`` with ``cos >= 1 - eps``, ``a < b``.
+    Cross-cluster near-dups are missed by construction — the documented
+    approximation of the method; size ``n_clusters`` so the expected
+    cluster fits one executor (the paper runs ~100k clusters at web
+    scale).  A cluster above ``max_cluster_rows`` raises loudly with that
+    remediation instead of OOMing an executor.
+
+    Clustering is the keyed-hash-seeded Lloyd loop shared with IVF
+    (:func:`ivf_assign`) — deterministic, partition-order free; the
+    within-cluster GEMM is chunked by ``batch_rows`` so peak memory is
+    ``batch_rows x cluster_rows`` float64, not quadratic.
+    """
+    thr = 1.0 - eps
+    assigned, _cents = ivf_assign(df, n_clusters, key=key,
+                                  id_col=id_col, vec_col=vec_col)
+    joined = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assigned, "id")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def per_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster {int(pdf['centroid'].iloc[0])} has "
+                f"{n} rows > max_cluster_rows={max_cluster_rows}; raise "
+                "n_clusters so clusters fit one executor (the method's "
+                "scaling knob)"
+            )
+        if n < 2:
+            return pd.DataFrame(
+                {"a": [], "b": [], "cos": [], "cluster": []}
+            ).astype({"cos": "float64", "cluster": "int32"})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.vstack([np.asarray(x, dtype=np.float64)
+                       for x in pdf["v"].to_numpy()[order]])
+        nrm = np.linalg.norm(V, axis=1)
+        cluster = int(pdf["centroid"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, batch_rows):
+            X = V[s : s + batch_rows]
+            cos = (X @ V.T) / (nrm[s : s + batch_rows, None] * nrm[None, :] + 1e-12)
+            cos = np.round(cos, 6)
+            # strict upper triangle in GLOBAL index space -> a < b once
+            ii, jj = np.nonzero(cos >= thr)
+            keep = (ii + s) < jj
+            ii, jj = ii[keep], jj[keep]
+            out_a.extend(ids[ii + s].tolist())
+            out_b.extend(ids[jj].tolist())
+            out_c.extend(float(x) for x in cos[ii, jj])
+        return pd.DataFrame(
+            {"a": out_a, "b": out_b, "cos": out_c,
+             "cluster": [cluster] * len(out_a)}
+        )
+
+    return joined.groupBy("centroid").applyInPandas(
+        per_cluster, schema=f"a {id_type}, b {id_type}, cos double, cluster int"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.05,
+    key: str = "semdedup",
+    id_col: str = "id",
+    vec_col: str = "emb",
+    batch_rows: int = 2048,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """Full SemDeDup decision table ``(id, canonical, keep)``: within-cluster
+    near-dup pairs (:func:`semantic_dedup_pairs`) grouped into components
+    (min-label propagation, shared with the text path —
+    ``dedup.connected_components``), canonical = smallest id per component,
+    singletons keep themselves.  ``keep`` selects the deduplicated corpus;
+    filtering ``keep`` is the paper's semantic prune at threshold
+    ``1 - eps``."""
+    from vectordb_watermark_spark.operators.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(
+        df, n_clusters, eps, key, id_col, vec_col, batch_rows,
+        max_cluster_rows,
+    )
+    comps = connected_components(pairs)  # (id, comp)
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("id")).alias("canonical"),
+            (F.coalesce(F.col("comp"), F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 16,
