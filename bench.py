@@ -141,6 +141,17 @@ def main() -> None:
     run("ann_topk_cosine", q("ann_topk_cosine"))
     run("cosine_neardup", q("cosine_neardup"))
 
+    def semdedup():
+        from vectordb_watermark_spark.operators.similarity import semantic_dedup
+
+        df = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        )
+        semantic_dedup(df, n_clusters=8, eps=0.1).filter("keep").count()
+
+    run("semdedup", semdedup)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_bench_seconds",

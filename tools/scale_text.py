@@ -116,7 +116,11 @@ def main() -> None:
 
     run("exact_groups", lambda: D.exact_dup_groups(docs).filter(F.col("dup_count") > 1).count())
     run("minhash_pairs", lambda: D.minhash_candidate_pairs(docs).count())
-    run("simhash_pairs", lambda: D.simhash_near_pairs(D.simhash(docs), max_hamming=6).count())
+    # max_hamming=3 (the operator default): 12-bit pigeonhole segments.  A
+    # budget of 6 means 6-BIT segments (64 buckets) whose candidate volume
+    # grows as N^2/64 — at 1M rows that is ~5e10 pairs, the exact meltdown
+    # the first 1M attempt died of (see simhash_near_pairs docstring).
+    run("simhash_pairs", lambda: D.simhash_near_pairs(D.simhash(docs), max_hamming=3).count())
     run(
         "text_stats",
         lambda: docs.select(

@@ -757,6 +757,17 @@ def simhash_near_pairs(
     by pigeonhole, any pair within the Hamming budget shares at least one
     exact segment — equi-join on (segment index, segment value), then verify
     the full Hamming distance with bit_count.  One shuffle, no N^2.
+
+    GEOMETRY CONSTRAINT (the knob that decides whether this survives a
+    scale-up): segment width is ``48 // (max_hamming+1)`` bits, so random
+    bucket occupancy is ``N / 2^seg_bits`` and candidate volume grows as
+    ``N^2 * (max_hamming+1) / 2^seg_bits``.  ``max_hamming=3`` (default)
+    gives 12-bit segments — 4096 buckets, fine into the tens of millions
+    of rows.  ``max_hamming=6`` gives 6-BIT segments — 64 buckets, which
+    melts down around ~10^5 rows (measured: at 10^6 rows it implies ~5e10
+    candidate pairs — the failure the 1M scale run hit).  Keep the budget
+    at 3 for large corpora, or pre-block by a coarse key (e.g. length
+    bucket or source) before widening the budget.
     """
     n_seg = max_hamming + 1
     seg_bits = SIMHASH_BITS // n_seg
