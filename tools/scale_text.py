@@ -12,6 +12,13 @@ banded near-pairs, text stats, language ID.  Prints one JSON line.  Usage::
 LSH candidates -> exact-Jaccard verify -> connected components ->
 quality-aware canonical selection — the end-to-end path the
 ``corpus_curation``/``curation_keep_best`` oracles pin at small SF.
+
+At >= 1M rows size the single local JVM for the data:
+``SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE_PARTITIONS=128`` (local
+mode puts driver and executors in ONE heap; the 8g default that fits the
+test gate OOMs on the 1M shuffle, and more/smaller shuffle partitions cut
+per-task memory 4x — on a real cluster these are per-executor settings
+and the defaults story differs).
 """
 
 from __future__ import annotations
