@@ -658,6 +658,29 @@ def test_ivf_persisted_index_prunes_partitions_and_recalls(spark, vectors, tmp_p
     assert len(set(got) & brute) >= 7, (got, brute)
 
 
+def test_jaccard_pairs_hashed_tokens_equivalent(spark, docs):
+    """hashed_tokens=True (60-bit token words through the verify shuffle —
+    the scale lever) must produce the same pairs AND the same 6-dp Jaccard
+    values as the string-token oracle definition."""
+    from vectordb_watermark_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidate_pairs,
+    )
+
+    sample = docs.limit(120)
+    cand = minhash_candidate_pairs(sample).cache()
+    a = jaccard_pairs(sample, pairs=cand, threshold=0.3).toPandas()
+    b = jaccard_pairs(
+        sample, pairs=cand, threshold=0.3, hashed_tokens=True
+    ).toPandas()
+    cand.unpersist()
+    key = ["a", "b"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0  # the fixture corpus has real near-dups
+
+
 def test_normalize_text_unicode_and_whitespace(spark):
     """NFC composes 'e'+COMBINING ACUTE to the precomposed codepoint (so
     dedup/fingerprints see one spelling), NFKC additionally folds

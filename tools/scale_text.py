@@ -120,6 +120,10 @@ def main() -> None:
         t0 = time.time()
         counts[name] = fn()
         timings[name] = round(time.time() - t0, 1)
+        # nudge the ContextCleaner: shuffle files of no-longer-referenced
+        # jobs are deleted on driver GC; at this scale waiting for a natural
+        # GC leaves tens of GB of dead spill on the scratch volume
+        spark.sparkContext._jvm.System.gc()
 
     run("exact_groups", lambda: D.exact_dup_groups(docs).filter(F.col("dup_count") > 1).count())
     run("minhash_pairs", lambda: D.minhash_candidate_pairs(docs).count())
@@ -141,9 +145,25 @@ def main() -> None:
         # full curation chain, one stage per timing row so the expensive
         # step is attributable.  Verified pairs / components / canonical
         # winners are materialized counts, not lazy handles.
+        def _candidates():
+            # stage candidates to parquet so the band-join's shuffle files
+            # are released BEFORE the verify join shuffles (one mega-job
+            # keeps every upstream shuffle on disk simultaneously — the
+            # combination that filled the 94 GB scratch volume at 1M rows)
+            D.minhash_candidate_pairs(docs).write.mode("overwrite").parquet(
+                ".scratch/cand_pairs.parquet"
+            )
+            return spark.read.parquet(".scratch/cand_pairs.parquet").count()
+
+        run("candidates", _candidates)
+
         def _verified():
-            cand = D.minhash_candidate_pairs(docs)
-            v = D.jaccard_pairs(docs, pairs=cand, threshold=0.5).select("a", "b")
+            cand = spark.read.parquet(".scratch/cand_pairs.parquet")
+            # hashed_tokens: 8 B/token through the pair-verify shuffle (the
+            # volume lever documented on jaccard_pairs)
+            v = D.jaccard_pairs(
+                docs, pairs=cand, threshold=0.5, hashed_tokens=True
+            ).select("a", "b")
             v.write.mode("overwrite").parquet(".scratch/verified_pairs.parquet")
             return spark.read.parquet(".scratch/verified_pairs.parquet").count()
 

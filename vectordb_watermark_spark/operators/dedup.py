@@ -497,6 +497,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     auto_rows: int | None = JACCARD_AUTO_ROWS,
     total: int | None = None,
+    hashed_tokens: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard ``(a, b, jaccard)`` for candidate ``pairs``.
 
@@ -505,10 +506,31 @@ def jaccard_pairs(
     :func:`minhash_candidate_pairs`, so calling this on a big table cannot
     silently go quadratic.  Pass ``total`` to skip the count job.
 
+    ``hashed_tokens=True`` is the SHUFFLE-VOLUME lever for large corpora:
+    the verify join replicates BOTH token sets onto every candidate pair,
+    so its shuffle bytes are ``sum over pairs of (|A| + |B|) x
+    bytes/token`` — with string tokens that was the stage that filled the
+    scratch disk at the 1M-row scale run.  Hashed mode projects each
+    distinct token to its 60-bit sha256 word (the exact words the MinHash
+    kernel already memoizes), cutting bytes/token to a flat 8 and the
+    intersection to a long-array op.  Jaccard over the hashed sets equals
+    Jaccard over the tokens unless two distinct tokens of the SAME
+    document pair collide in 60 bits (P ~ |A| x |B| / 2^60 — negligible;
+    equivalence on real corpora is pinned by test).  Default stays False:
+    the oracle-pinned definition compares the token strings themselves.
+
     Verification stage of MinHash-LSH dedup; also standalone n-gram Jaccard.
     """
     pairs = _auto_candidates(df, pairs, id_col, text_col, auto_rows, total)
-    toks = df.select(F.col(id_col).alias("id"), _token_set(F.col(text_col)).alias("toks"))
+    if hashed_tokens:
+        from vectordb_watermark_spark.functions.hashing import word60
+
+        tok_expr = F.transform(
+            _token_set(F.col(text_col)), lambda t: word60(F.sha2(t, 256))
+        )
+    else:
+        tok_expr = _token_set(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("id"), tok_expr.alias("toks"))
     if pairs is None:
         a = toks.select(F.col("id").alias("a"), F.col("toks").alias("ta"))
         b = toks.select(F.col("id").alias("b"), F.col("toks").alias("tb"))
