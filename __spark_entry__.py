@@ -1577,6 +1577,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return normalize_text(messy)
 
+    def lm_quality_buckets(spark, sf):  # CCNet head/middle/tail per source
+        from vectordb_watermark_spark.operators.quality import (
+            lm_quality_buckets as _buckets,
+        )
+
+        return _buckets(_docs(spark, sf))
+
+    def doc_chunks(spark, sf):  # sliding-window chunking (RAG/embedding prep)
+        from vectordb_watermark_spark.operators.packing import chunk_documents
+
+        return chunk_documents(_docs(spark, sf), chunk_tokens=40, overlap=10)
+
     def semdedup_contract(spark, sf):  # SemDeDup invariants contract
         # cluster-bounded semantic dedup (Abbas et al. 2023 shape): every
         # row present, keep <=> canonical==id, canonical is the component
@@ -1749,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_exactness": ann_batch_exactness,
         "semdedup_contract": semdedup_contract,
         "text_normalize": text_normalize,
+        "lm_quality_buckets": lm_quality_buckets,
+        "doc_chunks": doc_chunks,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -1774,6 +1788,39 @@ def oracle_sql() -> dict[str, str]:
 
     # exact cross-engine gate threshold (knn._EIGHTH_POW2 decomposition)
     _TAU_SQL = tau_from_bucket_sql("min(b)")
+
+    _bigram_sql = f"""
+            WITH toks AS (
+              SELECT doc_id, {T.sql_tokens('lower(text)')} AS l FROM documents
+            ),
+            uni AS (
+              SELECT w, count(*) AS cnt
+              FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+            ),
+            tot AS (SELECT sum(cnt) AS total FROM uni),
+            pairs AS (
+              SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+              FROM toks, LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
+              WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT w1, w2, count(*) AS cnt FROM pairs
+              GROUP BY w1, w2 HAVING count(*) >= 2
+            ),
+            scored AS (
+              SELECT p.doc_id,
+                     CASE WHEN b.cnt IS NOT NULL
+                          THEN log10(b.cnt / CAST(u1.cnt AS DOUBLE))
+                          ELSE log10(0.4 * u2.cnt / CAST(t.total AS DOUBLE)) END AS lp
+              FROM pairs p
+              LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+              JOIN uni u1 ON p.w1 = u1.w
+              JOIN uni u2 ON p.w2 = u2.w
+              CROSS JOIN tot t
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS bigram_lm_score
+            FROM scored GROUP BY doc_id"""
 
     u_attack = sql_keyed_uniform("'attack-42'", "'v'", "vec_id")
     u_sample = sql_keyed_uniform("'sample-42'", "'v'", "vec_id")
@@ -2893,38 +2940,46 @@ def oracle_sql() -> dict[str, str]:
         # bigram stupid-backoff LM (operators/quality.bigram_lm_score):
         # P(w2|w1) = cnt12/cnt1 when the pruned bigram table has the pair,
         # else alpha * cnt2 / total
-        "bigram_lm_scores": f"""
-            WITH toks AS (
-              SELECT doc_id, {T.sql_tokens('lower(text)')} AS l FROM documents
+        "bigram_lm_scores": _bigram_sql,
+        # CCNet head/middle/tail (operators/quality.lm_quality_buckets):
+        # ntile(3) per source over (score DESC, doc_id ASC) on the bigram
+        # LM scores — same deterministic tie-break both engines
+        "lm_quality_buckets": f"""
+            SELECT b.doc_id, d.source, b.bigram_lm_score,
+                   CASE ntile(3) OVER (PARTITION BY d.source
+                                       ORDER BY b.bigram_lm_score DESC,
+                                                b.doc_id ASC)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM (__BIGRAM_BODY__) b JOIN documents d USING (doc_id)""".replace(
+            "__BIGRAM_BODY__", _bigram_sql
+        ),
+        # sliding-window chunking (operators/packing.chunk_documents):
+        # case-preserving tokens, chunk 40 / overlap 10 -> step 30
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {T.sql_tokens('text')} AS l FROM documents
             ),
-            uni AS (
-              SELECT w, count(*) AS cnt
-              FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w
+            n AS (
+              SELECT doc_id, l, len(l) AS n,
+                     CASE WHEN len(l) <= 0 THEN 0
+                          WHEN len(l) <= 40 THEN 1
+                          ELSE CAST(ceil((len(l) - 40) / 30.0) AS INT) + 1
+                     END AS nc
+              FROM t
             ),
-            tot AS (SELECT sum(cnt) AS total FROM uni),
-            pairs AS (
-              SELECT doc_id, l[i] AS w1, l[i+1] AS w2
-              FROM toks, LATERAL unnest(generate_series(1, len(l) - 1)) AS t(i)
-              WHERE len(l) >= 2
-            ),
-            bi AS (
-              SELECT w1, w2, count(*) AS cnt FROM pairs
-              GROUP BY w1, w2 HAVING count(*) >= 2
-            ),
-            scored AS (
-              SELECT p.doc_id,
-                     CASE WHEN b.cnt IS NOT NULL
-                          THEN log10(b.cnt / CAST(u1.cnt AS DOUBLE))
-                          ELSE log10(0.4 * u2.cnt / CAST(t.total AS DOUBLE)) END AS lp
-              FROM pairs p
-              LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
-              JOIN uni u1 ON p.w1 = u1.w
-              JOIN uni u2 ON p.w2 = u2.w
-              CROSS JOIN tot t
+            e AS (
+              SELECT doc_id, l, CAST(g.i AS INT) AS chunk_idx
+              FROM n, LATERAL unnest(generate_series(0, nc - 1)) AS g(i)
+              WHERE nc > 0
             )
-            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   round(avg(lp), 6) AS bigram_lm_score
-            FROM scored GROUP BY doc_id""",
+            SELECT doc_id, chunk_idx,
+                   CAST(chunk_idx * 30 AS INT) AS start_token,
+                   CAST(len(l[chunk_idx * 30 + 1 : chunk_idx * 30 + 40]) AS INT)
+                       AS n_tokens,
+                   array_to_string(l[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' ')
+                       AS chunk_text
+            FROM e""",
         "dedup_simhash": f"""
             WITH toks AS (
               SELECT doc_id AS id, unnest({toks_set}) AS tok FROM documents

@@ -1591,3 +1591,76 @@ def test_bigram_lm_detects_shuffled_tokens(spark):
     assert lm.loc[1, "bigram_lm_score"] > lm.loc[2, "bigram_lm_score"]
     # unigram proxy is blind to the shuffle (same tokens, same multiplicity)
     assert abs(uni.loc[1, "logfreq_score"] - uni.loc[2, "logfreq_score"]) < 1e-6
+
+
+def test_chunk_documents_boundaries(spark):
+    from vectordb_watermark_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+            (2, "a b c"),                           # fits one chunk
+            (3, ""),                                # no chunks
+            (4, "x0 x1 x2 x3 x4"),                  # short tail
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).toPandas()
+    by = {
+        (r.doc_id, r.chunk_idx): (r.start_token, r.n_tokens, r.chunk_text)
+        for r in out.itertuples()
+    }
+    assert by[(1, 0)] == (0, 4, "t0 t1 t2 t3")
+    assert by[(1, 1)] == (3, 4, "t3 t4 t5 t6")
+    assert by[(1, 2)] == (6, 4, "t6 t7 t8 t9")
+    assert by[(2, 0)] == (0, 3, "a b c")
+    assert 3 not in {d for d, _ in by}
+    assert by[(4, 0)] == (0, 4, "x0 x1 x2 x3")
+    assert by[(4, 1)] == (3, 2, "x3 x4")
+
+    # every token covered, case preserved, consecutive chunks overlap
+    upper = spark.createDataFrame([(9, "A B C D E F G")], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(upper, chunk_tokens=3, overlap=1).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = rows[0]["chunk_text"].split()
+    for r in rows[1:]:
+        rebuilt.extend(r["chunk_text"].split()[1:])  # drop the 1-token overlap
+    assert rebuilt == "A B C D E F G".split()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_lm_quality_buckets_ccnet_tiers(spark, docs):
+    from vectordb_watermark_spark.operators.quality import lm_quality_buckets
+
+    sample = docs.limit(120).cache()
+    out = lm_quality_buckets(sample).toPandas()
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    for src, grp in out.groupby("source"):
+        sizes = grp["bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1  # ntile equal-count split
+        head = grp[grp.bucket == "head"]["bigram_lm_score"]
+        mid = grp[grp.bucket == "middle"]["bigram_lm_score"]
+        tail = grp[grp.bucket == "tail"]["bigram_lm_score"]
+        if len(head) and len(mid):
+            assert head.min() >= mid.max() - 1e-9
+        if len(mid) and len(tail):
+            assert mid.min() >= tail.max() - 1e-9
+
+    # partition invariance + generic bucket names
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = (
+        lm_quality_buckets(sample.repartition(7, "doc_id"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    q5 = lm_quality_buckets(sample, n_buckets=5).toPandas()
+    assert set(q5["bucket"]) <= {f"q{i}" for i in range(1, 6)}
+    sample.unpersist()

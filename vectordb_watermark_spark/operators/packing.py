@@ -85,3 +85,60 @@ def pack_stats(packed: DataFrame, token_budget: int) -> DataFrame:
             "fill", F.round(F.col("total_tokens") / F.lit(float(token_budget)), 6)
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking for embedding / retrieval pipelines:
+    ``(id, chunk_idx, start_token, n_tokens, chunk_text)`` — one row per
+    window of ``chunk_tokens`` whitespace tokens, stepping by
+    ``chunk_tokens - overlap`` (the standard RAG/HF-embedding split; case
+    is PRESERVED, unlike the analysis operators' lowercased token views).
+
+    Boundary semantics (pinned by test + oracle): a document with
+    ``n <= chunk_tokens`` tokens yields exactly one chunk; otherwise chunk
+    ``i`` starts at ``i * step`` and the count is
+    ``ceil((n - chunk_tokens) / step) + 1`` — every token is covered, the
+    tail chunk may be short but never empty, and consecutive chunks share
+    exactly ``overlap`` tokens (except possibly the tail).  Empty documents
+    yield no chunks.
+
+    Pure Catalyst — ``split``/``sequence``/``slice``/``array_join`` in
+    whole-stage codegen, per-row work only, NO shuffle: chunking 100 TB is
+    a map-only pass that parquet scan parallelism alone distributes.
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    from vectordb_watermark_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size(F.col("__toks"))
+    n_chunks = F.when(n <= 0, F.lit(0)).when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(step)).cast("int")
+        + F.lit(1)
+    )
+    idx = F.explode(
+        F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    base = base.select("id", "__toks", idx.alias("chunk_idx"))
+    start = F.col("chunk_idx") * F.lit(step)
+    chunk = F.slice(F.col("__toks"), start + 1, chunk_tokens)
+    return base.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -363,3 +363,59 @@ def bigram_lm_score(
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "bigram_lm_score")
     )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 3,
+    alpha: float = 0.4,
+    min_count: int = 2,
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style LM-quality bucketing: ``(id, source, bigram_lm_score,
+    bucket)`` where ``bucket`` splits each source's documents into
+    equal-count quality tiers by bigram stupid-backoff score — with the
+    default ``n_buckets=3`` they are the CCNet paper's literal
+    ``head`` / ``middle`` / ``tail`` (Wenzek et al. 2020 keep head+middle
+    and drop tail; with other counts buckets are ``q1..qN``, best first).
+
+    Deterministic: ntile over (score DESC, id ASC) — ties cannot float
+    between runs or partitionings.  Documents with < 2 tokens have no
+    bigrams and are absent, inheriting :func:`bigram_lm_score`'s contract.
+
+    Scale shape: the score pass is :func:`bigram_lm_score` (two Zipf-small
+    broadcast-able count tables); the bucketing is ONE window partitioned
+    by source — an ntile needs its partition sorted, so a pathologically
+    hot source is the straggler bound; CCNet itself shards by language
+    exactly this way.  Precomputed ``unigrams``/``bigrams`` reuse applies.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm_score(
+        df, id_col, text_col, alpha, min_count, unigrams, bigrams
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("bigram_lm_score").desc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(n_buckets).over(w)
+    name = (
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        if n_buckets == 3
+        else F.concat(F.lit("q"), tile.cast("string"))
+    )
+    return (
+        scores.join(src, id_col)
+        .select(
+            id_col,
+            source_col,
+            "bigram_lm_score",
+            name.alias("bucket"),
+        )
+    )
