@@ -228,6 +228,24 @@ def test_ivf_pq_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):
         ]
         assert sorted(by_q[q]) == sorted(single), f"qid={q}"
 
+    # batched EXACT re-rank agrees with the single-query rerank path too
+    rb = P.ivf_pq_query_index_batch(
+        spark, path, queries, k=10, n_probe=6,
+        rerank_with=vectors, shortlist=40,
+    ).collect()
+    rb_by_q = {}
+    for r in rb:
+        rb_by_q.setdefault(r["qid"], []).append((r["rank"], r["id"], r["cos"]))
+    for q in qids:
+        single = [
+            (r["rank"], r["id"], r["cos"])
+            for r in P.ivf_pq_query_index(
+                spark, path, qvecs[q], k=10, n_probe=6,
+                rerank_with=vectors, shortlist=40,
+            ).collect()
+        ]
+        assert sorted(rb_by_q[q]) == sorted(single), f"rerank qid={q}"
+
 
 def test_ivf_pq_query_prunes_partitions(spark, vectors, tmp_path):
     path = str(tmp_path / "ivfpq2")

@@ -650,6 +650,10 @@ def ivf_pq_query_index_batch(
     n_probe: int = 4,
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "emb",
 ) -> DataFrame:
     """``(qid, id, cos, rank)`` — ADC top-k for EVERY query in ONE pruned
     scan of the compressed codes (the batched twin of
@@ -663,6 +667,15 @@ def ivf_pq_query_index_batch(
     the union of every query's ``n_probe`` nearest centroids (plan-time
     partition filter).  Per-query results agree exactly with the
     single-query path (pinned by test).
+
+    ``rerank_with``: the production IVFADC pattern, batched — a per-query
+    ADC shortlist of ``shortlist`` (default ``4*k``) candidates is
+    re-ranked with EXACT cosine against the raw-vector table: one bounded
+    equi-join of the shortlist to the vectors plus a broadcast join to
+    the (tiny) query block, cosine in whole-stage codegen, per-query
+    window top-k.  Values/order equal the single-query
+    ``ivf_pq_query_index(..., rerank_with=...)`` per query (same rounded
+    expression, same tie-break; pinned by test).
     """
     from pyspark.sql import Window
 
@@ -709,6 +722,11 @@ def ivf_pq_query_index_batch(
     )
     id_type = codes.schema["id"].dataType.simpleString()
 
+    # batch-local cut width: the global per-query selection can only pick
+    # rows the kernel emitted, so when a rerank shortlist of n_short > k
+    # follows, every batch must keep n_short per query, not k
+    cut = max(k, (shortlist or 4 * k)) if rerank_with is not None else k
+
     def kernel(batches):
         import pyarrow as pa
 
@@ -742,7 +760,7 @@ def ivf_pq_query_index_batch(
                     + lookup_n[mask]
                 )
                 nrm = np.sqrt(np.maximum(r2, 0.0))
-                top = min(k, Cc.shape[0])
+                top = min(cut, Cc.shape[0])
                 for qi in ql:
                     num = qc[int(c)][qi] + T_q[qi][rows_idx[None, :], Cc].sum(
                         axis=1
@@ -770,6 +788,43 @@ def ivf_pq_query_index_batch(
         kernel, schema=f"qid {qid_type}, id {id_type}, cos double"
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("id").asc())
+
+    if rerank_with is not None:
+        from vectordb_watermark_spark.functions.vector import cosine_similarity
+
+        n_short = shortlist or 4 * k
+        short = (
+            cand.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_short)
+            .select("qid", "id")
+        )
+        # array<float> to MATCH the single-query rerank exactly: its
+        # topk_cosine reads _pq_base's float-cast vectors, and a double
+        # cast here could differ in the last ulp before the 6-dp round
+        vecs = rerank_with.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("__v"),
+        )
+        qdf = spark.createDataFrame(
+            [(qids[i], [float(x) for x in Q[i]]) for i in range(len(qids))],
+            f"qid {qid_type}, __qv array<double>",
+        )
+        exact = (
+            short.join(vecs, "id")
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "id",
+                F.round(
+                    cosine_similarity(F.col("__v"), F.col("__qv")), 6
+                ).alias("cos"),
+            )
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+        )
+
     return (
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
