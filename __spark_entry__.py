@@ -1589,6 +1589,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), chunk_tokens=40, overlap=10)
 
+    def url_curation(spark, sf):  # URL canonicalization (RefinedWeb stage 1)
+        # synthetic messy URLs (upper-case scheme/host, default port,
+        # tracking params, fragment) exercise every normalization rule
+        from vectordb_watermark_spark.functions.text import (
+            url_domain,
+            url_normalize,
+        )
+
+        d = _docs(spark, sf)
+        messy = F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM:443/Path/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+            F.lit("&fbclid=abc&keep=1#frag"),
+        )
+        return d.select(
+            "doc_id",
+            url_normalize(messy).alias("url_norm"),
+            url_domain(messy).alias("domain"),
+        )
+
     def semdedup_contract(spark, sf):  # SemDeDup invariants contract
         # cluster-bounded semantic dedup (Abbas et al. 2023 shape): every
         # row present, keep <=> canonical==id, canonical is the component
@@ -1763,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_normalize,
         "lm_quality_buckets": lm_quality_buckets,
         "doc_chunks": doc_chunks,
+        "url_curation": url_curation,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -1944,6 +1966,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(TRUE AS BOOLEAN) AS batch_agrees,
                    CAST(5 AS INT) AS n_queries,
                    CAST(10 AS INT) AS k""",
+        # URL canonicalization (functions/text.url_normalize twins,
+        # built at runtime so Spark and DuckDB share one regex source)
+        "url_curation": (lambda _m: f"""
+            SELECT doc_id,
+                   {T.sql_url_normalize(_m)} AS url_norm,
+                   {T.sql_url_domain(_m)} AS domain
+            FROM documents""")(
+            "('HTTPS://WWW.' || source || '.Example.COM:443/Path/' || "
+            "CAST(doc_id AS VARCHAR) || '?utm_source=x&id=' || "
+            "CAST(doc_id AS VARCHAR) || '&fbclid=abc&keep=1#frag')"
+        ),
         "semdedup_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS keep_iff_canonical,

@@ -1664,3 +1664,41 @@ def test_lm_quality_buckets_ccnet_tiers(spark, docs):
     q5 = lm_quality_buckets(sample, n_buckets=5).toPandas()
     assert set(q5["bucket"]) <= {f"q{i}" for i in range(1, 6)}
     sample.unpersist()
+
+
+def test_url_normalize_rules(spark):
+    """Every canonicalization rule: case, default ports, fragments, empty
+    path, tracking params, param order, scheme-less passthrough."""
+    from vectordb_watermark_spark.functions.text import (
+        url_domain,
+        url_host,
+        url_normalize,
+    )
+
+    cases = [
+        (1, "HTTP://Example.COM:80"),
+        (2, "https://www.Site.org:443/A/B?utm_source=x&b=2&a=1#sec"),
+        (3, "https://site.org:8443/x"),          # non-default port kept
+        (4, "http://host/path?fbclid=z&gclid=y"),  # all params tracking
+        (5, "not a url at all"),                  # passthrough
+        (6, "ftp://Files.Example.com/Pub"),       # other scheme: port rule off
+        (7, "https://wwwx.example.com/"),         # 'www' strip is prefix-dot only
+    ]
+    df = spark.createDataFrame(cases, "id long, url string")
+    out = {
+        r["id"]: (r["n"], r["h"], r["d"])
+        for r in df.select(
+            "id",
+            url_normalize(F.col("url")).alias("n"),
+            url_host(F.col("url")).alias("h"),
+            url_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    assert out[1] == ("http://example.com/", "example.com", "example.com")
+    assert out[2][0] == "https://www.site.org/A/B?b=2&a=1"  # order preserved
+    assert out[2][2] == "site.org"
+    assert out[3][0] == "https://site.org:8443/x"
+    assert out[4][0] == "http://host/path"
+    assert out[5] == ("not a url at all", "", "")
+    assert out[6][0] == "ftp://files.example.com/Pub"
+    assert out[7][2] == "wwwx.example.com"

@@ -514,3 +514,102 @@ def normalize_text(
     if collapse_ws:
         norm = F.trim(F.regexp_replace(norm, "[ \\t\\n\\r\\f]+", " "))
     return out.select(F.col("__id").alias(id_col), norm.alias("norm_text"))
+
+
+# ---------------------------------------------------------------------------
+# URL curation (RefinedWeb/C4-style canonicalization: web corpora dedup and
+# filter by URL before any content pass — strict dedup by normalized URL is
+# RefinedWeb's first pipeline stage)
+# ---------------------------------------------------------------------------
+
+#: tracking parameters stripped by url_normalize (the standard analytics
+#: noise that makes byte-identical pages look like distinct URLs)
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (userinfo and port excluded); empty string
+    when the value does not parse as ``scheme://...``."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^@/?#]*@)?([^:/?#]+)", 1)
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """:func:`url_host` with a leading ``www.`` stripped — the grouping key
+    web-corpus pipelines cap and blocklist by."""
+    return F.regexp_replace(url_host(url), r"^www\.", "")
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL: lowercase scheme and authority, drop the fragment,
+    drop the scheme's default port (http:80 / https:443), empty path
+    becomes ``/``, tracking parameters (:data:`TRACKING_PARAM_RE`) and
+    empty params removed (remaining params keep their order).  Pure
+    Catalyst regexp/array expressions — a map-only pass; the DuckDB twin
+    (:func:`sql_url_normalize`) is hash-exact.
+
+    Simplification (documented): the whole authority is lowercased, which
+    also lowercases any userinfo; corpus URLs with userinfo are vanishingly
+    rare and usually discarded anyway."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1))
+    auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.when(scheme == "", url).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            auth,
+            path,
+            F.when(
+                F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
+def sql_url_host(url_sql: str) -> str:
+    """DuckDB twin of :func:`url_host`."""
+    return (
+        f"lower(regexp_extract({url_sql}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.\\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1))"
+    )
+
+
+def sql_url_domain(url_sql: str) -> str:
+    """DuckDB twin of :func:`url_domain`."""
+    return f"regexp_replace({sql_url_host(url_sql)}, '^www\\.', '')"
+
+
+def sql_url_normalize(url_sql: str) -> str:
+    """DuckDB twin of :func:`url_normalize` (same regexes, RE2-compatible)."""
+    scheme = f"lower(regexp_extract({url_sql}, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1))"
+    auth0 = f"lower(regexp_extract({url_sql}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1))"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '') "
+        f"ELSE {auth0} END"
+    )
+    rest = f"regexp_extract({url_sql}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^#]*)', 1)"
+    path = f"(CASE WHEN regexp_extract({rest}, '^([^?]*)', 1) = '' THEN '/' ELSE regexp_extract({rest}, '^([^?]*)', 1) END)"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    params = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN {url_sql} ELSE "
+        f"{scheme} || '://' || {auth} || {path} || "
+        f"(CASE WHEN len({params}) > 0 THEN '?' || array_to_string({params}, '&') ELSE '' END) "
+        f"END"
+    )
