@@ -247,6 +247,60 @@ def test_ivf_pq_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):
         assert sorted(rb_by_q[q]) == sorted(single), f"rerank qid={q}"
 
 
+def test_ivf_pq_append_index(spark, vectors, tmp_path):
+    """Append without retrain: appended ids become queryable, their codes
+    equal what a fresh encode against the STORED artifacts produces, and
+    dim/id-type mismatches fail loud before any write."""
+    path = str(tmp_path / "ivfpq_app")
+    old = vectors.filter(F.col("id") < 400)
+    new = vectors.filter((F.col("id") >= 400) & (F.col("id") < 440))
+    P.ivf_pq_write_index(old, path, n_centroids=8, m=8, n_codes=16)
+    before = spark.read.parquet(f"{path}/codes").count()
+
+    assert P.ivf_pq_append_index(new, path) == new.count()
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == before + new.count()
+
+    # appended rows' codes match a from-scratch residual encode against
+    # the stored centroids + codebooks (no drift, no retrain)
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _load_centroids,
+    )
+
+    cents = _load_centroids(spark, path)
+    B = P._load_codebooks(spark, path)
+    base = new.select(F.col("id"), F.col("emb").alias("v"))
+    expect = {
+        r["id"]: (r["centroid"], list(r["codes"]))
+        for r in P._residual_encode_pass(
+            _ivf_assign_pass(base, cents), cents, B
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["centroid"], list(r["codes"]))
+        for r in codes.filter(F.col("id") >= 400).collect()
+    }
+    assert got == expect
+
+    # appended ids are reachable through the query path
+    qv = [float(x) for x in new.first()["emb"]]
+    hits = {
+        r["id"]
+        for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()
+    }
+    assert hits & set(expect)
+
+    with pytest.raises(ValueError, match="id type"):
+        P.ivf_pq_append_index(
+            new.select(F.col("id").cast("string").alias("id"), "emb"), path
+        )
+    with pytest.raises(ValueError, match="-d"):
+        P.ivf_pq_append_index(
+            new.select("id", F.slice("emb", 1, 32).alias("emb")), path
+        )
+
+
 def test_ivf_pq_query_prunes_partitions(spark, vectors, tmp_path):
     path = str(tmp_path / "ivfpq2")
     P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)

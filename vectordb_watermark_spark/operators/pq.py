@@ -518,6 +518,66 @@ def ivf_pq_write_index(
     return cents, books
 
 
+def ivf_pq_append_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> int:
+    """Append new vectors to a persisted IVF-PQ index WITHOUT retraining:
+    assign each row to its nearest stored coarse centroid, residual-encode
+    against the stored PQ codebooks (one Arrow pass each, ONE source
+    scan), and append the codes to the centroid partitions.  Returns the
+    appended row count.  The freshness trade-off matches
+    :func:`similarity.ivf_append_index`: centroid/codebook drift is
+    absorbed until the next full :func:`ivf_pq_write_index` rebuild.
+
+    Dimension and id type are validated against the stored index up front
+    (a mismatch would otherwise plant conflicting parquet schemas that
+    only fail at some later read).  The id-type check reads the codes
+    schema — one footer read, not a data scan.
+
+    Discipline: ONE appender at a time per index (the codes layout has no
+    per-append batch tags; concurrent appends can collide in the shared
+    ``_temporary`` staging directory).  Crash semantics are clean — an
+    aborted write job commits no files, so a retry simply appends.
+    """
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _ivf_base,
+        _load_centroids,
+    )
+    from vectordb_watermark_spark.sources.io import vector_dim
+
+    spark = df.sparkSession
+    cents = _load_centroids(spark, path)
+    B = _load_codebooks(spark, path)
+    m, n_codes, dsub = B.shape
+    dim = vector_dim(df, vec_col)
+    if dim != len(cents[0]) or dim != m * dsub:
+        raise ValueError(
+            f"appended vectors are {dim}-d but the index at {path} is "
+            f"{len(cents[0])}-d (codebooks {m}x{dsub})"
+        )
+    stored_t = spark.read.parquet(f"{path}/codes").schema["id"].dataType.simpleString()
+    new_t = df.schema[id_col].dataType.simpleString()
+    if stored_t != new_t:
+        raise ValueError(
+            f"appended id type {new_t} does not match the index's id type "
+            f"{stored_t}"
+        )
+    base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
+    try:
+        assigned = _ivf_assign_pass(base, cents)
+        _residual_encode_pass(assigned, cents, B).write.mode(
+            "append"
+        ).partitionBy("centroid").parquet(f"{path}/codes")
+        n = base.count()
+    finally:
+        base.unpersist()
+    return int(n)
+
+
 def _load_codebooks(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
     m = 1 + max(r["sub"] for r in rows)
