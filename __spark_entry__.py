@@ -1589,6 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return chunk_documents(_docs(spark, sf), chunk_tokens=40, overlap=10)
 
+    def embedding_outliers(spark, sf):  # robust per-dim vector QC gate
+        return V.embedding_outlier_flags(_vectors(spark, sf))
+
     def url_curation(spark, sf):  # URL canonicalization (RefinedWeb stage 1)
         # synthetic messy URLs (upper-case scheme/host, default port,
         # tracking params, fragment) exercise every normalization rule
@@ -1785,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_buckets": lm_quality_buckets,
         "doc_chunks": doc_chunks,
         "url_curation": url_curation,
+        "embedding_outliers": embedding_outliers,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -1966,6 +1970,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(TRUE AS BOOLEAN) AS batch_agrees,
                    CAST(5 AS INT) AS n_queries,
                    CAST(10 AS INT) AS k""",
+        # robust per-dimension outlier gate (functions/vector): exact
+        # medians/MADs rounded 6dp before the comparison in BOTH engines
+        "embedding_outliers": """
+            WITH e AS (
+              SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings
+            ),
+            med AS (
+              SELECT pos, round(quantile_cont(v, 0.5), 6) AS med
+              FROM e GROUP BY pos
+            ),
+            ad AS (
+              SELECT e.pos, abs(e.v - m.med) AS ad
+              FROM e JOIN med m USING (pos)
+            ),
+            mad AS (
+              SELECT pos, round(quantile_cont(ad, 0.5), 6) AS mad
+              FROM ad GROUP BY pos
+            ),
+            o AS (
+              SELECT e.id,
+                     CASE WHEN abs(e.v - m.med) > 6.0 * 1.4826 * d.mad
+                          THEN 1 ELSE 0 END AS o
+              FROM e JOIN med m USING (pos) JOIN mad d USING (pos)
+            )
+            SELECT id, CAST(sum(o) AS BIGINT) AS n_outlier_dims,
+                   sum(o) > 0 AS outlier
+            FROM o GROUP BY id""",
         # URL canonicalization (functions/text.url_normalize twins,
         # built at runtime so Spark and DuckDB share one regex source)
         "url_curation": (lambda _m: f"""

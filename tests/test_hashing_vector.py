@@ -126,3 +126,24 @@ def test_vector_stats_schema(spark, emb_pdf):
     row = V.vector_stats(df, "embedding").first()
     assert row.n_vectors == len(emb_pdf)
     assert row.min_norm <= row.avg_norm <= row.max_norm
+
+
+def test_embedding_outlier_flags_planted(spark):
+    """A planted corrupted vector (one coordinate blown up) is flagged;
+    clean clustered vectors are not; constant dims only trip on deviation."""
+    import numpy as np
+
+    from vectordb_watermark_spark.functions.vector import embedding_outlier_flags
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = (0.01 * rng.standard_normal(8)).tolist()
+        v[3] = 1.0  # near-constant dimension
+        rows.append((i, [float(x) for x in v]))
+    rows.append((100, [0.0, 0.0, 0.0, 1.0, 50.0, 0.0, 0.0, 0.0]))  # blown dim 4
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    out = {r["id"]: r for r in embedding_outlier_flags(df).collect()}
+    assert out[100]["outlier"] and out[100]["n_outlier_dims"] >= 1
+    flagged = [i for i, r in out.items() if r["outlier"]]
+    assert flagged == [100]

@@ -149,3 +149,58 @@ def quantize_int8(df: DataFrame, id_col: str = "id", vec_col: str = "emb") -> Da
         )
         .select("id", F.col("pos").cast("int").alias("pos"), "code", "scale")
     )
+
+
+def embedding_outlier_flags(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    z: float = 6.0,
+) -> DataFrame:
+    """Robust per-row embedding outlier gate ``(id, n_outlier_dims,
+    outlier)`` — the vector-table analogue of the Gopher text rules: a
+    corrupted or off-distribution embedding (bad batch, truncated upload,
+    wrong model) shows up as coordinates far outside their dimension's
+    robust spread.
+
+    Per dimension the corpus median and MAD are computed EXACTLY
+    (``percentile(0.5)``); a coordinate is an outlier when
+    ``|x - median| > z * 1.4826 * MAD`` (1.4826 scales MAD to sigma under
+    normality); a row is flagged when ANY dimension trips.  Dimensions
+    with MAD 0 (constant dims) only trip on any deviation at all.
+
+    Scale shape: two posexplode + map-side-combined groupBy(pos) passes
+    (outputs are D rows each), the per-dim stats table broadcasts back
+    onto one more exploded pass — rows never pairwise-compare, the whole
+    gate is O(corpus) with D-row side tables.  Stats are rounded (6 dp)
+    before the comparison so the DuckDB twin's interpolation arithmetic
+    agrees bit-for-bit.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select("id", "pos", F.col("v").cast("double").alias("v"))
+    med = exploded.groupBy("pos").agg(
+        F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        exploded.join(med, "pos")
+        .select("pos", F.abs(F.col("v") - F.col("med")).alias("ad"))
+        .groupBy("pos")
+        .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
+    )
+    stats = med.join(mad, "pos")
+    thresh = F.lit(z) * F.lit(1.4826) * F.col("mad")
+    return (
+        exploded.join(F.broadcast(stats), "pos")
+        .select(
+            "id",
+            (F.abs(F.col("v") - F.col("med")) > thresh).cast("int").alias("o"),
+        )
+        .groupBy("id")
+        .agg(F.sum("o").cast("long").alias("n_outlier_dims"))
+        .select(
+            F.col("id").alias(id_col),
+            "n_outlier_dims",
+            (F.col("n_outlier_dims") > 0).alias("outlier"),
+        )
+    )
