@@ -156,6 +156,7 @@ def embedding_outlier_flags(
     id_col: str = "id",
     vec_col: str = "emb",
     z: float = 6.0,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Robust per-row embedding outlier gate ``(id, n_outlier_dims,
     outlier)`` — the vector-table analogue of the Gopher text rules: a
@@ -169,26 +170,30 @@ def embedding_outlier_flags(
     normality); a row is flagged when ANY dimension trips.  Dimensions
     with MAD 0 (constant dims) only trip on any deviation at all.
 
-    Scale shape: two posexplode + map-side-combined groupBy(pos) passes
-    (outputs are D rows each), the per-dim stats table broadcasts back
-    onto one more exploded pass — rows never pairwise-compare, the whole
-    gate is O(corpus) with D-row side tables.  Stats are rounded (6 dp)
+    Scale shape: three passes over the corpus — median, MAD (each a
+    map-side-combined groupBy(pos) whose output is D rows), then the
+    broadcast-joined scoring pass; rows never pairwise-compare.  At
+    extreme scale pass ``stats`` (a precomputed/reused ``(pos, med,
+    mad)`` table, e.g. built from a keyed-hash sample) to collapse the
+    gate to ONE scoring scan — the same precomputed-side-table convention
+    as corpus_logfreq_score/bigram_lm_score.  Stats are rounded (6 dp)
     before the comparison so the DuckDB twin's interpolation arithmetic
     agrees bit-for-bit.
     """
     exploded = df.select(
         F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("pos", "v")
     ).select("id", "pos", F.col("v").cast("double").alias("v"))
-    med = exploded.groupBy("pos").agg(
-        F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
-    )
-    mad = (
-        exploded.join(med, "pos")
-        .select("pos", F.abs(F.col("v") - F.col("med")).alias("ad"))
-        .groupBy("pos")
-        .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
-    )
-    stats = med.join(mad, "pos")
+    if stats is None:
+        med = exploded.groupBy("pos").agg(
+            F.round(F.expr("percentile(v, 0.5)"), 6).alias("med")
+        )
+        mad = (
+            exploded.join(F.broadcast(med), "pos")
+            .select("pos", F.abs(F.col("v") - F.col("med")).alias("ad"))
+            .groupBy("pos")
+            .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
+        )
+        stats = med.join(mad, "pos")
     thresh = F.lit(z) * F.lit(1.4826) * F.col("mad")
     return (
         exploded.join(F.broadcast(stats), "pos")
