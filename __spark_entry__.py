@@ -1654,28 +1654,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — every oracle
-    # then has a driver-green row within the last two rounds (modulo the
-    # handful the 2x50 slots can't hold, which the full local
-    # tools/check_oracle.py run covers).  Round-8 window: the 6 round-7
-    # oracles that have NEVER had a driver-green row lead, followed by the
-    # first 44 rows of the round-6-verified block (CORRECTNESS_r06.json
-    # order).  Below the line: the r6 tail (6 rows, deferred to round 9),
-    # then the round-7 window (the r5-verified set, CORRECTNESS_r07.json).
-    # The 5 rows-only entries stay at the very bottom permanently: in-window
-    # they record only a weak rows-only check, and their contracts are
-    # pinned by the hash-verified contract rows (knn_lsh_recall, ivf_recall,
-    # lsh_recall, pca_invariants, lsh_edges_exactness; BPE by
-    # tests/test_tokenizer.py).
+    # recomposed so the LEAST-recently-verified oracles lead — with 113 oracles
+    # and a 50-slot window every oracle has a driver-green row within a 3-round
+    # period (the full local tools/check_oracle.py run covers every oracle every
+    # round regardless of window position).  Round-9 window: the r6 tail that
+    # was deferred out of the round-8 window leads, then the 7 round-8 oracles
+    # that have never had a driver-green row, then the first 37 rows of the
+    # round-7-verified block (CORRECTNESS_r07.json order).  Below the line: the
+    # deferred r7 tail (13 rows, must lead the round-10 window), then the
+    # round-8 window (CORRECTNESS_r08.json), then new round-9 oracles.  The 5
+    # rows-only entries stay at the very bottom permanently: in-window they
+    # record only a weak rows-only check, and their contracts are pinned by
+    # the hash-verified contract rows (knn_lsh_recall, ivf_recall, lsh_recall,
+    # pca_invariants, lsh_edges_exactness; BPE by tests/test_tokenizer.py).
     return {
-        # -- r8 window head: round-7 oracles, never driver-verified ----------
+        # -- r9 window head: r6 tail deferred out of the round-8 window ------
+        "q21_suppliers_waiting": q21_suppliers_waiting,
+        "doc_length_percentiles": doc_length_percentiles,
+        "embedding_dim_stats": embedding_dim_stats,
+        "lexical_diversity": lexical_diversity,
+        "gopher_quality_flags": gopher_quality_flags,
+        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
+        # -- r9 window: round-8 oracles, never driver-verified ---------------
+        "ann_batch_exactness": ann_batch_exactness,
+        "semdedup_contract": semdedup_contract,
+        "text_normalize": text_normalize,
+        "lm_quality_buckets": lm_quality_buckets,
+        "doc_chunks": doc_chunks,
+        "url_curation": url_curation,
+        "embedding_outliers": embedding_outliers,
+        # -- r9 window body: rows last driver-verified in round 7 ------------
+        "quality_repetition": quality_repetition,
+        "pii_redaction": pii_redaction,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "corpus_logfreq_score": corpus_logfreq_score,
+        "quality_resample": quality_resample,
+        "codec_eval": codec_eval,
+        "source_mix": source_mix,
+        "source_capped_sample": source_capped_sample,
+        "corpus_curation": corpus_curation,
+        "dedup_components": dedup_components,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_quantize": embedding_quantize,
+        "knn_join_tables": knn_join_tables,
+        "paraphrase_candidates": paraphrase_candidates,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
+        "top_tokens": top_tokens,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "crawl_dedup_join": crawl_dedup_join,
+        "doc_embeddings": doc_embeddings,
+        "curation_keep_best": curation_keep_best,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_cosine": ann_topk_cosine,
+        "cosine_neardup": cosine_neardup,
+        "events_sessionize": events_sessionize,
+        "media_metadata": media_metadata,
+        "carriers_by_threshold": carriers_by_threshold,
+        "pairwise_viz_stats": pairwise_viz_stats,
+        "knn_lsh_recall": knn_lsh_recall,
+        "point_lookup": point_lookup,
+        "vector_scan": vector_scan,
+        "vector_stats": vector_stats,
+        # ---- 50-query window line ------------------------------------------
+        # r7 tail deferred to the round-10 window (these stay green in the
+        # full local check_oracle run every round):
+        "vector_mean": vector_mean,
+        "knn_degrees": knn_degrees,
+        "gated_degrees": gated_degrees,
+        "degree_histogram": degree_histogram,
+        "carrier_selection": carrier_selection,
+        "topk_degree_pool": topk_degree_pool,
+        "crc4_table": crc4_table,
+        "majority_vote_events": majority_vote_events,
+        "robust_vote_events": robust_vote_events,
+        "sample_keyed": sample_keyed,
+        "sample_stratified": sample_stratified,
+        "pca_invariants": pca_invariants,
+        "lsh_edges_exactness": lsh_edges_exactness,
+        # -- r8 window (driver-green in round 8, CORRECTNESS_r08.json) -------
         "dup_ngram_spans": dup_ngram_spans,
         "span_scrubbed_docs": span_scrubbed_docs,
         "bigram_lm_scores": bigram_lm_scores,
         "pq_recall": pq_recall,
         "corpus_snapshot_diff": corpus_snapshot_diff,
         "corpus_snapshot_stats": corpus_snapshot_stats,
-        # -- r8 window body: rows last driver-verified in round 6 ------------
         "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
@@ -1720,75 +1788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
         "q20_excess_inventory": q20_excess_inventory,
-        # ---- 50-query window line ------------------------------------------
-        # r6 tail deferred to the round-9 window (2x50 slots hold 100 of the
-        # 106 oracles; these stay green in the full local check_oracle run):
-        "q21_suppliers_waiting": q21_suppliers_waiting,
-        "doc_length_percentiles": doc_length_percentiles,
-        "embedding_dim_stats": embedding_dim_stats,
-        "lexical_diversity": lexical_diversity,
-        "gopher_quality_flags": gopher_quality_flags,
-        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
-        # -- r7 window (driver-green in round 7, CORRECTNESS_r07.json) -------
-        "quality_repetition": quality_repetition,
-        "pii_redaction": pii_redaction,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "corpus_logfreq_score": corpus_logfreq_score,
-        "quality_resample": quality_resample,
-        "codec_eval": codec_eval,
-        "source_mix": source_mix,
-        "source_capped_sample": source_capped_sample,
-        "corpus_curation": corpus_curation,
-        "dedup_components": dedup_components,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_quantize": embedding_quantize,
-        "knn_join_tables": knn_join_tables,
-        "paraphrase_candidates": paraphrase_candidates,
-        "sketch_distinct_tokens": sketch_distinct_tokens,
-        "top_tokens": top_tokens,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "crawl_dedup_join": crawl_dedup_join,
-        "doc_embeddings": doc_embeddings,
-        "curation_keep_best": curation_keep_best,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_stats": text_stats,
-        "lang_id": lang_id,
-        "doc_fingerprints": doc_fingerprints,
-        "ann_topk_cosine": ann_topk_cosine,
-        "cosine_neardup": cosine_neardup,
-        "events_sessionize": events_sessionize,
-        "media_metadata": media_metadata,
-        "carriers_by_threshold": carriers_by_threshold,
-        "pairwise_viz_stats": pairwise_viz_stats,
-        "knn_lsh_recall": knn_lsh_recall,
-        "point_lookup": point_lookup,
-        "vector_scan": vector_scan,
-        "vector_stats": vector_stats,
-        "vector_mean": vector_mean,
-        "knn_degrees": knn_degrees,
-        "gated_degrees": gated_degrees,
-        "degree_histogram": degree_histogram,
-        "carrier_selection": carrier_selection,
-        "topk_degree_pool": topk_degree_pool,
-        "crc4_table": crc4_table,
-        "majority_vote_events": majority_vote_events,
-        "robust_vote_events": robust_vote_events,
-        "sample_keyed": sample_keyed,
-        "sample_stratified": sample_stratified,
-        "pca_invariants": pca_invariants,
-        "lsh_edges_exactness": lsh_edges_exactness,
-        # -- new in round 8 (below the driver window; full-green locally via
-        # -- tools/check_oracle.py, driver-gated on a later rotation) --------
-        "ann_batch_exactness": ann_batch_exactness,
-        "semdedup_contract": semdedup_contract,
-        "text_normalize": text_normalize,
-        "lm_quality_buckets": lm_quality_buckets,
-        "doc_chunks": doc_chunks,
-        "url_curation": url_curation,
-        "embedding_outliers": embedding_outliers,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
