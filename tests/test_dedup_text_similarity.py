@@ -785,8 +785,56 @@ def test_semantic_dedup_partition_invariant_and_guard(spark):
     b = b.sort_values("id").reset_index(drop=True)
     assert a.equals(b)
 
+    # the backstop raise now only fires for genuinely UNSPLITTABLE data:
+    # > max_cluster_rows identical vectors — no centroid count separates them
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(8)],
+        "id long, emb array<float>",
+    )
     with _pytest.raises(Exception, match="max_cluster_rows"):
-        semantic_dedup(df, n_clusters=1, eps=0.05, max_cluster_rows=3).collect()
+        semantic_dedup(same, n_clusters=1, eps=0.05, max_cluster_rows=3).collect()
+
+
+def test_semantic_dedup_splits_oversized_clusters(spark):
+    """VERDICT r8 #2 done-criterion: a planted mega-cluster fixture that used
+    to raise under max_cluster_rows now completes via two-level splitting,
+    with identical pair semantics inside the split sub-clusters (every
+    planted dup group is tight and mutually distant, so each lands whole in
+    one sub-cluster and the pair set equals global brute force)."""
+    from vectordb_watermark_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    df = _semdedup_fixture(spark)  # 12 rows; n_clusters=1 puts all in one
+    pairs = semantic_dedup_pairs(
+        df, n_clusters=1, eps=0.05, max_cluster_rows=4, target_cluster_rows=4
+    )
+    sem = {(r["a"], r["b"]) for r in pairs.collect()}
+    brute = {
+        (r["a"], r["b"])
+        for r in cosine_neardup_pairs(df, threshold=0.95, method="gemm").collect()
+    }
+    assert sem == brute and len(sem) == 9
+
+    out = semantic_dedup(
+        df, n_clusters=1, eps=0.05, max_cluster_rows=4, target_cluster_rows=4
+    ).toPandas()
+    assert sorted(out[out["keep"]]["id"]) == [0, 3, 10, 13, 20, 23]
+
+
+def test_semantic_dedup_autosizes_n_clusters(spark):
+    """n_clusters=None derives ceil(N / target_cluster_rows) — the
+    safe-by-default path; result matches an explicit equivalent call."""
+    from vectordb_watermark_spark.operators.similarity import semantic_dedup
+
+    df = _semdedup_fixture(spark)  # 12 rows; target 4 -> 3 clusters
+    auto = semantic_dedup(df, eps=0.05, target_cluster_rows=4).toPandas()
+    explicit = semantic_dedup(df, n_clusters=3, eps=0.05).toPandas()
+    auto = auto.sort_values("id").reset_index(drop=True)
+    explicit = explicit.sort_values("id").reset_index(drop=True)
+    assert auto.equals(explicit)
 
 
 def test_ivf_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):

@@ -258,13 +258,15 @@ def cosine_neardup_pairs(
 
 def semantic_dedup_pairs(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     eps: float = 0.05,
     key: str = "semdedup",
     id_col: str = "id",
     vec_col: str = "emb",
     batch_rows: int = 2048,
     max_cluster_rows: int = 200_000,
+    target_cluster_rows: int = 100_000,
+    max_split_rounds: int = 3,
 ) -> DataFrame:
     """SemDeDup-style within-cluster near-dup pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -276,22 +278,81 @@ def semantic_dedup_pairs(
 
     Returns ``(a, b, cos, cluster)`` with ``cos >= 1 - eps``, ``a < b``.
     Cross-cluster near-dups are missed by construction — the documented
-    approximation of the method; size ``n_clusters`` so the expected
-    cluster fits one executor (the paper runs ~100k clusters at web
-    scale).  A cluster above ``max_cluster_rows`` raises loudly with that
-    remediation instead of OOMing an executor.
+    approximation of the method (the paper runs ~100k clusters at web
+    scale).
+
+    SAFE BY DEFAULT AT SCALE:
+
+    - ``n_clusters=None`` (the default) auto-sizes the cluster count to
+      ``ceil(N / target_cluster_rows)`` from the corpus count — a
+      default-parameter call cannot build executor-crushing clusters at
+      10M+ rows the way a fixed ``n_clusters=16`` default could.
+    - Clusters that still exceed ``max_cluster_rows`` (skew: k-means put
+      a dense region under one centroid) are SPLIT, not fatal: up to
+      ``max_split_rounds`` two-level passes train sub-centroids on each
+      oversized cluster's own rows and re-assign against the flattened
+      centroid set.  Pair semantics stay exact *within* the final
+      clusters; the approximation boundary just moves with the split.
+    - The loud ``max_cluster_rows`` raise remains as the backstop for
+      genuinely unsplittable data (e.g. > max_cluster_rows identical
+      vectors, which no centroid count can separate).
 
     Clustering is the keyed-hash-seeded Lloyd loop shared with IVF
-    (:func:`ivf_assign`) — deterministic, partition-order free; the
+    (:func:`_ivf_train`) — deterministic, partition-order free; the
     within-cluster GEMM is chunked by ``batch_rows`` so peak memory is
     ``batch_rows x cluster_rows`` float64, not quadratic.
+
+    Cache discipline: the ``(id, v)`` base is persisted only for the
+    duration of training/splitting and unpersisted before return; the
+    returned DataFrame's lineage is a LAZY assignment pass against the
+    final (driver-side) centroid list — nothing stays cached for the
+    session (one extra source scan at materialization, zero leak).
     """
+    import math
+
     thr = 1.0 - eps
-    assigned, _cents = ivf_assign(df, n_clusters, key=key,
-                                  id_col=id_col, vec_col=vec_col)
-    joined = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(assigned, "id")
+    sub_target = min(target_cluster_rows, max_cluster_rows)
+    base = _ivf_base(df, id_col, vec_col)
+    try:
+        if n_clusters is None:
+            n_rows = base.count()
+            n_clusters = max(1, math.ceil(n_rows / target_cluster_rows))
+        centroids = _ivf_train(base, n_clusters, 3, key)
+        for split_round in range(max_split_rounds):
+            sizes = {
+                r["centroid"]: r["n"]
+                for r in _ivf_assign_pass(base, centroids)
+                .groupBy("centroid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            oversized = sorted(c for c, n in sizes.items() if n > max_cluster_rows)
+            if not oversized:
+                break
+            kept = [c for i, c in enumerate(centroids) if i not in set(oversized)]
+            assigned = _ivf_assign_pass(base, centroids)
+            for c in oversized:
+                n_sub = max(2, math.ceil(sizes[c] / sub_target))
+                sub_base = (
+                    assigned.filter(F.col("centroid") == c)
+                    .select("id", "v")
+                    .persist()
+                )
+                try:
+                    kept.extend(
+                        _ivf_train(sub_base, n_sub, 2, f"{key}|split{split_round}|{c}")
+                    )
+                finally:
+                    sub_base.unpersist()
+            centroids = kept
+    finally:
+        base.unpersist()
+
+    # LAZY final assignment: recomputed from the source at materialization —
+    # carries v through, so no join back to df and no lingering cache.
+    joined = _ivf_assign_pass(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        centroids,
     )
     id_type = df.schema[id_col].dataType.simpleString()
 
@@ -341,13 +402,15 @@ def semantic_dedup_pairs(
 
 def semantic_dedup(
     df: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     eps: float = 0.05,
     key: str = "semdedup",
     id_col: str = "id",
     vec_col: str = "emb",
     batch_rows: int = 2048,
     max_cluster_rows: int = 200_000,
+    target_cluster_rows: int = 100_000,
+    max_split_rounds: int = 3,
 ) -> DataFrame:
     """Full SemDeDup decision table ``(id, canonical, keep)``: within-cluster
     near-dup pairs (:func:`semantic_dedup_pairs`) grouped into components
@@ -355,12 +418,13 @@ def semantic_dedup(
     ``dedup.connected_components``), canonical = smallest id per component,
     singletons keep themselves.  ``keep`` selects the deduplicated corpus;
     filtering ``keep`` is the paper's semantic prune at threshold
-    ``1 - eps``."""
+    ``1 - eps``.  ``n_clusters=None`` auto-sizes and oversized clusters
+    split — see :func:`semantic_dedup_pairs`."""
     from vectordb_watermark_spark.operators.dedup import connected_components
 
     pairs = semantic_dedup_pairs(
         df, n_clusters, eps, key, id_col, vec_col, batch_rows,
-        max_cluster_rows,
+        max_cluster_rows, target_cluster_rows, max_split_rounds,
     )
     comps = connected_components(pairs)  # (id, comp)
     ids = df.select(F.col(id_col).alias("id"))
