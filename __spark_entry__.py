@@ -1991,7 +1991,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             o AS (
               SELECT e.id,
-                     CASE WHEN abs(e.v - m.med) > 6.0 * 1.4826 * d.mad
+                     CASE WHEN abs(e.v - m.med) > greatest(6.0 * 1.4826 * d.mad, 0.000001)
                           THEN 1 ELSE 0 END AS o
               FROM e JOIN med m USING (pos) JOIN mad d USING (pos)
             )

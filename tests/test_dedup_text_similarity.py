@@ -837,6 +837,32 @@ def test_semantic_dedup_autosizes_n_clusters(spark):
     assert auto.equals(explicit)
 
 
+def test_ivf_query_index_batch_qid_types_and_dups(spark, vectors, tmp_path):
+    """ADVICE r8: an int (not long) qid column survives the Arrow kernel via
+    an explicit type from the qid schema; duplicate qids raise loudly."""
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.similarity import (
+        ivf_query_index_batch,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf_qid")
+    ivf_write_index(vectors, path, n_centroids=8)
+    qv = [float(x) for x in vectors.first()["emb"]]
+    queries = spark.createDataFrame(
+        [(7, qv), (9, qv)], "qid int, qvec array<float>"
+    )
+    out = ivf_query_index_batch(spark, path, queries, k=5, n_probe=4)
+    assert out.schema["qid"].dataType.simpleString() == "int"
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {7, 9} and len(rows) == 10
+
+    dup = spark.createDataFrame([(7, qv), (7, qv)], "qid int, qvec array<float>")
+    with _pytest.raises(ValueError, match="duplicate qids"):
+        ivf_query_index_batch(spark, path, dup, k=5)
+
+
 def test_ivf_query_index_batch_agrees_one_scan(spark, vectors, tmp_path):
     """Batched multi-query probing (VERDICT r7 task #8): per-query results
     equal the single-query path exactly, the probed-partition read happens

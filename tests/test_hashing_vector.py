@@ -147,3 +147,27 @@ def test_embedding_outlier_flags_planted(spark):
     assert out[100]["outlier"] and out[100]["n_outlier_dims"] >= 1
     flagged = [i for i, r in out.items() if r["outlier"]]
     assert flagged == [100]
+
+
+def test_embedding_outlier_flags_near_dead_dim(spark):
+    """ADVICE r8: a near-constant dim (true MAD below the 6-dp rounding
+    grain, e.g. float32 noise on a dead embedding dim) must NOT flag the
+    whole corpus — the absolute threshold floor absorbs sub-1e-6 noise.
+    A genuine deviation in that dim (> 1e-6) still trips."""
+    import numpy as np
+
+    from vectordb_watermark_spark.functions.vector import embedding_outlier_flags
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = (0.01 * rng.standard_normal(4)).tolist()
+        # near-dead dim: float32-noise-scale jitter around 0.5, MAD ~ 2e-8
+        v[2] = 0.5 + float(rng.standard_normal()) * 2e-8
+        rows.append((i, [float(x) for x in v]))
+    # one genuine deviation in the near-dead dim
+    rows.append((200, [0.0, 0.0, 0.6, 0.0]))
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    out = {r["id"]: r for r in embedding_outlier_flags(df).collect()}
+    flagged = sorted(i for i, r in out.items() if r["outlier"])
+    assert flagged == [200], f"near-dead dim degenerated the gate: {flagged[:10]}"

@@ -301,6 +301,77 @@ def test_ivf_pq_append_index(spark, vectors, tmp_path):
         )
 
 
+def test_ivf_pq_append_encodes_via_build_convention(spark, vectors, tmp_path):
+    """ADVICE r8: a float64 source column must be cast to array<float>
+    BEFORE append-time encoding (same as _pq_base at build time), so the
+    appended codes equal what a full rebuild over the same rows would
+    store — append-time and build-time encoding see identical inputs."""
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _load_centroids,
+    )
+
+    path = str(tmp_path / "ivfpq_app64")
+    old = vectors.filter(F.col("id") < 400)
+    new64 = vectors.filter((F.col("id") >= 400) & (F.col("id") < 430)).select(
+        "id", F.col("emb").cast("array<double>").alias("emb")
+    )
+    P.ivf_pq_write_index(old, path, n_centroids=8, m=8, n_codes=16)
+    assert P.ivf_pq_append_index(new64, path) == new64.count()
+
+    cents = _load_centroids(spark, path)
+    B = P._load_codebooks(spark, path)
+    # the build convention: float32-cast base feeds assignment + encode
+    expect = {
+        r["id"]: (r["centroid"], list(r["codes"]))
+        for r in P._residual_encode_pass(
+            _ivf_assign_pass(P._pq_base(new64, "id", "emb"), cents), cents, B
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["centroid"], list(r["codes"]))
+        for r in spark.read.parquet(f"{path}/codes")
+        .filter(F.col("id") >= 400)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_ivf_pq_query_index_batch_qid_types_and_dups(spark, vectors, tmp_path):
+    """ADVICE r8: an int (not long) qid column must survive the Arrow kernel
+    (explicit type from the qid schema, not inference), and duplicate qids
+    raise instead of silently doubling result rows."""
+    path = str(tmp_path / "ivfpq_qid")
+    P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)
+    qv = [float(x) for x in vectors.first()["emb"]]
+    queries = spark.createDataFrame(
+        [(7, qv), (9, qv)], "qid int, qvec array<float>"
+    )
+    out = P.ivf_pq_query_index_batch(spark, path, queries, k=5, n_probe=4)
+    assert out.schema["qid"].dataType.simpleString() == "int"
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {7, 9}
+    assert len(rows) == 10
+
+    dup = spark.createDataFrame(
+        [(7, qv), (7, qv)], "qid int, qvec array<float>"
+    )
+    with pytest.raises(ValueError, match="duplicate qids"):
+        P.ivf_pq_query_index_batch(spark, path, dup, k=5)
+
+
+def test_pq_train_overflow_raises_loud(spark):
+    """ADVICE r8: a decimal-overflow NULL in the partial-sum fold surfaces
+    as an explicit 'partial-sum overflow' ValueError, not a bare
+    float(None) TypeError."""
+    # 1e20 coordinates x a handful of rows overflow decimal(38,18)'s 20
+    # integer digits in the per-cell sum
+    rows = [(i, [1e20] * 8) for i in range(16)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    with pytest.raises(ValueError, match="partial-sum overflow"):
+        P.pq_train(df, m=2, n_codes=2, n_iters=1)
+
+
 def test_ivf_pq_query_prunes_partitions(spark, vectors, tmp_path):
     path = str(tmp_path / "ivfpq2")
     P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)

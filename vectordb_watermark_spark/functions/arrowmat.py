@@ -69,3 +69,17 @@ def collect_matrix(df, id_col: str = "id", vec_col: str = "emb") -> tuple[np.nda
     ids = tbl["id"].to_numpy().astype(np.int64, copy=False)
     mat = list_array_to_matrix(tbl["v"])
     return ids, mat
+
+
+def arrow_type_of(spark_type) -> pa.DataType:
+    """Spark ``DataType`` -> the Arrow type Spark itself maps it to.
+
+    Kernel outputs built with ``pa.array(python_list)`` get Arrow's
+    INFERRED type (Python ints -> int64), which fails the declared
+    ``mapInArrow`` schema whenever the column is int/short/etc.  Deriving
+    the type from the Spark schema keeps kernels correct for every id/qid
+    column type, not just long and string.
+    """
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    return to_arrow_type(spark_type)

@@ -166,9 +166,14 @@ def embedding_outlier_flags(
 
     Per dimension the corpus median and MAD are computed EXACTLY
     (``percentile(0.5)``); a coordinate is an outlier when
-    ``|x - median| > z * 1.4826 * MAD`` (1.4826 scales MAD to sigma under
-    normality); a row is flagged when ANY dimension trips.  Dimensions
-    with MAD 0 (constant dims) only trip on any deviation at all.
+    ``|x - median| > max(z * 1.4826 * MAD, 1e-6)`` (1.4826 scales MAD to
+    sigma under normality); a row is flagged when ANY dimension trips.
+    The absolute floor (1e-6, one ulp of the 6-dp stat rounding) keeps
+    constant and NEAR-constant dimensions sane: a dim whose true MAD is
+    below the rounding grain would otherwise get threshold 0 and flag
+    every row carrying float32 noise — one near-dead embedding dim would
+    mark essentially the whole corpus.  Genuine deviations in a constant
+    dim (> 1e-6) still trip.
 
     Scale shape: three passes over the corpus — median, MAD (each a
     map-side-combined groupBy(pos) whose output is D rows), then the
@@ -194,7 +199,7 @@ def embedding_outlier_flags(
             .agg(F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"))
         )
         stats = med.join(mad, "pos")
-    thresh = F.lit(z) * F.lit(1.4826) * F.col("mad")
+    thresh = F.greatest(F.lit(z) * F.lit(1.4826) * F.col("mad"), F.lit(1e-6))
     return (
         exploded.join(F.broadcast(stats), "pos")
         .select(

