@@ -978,6 +978,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_minhash_pairs(spark, sf):
         return D.minhash_candidate_pairs(_docs(spark, sf))
 
+    def dedup_minhash_agree(spark, sf):
+        # lane-agreement pre-verify cut (round 9): banded candidates whose
+        # estimated Jaccard (agreeing lanes / 16) clears 0.5 — the volume
+        # lever for billion-candidate corpora, pinned cross-engine
+        return D.minhash_candidate_pairs(_docs(spark, sf), min_agree=8)
+
     def doc_embeddings(spark, sf):  # M6 bulk embedding generation
         return T.hash_embed_documents(_docs(spark, sf))
 
@@ -1788,6 +1794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": q11_important_stock,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
         "q20_excess_inventory": q20_excess_inventory,
+        # -- new in round 9 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, driver-gated on a later rotation) --------
+        "dedup_minhash_agree": dedup_minhash_agree,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -2647,6 +2656,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
             WHERE x.doc_id < y.doc_id""",
+        "dedup_minhash_agree": f"""
+            WITH sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            )
+            SELECT c.a, c.b
+            FROM cand c JOIN sigs sx ON sx.doc_id = c.a JOIN sigs sy ON sy.doc_id = c.b
+            WHERE ({' + '.join(f'CASE WHEN sx.mh{j} = sy.mh{j} THEN 1 ELSE 0 END' for j in range(N_MINHASH))}) >= 8""",
         "doc_embeddings": T.sql_hash_embed(64),
         "crawl_dedup_join": f"""
             WITH sigs AS (

@@ -80,6 +80,87 @@ def test_minhash_lsh_recall_on_neardups(spark):
             assert (i, j) in pairs
 
 
+def test_minhash_band_plan_s_curve_selector():
+    """Planner picks the MMDS S-curve optimum: the chosen geometry's steepest
+    point tracks the target threshold, spends the full lane budget when a
+    sharper curve is free, and responds to the fp/fn weighting."""
+    lo = D.minhash_band_plan(0.3)
+    mid = D.minhash_band_plan(0.5)
+    hi = D.minhash_band_plan(0.8)
+    for plan, t in ((lo, 0.3), (mid, 0.5), (hi, 0.8)):
+        assert plan["bands"] * plan["band_size"] == plan["n_hashes"] <= D.N_MINHASH
+        assert abs(plan["s_threshold"] - t) < 0.25, (plan, t)
+    # lower threshold -> steeper point moves down -> more, shorter bands
+    assert lo["s_threshold"] < mid["s_threshold"] < hi["s_threshold"]
+    # weighting: candidate-volume-averse plan pushes the curve RIGHT
+    vol = D.minhash_band_plan(0.5, fp_weight=0.9, fn_weight=0.1)
+    rec = D.minhash_band_plan(0.5, fp_weight=0.1, fn_weight=0.9)
+    assert vol["s_threshold"] >= rec["s_threshold"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.minhash_band_plan(0.0)
+    with _pytest.raises(ValueError):
+        D.minhash_band_plan(0.5, n_hashes=99)
+
+
+def test_minhash_min_agree_binomial_tail():
+    """min_agree is the strongest cut whose false-negative rate at the
+    threshold stays within fn_tol (exact Binomial(n, t) upper tail)."""
+    from math import comb
+
+    m = D.minhash_min_agree(0.5, 16, fn_tol=0.05)
+
+    def tail(mm, t=0.5, n=16):
+        return sum(comb(n, k) * t**k * (1 - t) ** (n - k) for k in range(mm, n + 1))
+
+    assert tail(m) >= 0.95 and (m == 16 or tail(m + 1) < 0.95)
+    # a high threshold admits a high cut; a low one degrades gracefully to 1
+    assert D.minhash_min_agree(0.9, 16) > m >= D.minhash_min_agree(0.1, 16) == 1
+
+
+def test_minhash_candidate_pairs_min_agree_filter(spark):
+    """min_agree cuts exactly the banded pairs whose signature agreement is
+    below the bar (pinned against a brute-force lane comparison), keeps
+    full-agreement dup groups, and validates its range."""
+    import pytest as _pytest
+
+    rows = []
+    base = [f"tok{i}" for i in range(40)]
+    rows.append((0, " ".join(base)))
+    rows.append((1, " ".join(base)))                                   # exact dup of 0
+    rows.append((2, " ".join(base[:36] + [f"x{i}" for i in range(4)])))  # J~0.8 vs 0
+    rows.append((3, " ".join(base[:20] + [f"y{i}" for i in range(20)])))  # J~0.33 vs 0
+    rows.append((4, " ".join(f"z{i}" for i in range(40))))             # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    all_pairs = {(r["a"], r["b"]) for r in D.minhash_candidate_pairs(df).collect()}
+    sigs = {r["id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+
+    for m in (2, 8, 12):
+        got = {
+            (r["a"], r["b"])
+            for r in D.minhash_candidate_pairs(df, min_agree=m).collect()
+        }
+        expect = {
+            (a, b)
+            for (a, b) in all_pairs
+            if sum(x == y for x, y in zip(sigs[a], sigs[b])) >= m
+        }
+        assert got == expect, f"min_agree={m}"
+    # the exact-dup pair survives the strictest cut (identical signatures)
+    strict = {
+        (r["a"], r["b"])
+        for r in D.minhash_candidate_pairs(df, min_agree=16).collect()
+    }
+    assert (0, 1) in strict
+
+    with _pytest.raises(ValueError, match="min_agree"):
+        D.minhash_candidate_pairs(df, min_agree=17)
+    with _pytest.raises(ValueError, match="min_agree"):
+        D.minhash_candidate_pairs(df, min_agree=0)
+
+
 def test_sig_group_caches_bounded_registry(spark):
     """minhash_candidate_pairs / minhash_join register their signature-group
     caches in a bounded LRU registry: storage never exceeds

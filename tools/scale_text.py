@@ -13,6 +13,28 @@ LSH candidates -> exact-Jaccard verify -> connected components ->
 quality-aware canonical selection — the end-to-end path the
 ``corpus_curation``/``curation_keep_best`` oracles pin at small SF.
 
+Round 9: the pipeline stage adds the lane-agreement pre-verify cut
+``min_agree = ceil(t * n_hashes)`` — the volume lever that fixes round
+8's honest caveat (1.59e9 candidates at 0.57% verify precision on this
+zipf corpus).  ``--legacy-bands`` reverts to no agreement cut for A/B
+comparison.  The corpus now carries ``tpl`` ground truth (template
+family id, -1 for unique docs; the text/id streams are draw-identical
+to the round-8 corpus), and the pipeline reports ``planted_recall`` —
+the fraction of planted template-family members that land in their
+family's largest connected component.
+
+Measured A/B at 20k rows (recorded so the knob choice is evidence, not
+taste): legacy 4x4 banding = 713,558 candidates, recall 0.97795;
+4x4 + min_agree=8 = 135,524 candidates (5.3x cut), recall 0.97795 —
+IDENTICAL, the cut costs zero planted recall because family docs far
+exceed the estimated-Jaccard bar.  The volume-weighted
+``minhash_band_plan(0.5, fp_weight=0.9)`` geometry (3 bands x 5 rows)
+cuts harder (61,929) but costs 6pp of recall (0.91561) — banding
+geometry, not the agreement cut, is what recall is bought with, so the
+harness keeps the recall-strong 4x4 banding and takes the volume win in
+the agreement filter.  The planner remains the right tool when the
+TARGET threshold itself moves (e.g. verify at 0.8 wants 2x8 banding).
+
 At >= 1M rows size the single local JVM for the data:
 ``SPARK_GRAFT_DRIVER_MEM=48g SPARK_GRAFT_SHUFFLE_PARTITIONS=128`` (local
 mode puts driver and executors in ONE heap; the 8g default that fits the
@@ -68,24 +90,28 @@ def make_corpus(spark, rows: int, path: str) -> None:
 
                 n_templates = max(200, rows // 500)
                 templates = [" ".join(words(trng, 40)) for _ in range(n_templates)]
-                ids, texts = [], []
+                ids, texts, tpls = [], [], []
                 for i in range(lo, hi):
                     u = rng.random()
                     if u < 0.02:  # exact copy of a template
-                        t = templates[rng.integers(0, len(templates))]
+                        ti = int(rng.integers(0, len(templates)))
+                        t = templates[ti]
                     elif u < 0.20:  # near-dup: template with a few swaps
-                        toks = templates[rng.integers(0, len(templates))].split()
+                        ti = int(rng.integers(0, len(templates)))
+                        toks = templates[ti].split()
                         for _ in range(rng.integers(1, 4)):
                             toks[rng.integers(0, len(toks))] = f"w{rng.integers(VOCAB_SIZE)}"
                         t = " ".join(toks)
                     else:  # unique
+                        ti = -1
                         t = " ".join(words(rng, int(rng.integers(20, 60))))
                     ids.append(i)
                     texts.append(t)
-                yield pd.DataFrame({"doc_id": ids, "text": texts})
+                    tpls.append(ti)
+                yield pd.DataFrame({"doc_id": ids, "text": texts, "tpl": tpls})
 
     base = spark.range(n_part).select(F.col("id").alias("p")).repartition(n_part, "p")
-    base.mapInPandas(gen, schema="doc_id long, text string").write.mode(
+    base.mapInPandas(gen, schema="doc_id long, text string, tpl long").write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -95,6 +121,12 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--pipeline", action="store_true")
+    ap.add_argument("--verify-threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--legacy-bands", action="store_true",
+        help="pipeline: fixed 4x4 banding, no lane-agreement cut (the "
+        "round-8 configuration, kept for A/B comparison)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
@@ -141,7 +173,23 @@ def main() -> None:
         ).count(),
     )
 
+    plan_info: dict = {}
     if args.pipeline:
+        t = args.verify_threshold
+        geo = {"n_hashes": D.N_MINHASH, "band_size": D.BAND_SIZE}
+        if args.legacy_bands:
+            min_agree = None
+        else:
+            # estimated-Jaccard pre-verify cut: keep banded pairs only when
+            # agreeing lanes / n_hashes clears the verify threshold.  The
+            # 20k A/B (module docstring) measured this at a 5.3x candidate
+            # cut with ZERO planted-recall cost; banding geometry stays at
+            # the recall-strong module default.
+            import math
+
+            min_agree = math.ceil(t * geo["n_hashes"])
+            plan_info = {"min_agree": min_agree, **geo}
+
         # full curation chain, one stage per timing row so the expensive
         # step is attributable.  Verified pairs / components / canonical
         # winners are materialized counts, not lazy handles.
@@ -150,9 +198,9 @@ def main() -> None:
             # are released BEFORE the verify join shuffles (one mega-job
             # keeps every upstream shuffle on disk simultaneously — the
             # combination that filled the 94 GB scratch volume at 1M rows)
-            D.minhash_candidate_pairs(docs).write.mode("overwrite").parquet(
-                ".scratch/cand_pairs.parquet"
-            )
+            D.minhash_candidate_pairs(
+                docs, min_agree=min_agree, **geo
+            ).write.mode("overwrite").parquet(".scratch/cand_pairs.parquet")
             return spark.read.parquet(".scratch/cand_pairs.parquet").count()
 
         run("candidates", _candidates)
@@ -162,7 +210,7 @@ def main() -> None:
             # hashed_tokens: 8 B/token through the pair-verify shuffle (the
             # volume lever documented on jaccard_pairs)
             v = D.jaccard_pairs(
-                docs, pairs=cand, threshold=0.5, hashed_tokens=True
+                docs, pairs=cand, threshold=t, hashed_tokens=True
             ).select("a", "b")
             v.write.mode("overwrite").parquet(".scratch/verified_pairs.parquet")
             return spark.read.parquet(".scratch/verified_pairs.parquet").count()
@@ -189,14 +237,41 @@ def main() -> None:
         )
         D.release_signature_caches()
 
-    print(json.dumps({
+        # planted-recall against the tpl ground truth: every planted doc
+        # (member of a template family of size >= 2) should land in its
+        # family's largest connected component.  Singleton labels default
+        # to the doc's own id (components only covers ids that had pairs).
+        if "tpl" in docs.columns:
+            planted = docs.filter(F.col("tpl") >= 0).select("doc_id", "tpl")
+            fam = (
+                planted.join(labels, planted["doc_id"] == labels["id"], "left")
+                .select("tpl", F.coalesce("comp", F.col("doc_id")).alias("comp"))
+            )
+            per = fam.groupBy("tpl", "comp").count()
+            tot = fam.groupBy("tpl").agg(F.count(F.lit(1)).alias("n_f"))
+            mx = per.groupBy("tpl").agg(F.max("count").alias("m_f"))
+            row = (
+                tot.join(mx, "tpl")
+                .filter(F.col("n_f") >= 2)
+                .agg(F.sum("m_f").alias("m"), F.sum("n_f").alias("nn"))
+                .first()
+            )
+            counts["planted_docs"] = int(row["nn"] or 0)
+            plan_info["planted_recall"] = round(
+                float(row["m"] or 0) / max(int(row["nn"] or 0), 1), 6
+            )
+
+    out = {
         "metric": "scale_text_seconds",
         "value": round(sum(timings.values()), 1),
         "unit": "sec",
         "rows": n,
         "timings": timings,
         "counts": counts,
-    }))
+    }
+    if plan_info:
+        out["band_plan"] = plan_info
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -386,9 +386,96 @@ def release_signature_caches() -> None:
             pass
 
 
+def minhash_band_plan(
+    threshold: float,
+    n_hashes: int = N_MINHASH,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> dict:
+    """Pick LSH banding geometry ``(bands, band_size)`` for a target Jaccard
+    ``threshold`` — the S-curve optimization from Leskovec/Rajaraman/Ullman,
+    *Mining of Massive Datasets* ch. 3: a pair with Jaccard ``s`` becomes a
+    candidate with probability ``P(s) = 1 - (1 - s^r)^b``; the planner
+    enumerates every ``(b, r)`` with ``b*r <= n_hashes`` and minimizes the
+    weighted area of false positives (``∫_0^t P``) plus false negatives
+    (``∫_t^1 (1-P)``) by midpoint quadrature.
+
+    Raise ``fp_weight`` when candidate VOLUME is the cost that hurts (a
+    1M+-row corpus feeding an exact-verify join); raise ``fn_weight`` when
+    recall at the threshold matters more than verify cost.
+
+    Returns ``{"bands", "band_size", "n_hashes", "s_threshold",
+    "min_agree"}`` — ``s_threshold = (1/b)^(1/r)`` is the curve's steepest
+    point, ``min_agree`` the matching :func:`minhash_min_agree` pre-verify
+    cut.  Feed the fields straight into :func:`minhash_candidate_pairs`.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1)")
+    if not 1 <= n_hashes <= N_MINHASH:
+        raise ValueError(f"n_hashes={n_hashes} must be in [1, {N_MINHASH}]")
+    grid = 400
+    best = None
+    for r in range(1, n_hashes + 1):
+        for b in range(1, n_hashes // r + 1):
+            fp = fn = 0.0
+            for i in range(grid):
+                s = (i + 0.5) / grid
+                p = 1.0 - (1.0 - s**r) ** b
+                if s < threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            cost = (fp_weight * fp + fn_weight * fn) / grid
+            # ties: prefer spending more lanes (sharper curve), then more
+            # bands (cheaper band hashing than longer rows)
+            key = (cost, -(b * r), r)
+            if best is None or key < best[0]:
+                best = (key, b, r)
+    _, b, r = best
+    return {
+        "bands": b,
+        "band_size": r,
+        "n_hashes": b * r,
+        "s_threshold": (1.0 / b) ** (1.0 / r),
+        "min_agree": minhash_min_agree(threshold, b * r),
+    }
+
+
+def minhash_min_agree(
+    threshold: float, n_hashes: int = N_MINHASH, fn_tol: float = 0.05
+) -> int:
+    """Largest lane-agreement cut ``m`` that keeps a pair with Jaccard
+    exactly at ``threshold`` with probability ``>= 1 - fn_tol``.
+
+    Lane agreement is Binomial(``n_hashes``, J) (each MinHash lane matches
+    independently with probability J), so the exact binomial upper tail
+    picks the strongest pre-verify filter whose false-negative rate AT the
+    threshold is bounded; pairs far above the threshold are cut with
+    exponentially smaller probability.  Driver-side exact arithmetic —
+    ``n_hashes <= 16`` makes ``math.comb`` trivial."""
+    from math import comb
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1)")
+
+    def upper_tail(m: int) -> float:
+        return sum(
+            comb(n_hashes, k) * threshold**k * (1.0 - threshold) ** (n_hashes - k)
+            for k in range(m, n_hashes + 1)
+        )
+
+    m = 1
+    for cand in range(n_hashes, 0, -1):
+        if upper_tail(cand) >= 1.0 - fn_tol:
+            m = cand
+            break
+    return m
+
+
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = N_MINHASH, band_size: int = BAND_SIZE,
+    min_agree: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs ``(a, b)`` with a < b — the scale path for near-dup
     detection.
@@ -409,7 +496,24 @@ def minhash_candidate_pairs(
     registry — see :func:`_register_caches`; repeated calls never
     accumulate executor storage beyond ``SIG_CACHE_CAPACITY`` tables, and
     :func:`release_signature_caches` drains it deterministically.
+
+    ``min_agree``: optional pre-verify cut — keep a candidate pair only if
+    at least ``min_agree`` of its ``n_hashes`` signature lanes agree
+    (``matches / n_hashes`` is the unbiased MinHash Jaccard estimate, so
+    ``min_agree = ceil(t * n_hashes)`` keeps pairs whose ESTIMATED Jaccard
+    clears ``t``; :func:`minhash_min_agree` picks a bounded-false-negative
+    cut instead).  The filter runs at signature-GROUP level — a scalar
+    ``zip_with`` comparison per banded group pair, BEFORE member expansion
+    and before the token-level verify join ever sees the pair — so on a
+    corpus where banding admits billions of moderate-Jaccard pairs it cuts
+    the verify join's input by orders of magnitude for the cost of two
+    equi-joins against the (already cached) group table.  Within-group
+    pairs have identical signatures and always pass.
     """
+    if min_agree is not None and not 1 <= min_agree <= n_hashes:
+        raise ValueError(
+            f"min_agree={min_agree} must be in [1, n_hashes={n_hashes}]"
+        )
     groups = _sig_groups(df, id_col, text_col, n_hashes)
     mem = groups.select("gid", F.explode("members").alias("id"))
 
@@ -432,6 +536,24 @@ def minhash_candidate_pairs(
         .select("ra", "rb")
         .distinct()
     )
+    if min_agree is not None and min_agree > 1:
+        # lane-agreement cut at GROUP-pair level: two equi-joins against the
+        # cached group table, one scalar fold per pair — never per member
+        agree = F.aggregate(
+            F.zip_with(
+                "__sa", "__sb",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        rpairs = (
+            rpairs
+            .join(groups.select(F.col("gid").alias("ra"), F.col("sig").alias("__sa")), "ra")
+            .join(groups.select(F.col("gid").alias("rb"), F.col("sig").alias("__sb")), "rb")
+            .filter(agree >= F.lit(min_agree))
+            .select("ra", "rb")
+        )
     across = (
         rpairs.join(mem.select(F.col("gid").alias("ra"), F.col("id").alias("x")), "ra")
         .join(mem.select(F.col("gid").alias("rb"), F.col("id").alias("y")), "rb")
