@@ -1598,6 +1598,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_outliers(spark, sf):  # robust per-dim vector QC gate
         return V.embedding_outlier_flags(_vectors(spark, sf))
 
+    def rag_pipeline(spark, sf):  # end-to-end retrieval prep (round 9)
+        # normalize -> chunk -> hash-embed -> persisted IVF index -> batched
+        # top-k query, ONE composed gate row the way corpus_curation pins
+        # the curation chain.  n_probe == n_centroids probes every
+        # partition, so the index query is EXACTLY brute-force top-k over
+        # the chunk embeddings — hash-exact vs DuckDB running the same
+        # chain declaratively, and robust to any centroid jitter (probe-all
+        # results are assignment-independent).  Plan: map-only until the
+        # embed groupBy; the index shuffle is the partitioned write.
+        import os
+
+        from vectordb_watermark_spark.functions.text import (
+            hash_embed_documents,
+            normalize_text,
+        )
+        from vectordb_watermark_spark.operators.packing import chunk_documents
+        from vectordb_watermark_spark.operators.similarity import (
+            ivf_query_index_batch,
+            ivf_write_index,
+        )
+
+        norm = normalize_text(_docs(spark, sf))  # (doc_id, norm_text)
+        chunks = chunk_documents(
+            norm, chunk_tokens=40, overlap=10, text_col="norm_text"
+        )
+        cdocs = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        emb = hash_embed_documents(cdocs)  # sparse (id, pos, val), 6-dp
+        dense = (
+            emb.groupBy("id")
+            .agg(
+                F.map_from_arrays(
+                    F.collect_list("pos"), F.collect_list("val")
+                ).alias("m")
+            )
+            .select(
+                "id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda p: F.coalesce(F.element_at("m", p), F.lit(0.0)),
+                ).cast("array<float>").alias("emb"),
+            )
+        )
+        os.makedirs(".scratch", exist_ok=True)
+        path = os.path.join(
+            ".scratch", f"oracle_rag_index_{os.path.basename(str(sf))}"
+        )
+        ivf_write_index(dense, path, n_centroids=8)
+        vecs = spark.read.parquet(f"{path}/vectors")
+        qblock = vecs.filter(F.col("id").isin([0, 7000, 13000])).select(
+            F.col("id").alias("qid"), F.col("v").alias("qvec")
+        )
+        return ivf_query_index_batch(spark, path, qblock, k=5, n_probe=8)
+
     def url_curation(spark, sf):  # URL canonicalization (RefinedWeb stage 1)
         # synthetic messy URLs (upper-case scheme/host, default port,
         # tracking params, fragment) exercise every normalization rule
@@ -1797,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 9 (below the driver window; full-green locally via
         # -- tools/check_oracle.py, driver-gated on a later rotation) --------
         "dedup_minhash_agree": dedup_minhash_agree,
+        "rag_pipeline": rag_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -2656,6 +2713,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
             WHERE x.doc_id < y.doc_id""",
+        # full retrieval-prep chain: normalize -> chunk (40/10) -> hash-embed
+        # (64-d, 6-dp rounded, float32-quantized like the stored index) ->
+        # exact top-5 cosine per query chunk (probe-all IVF == brute force).
+        # Chunk id = doc_id * 1000 + chunk_idx; queries are the first chunks
+        # of docs 0/7/13.  Rows absent from the sparse dot (no shared bucket)
+        # have cos ~0 and cannot reach top-5 on this corpus.
+        "rag_pipeline": (lambda _w60: f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(nfc_normalize(text),
+                          '[ ' || chr(9) || chr(10) || chr(13) || chr(12) || ']+',
+                          ' ', 'g')) AS text
+              FROM documents
+            ),
+            t AS (SELECT doc_id, {T.sql_tokens('text')} AS l FROM norm),
+            nn AS (
+              SELECT doc_id, l,
+                     CASE WHEN len(l) <= 0 THEN 0
+                          WHEN len(l) <= 40 THEN 1
+                          ELSE CAST(ceil((len(l) - 40) / 30.0) AS INT) + 1
+                     END AS nc
+              FROM t
+            ),
+            chunks AS (
+              SELECT doc_id * 1000 + CAST(g.i AS BIGINT) AS id,
+                     array_to_string(l[CAST(g.i AS INT) * 30 + 1 :
+                                       CAST(g.i AS INT) * 30 + 40], ' ') AS text
+              FROM nn, LATERAL unnest(generate_series(0, nc - 1)) AS g(i)
+              WHERE nc > 0
+            ),
+            tok AS (SELECT id, unnest({T.sql_tokens('lower(text)')}) AS t FROM chunks),
+            words AS (SELECT id, {_w60} AS w FROM tok),
+            contrib AS (
+              SELECT id, CAST(w % 64 AS INT) AS pos,
+                     CASE WHEN (w // 64) % 2 = 1 THEN 1.0 ELSE -1.0 END AS s
+              FROM words
+            ),
+            acc AS (SELECT id, pos, sum(s) AS v FROM contrib GROUP BY id, pos),
+            nrm AS (
+              SELECT id, greatest(sqrt(sum(v * v)), 1e-12) AS n
+              FROM acc GROUP BY id
+            ),
+            emb AS (
+              SELECT a.id, a.pos,
+                     CAST(CAST(round(a.v / nrm.n, 6) + 0.0 AS FLOAT) AS DOUBLE) AS val
+              FROM acc a JOIN nrm USING (id)
+            ),
+            vnorm AS (SELECT id, sqrt(sum(val * val)) AS vn FROM emb GROUP BY id),
+            q AS (SELECT id AS qid, pos, val FROM emb WHERE id IN (0, 7000, 13000)),
+            qnorm AS (SELECT qid, sqrt(sum(val * val)) AS qn FROM q GROUP BY qid),
+            dots AS (
+              SELECT q.qid, e.id, sum(q.val * e.val) AS dot
+              FROM q JOIN emb e ON q.pos = e.pos
+              GROUP BY q.qid, e.id
+            ),
+            scored AS (
+              SELECT d.qid, d.id,
+                     round(CASE WHEN qn.qn * vn.vn > 0
+                           THEN d.dot / (qn.qn * vn.vn) ELSE 0.0 END, 6) + 0.0 AS cos
+              FROM dots d
+              JOIN qnorm qn USING (qid)
+              JOIN vnorm vn ON vn.id = d.id
+            )
+            SELECT qid, id, cos, CAST(rk AS INT) AS rank FROM (
+              SELECT qid, id, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, id ASC) AS rk
+              FROM scored
+            ) WHERE rk <= 5""")(
+            __import__(
+                "vectordb_watermark_spark.functions.hashing",
+                fromlist=["sql_word60"],
+            ).sql_word60("sha256(t)")
+        ),
         "dedup_minhash_agree": f"""
             WITH sigs AS (
               SELECT doc_id, {mh_cols} FROM
