@@ -77,6 +77,43 @@ def test_knn_lsh_recall(emb, exact_edges_np):
     assert recall > 0.55, f"LSH recall {recall:.3f} too low"
 
 
+def test_knn_lsh_string_ids(spark, emb):
+    """VERDICT r8 #7: the LSH graph path derives the id type from the input
+    column — a string-keyed corpus produces string src/dst edges identical
+    (as a graph) to the long-keyed run, including through the bucket-cap
+    subsample path."""
+    sdf = emb.select(
+        F.concat(F.lit("doc-"), F.format_string("%04d", "id")).alias("id"), "emb"
+    )
+    got = K.knn_edges_lsh(sdf, k=8, key="t", n_tables=6, n_bits=4, dim=64).collect()
+    assert got, "no edges on the string-keyed corpus"
+    assert all(isinstance(r["src"], str) and r["src"].startswith("doc-") for r in got[:20])
+    s_edges = {(r["src"], r["dst"]) for r in got}
+    l_edges = {
+        (f"doc-{r['src']:04d}", f"doc-{r['dst']:04d}")
+        for r in K.knn_edges_lsh(emb, k=8, key="t", n_tables=6, n_bits=4, dim=64).collect()
+    }
+    # dist2 values are id-independent; rank ties break by id ORDER, and zero
+    # padding makes the string order equal the numeric order -> identical
+    assert s_edges == l_edges
+
+    # bucket-cap subsample on string ids: tiny cap forces the hash-order
+    # path; the run must stay deterministic across repartitionings
+    a = {
+        (r["src"], r["dst"])
+        for r in K.knn_edges_lsh(
+            sdf, k=4, key="t", n_tables=4, n_bits=1, dim=64, bucket_cap=32
+        ).collect()
+    }
+    b = {
+        (r["src"], r["dst"])
+        for r in K.knn_edges_lsh(
+            sdf.repartition(7), k=4, key="t", n_tables=4, n_bits=1, dim=64, bucket_cap=32
+        ).collect()
+    }
+    assert a == b
+
+
 def test_in_degrees_sum_and_zero_fill(spark, emb):
     edges = K.knn_edges_exact(emb, k=16)
     deg = K.in_degrees(emb, edges).cache()

@@ -431,6 +431,24 @@ def _planes_flat(key: str, dim: int, n_tables: int, n_bits: int) -> np.ndarray:
 _BUCKET_TARGET_ROWS = 96
 
 
+def _id_subsample_order(ids, cap: int):
+    """Deterministic pseudo-random order for bucket-cap subsampling, for ANY
+    id dtype: Knuth multiplicative hash for integer ids (the original fast
+    path), crc32 of the string form for string/object id columns — both
+    stable across partitionings and runs."""
+    if ids.dtype.kind in ("i", "u"):
+        keys = (ids.astype(np.int64) * 2654435761) & 0xFFFFFFFF
+    else:
+        import zlib
+
+        keys = np.fromiter(
+            (zlib.crc32(str(x).encode()) for x in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+    return np.argsort(keys, kind="stable")[:cap]
+
+
 def knn_edges_lsh(
     df: DataFrame,
     id_col: str = "id",
@@ -504,23 +522,28 @@ def knn_edges_lsh(
 
     from vectordb_watermark_spark.operators.partitioning import spread_to_parallelism
 
+    # id type follows the caller's column (int64 vector tables AND
+    # string-keyed corpora) — same derivation as bpe_encode/mp4_metadata
+    id_type = df.schema[id_col].dataType.simpleString()
     sigs = spread_to_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    ).mapInArrow(sig_kernel, schema="id long, v array<float>, tbl int, bucket long")
+    ).mapInArrow(
+        sig_kernel, schema=f"id {id_type}, v array<float>, tbl int, bucket long"
+    )
 
     def bucket_topk(pdf):
         import pandas as pd
 
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({"src": [], "dst": [], "dist2": []}).astype(
-                {"src": "int64", "dst": "int64", "dist2": "float64"}
+            return pd.DataFrame(
+                {"src": [], "dst": [], "dist2": pd.Series([], dtype="float64")}
             )
-        ids = pdf["id"].to_numpy(dtype=np.int64)
+        ids = pdf["id"].to_numpy()
         X = np.stack(pdf["v"].map(lambda a: np.asarray(a, dtype=np.float32)))
         if m > bucket_cap:
-            # deterministic pseudo-random dst-side subsample (Knuth hash order)
-            order = np.argsort((ids * 2654435761) & 0xFFFFFFFF, kind="stable")[:bucket_cap]
+            # deterministic pseudo-random dst-side subsample (hash order)
+            order = _id_subsample_order(ids, bucket_cap)
         else:
             order = np.arange(m)
         Y = X[order]
@@ -553,7 +576,7 @@ def knn_edges_lsh(
         )
 
     cand = sigs.groupBy("tbl", "bucket").applyInPandas(
-        bucket_topk, schema="src long, dst long, dist2 double"
+        bucket_topk, schema=f"src {id_type}, dst {id_type}, dist2 double"
     )
     best = cand.groupBy("src", "dst").agg(F.min("dist2").alias("dist2"))
     w = Window.partitionBy("src").orderBy(F.col("dist2").asc(), F.col("dst").asc())
@@ -620,10 +643,15 @@ def knn_join_lsh(
                     names=["id", "v", "tbl", "bucket"],
                 )
 
+    # id type follows the caller's column (probe and build share id_col, so
+    # one derivation covers both sides; a mixed-type pair fails loud in the
+    # unionByName below rather than silently coercing)
+    id_type = probe_df.schema[id_col].dataType.simpleString()
+
     def sigs_for(df, side: int):
         return (
             spread_to_parallelism(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
-            .mapInArrow(sig_kernel, schema="id long, v array<float>, tbl int, bucket long")
+            .mapInArrow(sig_kernel, schema=f"id {id_type}, v array<float>, tbl int, bucket long")
             .withColumn("side", F.lit(side).cast("int"))
         )
 
@@ -632,20 +660,20 @@ def knn_join_lsh(
     def bucket_join_topk(pdf):
         import pandas as pd
 
-        empty = pd.DataFrame({"src": [], "dst": [], "dist2": []}).astype(
-            {"src": "int64", "dst": "int64", "dist2": "float64"}
+        empty = pd.DataFrame(
+            {"src": [], "dst": [], "dist2": pd.Series([], dtype="float64")}
         )
         pr = pdf[pdf["side"] == 0]
         bl = pdf[pdf["side"] == 1]
         if not len(pr) or not len(bl):
             return empty
-        bids = bl["id"].to_numpy(dtype=np.int64)
+        bids = bl["id"].to_numpy()
         Y = np.stack(bl["v"].map(lambda a: np.asarray(a, dtype=np.float32)))
         if len(bids) > bucket_cap:
-            order = np.argsort((bids * 2654435761) & 0xFFFFFFFF, kind="stable")[:bucket_cap]
+            order = _id_subsample_order(bids, bucket_cap)
             bids, Y = bids[order], Y[order]
         yn = (Y.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
-        pids = pr["id"].to_numpy(dtype=np.int64)
+        pids = pr["id"].to_numpy()
         X = np.stack(pr["v"].map(lambda a: np.asarray(a, dtype=np.float32)))
         kk = min(k, len(bids))
         out_src, out_dst, out_d2 = [], [], []
@@ -672,7 +700,7 @@ def knn_join_lsh(
         )
 
     cand = allsigs.groupBy("tbl", "bucket").applyInPandas(
-        bucket_join_topk, schema="src long, dst long, dist2 double"
+        bucket_join_topk, schema=f"src {id_type}, dst {id_type}, dist2 double"
     )
     best = cand.groupBy("src", "dst").agg(F.min("dist2").alias("dist2"))
     w = Window.partitionBy("src").orderBy(F.col("dist2").asc(), F.col("dst").asc())
