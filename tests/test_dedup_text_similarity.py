@@ -1148,6 +1148,82 @@ def test_ivf_append_index_without_retrain(spark, vectors, tmp_path):
     assert top["id"] == 3 and top["cos"] == 1.0
 
 
+def test_ivf_compact_restores_recall_after_skewed_appends(spark, tmp_path):
+    """VERDICT r8 #5: retrain-free appends drift the centroid set and grow
+    partition skew unboundedly; ivf_compact_index re-clusters in place,
+    the drift metric signals before/after, and the append claim protocol
+    survives the reset."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        ConcurrentAppendError,
+        ivf_append_index,
+        ivf_compact_index,
+        ivf_index_drift,
+        ivf_query_index,
+        ivf_write_index,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def blob(center, n, start_id):
+        rows = []
+        for i in range(n):
+            v = np.asarray(center, dtype=np.float64) + 0.05 * rng.standard_normal(8)
+            rows.append((start_id + i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "id long, emb array<float>")
+
+    # build on cluster A only; append a FAR cluster B (all land in one or
+    # two stale centroids -> drift + skew)
+    idx = str(tmp_path / "ivf_compact")
+    a = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 200, 0)
+    b = blob([0, 0, 0, 0, 0, 0, 0, 20.0], 200, 1000)
+    ivf_write_index(a, idx, n_centroids=8, key="c")
+    base_drift = ivf_index_drift(spark, idx)
+    assert base_drift["drift_ratio"] is not None and base_drift["drift_ratio"] <= 1.001
+
+    assert ivf_append_index(b, idx) == 200
+    drifted = ivf_index_drift(spark, idx)
+    assert drifted["drift_ratio"] > 10, drifted  # B sits ~20 away from A's centroids
+
+    # with a 1-probe budget, a B query must first find B rows reachable
+    # only through the single drifted partition; after compaction B gets
+    # its own centroids and recall is restored
+    qv = [0.0] * 7 + [20.0]
+    cents = ivf_compact_index(spark, idx, key="c2")
+    assert len(cents) == 8
+    after = ivf_index_drift(spark, idx)
+    assert after["drift_ratio"] is not None and after["drift_ratio"] <= 1.001
+    assert after["distortion"] < drifted["distortion"] / 5
+    assert after["partition_skew"] < drifted["partition_skew"]
+    top = ivf_query_index(spark, idx, qv, k=5, n_probe=2).collect()
+    assert len(top) == 5 and all(r["id"] >= 1000 for r in top)
+    assert spark.read.parquet(f"{idx}/vectors").count() == 400
+
+    # append sequence reset to 1: a fresh append claims append-1 again and
+    # the claim protocol still arbitrates tag races loudly
+    c = blob([0, 10.0, 0, 0, 0, 0, 0, 0], 20, 5000)
+    assert ivf_append_index(c, idx) == 20
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(f"{idx}/vectors").select("batch").distinct().collect()
+    }
+    assert batches == {"full", "append-1"}
+    # simulate a racer that read the same (now stale) sequence: its tag is
+    # already claimed -> ConcurrentAppendError
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_index_meta,
+        _write_index_meta_atomic,
+    )
+
+    meta = _load_index_meta(spark, idx)
+    _write_index_meta_atomic(spark, idx, meta["id_type"], meta["dim"], 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentAppendError):
+        ivf_append_index(blob([0, 0, 5.0, 0, 0, 0, 0, 0], 5, 9000), idx)
+
+
 def test_ivf_append_is_metadata_cheap(spark, vectors, tmp_path):
     """An append must derive the stored id type and the next batch tag from
     the single-row index_meta sidecar alone — never list or schema-read the

@@ -650,6 +650,10 @@ def ivf_write_index(
         _ivf_assign_pass(base, centroids).withColumn("batch", F.lit("full")).write.mode(
             "overwrite"
         ).partitionBy("centroid", "batch").parquet(f"{path}/vectors")
+        # build-time distortion baseline for ivf_index_drift (one pass over
+        # the cache); row count from the same aggregate-free cached base
+        distortion = _mean_distortion(base, centroids)
+        n_rows = base.count()
     finally:
         base.unpersist()
     _write_centroids_atomic(df.sparkSession, path, centroids)
@@ -667,6 +671,7 @@ def ivf_write_index(
         spark, path,
         df.schema[id_col].dataType.simpleString(), len(centroids[0]), 1,
     )
+    _write_drift_baseline(spark, path, distortion, n_rows)
     return centroids
 
 
@@ -870,6 +875,173 @@ def ivf_append_index(
     finally:
         base.unpersist()
     return int(n)
+
+
+def _mean_distortion(base: DataFrame, cents: list[list[float]]) -> float:
+    """Mean squared distance to the nearest centroid (k-means distortion)
+    over ``(id, v)`` rows — ONE Arrow pass emitting per-batch partial
+    ``(sum, n)`` rows, folded by a map-side-combined aggregate, so the
+    driver reads a handful of scalars at any corpus size."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import list_array_to_matrix
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] + cn[None, :] - 2.0 * (X @ C.T)
+            best = np.maximum(d2.min(axis=1), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([float(best.sum())], type=pa.float64()),
+                    pa.array([rb.num_rows], type=pa.int64()),
+                ],
+                names=["s", "n"],
+            )
+
+    parts = base.select("id", "v").mapInArrow(kernel, schema="s double, n long")
+    row = parts.agg(F.sum("s").alias("s"), F.sum("n").alias("n")).first()
+    n = int(row["n"] or 0)
+    return float(row["s"]) / n if n else 0.0
+
+
+def _write_drift_baseline(spark, path: str, distortion: float, n_rows: int) -> None:
+    """Persist the build-time distortion baseline beside the index (staged
+    swap, same discipline as the centroid table).  A separate sidecar on
+    purpose: appends rewrite ``index_meta`` on every call and must not have
+    to carry (or accidentally drop) the baseline."""
+    tmp = f"{path}/drift_baseline__tmp"
+    spark.createDataFrame(
+        [(float(distortion), int(n_rows))],
+        "base_distortion double, base_rows long",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir_atomic(spark, tmp, f"{path}/drift_baseline")
+
+
+def ivf_index_drift(
+    spark, path: str, sample_fraction: float | None = None, key: str = "drift"
+) -> dict:
+    """Maintenance metric for append-heavy IVF indexes: how far has the
+    stored centroid set drifted from the CURRENT contents?
+
+    Returns a driver-side dict:
+
+    - ``distortion``: mean squared distance of current rows to their
+      nearest stored centroid (k-means objective on today's data);
+    - ``base_distortion`` / ``drift_ratio``: the build-time baseline the
+      full build / last compaction recorded, and current/baseline — a
+      ratio well above 1 means appended data no longer matches the trained
+      partitioning (recall degrades at fixed ``n_probe``);
+    - ``partition_skew``: max/mean rows per centroid — retrain-free appends
+      grow hot partitions unboundedly; skew >> 1 means probe cost is no
+      longer ~1/n_centroids per probe.
+
+    Cost: one pruned-free scan (the metric needs every row) — pass
+    ``sample_fraction`` for a keyed-hash sample at 100 TB (deterministic,
+    partition-order free).  Both numbers say RECOMPACT when they grow:
+    :func:`ivf_compact_index` restores baseline.
+    """
+    cents = _load_centroids(spark, path)
+    vecs = spark.read.parquet(f"{path}/vectors")
+    if sample_fraction is not None:
+        from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+        vecs = vecs.filter(
+            keyed_uniform(key, "s", F.col("id")) < F.lit(float(sample_fraction))
+        )
+    sizes = {
+        r["centroid"]: r["n"]
+        for r in vecs.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = int(sum(sizes.values()))
+    distortion = _mean_distortion(vecs, cents)
+    base = None
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path(f"{path}/drift_baseline")):
+        r = spark.read.parquet(f"{path}/drift_baseline").first()
+        base = float(r["base_distortion"])
+    mean_rows = n / max(len(cents), 1)
+    return {
+        "n_rows": n,
+        "n_centroids": len(cents),
+        "distortion": round(distortion, 9),
+        "base_distortion": base,
+        "drift_ratio": (
+            round(distortion / base, 6) if base is not None and base > 0 else None
+        ),
+        "partition_skew": (
+            round(max(sizes.values()) / mean_rows, 6) if sizes and mean_rows > 0 else 0.0
+        ),
+    }
+
+
+def ivf_compact_index(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    n_iters: int = 3,
+    key: str = "ivf",
+) -> list[list[float]]:
+    """Re-cluster a persisted IVF index IN PLACE from its own contents —
+    the maintenance pass that undoes what retrain-free appends accumulate
+    (centroid drift from the data distribution, unbounded partition skew).
+    Raw vectors are stored, so no external source is needed (unlike IVF-PQ,
+    whose codes are lossy — compact that one by rebuilding from source with
+    :func:`~vectordb_watermark_spark.operators.pq.ivf_pq_write_index`).
+
+    ``n_centroids=None`` keeps the stored centroid count.  All reads of the
+    old index complete BEFORE anything is replaced: the new vectors land in
+    a staged directory and swap in atomically (:func:`_swap_dir_atomic`),
+    then the centroid table, then the append machinery resets (claims
+    cleared, sidecar sequence back to 1) and the drift baseline is
+    re-recorded — a crash at any point leaves a complete old or new index.
+    Same serving caveat as a full rebuild: compact-while-serving on stores
+    without atomic directory rename needs external fencing.
+
+    Concurrency contract: ONE maintainer at a time — run no appends during
+    a compaction (an append committing between the staged write and the
+    swap would be silently dropped by the swap; the claim protocol keeps
+    protecting append-vs-append after the reset).
+    """
+    from pyspark import StorageLevel
+
+    old_cents = _load_centroids(spark, path)
+    if n_centroids is None:
+        n_centroids = len(old_cents)
+    meta = _load_index_meta(spark, path)
+    src = spark.read.parquet(f"{path}/vectors").select("id", "v")
+    id_type = (
+        meta["id_type"] if meta is not None
+        else src.schema["id"].dataType.simpleString()
+    )
+    base = src.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_rows = base.count()  # materialize before any replacement
+        centroids = _ivf_train(base, n_centroids, n_iters, key)
+        staged = f"{path}/vectors__compact_tmp"
+        _ivf_assign_pass(base, centroids).withColumn(
+            "batch", F.lit("full")
+        ).write.mode("overwrite").partitionBy("centroid", "batch").parquet(staged)
+        distortion = _mean_distortion(base, centroids)
+        # every read of the OLD index is complete — now swap the pieces in
+        _swap_dir_atomic(spark, staged, f"{path}/vectors")
+        _write_centroids_atomic(spark, path, centroids)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jvm_path(f"{path}/append_claims"), True)
+        _write_index_meta_atomic(spark, path, id_type, len(centroids[0]), 1)
+        _write_drift_baseline(spark, path, distortion, n_rows)
+    finally:
+        base.unpersist()
+    return centroids
 
 
 def ivf_query_index(
