@@ -84,7 +84,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=64)
-    ap.add_argument("--clusters", type=int, default=256)
+    ap.add_argument(
+        "--clusters", default="auto",
+        help="cluster count, or 'auto' (default) for the engine's "
+        "n_clusters=None sizing: ceil(N / target_cluster_rows)",
+    )
     ap.add_argument("--dup-frac", type=float, default=0.05)
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
@@ -105,9 +109,16 @@ def main() -> None:
     vecs = spark.read.parquet(CORPUS)
     n = vecs.count()
 
+    n_clusters = None if args.clusters == "auto" else int(args.clusters)
+    # auto sizing targets 100k-row clusters by default; at 1M x 64-d that
+    # is 10 clusters of ~100k rows — chunked GEMM keeps peak memory at
+    # batch_rows x cluster_rows, and the within-cluster quadratic stays
+    # bounded.  target_cluster_rows=4000 instead reproduces the round-8
+    # explicit-256-cluster shape for comparison.
     t0 = time.time()
     out = semantic_dedup(
-        vecs, n_clusters=args.clusters, eps=0.05, max_cluster_rows=500_000
+        vecs, n_clusters=n_clusters, eps=0.05, max_cluster_rows=500_000,
+        target_cluster_rows=4_000,
     ).persist()
     kept = out.filter("keep").count()
     t_dedup = round(time.time() - t0, 1)
@@ -123,7 +134,7 @@ def main() -> None:
         "unit": "sec",
         "rows": n,
         "dim": args.dim,
-        "n_clusters": args.clusters,
+        "n_clusters": args.clusters if args.clusters != "auto" else "auto(ceil(N/4000))",
         "kept": kept,
         "removed": n - kept,
         "planted_dups": planted_total,
