@@ -217,7 +217,10 @@ def minhash_signatures_expr(
 
 
 def minhash_bands(
-    sigs: DataFrame, band_size: int = BAND_SIZE, n_hashes: int = N_MINHASH
+    sigs: DataFrame,
+    band_size: int = BAND_SIZE,
+    n_hashes: int = N_MINHASH,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode signatures into ``(id, band, band_hash)`` LSH bucket keys.
     Documents sharing any (band, band_hash) are near-dup candidates.
@@ -225,6 +228,11 @@ def minhash_bands(
     ``n_hashes`` MUST match the signature length and divide into whole
     bands: slicing past the signature would make the out-of-range bands
     hash a constant for every document — a silent all-pairs degeneration.
+
+    ``carry``: extra columns passed through unchanged (payload replicated
+    once per band) — how :func:`minhash_candidate_pairs` ships the
+    signature itself through the band join for the ``min_agree`` cut
+    WITHOUT a second shuffle against the group table.
     """
     if n_hashes <= 0 or n_hashes > N_MINHASH or n_hashes % band_size != 0:
         raise ValueError(
@@ -242,8 +250,11 @@ def minhash_bands(
             )
         )
     return sigs.select(
-        "id", F.explode(F.array(*bands)).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+        "id", *carry, F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        "id", *carry,
+        F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"),
+    )
 
 
 def _sig_groups(
@@ -502,12 +513,15 @@ def minhash_candidate_pairs(
     (``matches / n_hashes`` is the unbiased MinHash Jaccard estimate, so
     ``min_agree = ceil(t * n_hashes)`` keeps pairs whose ESTIMATED Jaccard
     clears ``t``; :func:`minhash_min_agree` picks a bounded-false-negative
-    cut instead).  The filter runs at signature-GROUP level — a scalar
-    ``zip_with`` comparison per banded group pair, BEFORE member expansion
-    and before the token-level verify join ever sees the pair — so on a
-    corpus where banding admits billions of moderate-Jaccard pairs it cuts
-    the verify join's input by orders of magnitude for the cost of two
-    equi-joins against the (already cached) group table.  Within-group
+    cut instead).  The filter runs at signature-GROUP level, and the
+    signatures ride THROUGH the band join as an ``array<int>`` payload
+    (``carry=`` on :func:`minhash_bands`), so the cut is a map-side scalar
+    ``zip_with`` on the join's collision stream — ZERO extra shuffles, and
+    it fires BEFORE the group-pair ``distinct`` AND before member
+    expansion, shrinking both by the cut factor (the first r9 formulation
+    joined the group table twice after the distinct; at 1M docs those two
+    extra group-pair-sized shuffles coexisting with the band join filled
+    the 94 GB scratch volume — measured, not theoretical).  Within-group
     pairs have identical signatures and always pass.
     """
     if min_agree is not None and not 1 <= min_agree <= n_hashes:
@@ -528,17 +542,15 @@ def minhash_candidate_pairs(
 
     # cross-group: band match decided once per group pair (distinct is over
     # group pairs, not member pairs), then expanded via two equi-joins
-    rbands = minhash_bands(groups.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
-    rpairs = (
-        _spread(rbands).select("band", "band_hash", F.col("id").alias("ra"))
-        .join(rbands.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
-        .filter(F.col("ra") < F.col("rb"))
-        .select("ra", "rb")
-        .distinct()
-    )
     if min_agree is not None and min_agree > 1:
-        # lane-agreement cut at GROUP-pair level: two equi-joins against the
-        # cached group table, one scalar fold per pair — never per member
+        # the signature rides through the band join (30-bit lanes fit
+        # array<int>, halving the payload); the agreement cut is a
+        # map-side filter on the collision stream BEFORE the distinct
+        gb = groups.select(
+            F.col("gid").alias("id"), "sig",
+            F.col("sig").cast("array<int>").alias("__s"),
+        )
+        rbands = minhash_bands(gb, band_size, n_hashes, carry=("__s",))
         agree = F.aggregate(
             F.zip_with(
                 "__sa", "__sb",
@@ -548,11 +560,32 @@ def minhash_candidate_pairs(
             lambda acc, v: acc + v,
         )
         rpairs = (
-            rpairs
-            .join(groups.select(F.col("gid").alias("ra"), F.col("sig").alias("__sa")), "ra")
-            .join(groups.select(F.col("gid").alias("rb"), F.col("sig").alias("__sb")), "rb")
+            _spread(rbands).select(
+                "band", "band_hash",
+                F.col("id").alias("ra"), F.col("__s").alias("__sa"),
+            )
+            .join(
+                rbands.select(
+                    "band", "band_hash",
+                    F.col("id").alias("rb"), F.col("__s").alias("__sb"),
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("ra") < F.col("rb"))
             .filter(agree >= F.lit(min_agree))
             .select("ra", "rb")
+            .distinct()
+        )
+    else:
+        rbands = minhash_bands(
+            groups.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes
+        )
+        rpairs = (
+            _spread(rbands).select("band", "band_hash", F.col("id").alias("ra"))
+            .join(rbands.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
+            .filter(F.col("ra") < F.col("rb"))
+            .select("ra", "rb")
+            .distinct()
         )
     across = (
         rpairs.join(mem.select(F.col("gid").alias("ra"), F.col("id").alias("x")), "ra")
