@@ -161,6 +161,43 @@ def test_minhash_candidate_pairs_min_agree_filter(spark):
         D.minhash_candidate_pairs(df, min_agree=0)
 
 
+def test_minhash_join_min_agree_filter(spark):
+    """Cross-corpus twin of the lane-agreement cut: banded join pairs whose
+    signature agreement clears the bar, pinned against brute force."""
+    base = [f"tok{i}" for i in range(40)]
+    lrows = [(0, " ".join(base)), (1, " ".join(f"l{i}" for i in range(40)))]
+    rrows = [
+        (100, " ".join(base)),                                    # exact vs 0
+        (101, " ".join(base[:36] + [f"r{i}" for i in range(4)])),  # J~0.8 vs 0
+        (102, " ".join(base[:20] + [f"q{i}" for i in range(20)])),  # J~0.33
+    ]
+    left = spark.createDataFrame(lrows, "doc_id long, text string")
+    right = spark.createDataFrame(rrows, "doc_id long, text string")
+
+    allp = {(r["a"], r["b"]) for r in D.minhash_join(left, right).collect()}
+    sigs = {
+        r["id"]: r["sig"]
+        for r in D.minhash_signatures(
+            left.unionByName(right)
+        ).collect()
+    }
+    for m in (2, 8, 16):
+        got = {
+            (r["a"], r["b"])
+            for r in D.minhash_join(left, right, min_agree=m).collect()
+        }
+        expect = {
+            (a, b)
+            for (a, b) in allp
+            if sum(x == y for x, y in zip(sigs[a], sigs[b])) >= m
+        }
+        assert got == expect, f"min_agree={m}"
+    assert (0, 100) in {
+        (r["a"], r["b"])
+        for r in D.minhash_join(left, right, min_agree=16).collect()
+    }
+
+
 def test_sig_group_caches_bounded_registry(spark):
     """minhash_candidate_pairs / minhash_join register their signature-group
     caches in a bounded LRU registry: storage never exceeds

@@ -127,6 +127,11 @@ def main() -> None:
         help="pipeline: fixed 4x4 banding, no lane-agreement cut (the "
         "round-8 configuration, kept for A/B comparison)",
     )
+    ap.add_argument(
+        "--pipeline-only", action="store_true",
+        help="skip the four sweep stages (exact/minhash-count/simhash/"
+        "stats) — for pipeline A/B runs where the sweep is unchanged",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
@@ -157,21 +162,23 @@ def main() -> None:
         # GC leaves tens of GB of dead spill on the scratch volume
         spark.sparkContext._jvm.System.gc()
 
-    run("exact_groups", lambda: D.exact_dup_groups(docs).filter(F.col("dup_count") > 1).count())
-    run("minhash_pairs", lambda: D.minhash_candidate_pairs(docs).count())
+    if not args.pipeline_only:
+        run("exact_groups", lambda: D.exact_dup_groups(docs).filter(F.col("dup_count") > 1).count())
+        run("minhash_pairs", lambda: D.minhash_candidate_pairs(docs).count())
     # max_hamming=3 (the operator default): 12-bit pigeonhole segments.  A
     # budget of 6 means 6-BIT segments (64 buckets) whose candidate volume
     # grows as N^2/64 — at 1M rows that is ~5e10 pairs, the exact meltdown
     # the first 1M attempt died of (see simhash_near_pairs docstring).
-    run("simhash_pairs", lambda: D.simhash_near_pairs(D.simhash(docs), max_hamming=3).count())
-    run(
-        "text_stats",
-        lambda: docs.select(
-            T.token_count(F.col("text")).alias("nt"),
-            T.quality_score(F.col("text")).alias("q"),
-            T.lang_id(F.col("text")).alias("lang"),
-        ).count(),
-    )
+    if not args.pipeline_only:
+        run("simhash_pairs", lambda: D.simhash_near_pairs(D.simhash(docs), max_hamming=3).count())
+        run(
+            "text_stats",
+            lambda: docs.select(
+                T.token_count(F.col("text")).alias("nt"),
+                T.quality_score(F.col("text")).alias("q"),
+                T.lang_id(F.col("text")).alias("lang"),
+            ).count(),
+        )
 
     plan_info: dict = {}
     if args.pipeline:

@@ -1019,6 +1019,7 @@ def minhash_join(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
     threshold: float | None = None,
+    min_agree: int | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup JOIN: pairs ``(a, b)`` with ``a`` from ``left``
     and ``b`` from ``right`` sharing at least one MinHash LSH band — the
@@ -1039,17 +1040,62 @@ def minhash_join(
     of codegen'd joins.  A million-template-copies-per-side corpus band-joins
     one group pair, never 10^12 id pairs; the verify joins token sets back
     by id (two hash joins on already-banded candidates).
+
+    ``min_agree``: the same lane-agreement pre-verify cut as
+    :func:`minhash_candidate_pairs` — signatures ride through the band
+    join as an ``array<int>`` payload and the cut is a map-side filter on
+    the collision stream, BEFORE the distinct and the member expansion.
     """
+    if min_agree is not None and not 1 <= min_agree <= n_hashes:
+        raise ValueError(
+            f"min_agree={min_agree} must be in [1, n_hashes={n_hashes}]"
+        )
     lg = _sig_groups(left, id_col, text_col, n_hashes)
     rg = _sig_groups(right, id_col, text_col, n_hashes)
-    lb = minhash_bands(lg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
-    rb = minhash_bands(rg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
-    gpairs = (
-        _spread(lb).select("band", "band_hash", F.col("id").alias("la"))
-        .join(rb.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
-        .select("la", "rb")
-        .distinct()
-    )
+    if min_agree is not None and min_agree > 1:
+        ls = lg.select(
+            F.col("gid").alias("id"), "sig",
+            F.col("sig").cast("array<int>").alias("__s"),
+        )
+        rs = rg.select(
+            F.col("gid").alias("id"), "sig",
+            F.col("sig").cast("array<int>").alias("__s"),
+        )
+        lb = minhash_bands(ls, band_size, n_hashes, carry=("__s",))
+        rb = minhash_bands(rs, band_size, n_hashes, carry=("__s",))
+        agree = F.aggregate(
+            F.zip_with(
+                "__sa", "__sb",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        gpairs = (
+            _spread(lb).select(
+                "band", "band_hash",
+                F.col("id").alias("la"), F.col("__s").alias("__sa"),
+            )
+            .join(
+                rb.select(
+                    "band", "band_hash",
+                    F.col("id").alias("rb"), F.col("__s").alias("__sb"),
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(agree >= F.lit(min_agree))
+            .select("la", "rb")
+            .distinct()
+        )
+    else:
+        lb = minhash_bands(lg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
+        rb = minhash_bands(rg.select(F.col("gid").alias("id"), "sig"), band_size, n_hashes)
+        gpairs = (
+            _spread(lb).select("band", "band_hash", F.col("id").alias("la"))
+            .join(rb.select("band", "band_hash", F.col("id").alias("rb")), ["band", "band_hash"])
+            .select("la", "rb")
+            .distinct()
+        )
     lmem = lg.select(F.col("gid").alias("la"), F.explode("members").alias("a"))
     rmem = rg.select(F.col("gid").alias("rb"), F.explode("members").alias("b"))
     # distinct: a repeated id with DIFFERING texts lands in two signature
