@@ -1704,6 +1704,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "canonical_is_min boolean, canonicals_kept boolean",
         )
 
+    def ivf_drift_contract(spark, sf):  # IVF maintenance machinery (round 9)
+        # fresh build -> drift ratio is 1 by construction (distortion equals
+        # the recorded baseline); compaction preserves rows and re-records a
+        # unit baseline; partition skew is a sane >= 1 number.  Pins the
+        # drift metric + compaction path in the driver gate.
+        import os
+
+        from vectordb_watermark_spark.operators.similarity import (
+            ivf_compact_index,
+            ivf_index_drift,
+            ivf_write_index,
+        )
+
+        os.makedirs(".scratch", exist_ok=True)
+        path = os.path.join(
+            ".scratch", f"oracle_ivf_drift_{os.path.basename(str(sf))}"
+        )
+        df = _vectors(spark, sf)
+        n = df.count()
+        ivf_write_index(df, path, n_centroids=8)
+        d0 = ivf_index_drift(spark, path)
+        ivf_compact_index(spark, path)
+        d1 = ivf_index_drift(spark, path)
+
+        def unit(d):
+            return bool(
+                d["drift_ratio"] is not None and abs(d["drift_ratio"] - 1.0) <= 1e-5
+            )
+
+        return spark.createDataFrame(
+            [(
+                int(d0["n_rows"]),
+                unit(d0),
+                unit(d1),
+                bool(d1["n_rows"] == n),
+                bool(d0["partition_skew"] >= 1.0),
+            )],
+            "n_rows long, fresh_ratio_unit boolean, compacted_ratio_unit "
+            "boolean, rows_preserved boolean, skew_sane boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1854,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tools/check_oracle.py, driver-gated on a later rotation) --------
         "dedup_minhash_agree": dedup_minhash_agree,
         "rag_pipeline": rag_pipeline,
+        "ivf_drift_contract": ivf_drift_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -2075,6 +2117,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) || '?utm_source=x&id=' || "
             "CAST(doc_id AS VARCHAR) || '&fbclid=abc&keep=1#frag')"
         ),
+        "ivf_drift_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS fresh_ratio_unit,
+                   CAST(TRUE AS BOOLEAN) AS compacted_ratio_unit,
+                   CAST(TRUE AS BOOLEAN) AS rows_preserved,
+                   CAST(TRUE AS BOOLEAN) AS skew_sane
+            FROM embeddings""",
         "semdedup_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS keep_iff_canonical,
