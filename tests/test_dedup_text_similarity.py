@@ -1970,3 +1970,33 @@ def test_url_normalize_rules(spark):
     assert out[5] == ("not a url at all", "", "")
     assert out[6][0] == "ftp://files.example.com/Pub"
     assert out[7][2] == "wwwx.example.com"
+
+    # strip_params override: hosts where ref= is semantic (GitHub branches)
+    # keep it with a custom regex; the default strips it (RefinedWeb rule)
+    gh = spark.createDataFrame(
+        [(1, "https://GitHub.com/o/r/blob/x.py?ref=main&utm_source=t")],
+        "id long, url string",
+    )
+    no_ref = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+    got = gh.select(
+        url_normalize(F.col("url")).alias("dflt"),
+        url_normalize(F.col("url"), strip_params=no_ref).alias("kept"),
+    ).first()
+    assert got["dflt"] == "https://github.com/o/r/blob/x.py"
+    assert got["kept"] == "https://github.com/o/r/blob/x.py?ref=main"
+
+    # the SQL twin honors the same override (cross-engine equality)
+    import duckdb
+
+    from vectordb_watermark_spark.functions.text import sql_url_normalize
+
+    con = duckdb.connect()
+    for expr, expect in [
+        (sql_url_normalize("url"), got["dflt"]),
+        (sql_url_normalize("url", strip_params=no_ref), got["kept"]),
+    ]:
+        v = con.execute(
+            f"SELECT {expr} FROM (SELECT 'https://GitHub.com/o/r/blob/x.py"
+            f"?ref=main&utm_source=t' AS url)"
+        ).fetchone()[0]
+        assert v == expect

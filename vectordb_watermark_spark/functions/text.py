@@ -541,13 +541,19 @@ def url_domain(url: Column) -> Column:
     return F.regexp_replace(url_host(url), r"^www\.", "")
 
 
-def url_normalize(url: Column) -> Column:
+def url_normalize(url: Column, strip_params: str = TRACKING_PARAM_RE) -> Column:
     """Canonical URL: lowercase scheme and authority, drop the fragment,
     drop the scheme's default port (http:80 / https:443), empty path
-    becomes ``/``, tracking parameters (:data:`TRACKING_PARAM_RE`) and
-    empty params removed (remaining params keep their order).  Pure
-    Catalyst regexp/array expressions — a map-only pass; the DuckDB twin
-    (:func:`sql_url_normalize`) is hash-exact.
+    becomes ``/``, tracking parameters (``strip_params``, default
+    :data:`TRACKING_PARAM_RE`) and empty params removed (remaining params
+    keep their order).  Pure Catalyst regexp/array expressions — a
+    map-only pass; the DuckDB twin (:func:`sql_url_normalize`) is
+    hash-exact.
+
+    The default strips every ``ref=`` param (RefinedWeb practice — it is
+    overwhelmingly a referral tag on web corpora); on hosts where ``ref``
+    is semantic (e.g. GitHub's ``?ref=branch``) pass a custom
+    ``strip_params`` regex without it, same pattern on both twins.
 
     Simplification (documented): the whole authority is lowercased, which
     also lowercases any userinfo; corpus URLs with userinfo are vanishingly
@@ -563,7 +569,7 @@ def url_normalize(url: Column) -> Column:
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(strip_params),
     )
     return F.when(scheme == "", url).otherwise(
         F.concat(
@@ -591,7 +597,7 @@ def sql_url_domain(url_sql: str) -> str:
     return f"regexp_replace({sql_url_host(url_sql)}, '^www\\.', '')"
 
 
-def sql_url_normalize(url_sql: str) -> str:
+def sql_url_normalize(url_sql: str, strip_params: str = TRACKING_PARAM_RE) -> str:
     """DuckDB twin of :func:`url_normalize` (same regexes, RE2-compatible)."""
     scheme = f"lower(regexp_extract({url_sql}, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1))"
     auth0 = f"lower(regexp_extract({url_sql}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1))"
@@ -605,7 +611,7 @@ def sql_url_normalize(url_sql: str) -> str:
     query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
     params = (
         f"list_filter(string_split({query}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+        f"p -> p <> '' AND NOT regexp_matches(p, '{strip_params}'))"
     )
     return (
         f"CASE WHEN {scheme} = '' THEN {url_sql} ELSE "
