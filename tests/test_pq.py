@@ -337,6 +337,48 @@ def test_ivf_pq_append_encodes_via_build_convention(spark, vectors, tmp_path):
     assert got == expect
 
 
+def test_ivf_pq_compact_index(spark, vectors, tmp_path):
+    """Compaction rebuilds from source with the STORED geometry by default
+    (no memory of build parameters needed), atomically replaces every
+    piece, and restores query quality after skewed appends."""
+    from vectordb_watermark_spark.operators.similarity import topk_cosine
+
+    path = str(tmp_path / "ivfpq_cmp")
+    old = vectors.filter(F.col("id") < 250)
+    new = vectors.filter((F.col("id") >= 250) & (F.col("id") < 400))
+    P.ivf_pq_write_index(old, path, n_centroids=8, m=8, n_codes=16)
+    P.ivf_pq_append_index(new, path)
+
+    cents, books = P.ivf_pq_compact_index(vectors.filter(F.col("id") < 400), path)
+    assert len(cents) == 8 and books.shape[:2] == (8, 16)  # stored geometry
+    # codebooks round-trip and the codes cover exactly the source rows
+    assert np.array_equal(P._load_codebooks(spark, path), books)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == 400
+
+    # compacted index answers queries (rerank recall sanity on one query)
+    qv = [float(x) for x in vectors.filter(F.col("id") == 310).first()["emb"]]
+    got = {
+        r["id"]
+        for r in P.ivf_pq_query_index(
+            spark, path, qv, k=10, n_probe=8,
+            rerank_with=vectors.filter(F.col("id") < 400), shortlist=80,
+        ).collect()
+    }
+    exact = {
+        r["id"]
+        for r in topk_cosine(
+            vectors.filter(F.col("id") < 400), qv, 10, "id", "emb"
+        ).collect()
+    }
+    assert len(got & exact) >= 5
+
+    # appends continue to work against the compacted index
+    more = vectors.filter((F.col("id") >= 400) & (F.col("id") < 420))
+    assert P.ivf_pq_append_index(more, path) == more.count()
+    assert spark.read.parquet(f"{path}/codes").count() == 420
+
+
 def test_ivf_pq_query_index_batch_qid_types_and_dups(spark, vectors, tmp_path):
     """ADVICE r8: an int (not long) qid column must survive the Arrow kernel
     (explicit type from the qid schema, not inference), and duplicate qids

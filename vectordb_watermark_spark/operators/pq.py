@@ -538,6 +538,85 @@ def ivf_pq_write_index(
     return cents, books
 
 
+def ivf_pq_compact_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    m: int | None = None,
+    n_codes: int | None = None,
+    coarse_iters: int = 3,
+    pq_iters: int = 3,
+    key: str = "ivfpq",
+    id_col: str = "id",
+    vec_col: str = "emb",
+) -> tuple[list[list[float]], np.ndarray]:
+    """Rebuild a persisted IVF-PQ index from SOURCE vectors, keeping the
+    stored geometry by default — the maintenance pass after heavy
+    :func:`ivf_pq_append_index` traffic.
+
+    PQ codes are LOSSY: unlike the raw-vector IVF index (whose
+    ``similarity.ivf_compact_index`` re-clusters from its own contents),
+    an IVF-PQ index cannot be retrained from stored codes — the caller
+    provides the raw-vector table.  ``n_centroids``/``m``/``n_codes``
+    default to the stored artifacts (centroid table / codebook shape), so
+    the call needs no memory of the original build parameters.
+
+    Unlike a plain re-run of :func:`ivf_pq_write_index` (whose codes land
+    via a NON-staged overwrite — fine for a first build, but a rebuild
+    crash mid-write would leave torn codes beside intact old sidecars),
+    every piece here lands staged and swaps atomically: codes first, then
+    centroids, then codebooks — a crash at any point leaves a complete
+    old or new index, never an incoherent mix.
+    """
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _ivf_train,
+        _load_centroids,
+        _swap_dir_atomic,
+        _write_centroids_atomic,
+    )
+
+    spark = df.sparkSession
+    if n_centroids is None:
+        n_centroids = len(_load_centroids(spark, path))
+    if m is None or n_codes is None:
+        stored = _load_codebooks(spark, path)
+        m = m or int(stored.shape[0])
+        n_codes = n_codes or int(stored.shape[1])
+
+    base = _pq_base(df, id_col, vec_col).persist()
+    try:
+        cents = _ivf_train(base, n_centroids, coarse_iters, key)
+        assigned = _ivf_assign_pass(base, cents).persist()
+        try:
+            res = _residual_pass(assigned, cents)
+            books = pq_train(
+                res, m, n_codes, pq_iters, key, id_col="id", vec_col="r"
+            )
+            staged_codes = f"{path}/codes__compact_tmp"
+            _residual_encode_pass(assigned, cents, books).write.mode(
+                "overwrite"
+            ).partitionBy("centroid").parquet(staged_codes)
+        finally:
+            assigned.unpersist()
+    finally:
+        base.unpersist()
+    _swap_dir_atomic(spark, staged_codes, f"{path}/codes")
+    _write_centroids_atomic(spark, path, cents)
+    mm, nc, _dsub = books.shape
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(mm)
+        for c in range(nc)
+    ]
+    staged = f"{path}/pq_codebooks__staged"
+    spark.createDataFrame(rows, "sub int, code int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staged)
+    _swap_dir_atomic(spark, staged, f"{path}/pq_codebooks")
+    return cents, books
+
+
 def ivf_pq_append_index(
     df: DataFrame,
     path: str,
