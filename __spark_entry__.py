@@ -1288,6 +1288,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         truth = toks.agg(F.countDistinct("tok").cast("long").alias("true_distinct"))
         return est.crossJoin(truth)
 
+    def token_heavy_hitters(spark, sf):  # exact phi-heavy hitters (round 9)
+        # bounded-state heavy hitters: per-partition Misra-Gries candidate
+        # SUPERSET + broadcast exact verify — the vocabulary-wide groupBy
+        # never happens, yet the output is exact (hash-matches the DuckDB
+        # groupBy twin).  phi=0.003 over the token stream.
+        from vectordb_watermark_spark.operators.sketch import heavy_hitters
+
+        toks = _docs(spark, sf).select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        return heavy_hitters(toks, "tok", phi=0.003)
+
     def paraphrase_candidates(spark, sf):
         # semantically-near but lexically-distinct document pairs: embedding
         # cosine >= 0.35 anti-joined against token-Jaccard >= 0.35 pairs —
@@ -1896,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_agree": dedup_minhash_agree,
         "rag_pipeline": rag_pipeline,
         "ivf_drift_contract": ivf_drift_contract,
+        "token_heavy_hitters": token_heavy_hitters,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
         "pca_projection": pca_projection,
@@ -3051,6 +3064,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(unnest(e) * 127.0 / mx + 0.5) AS INT) AS code,
                    round(mx / 127.0, 9) + 0.0 AS scale
             FROM s""",
+        "token_heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest({T.sql_tokens('lower(text)')}) AS item FROM documents
+            ),
+            n AS (SELECT count(*) AS n FROM toks)
+            SELECT item, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY item
+            HAVING count(*) > 0.003 * (SELECT n FROM n)""",
         "sketch_distinct_tokens": f"""
             WITH toks AS (
               SELECT unnest({T.sql_tokens('lower(text)')}) AS tok FROM documents

@@ -558,6 +558,44 @@ def test_kmv_sketch_exact_below_k_and_accurate_above(spark):
         assert r["exact_k"] == 256
 
 
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """Guaranteed heavy hitters: EXACT counts equal to the brute-force
+    groupBy answer, identical under any partitioning (the Misra-Gries
+    stage only generates a candidate SUPERSET; the verify pass is exact),
+    sub-threshold items absent, nulls ignored, phi validated."""
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.sketch import heavy_hitters
+
+    # zipf-ish skew: item k appears ~N/(k+1) times over a long tail
+    rows = []
+    for k in range(200):
+        rows += [(f"item{k}",)] * (2000 // (k + 1))
+    rows += [(None,)] * 50
+    df = spark.createDataFrame(rows, "v string")
+    n = len(rows)
+
+    exact = {
+        (r["v"], r["cnt"])
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 0.01 * n)
+        .collect()
+    }
+    assert exact  # the fixture must actually have heavy hitters
+    for parts in (1, 7, 32):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters(df.repartition(parts), "v", phi=0.01).collect()
+        }
+        assert got == exact, f"parts={parts}"
+
+    with _pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "v", phi=0.0)
+    with _pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "v", phi=1.5)
+
+
 # ---------------------------------------------------------------------------
 # auto-dispatch: the near-dup verifiers must never go all-pairs at scale
 # ---------------------------------------------------------------------------

@@ -58,3 +58,85 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         F.col("n").cast("int").alias("exact_k"),
         F.when(F.col("n") >= k, F.col("t")).alias("kth_hash"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.001,
+    total: int | None = None,
+) -> DataFrame:
+    """EXACT phi-heavy hitters with BOUNDED state: every value of
+    ``df[col]`` whose count exceeds ``phi * N``, with its exact count —
+    ``(item, cnt)``.
+
+    The scale story: the naive ``groupBy(col).count()`` shuffles one row
+    per DISTINCT value — over 100 TB of URLs or n-grams that is a
+    vocabulary-wide shuffle to answer a question about a handful of items.
+    This operator is the classic two-pass guaranteed-superset design:
+
+    1. **Candidates** — each partition runs Misra-Gries with capacity
+       ``ceil(1/phi)`` over its own rows (constant memory per task, one
+       Arrow pass, state carried across batches inside the partition
+       iterator).  Pigeonhole guarantee: any GLOBAL phi-heavy hitter has
+       local frequency >= phi in at least one partition (if it were below
+       phi everywhere, the weighted average would be below phi), and
+       Misra-Gries with capacity 1/phi retains every locally-phi-frequent
+       item — so the union of partition candidates is a SUPERSET of the
+       true answer.  Candidate volume is <= partitions / phi rows, data-
+       size independent.
+    2. **Exact verify** — one broadcast semi-join of the candidate set +
+       a map-side-combined groupBy counts ONLY candidates exactly; the
+       filter ``cnt > phi * N`` then needs no estimates and no error
+       bars.  Output is EXACT (hash-matches a DuckDB groupBy twin), which
+       approximate-count sketches structurally cannot promise.
+
+    ``total``: pass a known row count to skip the count job.  Determinism:
+    the result is a pure function of the data (exact counts), independent
+    of partitioning — only the intermediate candidate set varies, and only
+    ever toward extra (filtered-out) candidates.
+    """
+    import math
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi={phi} must be in (0, 1)")
+    cap = math.ceil(1.0 / phi)
+    n_total = total if total is not None else df.count()
+
+    sel = df.select(F.col(col).cast("string").alias("v"))
+
+    def mg_kernel(batches):
+        import pyarrow as pa
+
+        counts: dict = {}
+        for rb in batches:
+            for v in rb.column(0).to_pylist():
+                if v is None:
+                    continue
+                if v in counts:
+                    counts[v] += 1
+                elif len(counts) < cap:
+                    counts[v] = 1
+                else:
+                    # decrement-all step; drop zeros (dict stays <= cap)
+                    dead = []
+                    for kx in counts:
+                        counts[kx] -= 1
+                        if counts[kx] == 0:
+                            dead.append(kx)
+                    for kx in dead:
+                        del counts[kx]
+        if counts:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counts.keys()), type=pa.string())],
+                names=["v"],
+            )
+
+    cand = sel.mapInArrow(mg_kernel, schema="v string").distinct()
+    counted = (
+        sel.join(F.broadcast(cand), "v")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(float(phi)) * F.lit(float(n_total)))
+    )
+    return counted.select(F.col("v").alias("item"), F.col("cnt").alias("cnt"))
