@@ -837,6 +837,52 @@ def test_real_jpeg_decode_progressive(spark):
         )
 
 
+def test_progressive_jpeg_property_fuzz():
+    """Hypothesis fuzz of the progressive codec: RANDOM image content,
+    dimensions, quality, subsampling, restart interval, and a randomized
+    (valid) spectral split point — the progressive decode must equal the
+    baseline decode bit-for-bit on every draw (the two encoders share one
+    quantization front half, so any divergence is an entropy-coding bug)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        h=st.integers(8, 40),
+        w=st.integers(8, 40),
+        q=st.integers(25, 95),
+        sub=st.booleans(),
+        rst=st.sampled_from([0, 0, 2, 5]),
+        split=st.integers(1, 62),
+        al=st.integers(0, 2),
+    )
+    def check(seed, h, w, q, sub, rst, split, al):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        scans = [(-1, 0, 0, 0, al)]
+        for c in range(3):
+            scans += [(c, 1, split, 0, al), (c, split + 1, 63, 0, al)] if split < 63 \
+                else [(c, 1, 63, 0, al)]
+        for lvl in range(al, 0, -1):
+            scans.append((-1, 0, 0, lvl, lvl - 1))
+            scans += [(c, 1, 63, lvl, lvl - 1) for c in range(3)]
+        b = make_jpeg(arr, quality=q, subsample=sub, restart_interval=rst)
+        p = make_jpeg_progressive(
+            arr, quality=q, subsample=sub, restart_interval=rst, scans=scans
+        )
+        assert _decode_jpeg(p) == _decode_jpeg(b)
+
+    check()
+
+
 def test_incremental_index_across_microbatches(spark, tmp_path):
     """Streaming IVF maintenance: batch 1 bootstraps centroids, batch 2
     appends to existing centroids without retraining; after both, the
