@@ -611,6 +611,7 @@ def _auto_candidates(
     text_col: str,
     auto_rows: int | None,
     total: int | None,
+    threshold: float | None = None,
 ) -> DataFrame | None:
     """pairs=None policy shared by the Jaccard verifiers: keep the exact
     all-pairs generator only below ``auto_rows`` rows; beyond it, default
@@ -618,14 +619,32 @@ def _auto_candidates(
     (precision stays exact — every emitted pair is re-verified — recall
     becomes MinHash-LSH's).  ``auto_rows=None`` pins the exact path without
     issuing the count job (callers asserting exactness, e.g. the oracle
-    gate, use this)."""
+    gate, use this).
+
+    With the verify ``threshold`` known, the auto path also applies the
+    lane-agreement pre-verify cut at ``min_agree = ceil(t * n_hashes)``
+    (estimated-Jaccard >= t).  Safe by default at scale: the 1M-doc A/B
+    (SCALE_TEXT_1M.json) measured this cut at 6.4x fewer candidates and
+    7x faster verify with planted recall IDENTICAL to the uncut banding
+    (0.988023 vs 0.988028 — one doc in 200k); recall at the threshold
+    boundary is bounded by the 4x4 banding either way.  Explicit
+    ``pairs=`` callers are untouched."""
+    import math
+
     if pairs is not None:
         return pairs
     if auto_rows is None:
         return None
     n = total if total is not None else df.count()
     if n > auto_rows:
-        return minhash_candidate_pairs(df, id_col=id_col, text_col=text_col)
+        min_agree = (
+            min(N_MINHASH, max(1, math.ceil(threshold * N_MINHASH)))
+            if threshold is not None
+            else None
+        )
+        return minhash_candidate_pairs(
+            df, id_col=id_col, text_col=text_col, min_agree=min_agree
+        )
     return None
 
 
@@ -676,7 +695,13 @@ def jaccard_pairs(
 
     Verification stage of MinHash-LSH dedup; also standalone n-gram Jaccard.
     """
-    pairs = _auto_candidates(df, pairs, id_col, text_col, auto_rows, total)
+    # the auto path knows the verify threshold is over the SAME token sets
+    # the signatures hash, so the estimated-Jaccard cut applies (see
+    # _auto_candidates; 1M-measured recall-neutral); ngram_jaccard_pairs
+    # verifies character shingles — a different measure — and stays uncut
+    pairs = _auto_candidates(
+        df, pairs, id_col, text_col, auto_rows, total, threshold=threshold
+    )
     if hashed_tokens:
         from vectordb_watermark_spark.functions.hashing import word60
 
