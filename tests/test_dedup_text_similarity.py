@@ -118,6 +118,22 @@ def test_minhash_min_agree_binomial_tail():
     # a high threshold admits a high cut; a low one degrades gracefully to 1
     assert D.minhash_min_agree(0.9, 16) > m >= D.minhash_min_agree(0.1, 16) == 1
 
+    # the BANDED selector (conditional on a band match): at t=0.5 it lands
+    # exactly on the 1M-measured recall-neutral cut; at t=0.9 it backs off
+    # from the naive ceil(t*n)=15 whose conditional FN rate is ~34%
+    assert D.minhash_min_agree_banded(0.5) == 8
+    m9 = D.minhash_min_agree_banded(0.9)
+    assert m9 < 15
+
+    def cond_tail(mm, t, n=16, r=4):
+        need = max(mm - r, 0)
+        return sum(
+            comb(n - r, k) * t**k * (1 - t) ** (n - r - k)
+            for k in range(need, n - r + 1)
+        )
+
+    assert cond_tail(m9, 0.9) >= 0.9 and cond_tail(m9 + 1, 0.9) < 0.9
+
 
 def test_minhash_candidate_pairs_min_agree_filter(spark):
     """min_agree cuts exactly the banded pairs whose signature agreement is

@@ -837,6 +837,43 @@ def test_real_jpeg_decode_progressive(spark):
         )
 
 
+def test_progressive_jpeg_component_selective_dc_scans():
+    """Regression (round-9 self-review): a NON-interleaved DC scan walks the
+    component's OWN block grid in raster order (T.81 A.2.2), not the
+    MCU-padded grid — on a subsampled 17x23 image the old MCU-order walk
+    emitted 16 luma blocks where the decoder reads 9 (bitstream desync)."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (3, 4, 3)).astype(np.float64)
+    img = np.clip(
+        np.kron(base, np.ones((16, 16, 1))) + rng.normal(0, 5, (48, 64, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    scans = [(c, 0, 0, 0, 1) for c in range(3)]
+    scans += [(c, 1, 63, 0, 0) for c in range(3)]
+    scans += [(c, 0, 0, 1, 0) for c in range(3)]  # per-comp DC refinement
+    for sub in (True, False):
+        for hh, ww in ((48, 64), (17, 23)):
+            a = img[:hh, :ww]
+            b = make_jpeg(a, quality=85, subsample=sub)
+            p = make_jpeg_progressive(a, quality=85, subsample=sub, scans=scans)
+            assert _decode_jpeg(p) == _decode_jpeg(b), (sub, hh, ww)
+    for rst in (2, 3):
+        a = img[:33, :41]
+        b = make_jpeg(a, quality=70, subsample=True, restart_interval=rst)
+        p = make_jpeg_progressive(
+            a, quality=70, subsample=True, restart_interval=rst, scans=scans
+        )
+        assert _decode_jpeg(p) == _decode_jpeg(b), rst
+
+
 def test_progressive_jpeg_property_fuzz():
     """Hypothesis fuzz of the progressive codec: RANDOM image content,
     dimensions, quality, subsampling, restart interval, and a randomized

@@ -598,7 +598,13 @@ def sql_url_domain(url_sql: str) -> str:
 
 
 def sql_url_normalize(url_sql: str, strip_params: str = TRACKING_PARAM_RE) -> str:
-    """DuckDB twin of :func:`url_normalize` (same regexes, RE2-compatible)."""
+    """DuckDB twin of :func:`url_normalize` (same regexes).
+
+    ``strip_params`` must be RE2-compatible (DuckDB's regex engine; no
+    lookaround) for the twin guarantee to hold — Java's ``rlike`` on the
+    Spark side accepts a superset.  Single quotes in the pattern are
+    escaped for the SQL literal."""
+    strip_params = strip_params.replace("'", "''")
     scheme = f"lower(regexp_extract({url_sql}, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1))"
     auth0 = f"lower(regexp_extract({url_sql}, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1))"
     auth = (

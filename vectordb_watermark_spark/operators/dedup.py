@@ -452,6 +452,45 @@ def minhash_band_plan(
     }
 
 
+def minhash_min_agree_banded(
+    threshold: float,
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    fn_tol: float = 0.1,
+) -> int:
+    """Strongest lane-agreement cut whose false-negative rate at the
+    threshold, CONDITIONAL on the pair having matched a band, stays within
+    ``fn_tol`` — the right selector when the cut runs on banding's
+    collision stream (a band match already certifies ``band_size``
+    agreeing lanes, so the binomial is over the remaining
+    ``n_hashes - band_size`` lanes).
+
+    At threshold 0.5 / 16 lanes / 4-row bands and the default tolerance
+    this returns 8 — exactly the cut the 1M A/B measured recall-neutral —
+    while at threshold 0.9 it returns 13, not the naive
+    ``ceil(0.9 * 16) = 15`` whose conditional false-negative rate at the
+    boundary would be ~34%."""
+    from math import comb
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold={threshold} must be in (0, 1)")
+    rem = n_hashes - band_size
+
+    def cond_tail(m: int) -> float:
+        need = max(m - band_size, 0)
+        return sum(
+            comb(rem, k) * threshold**k * (1.0 - threshold) ** (rem - k)
+            for k in range(need, rem + 1)
+        )
+
+    m = 1
+    for cand in range(n_hashes, 0, -1):
+        if cond_tail(cand) >= 1.0 - fn_tol:
+            m = cand
+            break
+    return m
+
+
 def minhash_min_agree(
     threshold: float, n_hashes: int = N_MINHASH, fn_tol: float = 0.05
 ) -> int:
@@ -541,8 +580,11 @@ def minhash_candidate_pairs(
     )
 
     # cross-group: band match decided once per group pair (distinct is over
-    # group pairs, not member pairs), then expanded via two equi-joins
-    if min_agree is not None and min_agree > 1:
+    # group pairs, not member pairs), then expanded via two equi-joins.
+    # A band match already certifies band_size agreeing lanes, so a cut at
+    # or below band_size is vacuously true — skip the signature-payload
+    # machinery entirely rather than pay its shuffle weight for nothing.
+    if min_agree is not None and min_agree > band_size:
         # the signature rides through the band join (30-bit lanes fit
         # array<int>, halving the payload); the agreement cut is a
         # map-side filter on the collision stream BEFORE the distinct
@@ -622,15 +664,17 @@ def _auto_candidates(
     gate, use this).
 
     With the verify ``threshold`` known, the auto path also applies the
-    lane-agreement pre-verify cut at ``min_agree = ceil(t * n_hashes)``
-    (estimated-Jaccard >= t).  Safe by default at scale: the 1M-doc A/B
-    (SCALE_TEXT_1M.json) measured this cut at 6.4x fewer candidates and
-    7x faster verify with planted recall IDENTICAL to the uncut banding
-    (0.988023 vs 0.988028 — one doc in 200k); recall at the threshold
-    boundary is bounded by the 4x4 banding either way.  Explicit
-    ``pairs=`` callers are untouched."""
-    import math
-
+    lane-agreement pre-verify cut at
+    :func:`minhash_min_agree_banded`\ ``(threshold)`` — the strongest cut
+    whose false-negative rate at the threshold, conditional on a band
+    match, stays within tolerance (10%).  At threshold 0.5 that is
+    ``min_agree = 8``, the exact configuration the 1M-doc A/B
+    (SCALE_TEXT_1M.json) measured at 6.4x fewer candidates and 7x faster
+    verify with planted recall IDENTICAL to the uncut banding (0.988023
+    vs 0.988028 — one doc in 200k); at high thresholds the conditional
+    selector backs off instead of silently cutting boundary recall the
+    way naive ``ceil(t * n)`` would.  Explicit ``pairs=`` callers are
+    untouched."""
     if pairs is not None:
         return pairs
     if auto_rows is None:
@@ -638,8 +682,8 @@ def _auto_candidates(
     n = total if total is not None else df.count()
     if n > auto_rows:
         min_agree = (
-            min(N_MINHASH, max(1, math.ceil(threshold * N_MINHASH)))
-            if threshold is not None
+            minhash_min_agree_banded(threshold)
+            if threshold is not None and 0.0 < threshold < 1.0
             else None
         )
         return minhash_candidate_pairs(
@@ -1077,7 +1121,9 @@ def minhash_join(
         )
     lg = _sig_groups(left, id_col, text_col, n_hashes)
     rg = _sig_groups(right, id_col, text_col, n_hashes)
-    if min_agree is not None and min_agree > 1:
+    # cut at or below band_size is vacuous given a band match — skip the
+    # payload machinery (same reasoning as minhash_candidate_pairs)
+    if min_agree is not None and min_agree > band_size:
         ls = lg.select(
             F.col("gid").alias("id"), "sig",
             F.col("sig").cast("array<int>").alias("__s"),

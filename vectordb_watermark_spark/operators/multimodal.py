@@ -526,7 +526,6 @@ def make_jpeg(
     blocks, samp, qts, qids, h, w, mcx, mcy, nch = _jpeg_prepare(
         arr, quality, subsample
     )
-    ql = qts[0]
 
     dc_map = _huff_encode_map(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_map = _huff_encode_map(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -717,9 +716,20 @@ def make_jpeg_progressive(
         out += _jpeg_seg(0xDA, bytes(sos))
         wtr = _JpegBitWriter()
         if ss == 0:
-            out += _jpeg_prog_dc_scan(
-                wtr, zz, samp, comps, mcx, mcy, ah, al, dc_map, restart_interval
-            )
+            if len(comps) == 1:
+                # non-interleaved DC scan: the component's OWN block grid in
+                # raster order (T.81 A.2.2), matching the decoder — the
+                # MCU-padded grid walk below is for interleaved scans only
+                ci = comps[0]
+                hi, vi = samp[ci]
+                cy, cx = _jpeg_comp_block_grid((w, h, hmax, vmax), hi, vi)
+                out += _jpeg_prog_dc_scan_single(
+                    wtr, zz[ci], cy, cx, ah, al, dc_map, restart_interval
+                )
+            else:
+                out += _jpeg_prog_dc_scan(
+                    wtr, zz, samp, comps, mcx, mcy, ah, al, dc_map, restart_interval
+                )
         else:
             hi, vi = samp[comps[0]]
             cy, cx = _jpeg_comp_block_grid((w, h, hmax, vmax), hi, vi)
@@ -728,6 +738,37 @@ def make_jpeg_progressive(
             )
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _jpeg_prog_dc_scan_single(
+    wtr, zzc, cy, cx, ah, al, dc_map, restart
+) -> bytes:
+    """Non-interleaved DC scan body: ONE component's own block grid in
+    raster order (T.81 A.2.2 — not the MCU-padded grid), mirroring the
+    decoder's single-component path."""
+    pred = 0
+    blk_i = rst_i = 0
+    for by in range(cy):
+        for bx in range(cx):
+            if restart and blk_i and blk_i % restart == 0:
+                wtr.pad_to_byte()
+                wtr.out += bytes([0xFF, 0xD0 + (rst_i % 8)])
+                rst_i += 1
+                pred = 0
+            v = int(zzc[by, bx, 0])
+            if ah == 0:
+                t = v >> al
+                s, bits = _jpeg_encode_coef_bits(t - pred)
+                pred = t
+                ln, code = dc_map[s]
+                wtr.put(code, ln)
+                if s:
+                    wtr.put(bits, s)
+            else:
+                wtr.put((v >> al) & 1, 1)
+            blk_i += 1
+    wtr.pad_to_byte()
+    return bytes(wtr.out)
 
 
 def _jpeg_prog_dc_scan(

@@ -563,10 +563,18 @@ def ivf_pq_compact_index(
 
     Unlike a plain re-run of :func:`ivf_pq_write_index` (whose codes land
     via a NON-staged overwrite — fine for a first build, but a rebuild
-    crash mid-write would leave torn codes beside intact old sidecars),
-    every piece here lands staged and swaps atomically: codes first, then
-    centroids, then codebooks — a crash at any point leaves a complete
-    old or new index, never an incoherent mix.
+    crash mid-write would leave a TORN codes directory), every piece here
+    lands staged and swaps atomically: codes first, then centroids, then
+    codebooks — no directory is ever torn.
+
+    CRASH SEMANTICS (honest): the three pieces swap sequentially, so a
+    crash BETWEEN swaps leaves new codes beside old centroid/codebook
+    sidecars — each piece complete, but mutually inconsistent (ADC scores
+    against the stale tables would be silently wrong).  Recovery is
+    RE-RUNNING the compaction — idempotent, converges all three pieces;
+    treat a compaction as failed-until-completed and fence serving while
+    it runs (same discipline as the raw-vector
+    ``similarity.ivf_compact_index``).
     """
     from vectordb_watermark_spark.operators.similarity import (
         _ivf_assign_pass,

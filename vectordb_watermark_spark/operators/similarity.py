@@ -319,32 +319,41 @@ def semantic_dedup_pairs(
             n_clusters = max(1, math.ceil(n_rows / target_cluster_rows))
         centroids = _ivf_train(base, n_clusters, 3, key)
         for split_round in range(max_split_rounds):
-            sizes = {
-                r["centroid"]: r["n"]
-                for r in _ivf_assign_pass(base, centroids)
-                .groupBy("centroid")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            oversized = sorted(c for c, n in sizes.items() if n > max_cluster_rows)
-            if not oversized:
-                break
-            kept = [c for i, c in enumerate(centroids) if i not in set(oversized)]
-            assigned = _ivf_assign_pass(base, centroids)
-            for c in oversized:
-                n_sub = max(2, math.ceil(sizes[c] / sub_target))
-                sub_base = (
-                    assigned.filter(F.col("centroid") == c)
-                    .select("id", "v")
-                    .persist()
+            # ONE assignment pass per round, persisted: the size tally and
+            # every oversized-cluster filter below read the cache instead
+            # of re-running the full-corpus assignment GEMM per cluster
+            assigned = _ivf_assign_pass(base, centroids).persist()
+            try:
+                sizes = {
+                    r["centroid"]: r["n"]
+                    for r in assigned.groupBy("centroid")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                oversized = sorted(
+                    c for c, n in sizes.items() if n > max_cluster_rows
                 )
-                try:
-                    kept.extend(
-                        _ivf_train(sub_base, n_sub, 2, f"{key}|split{split_round}|{c}")
+                if not oversized:
+                    break
+                kept = [c for i, c in enumerate(centroids) if i not in set(oversized)]
+                for c in oversized:
+                    n_sub = max(2, math.ceil(sizes[c] / sub_target))
+                    sub_base = (
+                        assigned.filter(F.col("centroid") == c)
+                        .select("id", "v")
+                        .persist()
                     )
-                finally:
-                    sub_base.unpersist()
-            centroids = kept
+                    try:
+                        kept.extend(
+                            _ivf_train(
+                                sub_base, n_sub, 2, f"{key}|split{split_round}|{c}"
+                            )
+                        )
+                    finally:
+                        sub_base.unpersist()
+                centroids = kept
+            finally:
+                assigned.unpersist()
     finally:
         base.unpersist()
 
@@ -1002,9 +1011,16 @@ def ivf_compact_index(
     a staged directory and swap in atomically (:func:`_swap_dir_atomic`),
     then the centroid table, then the append machinery resets (claims
     cleared, sidecar sequence back to 1) and the drift baseline is
-    re-recorded — a crash at any point leaves a complete old or new index.
-    Same serving caveat as a full rebuild: compact-while-serving on stores
-    without atomic directory rename needs external fencing.
+    re-recorded.
+
+    CRASH SEMANTICS (honest): each PIECE swaps atomically — no directory
+    is ever torn — but the pieces swap sequentially, so a crash BETWEEN
+    the vectors swap and the centroid swap leaves new vector partitions
+    beside the old centroid table (queries would prune by stale centroid
+    proximity and degrade silently).  Recovery is simply RE-RUNNING the
+    compaction — it is idempotent and converges every piece; treat a
+    compaction as failed-until-completed, and serve-while-compacting
+    needs external fencing regardless (same as a full rebuild).
 
     Concurrency contract: ONE maintainer at a time — run no appends during
     a compaction (an append committing between the staged write and the
