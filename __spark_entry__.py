@@ -1655,9 +1655,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).cast("array<float>").alias("emb"),
             )
         )
-        os.makedirs(".scratch", exist_ok=True)
+        # anchor to the repo (this file's directory), not the caller's cwd —
+        # the driver may import this module from anywhere
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
         path = os.path.join(
-            ".scratch", f"oracle_rag_index_{os.path.basename(str(sf))}"
+            scratch, f"oracle_rag_index_{os.path.basename(str(sf))}"
         )
         ivf_write_index(dense, path, n_centroids=8)
         vecs = spark.read.parquet(f"{path}/vectors")
@@ -1729,9 +1732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ivf_write_index,
         )
 
-        os.makedirs(".scratch", exist_ok=True)
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
         path = os.path.join(
-            ".scratch", f"oracle_ivf_drift_{os.path.basename(str(sf))}"
+            scratch, f"oracle_ivf_drift_{os.path.basename(str(sf))}"
         )
         df = _vectors(spark, sf)
         n = df.count()
