@@ -1662,12 +1662,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = os.path.join(
             scratch, f"oracle_rag_index_{os.path.basename(str(sf))}"
         )
-        ivf_write_index(dense, path, n_centroids=8)
-        vecs = spark.read.parquet(f"{path}/vectors")
-        qblock = vecs.filter(F.col("id").isin([0, 7000, 13000])).select(
-            F.col("id").alias("qid"), F.col("v").alias("qvec")
-        )
-        return ivf_query_index_batch(spark, path, qblock, k=5, n_probe=8)
+        import shutil
+
+        try:
+            ivf_write_index(dense, path, n_centroids=8)
+            vecs = spark.read.parquet(f"{path}/vectors")
+            qblock = vecs.filter(F.col("id").isin([0, 7000, 13000])).select(
+                F.col("id").alias("qid"), F.col("v").alias("qvec")
+            )
+            res = ivf_query_index_batch(spark, path, qblock, k=5, n_probe=8)
+            # materialize before removing the scratch index: the returned
+            # DataFrame must not depend on the on-disk tree (gate runs would
+            # otherwise accumulate stale index dirs — round-10 advice)
+            return spark.createDataFrame(res.toPandas(), schema=res.schema)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
 
     def url_curation(spark, sf):  # URL canonicalization (RefinedWeb stage 1)
         # synthetic messy URLs (upper-case scheme/host, default port,
@@ -1737,12 +1746,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = os.path.join(
             scratch, f"oracle_ivf_drift_{os.path.basename(str(sf))}"
         )
+        import shutil
+
         df = _vectors(spark, sf)
         n = df.count()
-        ivf_write_index(df, path, n_centroids=8)
-        d0 = ivf_index_drift(spark, path)
-        ivf_compact_index(spark, path)
-        d1 = ivf_index_drift(spark, path)
+        try:
+            ivf_write_index(df, path, n_centroids=8)
+            d0 = ivf_index_drift(spark, path)
+            ivf_compact_index(spark, path)
+            d1 = ivf_index_drift(spark, path)
+        finally:
+            # scratch index is fully consumed into d0/d1 scalars — remove it
+            # so gate runs never accumulate stale index trees (round-10 advice)
+            shutil.rmtree(path, ignore_errors=True)
 
         def unit(d):
             return bool(
@@ -1773,28 +1789,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 113 oracles
+    # recomposed so the LEAST-recently-verified oracles lead — with 117 oracles
     # and a 50-slot window every oracle has a driver-green row within a 3-round
     # period (the full local tools/check_oracle.py run covers every oracle every
-    # round regardless of window position).  Round-9 window: the r6 tail that
-    # was deferred out of the round-8 window leads, then the 7 round-8 oracles
-    # that have never had a driver-green row, then the first 37 rows of the
-    # round-7-verified block (CORRECTNESS_r07.json order).  Below the line: the
-    # deferred r7 tail (13 rows, must lead the round-10 window), then the
-    # round-8 window (CORRECTNESS_r08.json), then new round-9 oracles.  The 5
-    # rows-only entries stay at the very bottom permanently: in-window they
-    # record only a weak rows-only check, and their contracts are pinned by
-    # the hash-verified contract rows (knn_lsh_recall, ivf_recall, lsh_recall,
-    # pca_invariants, lsh_edges_exactness; BPE by tests/test_tokenizer.py).
+    # round regardless of window position).  Round-10 window: the r7 tail that
+    # was deferred out of the round-9 window leads (13 rows), then the 4
+    # round-9 oracles that have never had a driver-green row, then the first
+    # 33 rows of the round-8-verified block (CORRECTNESS_r08.json order).
+    # Below the line: the r8 remainder (17 rows, deferred to round 11), then
+    # the round-9 window (CORRECTNESS_r09.json).  Zero overlap with r9's 50.
+    # The 5 rows-only entries stay at the very bottom permanently: in-window
+    # they record only a weak rows-only check, and their contracts are pinned
+    # by the hash-verified contract rows (knn_lsh_recall, ivf_recall,
+    # lsh_recall, pca_invariants, lsh_edges_exactness; BPE by
+    # tests/test_tokenizer.py).
     return {
-        # -- r9 window head: r6 tail deferred out of the round-8 window ------
+        # -- r10 window head: r7 tail deferred out of the round-9 window --
+        "vector_mean": vector_mean,
+        "knn_degrees": knn_degrees,
+        "gated_degrees": gated_degrees,
+        "degree_histogram": degree_histogram,
+        "carrier_selection": carrier_selection,
+        "topk_degree_pool": topk_degree_pool,
+        "crc4_table": crc4_table,
+        "majority_vote_events": majority_vote_events,
+        "robust_vote_events": robust_vote_events,
+        "sample_keyed": sample_keyed,
+        "sample_stratified": sample_stratified,
+        "pca_invariants": pca_invariants,
+        "lsh_edges_exactness": lsh_edges_exactness,
+        # -- r10 window: round-9 oracles, never driver-verified --
+        "dedup_minhash_agree": dedup_minhash_agree,
+        "rag_pipeline": rag_pipeline,
+        "ivf_drift_contract": ivf_drift_contract,
+        "token_heavy_hitters": token_heavy_hitters,
+        # -- r10 window body: rows last driver-verified in round 8 --
+        "dup_ngram_spans": dup_ngram_spans,
+        "span_scrubbed_docs": span_scrubbed_docs,
+        "bigram_lm_scores": bigram_lm_scores,
+        "pq_recall": pq_recall,
+        "corpus_snapshot_diff": corpus_snapshot_diff,
+        "corpus_snapshot_stats": corpus_snapshot_stats,
+        "semi_join_carriers": semi_join_carriers,
+        "anti_join_subset": anti_join_subset,
+        "attack_gaussian": attack_gaussian,
+        "attack_subset": attack_subset,
+        "attack_mean_replace": attack_mean_replace,
+        "attack_truncate_pad": attack_truncate_pad,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_signatures": dedup_minhash_signatures,
+        "sample_weighted": sample_weighted,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_lines": q12_priority_lines,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity": q17_small_quantity,
+        "q22_idle_customers": q22_idle_customers,
+        "events_hourly": events_hourly,
+        "events_type_rollup": events_type_rollup,
+        # ---- 50-query window line ------------------------------------------
+        # -- r8 remainder deferred to the round-11 window (stay green in the
+        # -- full local check_oracle run every round) --
+        "events_cube": events_cube,
+        "set_ops_users": set_ops_users,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_running_window": events_running_window,
+        "events_pivot": events_pivot,
+        "events_value_quantiles": events_value_quantiles,
+        "events_json_extract": events_json_extract,
+        "events_user_rollup": events_user_rollup,
+        "watermark_roundtrip": watermark_roundtrip,
+        "ivf_recall": ivf_recall,
+        "lsh_recall": lsh_recall,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q20_excess_inventory": q20_excess_inventory,
+        # -- r9 window (driver-green in round 9, CORRECTNESS_r09.json) --
         "q21_suppliers_waiting": q21_suppliers_waiting,
         "doc_length_percentiles": doc_length_percentiles,
         "embedding_dim_stats": embedding_dim_stats,
         "lexical_diversity": lexical_diversity,
         "gopher_quality_flags": gopher_quality_flags,
         "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
-        # -- r9 window: round-8 oracles, never driver-verified ---------------
         "ann_batch_exactness": ann_batch_exactness,
         "semdedup_contract": semdedup_contract,
         "text_normalize": text_normalize,
@@ -1802,7 +1891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "url_curation": url_curation,
         "embedding_outliers": embedding_outliers,
-        # -- r9 window body: rows last driver-verified in round 7 ------------
         "quality_repetition": quality_repetition,
         "pii_redaction": pii_redaction,
         "decontaminate_docs": decontaminate_docs,
@@ -1840,81 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": point_lookup,
         "vector_scan": vector_scan,
         "vector_stats": vector_stats,
-        # ---- 50-query window line ------------------------------------------
-        # r7 tail deferred to the round-10 window (these stay green in the
-        # full local check_oracle run every round):
-        "vector_mean": vector_mean,
-        "knn_degrees": knn_degrees,
-        "gated_degrees": gated_degrees,
-        "degree_histogram": degree_histogram,
-        "carrier_selection": carrier_selection,
-        "topk_degree_pool": topk_degree_pool,
-        "crc4_table": crc4_table,
-        "majority_vote_events": majority_vote_events,
-        "robust_vote_events": robust_vote_events,
-        "sample_keyed": sample_keyed,
-        "sample_stratified": sample_stratified,
-        "pca_invariants": pca_invariants,
-        "lsh_edges_exactness": lsh_edges_exactness,
-        # -- r8 window (driver-green in round 8, CORRECTNESS_r08.json) -------
-        "dup_ngram_spans": dup_ngram_spans,
-        "span_scrubbed_docs": span_scrubbed_docs,
-        "bigram_lm_scores": bigram_lm_scores,
-        "pq_recall": pq_recall,
-        "corpus_snapshot_diff": corpus_snapshot_diff,
-        "corpus_snapshot_stats": corpus_snapshot_stats,
-        "semi_join_carriers": semi_join_carriers,
-        "anti_join_subset": anti_join_subset,
-        "attack_gaussian": attack_gaussian,
-        "attack_subset": attack_subset,
-        "attack_mean_replace": attack_mean_replace,
-        "attack_truncate_pad": attack_truncate_pad,
-        "dedup_exact_groups": dedup_exact_groups,
-        "dedup_minhash_signatures": dedup_minhash_signatures,
-        "sample_weighted": sample_weighted,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_order_priority": q4_order_priority,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q12_priority_lines": q12_priority_lines,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_orders": q18_large_orders,
-        "q19_disjunctive": q19_disjunctive,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity": q17_small_quantity,
-        "q22_idle_customers": q22_idle_customers,
-        "events_hourly": events_hourly,
-        "events_type_rollup": events_type_rollup,
-        "events_cube": events_cube,
-        "set_ops_users": set_ops_users,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
-        "events_running_window": events_running_window,
-        "events_pivot": events_pivot,
-        "events_value_quantiles": events_value_quantiles,
-        "events_json_extract": events_json_extract,
-        "events_user_rollup": events_user_rollup,
-        "watermark_roundtrip": watermark_roundtrip,
-        "ivf_recall": ivf_recall,
-        "lsh_recall": lsh_recall,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_counts": q16_parts_supplier_counts,
-        "q20_excess_inventory": q20_excess_inventory,
-        # -- new in round 9 (below the driver window; full-green locally via
-        # -- tools/check_oracle.py, driver-gated on a later rotation) --------
-        "dedup_minhash_agree": dedup_minhash_agree,
-        "rag_pipeline": rag_pipeline,
-        "ivf_drift_contract": ivf_drift_contract,
-        "token_heavy_hitters": token_heavy_hitters,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
-        # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --------------
+        # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
         "knn_lsh_edges": knn_lsh_edges,
         "ivf_topk": ivf_topk,
