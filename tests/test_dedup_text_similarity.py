@@ -678,6 +678,59 @@ def test_jaccard_auto_routes_minhash_candidates_at_scale(spark):
     assert hit / planted >= 0.9, f"planted near-dup recall {hit}/{planted}"
 
 
+def test_jaccard_auto_min_agree_knob(spark):
+    """ADVICE r9: the auto path's lane-agreement cut must be tunable from
+    jaccard_pairs itself — min_agree=None disables it (result equals the
+    explicit uncut candidate set), an int pins it, 'auto' is the default
+    banded selector.  Run above auto_rows via a tiny auto_rows override."""
+    rows = []
+    for i in range(40):
+        toks = " ".join(f"t{i}_{j}" for j in range(10))
+        rows.append((2 * i, toks))
+        # near-dup partner: 8 of 10 tokens shared (J = 8/12 ~ 0.667)
+        rows.append((2 * i + 1, " ".join(
+            [f"t{i}_{j}" for j in range(8)] + [f"x{i}_a", f"x{i}_b"]
+        )))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncut_cand = D.minhash_candidate_pairs(df)
+    want = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_pairs(df, pairs=uncut_cand, threshold=0.5).collect()
+    }
+    assert want  # planted pairs survive the exact verify
+
+    # min_agree=None on the auto path == explicit uncut candidates
+    got_none = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_pairs(
+            df, threshold=0.5, auto_rows=10, min_agree=None
+        ).collect()
+    }
+    assert got_none == want
+
+    # default 'auto' applies the banded selector: still a subset of the
+    # uncut result (precision is exact either way), and on this planted
+    # corpus the t=0.5 cut keeps everything
+    got_auto = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in D.jaccard_pairs(df, threshold=0.5, auto_rows=10).collect()
+    }
+    assert got_auto <= want and got_auto == want
+
+    # an explicit max cut keeps only identical-signature pairs — none here
+    got_max = D.jaccard_pairs(
+        df, threshold=0.5, auto_rows=10, min_agree=D.N_MINHASH
+    ).collect()
+    assert {(r["a"], r["b"]) for r in got_max} < {(a, b) for a, b, _ in want}
+
+    # invalid pins fail loud (validated where the cut applies)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_agree"):
+        D.jaccard_pairs(df, threshold=0.5, auto_rows=10, min_agree=99).collect()
+
+
 # ---------------------------------------------------------------------------
 # quality-filter rules, PII redaction, decontamination
 # ---------------------------------------------------------------------------
@@ -1289,26 +1342,33 @@ def test_ivf_compact_restores_recall_after_skewed_appends(spark, tmp_path):
     assert after["partition_skew"] < drifted["partition_skew"]
     top = ivf_query_index(spark, idx, qv, k=5, n_probe=2).collect()
     assert len(top) == 5 and all(r["id"] >= 1000 for r in top)
-    assert spark.read.parquet(f"{idx}/vectors").count() == 400
+    # pieces now live behind the manifest: resolve before raw reads
+    from vectordb_watermark_spark.operators.similarity import _resolve_index_root
 
-    # append sequence reset to 1: a fresh append claims append-1 again and
-    # the claim protocol still arbitrates tag races loudly
+    root = _resolve_index_root(spark, idx)
+    assert root != idx  # compaction versioned the index
+    assert spark.read.parquet(f"{root}/vectors").count() == 400
+
+    # batch tags PRESERVED and sequence carried forward (round 10): the
+    # pre-compaction append keeps its append-1 tag, the next append lands
+    # under append-2, and the re-created claim files keep tag races loud
     c = blob([0, 10.0, 0, 0, 0, 0, 0, 0], 20, 5000)
     assert ivf_append_index(c, idx) == 20
+    root = _resolve_index_root(spark, idx)
     batches = {
         r["batch"]
-        for r in spark.read.parquet(f"{idx}/vectors").select("batch").distinct().collect()
+        for r in spark.read.parquet(f"{root}/vectors").select("batch").distinct().collect()
     }
-    assert batches == {"full", "append-1"}
-    # simulate a racer that read the same (now stale) sequence: its tag is
-    # already claimed -> ConcurrentAppendError
+    assert batches == {"full", "append-1", "append-2"}
+    # simulate a racer that read a stale (pre-compaction) sequence: the
+    # preserved append-1 tag is still claimed -> ConcurrentAppendError
     from vectordb_watermark_spark.operators.similarity import (
         _load_index_meta,
         _write_index_meta_atomic,
     )
 
-    meta = _load_index_meta(spark, idx)
-    _write_index_meta_atomic(spark, idx, meta["id_type"], meta["dim"], 1)
+    meta = _load_index_meta(spark, root)
+    _write_index_meta_atomic(spark, root, meta["id_type"], meta["dim"], 1)
     import pytest as _pytest
 
     with _pytest.raises(ConcurrentAppendError):
@@ -2054,3 +2114,188 @@ def test_url_normalize_rules(spark):
             f"?ref=main&utm_source=t' AS url)"
         ).fetchone()[0]
         assert v == expect
+
+
+# ---------------------------------------------------------------------------
+# manifest-pointer commit for index maintenance (round 10, VERDICT r9 #3)
+# ---------------------------------------------------------------------------
+
+def _mk_blobs(spark, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+
+    def blob(center, n, start_id):
+        rows = []
+        for i in range(n):
+            v = np.asarray(center, dtype=np.float64) + 0.05 * rng.standard_normal(8)
+            rows.append((start_id + i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "id long, emb array<float>")
+
+    return blob
+
+
+def test_ivf_compact_crash_before_commit_keeps_old_version_live(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection between piece writes and the commit: EVERY piece of
+    the new version is on disk, but the manifest commit never happened —
+    the old version must stay fully live and mutually consistent (queries,
+    drift, appends all work), and a re-run converges."""
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark)
+    idx = str(tmp_path / "ivf_crash")
+    a = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 120, 0)
+    b = blob([0, 0, 0, 0, 0, 0, 0, 20.0], 120, 1000)
+    S.ivf_write_index(a, idx, n_centroids=4, key="c")
+    S.ivf_append_index(b, idx)
+    before_drift = S.ivf_index_drift(spark, idx)
+    qv = [0.0] * 7 + [20.0]
+    before_top = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=3, n_probe=4).collect()]
+
+    real_commit = S._commit_index_version
+
+    def crash(sp, p, seq):
+        raise RuntimeError("injected crash before manifest commit")
+
+    monkeypatch.setattr(S, "_commit_index_version", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        S.ivf_compact_index(spark, idx, key="c2")
+    monkeypatch.setattr(S, "_commit_index_version", real_commit)
+
+    # no commit -> resolution still points at the flat old version
+    assert S._resolve_index_root(spark, idx) == idx
+    # old version is complete and mutually consistent: same query answers,
+    # same drift reading, appends still land
+    after_top = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=3, n_probe=4).collect()]
+    assert after_top == before_top
+    d = S.ivf_index_drift(spark, idx)
+    assert d["n_rows"] == before_drift["n_rows"]
+    assert d["drift_ratio"] == before_drift["drift_ratio"]
+
+    # re-run converges: the leftover uncommitted _v dir is replaced, the
+    # commit lands, and the compacted index answers with restored recall
+    S.ivf_compact_index(spark, idx, key="c2")
+    root = S._resolve_index_root(spark, idx)
+    assert root != idx
+    top = S.ivf_query_index(spark, idx, qv, k=3, n_probe=1).collect()
+    assert all(r["id"] >= 1000 for r in top)
+    assert S.ivf_index_drift(spark, idx)["drift_ratio"] <= 1.001
+
+
+def test_ivf_compact_crash_mid_pieces_keeps_old_version_live(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection EARLIER — after the new vectors are written but
+    before the sidecars: still invisible to readers (old flat version
+    resolves), and the next compaction cleans the leftover."""
+    import os
+
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=7)
+    idx = str(tmp_path / "ivf_crash2")
+    S.ivf_write_index(blob([1.0] + [0.0] * 7, 100, 0), idx, n_centroids=4, key="c")
+
+    real = S._write_centroids_atomic
+
+    def crash(sp, p, cents):
+        raise RuntimeError("injected crash mid-pieces")
+
+    monkeypatch.setattr(S, "_write_centroids_atomic", crash)
+    with pytest.raises(RuntimeError, match="mid-pieces"):
+        S.ivf_compact_index(spark, idx, key="c2")
+    monkeypatch.setattr(S, "_write_centroids_atomic", real)
+
+    assert S._resolve_index_root(spark, idx) == idx
+    # the torn _v00001 leftover exists but is uncommitted garbage
+    assert os.path.isdir(f"{idx}/_v00001")
+    assert spark.read.parquet(f"{idx}/vectors").count() == 100
+
+    S.ivf_compact_index(spark, idx, key="c2")
+    root = S._resolve_index_root(spark, idx)
+    assert root == f"{idx}/_v00001"  # re-used after cleanup, now committed
+    assert spark.read.parquet(f"{root}/vectors").count() == 100
+
+
+def test_ivf_manifest_versioning_gc_and_concurrent_commit(spark, tmp_path):
+    """The commit log: each compaction commits one new version atomically,
+    GC removes everything the current commit does not reference (old
+    versions, superseded flat pieces, stale commit files), a mid-compaction
+    reader resolves to a consistent version, and a racing commit for the
+    same version loses loudly."""
+    import os
+
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=11)
+    idx = str(tmp_path / "ivf_versions")
+    S.ivf_write_index(blob([1.0] + [0.0] * 7, 80, 0), idx, n_centroids=4, key="c")
+
+    S.ivf_compact_index(spark, idx, key="c2")
+    assert S._current_index_version(spark, idx) == 1
+    assert os.path.isdir(f"{idx}/_v00001")
+    # first compaction superseded the flat pieces -> GC removed them
+    assert not os.path.exists(f"{idx}/vectors")
+    assert not os.path.exists(f"{idx}/centroids")
+
+    S.ivf_compact_index(spark, idx, key="c3")
+    assert S._current_index_version(spark, idx) == 2
+    assert os.path.isdir(f"{idx}/_v00002")
+    assert not os.path.exists(f"{idx}/_v00001")  # old version GC'd
+    assert not os.path.exists(f"{idx}/_commits/00001")  # stale commit trimmed
+
+    # rebuild of a versioned index goes through the manifest too
+    S.ivf_write_index(blob([0.0] * 7 + [1.0], 90, 500), idx, n_centroids=4, key="c4")
+    assert S._current_index_version(spark, idx) == 3
+    root = S._resolve_index_root(spark, idx)
+    assert spark.read.parquet(f"{root}/vectors").count() == 90
+
+    # a racer that already committed version 4 makes this attempt lose loud
+    S._commit_index_version(spark, idx, 4)
+    os.makedirs(f"{idx}/_v00004", exist_ok=True)
+    import shutil
+
+    shutil.copytree(root, f"{idx}/_v00004", dirs_exist_ok=True)
+    with pytest.raises(S.ConcurrentCompactionError):
+        S._commit_index_version(spark, idx, 4)
+
+
+def test_ivf_append_and_queries_resolve_through_manifest(spark, tmp_path):
+    """All public entry points resolve the committed version: append after
+    compaction lands inside the version dir, single + batch queries read
+    it, and the batch tags preserved by compaction keep retry overwrites
+    scoped to their own partitions."""
+    from pyspark.sql import functions as SF
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=13)
+    idx = str(tmp_path / "ivf_resolve")
+    a = blob([1.0] + [0.0] * 7, 100, 0)
+    S.ivf_write_index(a, idx, n_centroids=4, key="c")
+    S.ivf_compact_index(spark, idx, key="c2")
+    root = S._resolve_index_root(spark, idx)
+
+    fresh = blob([0.0] * 7 + [5.0], 30, 2000)
+    assert S.ivf_append_index(fresh, idx) == 30
+    stored = spark.read.parquet(f"{root}/vectors")
+    assert stored.count() == 130
+    assert stored.filter(SF.col("batch") == "append-1").count() == 30
+
+    qv = [0.0] * 7 + [5.0]
+    top = S.ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()
+    assert all(r["id"] >= 2000 for r in top)
+
+    qblock = spark.createDataFrame(
+        [(0, qv)], "qid long, qvec array<double>"
+    )
+    bt = S.ivf_query_index_batch(spark, idx, qblock, k=5, n_probe=4).collect()
+    assert sorted(r["id"] for r in bt) == sorted(r["id"] for r in top)

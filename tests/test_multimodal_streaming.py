@@ -1285,3 +1285,172 @@ def test_streaming_ivf_reader_during_maintenance(spark, tmp_path):
     assert outcomes["ok"] >= 3  # the reader really ran during maintenance
     allv = spark.read.parquet(f"{idx}/vectors")
     assert allv.count() == 80 and allv.select("id").distinct().count() == 80
+
+
+def test_incremental_index_drift_triggered_compaction(spark, tmp_path):
+    """Drift-triggered streaming maintenance (round 10, VERDICT r9 #7):
+    skewed micro-batches push the drift ratio past the threshold, the sink
+    compacts BETWEEN batch writes through the manifest commit, queries
+    stay correct over every streamed row, and a full checkpoint-retry of
+    the stream across the compaction is idempotent (preserved batch tags
+    make each retried batch dynamic-overwrite its own partitions in the
+    compacted version)."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _current_index_version,
+        _resolve_index_root,
+        ivf_index_drift,
+        ivf_query_index,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(21)
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [
+                    float(round(x, 4))
+                    for x in np.asarray(center) + 0.05 * rng.standard_normal(8)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    # batch a: cluster at e0 (bootstraps centroids); batch b: FAR cluster
+    # (drifts the trained set); batch c: small follow-up whose pre-write
+    # drift check fires the compaction
+    a = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 40, 0)
+    b = blob([0, 0, 0, 0, 0, 0, 0, 20.0], 40, 1000)
+    c = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 10, 5000)
+    src = tmp_path / "drift_src"
+    src.mkdir()
+    for name, rows in (("a", a), ("b", b), ("c", c)):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_index(
+            stream, idx, str(tmp_path / ckpt), n_centroids=4, key="ivf",
+            compact_drift_threshold=5.0,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    idx = str(tmp_path / "ivf_drift_stream")
+    run("ckpt1")
+
+    # compaction fired between batches: the index is versioned now
+    assert _current_index_version(spark, idx) is not None
+    root = _resolve_index_root(spark, idx)
+    stored = spark.read.parquet(f"{root}/vectors")
+    assert stored.count() == 90
+    assert stored.select("id").distinct().count() == 90
+    # post-compaction drift is healthy again
+    assert ivf_index_drift(spark, idx)["drift_ratio"] <= 2.0
+    # far-cluster rows are reachable with a tight probe budget (recall
+    # restored by the compaction's retrained centroids)
+    top = ivf_query_index(spark, idx, [0.0] * 7 + [20.0], k=5, n_probe=1).collect()
+    assert len(top) == 5 and all(1000 <= r["id"] < 2000 for r in top)
+
+    # full retry across the compaction: fresh checkpoint reprocesses every
+    # batch; preserved stream-N tags mean overwrite-in-place, no doubling
+    ver_before = _current_index_version(spark, idx)
+    run("ckpt2")
+    stored = spark.read.parquet(f"{_resolve_index_root(spark, idx)}/vectors")
+    assert stored.count() == 90
+    assert stored.select("id").distinct().count() == 90
+    # the retry found a healthy (already-compacted) index: no new version
+    assert _current_index_version(spark, idx) == ver_before
+
+
+def test_jpeg_fill_bytes_before_markers(spark):
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes.  The
+    marker parser must skip the run and read the FIRST non-FF byte as the
+    marker — before the round-10 fix, one fill byte before the second SOS
+    of a progressive file decoded to WRONG pixels silently (ADVICE r9)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg,
+        make_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, (3, 4, 3)).astype(np.float64)
+    img = np.clip(
+        np.kron(base, np.ones((8, 8, 1))) + rng.normal(0, 4, (24, 32, 3)), 0, 255
+    ).astype(np.uint8)
+
+    p = make_jpeg_progressive(img, quality=85)
+    want = _decode_jpeg(p)
+
+    # one fill byte before the SECOND SOS (the ADVICE repro), and a longer
+    # run before the THIRD — pixels must be byte-identical, not garbage
+    sos = [i for i in range(len(p) - 1) if p[i] == 0xFF and p[i + 1] == 0xDA]
+    assert len(sos) >= 3
+    padded = p[: sos[1]] + b"\xff" + p[sos[1] :]
+    assert _decode_jpeg(padded) == want
+    off = sos[2] + 1  # second insertion shifted later offsets by 1
+    padded2 = padded[:off] + b"\xff\xff\xff" + padded[off:]
+    assert _decode_jpeg(padded2) == want
+
+    # baseline files too (fill run before the single SOS)
+    b = make_jpeg(img, quality=85)
+    sos_b = next(i for i in range(len(b) - 1) if b[i] == 0xFF and b[i + 1] == 0xDA)
+    assert _decode_jpeg(b[:sos_b] + b"\xff\xff" + b[sos_b:]) == _decode_jpeg(b)
+
+    # a fill run falling off the end of the stream fails LOUD
+    with _pytest.raises(ValueError, match="truncated JPEG"):
+        _decode_jpeg(p[: sos[1]] + b"\xff\xff\xff\xff")
+
+
+def test_jpeg_missing_dc_table_raises_diagnosable(spark):
+    """A first-pass progressive DC scan referencing an undefined DC Huffman
+    table must raise a diagnosable ValueError, not die with AttributeError
+    on a None table (ADVICE r9)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        make_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    p = make_jpeg_progressive(img, quality=85)
+
+    # excise every DHT segment that precedes the first SOS: the first scan
+    # of a progressive file is a DC scan (T.81 G.1.1.1.1), so its table
+    # reference now dangles
+    out = bytearray()
+    pos = 0
+    out += p[:2]
+    pos = 2
+    while pos + 4 <= len(p):
+        marker = p[pos + 1]
+        if marker == 0xDA:
+            out += p[pos:]
+            break
+        ln = _struct.unpack(">H", p[pos + 2 : pos + 4])[0]
+        if marker != 0xC4:
+            out += p[pos : pos + 2 + ln]
+        pos += 2 + ln
+    with _pytest.raises(ValueError, match="missing JPEG Huffman table"):
+        _decode_jpeg(bytes(out))

@@ -352,8 +352,13 @@ def test_ivf_pq_compact_index(spark, vectors, tmp_path):
     cents, books = P.ivf_pq_compact_index(vectors.filter(F.col("id") < 400), path)
     assert len(cents) == 8 and books.shape[:2] == (8, 16)  # stored geometry
     # codebooks round-trip and the codes cover exactly the source rows
+    # (the loader resolves through the manifest the compaction committed)
     assert np.array_equal(P._load_codebooks(spark, path), books)
-    codes = spark.read.parquet(f"{path}/codes")
+    from vectordb_watermark_spark.operators.similarity import _resolve_index_root
+
+    root = _resolve_index_root(spark, path)
+    assert root != path  # compaction versioned the index
+    codes = spark.read.parquet(f"{root}/codes")
     assert codes.count() == 400
 
     # compacted index answers queries (rerank recall sanity on one query)
@@ -373,10 +378,11 @@ def test_ivf_pq_compact_index(spark, vectors, tmp_path):
     }
     assert len(got & exact) >= 5
 
-    # appends continue to work against the compacted index
+    # appends continue to work against the compacted index (and land in
+    # the committed version dir)
     more = vectors.filter((F.col("id") >= 400) & (F.col("id") < 420))
     assert P.ivf_pq_append_index(more, path) == more.count()
-    assert spark.read.parquet(f"{path}/codes").count() == 420
+    assert spark.read.parquet(f"{root}/codes").count() == 420
 
 
 def test_ivf_pq_query_index_batch_qid_types_and_dups(spark, vectors, tmp_path):
@@ -444,3 +450,54 @@ def test_ivf_pq_residual_adc_is_exact_for_reconstructions(spark, tmp_path):
     assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in out.values())
     best = max(out, key=lambda i: out[i])
     assert best == 0
+
+
+def test_ivf_pq_compact_crash_before_commit_keeps_old_version(
+    spark, vectors, tmp_path, monkeypatch
+):
+    """Manifest commit for IVF-PQ compaction (round 10): a crash after all
+    three pieces are written but before the commit file leaves the old
+    version fully live — no more new-codes-beside-old-codebooks window.
+    A re-run converges, and queries resolve the committed version."""
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    path = str(tmp_path / "ivfpq_crash")
+    old = vectors.filter(F.col("id") < 250)
+    P.ivf_pq_write_index(old, path, n_centroids=8, m=8, n_codes=16)
+    qv = [float(x) for x in vectors.filter(F.col("id") == 100).first()["emb"]]
+    before = [
+        (r["id"], r["cos"])
+        for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()
+    ]
+    before_books = P._load_codebooks(spark, path)
+
+    def crash(sp, p, seq):
+        raise RuntimeError("injected crash before pq manifest commit")
+
+    real = S._commit_index_version
+    monkeypatch.setattr(S, "_commit_index_version", crash)
+    with pytest.raises(RuntimeError, match="pq manifest"):
+        P.ivf_pq_compact_index(vectors.filter(F.col("id") < 400), path)
+    monkeypatch.setattr(S, "_commit_index_version", real)
+
+    # old version live and mutually consistent: identical answers, codebooks
+    assert S._resolve_index_root(spark, path) == path
+    after = [
+        (r["id"], r["cos"])
+        for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()
+    ]
+    assert after == before
+    assert np.array_equal(P._load_codebooks(spark, path), before_books)
+
+    # re-run converges; the committed version now covers 400 rows
+    P.ivf_pq_compact_index(vectors.filter(F.col("id") < 400), path)
+    root = S._resolve_index_root(spark, path)
+    assert root != path
+    assert spark.read.parquet(f"{root}/codes").count() == 400
+    got = {
+        r["id"]
+        for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()
+    }
+    assert 100 in got

@@ -654,8 +654,10 @@ def _auto_candidates(
     auto_rows: int | None,
     total: int | None,
     threshold: float | None = None,
+    min_agree: int | None | str = "auto",
+    fn_tol: float = 0.1,
 ) -> DataFrame | None:
-    """pairs=None policy shared by the Jaccard verifiers: keep the exact
+    r"""pairs=None policy shared by the Jaccard verifiers: keep the exact
     all-pairs generator only below ``auto_rows`` rows; beyond it, default
     to MinHash-LSH candidates so the verifier is never O(N^2) by accident
     (precision stays exact — every emitted pair is re-verified — recall
@@ -674,18 +676,24 @@ def _auto_candidates(
     vs 0.988028 — one doc in 200k); at high thresholds the conditional
     selector backs off instead of silently cutting boundary recall the
     way naive ``ceil(t * n)`` would.  Explicit ``pairs=`` callers are
-    untouched."""
+    untouched.
+
+    ``min_agree`` tunes the cut (ADVICE r9 — the knob must be reachable
+    from default-parameter callers): ``"auto"`` (default) selects via
+    :func:`minhash_min_agree_banded`\ ``(threshold, fn_tol=fn_tol)``;
+    ``None`` disables the cut (pre-r9 candidate set); an int pins it."""
     if pairs is not None:
         return pairs
     if auto_rows is None:
         return None
     n = total if total is not None else df.count()
     if n > auto_rows:
-        min_agree = (
-            minhash_min_agree_banded(threshold)
-            if threshold is not None and 0.0 < threshold < 1.0
-            else None
-        )
+        if min_agree == "auto":
+            min_agree = (
+                minhash_min_agree_banded(threshold, fn_tol=fn_tol)
+                if threshold is not None and 0.0 < threshold < 1.0
+                else None
+            )
         return minhash_candidate_pairs(
             df, id_col=id_col, text_col=text_col, min_agree=min_agree
         )
@@ -716,13 +724,21 @@ def jaccard_pairs(
     auto_rows: int | None = JACCARD_AUTO_ROWS,
     total: int | None = None,
     hashed_tokens: bool = False,
+    min_agree: int | None | str = "auto",
+    fn_tol: float = 0.1,
 ) -> DataFrame:
     """Exact token-set Jaccard ``(a, b, jaccard)`` for candidate ``pairs``.
 
     ``pairs=None``: all pairs below ``auto_rows`` rows (exact, O(N^2) —
     small N / intra-block only); above it the candidates default to
-    :func:`minhash_candidate_pairs`, so calling this on a big table cannot
-    silently go quadratic.  Pass ``total`` to skip the count job.
+    :func:`minhash_candidate_pairs` WITH the lane-agreement pre-verify cut
+    (``min_agree="auto"``: the strongest cut whose false-negative rate at
+    ``threshold``, conditional on a band match, stays within ``fn_tol`` —
+    measured recall-neutral at 1M docs, SCALE_TEXT_1M.json), so calling
+    this on a big table cannot silently go quadratic.  ``min_agree=None``
+    disables the cut; an int pins it; both only apply on the auto path —
+    explicit ``pairs=`` callers control their own candidates.  Pass
+    ``total`` to skip the count job.
 
     ``hashed_tokens=True`` is the SHUFFLE-VOLUME lever for large corpora:
     the verify join replicates BOTH token sets onto every candidate pair,
@@ -744,7 +760,8 @@ def jaccard_pairs(
     # _auto_candidates; 1M-measured recall-neutral); ngram_jaccard_pairs
     # verifies character shingles — a different measure — and stays uncut
     pairs = _auto_candidates(
-        df, pairs, id_col, text_col, auto_rows, total, threshold=threshold
+        df, pairs, id_col, text_col, auto_rows, total, threshold=threshold,
+        min_agree=min_agree, fn_tol=fn_tol,
     )
     if hashed_tokens:
         from vectordb_watermark_spark.functions.hashing import word60

@@ -1011,9 +1011,19 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+        # fill bytes — the marker is the first non-FF byte after the run
+        # (without this, a fill run reads as marker=0xFF plus a bogus
+        # segment length and the decode continues on garbage — ADVICE r9)
+        while pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(raw):
+            raise ValueError("truncated JPEG: fill-byte run to end of stream")
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(raw):
+            raise ValueError("truncated JPEG marker segment")
         ln = struct.unpack(">H", raw[pos + 2 : pos + 4])[0]
         body = raw[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -1190,6 +1200,16 @@ def _jpeg_decode_prog_scan(
     if ss == 0:
         if se != 0:
             raise ValueError("progressive DC scan with Se != 0")
+        if ah == 0:
+            # first pass reads Huffman-coded diffs: the table must exist
+            # (refinement passes read raw bits and never touch it — .get
+            # stays correct for those)
+            for _c, dct, _a in scan:
+                if (0, dct) not in huffs:
+                    raise ValueError(
+                        f"missing JPEG Huffman table (class 0, id {dct}) "
+                        f"referenced by a first-pass progressive DC scan"
+                    )
         dtabs = {c["id"]: huffs.get((0, dct)) for (c, dct, _a) in scan}
         preds = {c["id"]: 0 for (c, _d, _a) in scan}
         mcu_i = rst_i = 0

@@ -75,10 +75,14 @@ def heavy_hitters(
     vocabulary-wide shuffle to answer a question about a handful of items.
     This operator is the classic two-pass guaranteed-superset design:
 
-    1. **Candidates** — each partition runs Misra-Gries with capacity
-       ``ceil(1/phi)`` over its own rows (constant memory per task, one
-       Arrow pass, state carried across batches inside the partition
-       iterator).  Pigeonhole guarantee: any GLOBAL phi-heavy hitter has
+    1. **Candidates** — each partition runs WEIGHTED Misra-Gries with
+       capacity ``ceil(1/phi)`` over its own rows: Arrow ``value_counts``
+       collapses each batch to (value, count) pairs, the Python loop
+       touches only batch-distinct values, and one numpy order statistic
+       shrinks the state back to capacity per batch (memory bounded by
+       capacity + one batch's distinct values; state carried across
+       batches inside the partition iterator).  Pigeonhole guarantee: any
+       GLOBAL phi-heavy hitter has
        local frequency >= phi in at least one partition (if it were below
        phi everywhere, the weighted average would be below phi), and
        Misra-Gries with capacity 1/phi retains every locally-phi-frequent
@@ -106,26 +110,54 @@ def heavy_hitters(
     sel = df.select(F.col(col).cast("string").alias("v"))
 
     def mg_kernel(batches):
+        # WEIGHTED Misra-Gries over buffered (value, count) pairs
+        # (VERDICT r9 #1: the r9 kernel looped Python over every ROW; this
+        # one buffers ~200k rows of Arrow arrays, lets ONE vectorized
+        # value_counts do the row pass, loops Python only over the
+        # buffer's DISTINCT values, and shrinks to capacity with one
+        # numpy order statistic per flush — 8x on the 1M-token microbench
+        # recorded in PLANS.md r10).  The superset guarantee survives
+        # weighted decrements: each shrink subtracts m from L > cap
+        # counters and discards <= m per killed item, so the total
+        # decrement any item ever absorbs is <= W / (cap + 1) — an item
+        # with partition weight > W / cap is always retained, exactly the
+        # pigeonhole property step 2's exact verify relies on.  State is
+        # bounded by capacity + one buffer's distinct values.
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         counts: dict = {}
-        for rb in batches:
-            for v in rb.column(0).to_pylist():
+        buf: list = []
+        brows = 0
+
+        def flush():
+            nonlocal buf, brows, counts
+            if not buf:
+                return
+            vc = pc.value_counts(pa.chunked_array(buf))
+            for v, w in zip(vc.field(0).to_pylist(), vc.field(1).to_pylist()):
                 if v is None:
                     continue
-                if v in counts:
-                    counts[v] += 1
-                elif len(counts) < cap:
-                    counts[v] = 1
-                else:
-                    # decrement-all step; drop zeros (dict stays <= cap)
-                    dead = []
-                    for kx in counts:
-                        counts[kx] -= 1
-                        if counts[kx] == 0:
-                            dead.append(kx)
-                    for kx in dead:
-                        del counts[kx]
+                counts[v] = counts.get(v, 0) + w
+            if len(counts) > cap:
+                arr = np.fromiter(
+                    counts.values(), dtype=np.int64, count=len(counts)
+                )
+                # smallest m with at most cap counters STRICTLY above it:
+                # the (len-cap)-th smallest count
+                m = int(np.partition(arr, len(arr) - cap - 1)[len(arr) - cap - 1])
+                counts = {k: c - m for k, c in counts.items() if c > m}
+            buf, brows = [], 0
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            buf.append(rb.column(0))
+            brows += rb.num_rows
+            if brows >= 200_000:
+                flush()
+        flush()
         if counts:
             yield pa.RecordBatch.from_arrays(
                 [pa.array(list(counts.keys()), type=pa.string())],

@@ -110,6 +110,8 @@ def incremental_index(
     n_centroids: int = 16,
     n_iters: int = 3,
     key: str = "ivf",
+    compact_drift_threshold: float | None = None,
+    drift_sample_fraction: float | None = None,
 ):
     """Streaming ANN-index maintenance sink: keep a persisted IVF index
     (operators/similarity layout, queried by ``ivf_query_index``)
@@ -133,8 +135,24 @@ def incremental_index(
       ``ivf_append_index`` share ONE directory layout and compose on the
       same index without conflicting partition depths.
 
-    Centroid drift is absorbed until a periodic batch-layer
-    ``ivf_write_index`` rebuild — the standard IVF maintenance cadence.
+    **Drift-triggered maintenance** (``compact_drift_threshold``): when
+    set, each micro-batch FIRST checks :func:`ivf_index_drift` and, if the
+    drift ratio exceeds the threshold, runs :func:`ivf_compact_index`
+    BEFORE writing its own rows.  Running between (not during) batch
+    writes is the fence the compaction contract requires — foreachBatch
+    handlers are serialized per stream, and this stream is the index's
+    only writer.  Check-before-write also keeps checkpoint-retry
+    idempotence across a compaction: a retried batch re-resolves into the
+    (already-compacted, drift≈1) version and dynamic-overwrites its own
+    preserved ``batch=stream-N`` partitions there — compaction keeps
+    batch tags, so the retry replaces the folded rows instead of
+    double-appending beside them.  The drift check is a full index scan
+    per micro-batch unless ``drift_sample_fraction`` bounds it
+    (keyed-hash sample — deterministic); size it to your batch cadence.
+
+    Without the threshold, centroid drift is absorbed until a periodic
+    batch-layer ``ivf_write_index`` rebuild — the standard IVF
+    maintenance cadence.
     """
     from vectordb_watermark_spark.operators.similarity import (
         _ivf_assign_pass,
@@ -142,30 +160,52 @@ def incremental_index(
         _ivf_train,
         _load_centroids,
         _load_index_meta,
+        _mean_distortion,
+        _resolve_index_root,
         _write_centroids_atomic,
+        _write_drift_baseline,
         _write_index_meta_atomic,
+        ivf_compact_index,
+        ivf_index_drift,
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        # versioned (post-compaction) index: resolve the committed version
+        # dir PER BATCH, so a batch-layer compaction between micro-batches
+        # redirects the stream into the new version automatically
+        root = _resolve_index_root(spark, index_path)
+        if compact_drift_threshold is not None:
+            jp = spark._jvm.org.apache.hadoop.fs.Path
+            f0 = jp(root).getFileSystem(spark._jsc.hadoopConfiguration())
+            if f0.exists(jp(f"{root}/centroids")):
+                d = ivf_index_drift(
+                    spark, index_path, sample_fraction=drift_sample_fraction
+                )
+                if (
+                    d["drift_ratio"] is not None
+                    and d["drift_ratio"] > compact_drift_threshold
+                ):
+                    ivf_compact_index(spark, index_path, key=key)
+                    root = _resolve_index_root(spark, index_path)
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-        fs = jvm_path(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
-        cpath = f"{index_path}/centroids"
+        fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+        cpath = f"{root}/centroids"
         base = _ivf_base(batch_df, id_col, vec_col)
         try:
             if fs.exists(jvm_path(cpath)):
                 # shared loader validates contiguity: a torn centroid table
                 # fails the micro-batch (retryable) instead of silently
                 # misassigning every subsequent batch by list position
-                cents = _load_centroids(spark, index_path)
+                cents = _load_centroids(spark, root)
             else:
                 cents = _ivf_train(base, n_centroids, n_iters, key)
                 # staged write + rename: a crash mid-bootstrap must not
                 # leave a torn centroids dir that every retry then fails
                 # to load (existence implies complete)
-                _write_centroids_atomic(spark, index_path, cents)
+                _write_centroids_atomic(spark, root, cents)
                 # metadata sidecar: lets ivf_append_index stay
                 # metadata-cheap on a stream-bootstrapped index too.  A
                 # re-bootstrap OVER existing vectors (deleted centroid
@@ -175,15 +215,15 @@ def incremental_index(
                 # partition, mixing new rows with stale ones.  Derive it
                 # from the directory listing instead (the expensive path,
                 # once — same self-heal ivf_append_index uses).
-                prior = _load_index_meta(spark, index_path)
+                prior = _load_index_meta(spark, root)
                 if prior is not None:
                     # surviving sidecar wins: skipped (crash-claimed) tags
                     # can legitimately exceed the listing-derived max
                     next_seq = int(prior["next_append_seq"])
-                elif fs.exists(jvm_path(f"{index_path}/vectors")):
+                elif fs.exists(jvm_path(f"{root}/vectors")):
                     appends = [
                         int(str(r["batch"]).split("-", 1)[1])
-                        for r in spark.read.parquet(f"{index_path}/vectors")
+                        for r in spark.read.parquet(f"{root}/vectors")
                         .select("batch").distinct().collect()
                         if str(r["batch"]).startswith("append-")
                     ]
@@ -191,9 +231,15 @@ def incremental_index(
                 else:
                     next_seq = 1
                 _write_index_meta_atomic(
-                    spark, index_path,
+                    spark, root,
                     batch_df.schema[id_col].dataType.simpleString(),
                     len(cents[0]), next_seq,
+                )
+                # build-time distortion baseline over the bootstrap batch —
+                # without it ivf_index_drift has no denominator and the
+                # drift-triggered compaction below can never fire
+                _write_drift_baseline(
+                    spark, root, _mean_distortion(base, cents), base.count()
                 )
             (
                 _ivf_assign_pass(base, cents)
@@ -201,7 +247,7 @@ def incremental_index(
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("centroid", "batch")
-                .parquet(f"{index_path}/vectors")
+                .parquet(f"{root}/vectors")
             )
         finally:
             base.unpersist()
