@@ -1454,3 +1454,62 @@ def test_jpeg_missing_dc_table_raises_diagnosable(spark):
         pos += 2 + ln
     with _pytest.raises(ValueError, match="missing JPEG Huffman table"):
         _decode_jpeg(bytes(out))
+
+
+def test_decode_mp4_frames_mjpeg_end_to_end(spark):
+    """MJPEG-in-MP4 decodes to PIXELS end-to-end (round 10, VERDICT r9 #4):
+    make_mp4 over make_jpeg samples with a 'jpeg' sample entry, decoded
+    frame-for-frame pixel-exact against _decode_jpeg of the same sample
+    bytes; every_k / sync_only subsetting works; inter-coded tracks stay
+    the loud stub."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        _decode_jpeg,
+        decode_mp4_frames,
+        make_jpeg,
+        make_mp4,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, (3, 4, 3)).astype(np.float64)
+    frames = [
+        np.clip(
+            np.kron(base, np.ones((8, 8, 1))) + rng.normal(0, 6, (24, 32, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for _ in range(6)
+    ]
+    jpgs = [make_jpeg(f, quality=90) for f in frames]
+    mp4 = make_mp4(jpgs, width=32, height=24, sync_every=3, codec=b"jpeg")
+    df = spark.createDataFrame([(7, mp4)], "id long, media binary")
+
+    rows = {r["sample_idx"]: r for r in decode_mp4_frames(df).collect()}
+    assert sorted(rows) == list(range(6))
+    for i, jpg in enumerate(jpgs):
+        w, h, c, px = _decode_jpeg(jpg)
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c) == (32, 24, 3)
+        assert bytes(r["pixels"]) == px  # frame-level pixel-exact
+    # stss marked samples 0 and 3 as sync (sync_every=3)
+    assert {i for i, r in rows.items() if r["is_sync"]} == {0, 3}
+
+    sub = decode_mp4_frames(df, every_k=2).collect()
+    assert sorted(r["sample_idx"] for r in sub) == [0, 2, 4]
+    sync = decode_mp4_frames(df, sync_only=True).collect()
+    assert sorted(r["sample_idx"] for r in sync) == [0, 3]
+
+    # the other MJPEG sample-entry codes route the same way
+    mp4b = make_mp4(jpgs[:2], width=32, height=24, codec=b"mjpa")
+    got = decode_mp4_frames(
+        spark.createDataFrame([(1, mp4b)], "id long, media binary")
+    ).collect()
+    assert len(got) == 2 and bytes(got[0]["pixels"]) == _decode_jpeg(jpgs[0])[3]
+
+    # inter-coded codecs: still the loud, guided stub
+    mp4c = make_mp4(jpgs[:1], width=32, height=24, codec=b"avc1")
+    with _pytest.raises(Exception, match="inter-coded|codec library"):
+        decode_mp4_frames(
+            spark.createDataFrame([(2, mp4c)], "id long, media binary")
+        ).collect()

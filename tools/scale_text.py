@@ -132,6 +132,23 @@ def main() -> None:
         help="skip the four sweep stages (exact/minhash-count/simhash/"
         "stats) — for pipeline A/B runs where the sweep is unchanged",
     )
+    ap.add_argument(
+        "--n-hashes", type=int, default=None,
+        help="pipeline: signature lanes (default: module N_MINHASH)",
+    )
+    ap.add_argument(
+        "--band-size", type=int, default=None,
+        help="pipeline: rows per LSH band (default: module BAND_SIZE; "
+        "round-10 recall-first datapoint uses 3 — 5 bands x 3 rows lifts "
+        "the band-hit probability at the J=0.5 boundary from 0.228 to "
+        "0.487 at the cost of more false-positive candidates)",
+    )
+    ap.add_argument(
+        "--min-agree", default=None,
+        help="pipeline: lane-agreement cut — an int pins it, 'banded' "
+        "uses minhash_min_agree_banded(t) (conditional-FN-bounded), "
+        "default keeps the r9 ceil(t * n_hashes)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
@@ -183,7 +200,10 @@ def main() -> None:
     plan_info: dict = {}
     if args.pipeline:
         t = args.verify_threshold
-        geo = {"n_hashes": D.N_MINHASH, "band_size": D.BAND_SIZE}
+        geo = {
+            "n_hashes": args.n_hashes or D.N_MINHASH,
+            "band_size": args.band_size or D.BAND_SIZE,
+        }
         if args.legacy_bands:
             min_agree = None
         else:
@@ -191,10 +211,17 @@ def main() -> None:
             # agreeing lanes / n_hashes clears the verify threshold.  The
             # 20k A/B (module docstring) measured this at a 5.3x candidate
             # cut with ZERO planted-recall cost; banding geometry stays at
-            # the recall-strong module default.
+            # the recall-strong module default unless overridden.
             import math
 
-            min_agree = math.ceil(t * geo["n_hashes"])
+            if args.min_agree == "banded":
+                min_agree = D.minhash_min_agree_banded(
+                    t, geo["n_hashes"], geo["band_size"]
+                )
+            elif args.min_agree is not None:
+                min_agree = int(args.min_agree)
+            else:
+                min_agree = math.ceil(t * geo["n_hashes"])
             plan_info = {"min_agree": min_agree, **geo}
 
         # full curation chain, one stage per timing row so the expensive
