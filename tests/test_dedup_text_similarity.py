@@ -2299,3 +2299,65 @@ def test_ivf_append_and_queries_resolve_through_manifest(spark, tmp_path):
     )
     bt = S.ivf_query_index_batch(spark, idx, qblock, k=5, n_probe=4).collect()
     assert sorted(r["id"] for r in bt) == sorted(r["id"] for r in top)
+
+
+def test_ivf_full_lifecycle_through_manifest(spark, tmp_path):
+    """Integration chain across every manifest path: flat build -> compact
+    (versions the index) -> full REBUILD of the versioned index (new
+    version, sequence restarts, batch=full only) -> append -> compact
+    (tags + sequence carried, claims re-created) -> append.  Queries stay
+    correct at every step and the final tag set is exactly what the
+    carried sequence implies."""
+    from pyspark.sql import functions as SF
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=23)
+    idx = str(tmp_path / "ivf_chain")
+    a = blob([1.0] + [0.0] * 7, 80, 0)
+
+    S.ivf_write_index(a, idx, n_centroids=4, key="k1")          # flat
+    S.ivf_compact_index(spark, idx, key="k2")                   # -> v1
+    assert S._current_index_version(spark, idx) == 1
+
+    b = blob([0.0] * 7 + [3.0], 60, 1000)
+    S.ivf_write_index(b, idx, n_centroids=4, key="k3")          # rebuild -> v2
+    assert S._current_index_version(spark, idx) == 2
+    root = S._resolve_index_root(spark, idx)
+    meta = S._load_index_meta(spark, root)
+    assert meta["next_append_seq"] == 1  # full rebuild restarts the sequence
+    assert spark.read.parquet(f"{root}/vectors").count() == 60
+
+    c = blob([0.0, 2.0] + [0.0] * 6, 20, 5000)
+    assert S.ivf_append_index(c, idx) == 20                     # append-1
+    S.ivf_compact_index(spark, idx, key="k4")                   # -> v3
+    assert S._current_index_version(spark, idx) == 3
+    root = S._resolve_index_root(spark, idx)
+    tags = {
+        r["batch"]
+        for r in spark.read.parquet(f"{root}/vectors").select("batch").distinct().collect()
+    }
+    assert tags == {"full", "append-1"}  # preserved through the compaction
+    assert S._load_index_meta(spark, root)["next_append_seq"] == 2
+    import os
+
+    assert os.path.exists(f"{root}/append_claims/append-1.claim")
+
+    d = blob([0.0] * 7 + [9.0], 10, 9000)
+    assert S.ivf_append_index(d, idx) == 10                     # append-2
+    root = S._resolve_index_root(spark, idx)
+    tags = {
+        r["batch"]
+        for r in spark.read.parquet(f"{root}/vectors").select("batch").distinct().collect()
+    }
+    assert tags == {"full", "append-1", "append-2"}
+    assert spark.read.parquet(f"{root}/vectors").count() == 90
+
+    # every population reachable; the b-rebuild wiped a's rows (correct:
+    # rebuild = new contents), so only b/c/d ids exist
+    ids = {r["id"] for r in spark.read.parquet(f"{root}/vectors").select("id").collect()}
+    assert min(ids) >= 1000
+    top = S.ivf_query_index(spark, idx, [0.0] * 7 + [9.0], k=3, n_probe=4).collect()
+    assert all(r["id"] >= 9000 for r in top)
+    q2 = S.ivf_query_index(spark, idx, [0.0, 2.0] + [0.0] * 6, k=3, n_probe=4).collect()
+    assert all(5000 <= r["id"] < 6000 for r in q2)

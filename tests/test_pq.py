@@ -501,3 +501,56 @@ def test_ivf_pq_compact_crash_before_commit_keeps_old_version(
         for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()
     }
     assert 100 in got
+
+
+def test_ivf_pq_index_drift_signals_recompact(spark, tmp_path):
+    """The PQ maintenance metric (round 10): decoded-residual energy vs
+    the build-time baseline.  Fresh build -> ratio ~1; a far-cluster
+    append (assigned to stale centroids, huge residuals) -> ratio well
+    above 1 AND partition skew grows; recompaction from source retrains
+    centroids + codebooks, re-records the baseline, and the ratio returns
+    to ~1."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    rng = np.random.default_rng(41)
+
+    def blob(center, n, start_id):
+        rows = []
+        for i in range(n):
+            v = np.asarray(center, dtype=np.float64) + 0.05 * rng.standard_normal(16)
+            rows.append((start_id + i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "id long, emb array<float>")
+
+    path = str(tmp_path / "ivfpq_drift")
+    a = blob([1.0] + [0.0] * 15, 200, 0)
+    b = blob([0.0] * 15 + [20.0], 200, 1000)
+    P.ivf_pq_write_index(a, path, n_centroids=8, m=8, n_codes=16)
+
+    fresh = P.ivf_pq_index_drift(spark, path)
+    assert fresh["n_rows"] == 200
+    assert fresh["drift_ratio"] is not None and 0.8 <= fresh["drift_ratio"] <= 1.2
+    assert fresh["code_tv"] is not None and fresh["code_tv"] <= 0.02
+
+    P.ivf_pq_append_index(b, path)
+    drifted = P.ivf_pq_index_drift(spark, path)
+    assert drifted["n_rows"] == 400
+    # the decoded-energy ratio SATURATES at the training-scale codewords
+    # (documented) but still moves up; the code-usage TV is the
+    # unsaturated trigger — half the rows now pile onto extreme codewords
+    assert drifted["drift_ratio"] > 1.15, drifted
+    assert drifted["code_tv"] > 0.2, drifted
+    assert drifted["partition_skew"] > fresh["partition_skew"]
+
+    P.ivf_pq_compact_index(
+        spark.createDataFrame([], "id long, emb array<float>") if False
+        else a.unionByName(b), path
+    )
+    after = P.ivf_pq_index_drift(spark, path)
+    assert after["n_rows"] == 400
+    assert after["drift_ratio"] is not None and 0.8 <= after["drift_ratio"] <= 1.2
+    assert after["code_tv"] is not None and after["code_tv"] <= 0.02
+    assert after["resid_energy"] != drifted["resid_energy"]
+    # and the metric resolves through the manifest the compaction committed
+    assert S._resolve_index_root(spark, path) != path

@@ -551,6 +551,13 @@ def ivf_pq_write_index(
         1
     ).write.mode("overwrite").parquet(staged)
     _swap_dir_atomic(spark, staged, f"{root}/pq_codebooks")
+    # build-time decoded-residual-energy baseline for ivf_pq_index_drift
+    # (one scan of the just-written compressed codes)
+    written = spark.read.parquet(f"{root}/codes")
+    _write_pq_drift_baseline(
+        spark, root, _decoded_residual_energy(written, books), written.count(),
+        _code_histogram(written),
+    )
     if next_seq is not None:
         _commit_index_version(spark, path, next_seq)
         _gc_index_versions(spark, path)
@@ -652,6 +659,13 @@ def ivf_pq_compact_index(
         1
     ).write.mode("overwrite").parquet(staged)
     _swap_dir_atomic(spark, staged, f"{vdir}/pq_codebooks")
+    # re-record the decoded-residual-energy baseline over the recompacted
+    # codes (the drift metric's denominator)
+    written = spark.read.parquet(f"{vdir}/codes")
+    _write_pq_drift_baseline(
+        spark, vdir, _decoded_residual_energy(written, books), written.count(),
+        _code_histogram(written),
+    )
     # every piece of version N is on disk — ONE atomic commit, then GC
     _commit_index_version(spark, path, next_seq)
     _gc_index_versions(spark, path)
@@ -724,6 +738,149 @@ def ivf_pq_append_index(
     finally:
         base.unpersist()
     return int(n)
+
+
+def _decoded_residual_energy(codes: DataFrame, books: np.ndarray) -> float:
+    """Mean ``||decoded residual||^2`` over ``(codes array<int>)`` rows —
+    one Arrow pass emitting per-batch partial ``(sum, n)`` scalars (same
+    driver-bounded shape as ``similarity._mean_distortion``)."""
+    B = np.asarray(books, dtype=np.float64)
+    cell_e = (B**2).sum(axis=2)  # (m, n_codes) per-codeword energies
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            C = np.asarray(
+                rb.column(names.index("codes")).to_pylist(), dtype=np.int64
+            )
+            e = cell_e[np.arange(C.shape[1])[None, :], C].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([float(e.sum())], type=pa.float64()),
+                    pa.array([rb.num_rows], type=pa.int64()),
+                ],
+                names=["s", "n"],
+            )
+
+    parts = codes.select("codes").mapInArrow(kernel, schema="s double, n long")
+    row = parts.agg(F.sum("s").alias("s"), F.sum("n").alias("n")).first()
+    n = int(row["n"] or 0)
+    return float(row["s"]) / n if n else 0.0
+
+
+def _code_histogram(codes: DataFrame) -> DataFrame:
+    """``(sub, code, cnt)`` usage counts of every codebook cell — one
+    map-side-combined groupBy whose output is at most ``m * n_codes``
+    rows (the same bounded shape as pq_train's partial reduction)."""
+    return (
+        codes.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _write_pq_drift_baseline(
+    spark, root: str, energy: float, n_rows: int, hist: DataFrame
+) -> None:
+    """Persist the build-time drift baselines beside the PQ index (staged
+    swap — same discipline as every sidecar): the decoded-residual-energy
+    scalar and the per-cell code-usage histogram."""
+    from vectordb_watermark_spark.operators.similarity import _swap_dir_atomic
+
+    tmp = f"{root}/pq_drift_baseline__tmp"
+    spark.createDataFrame(
+        [(float(energy), int(n_rows))],
+        "base_energy double, base_rows long",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir_atomic(spark, tmp, f"{root}/pq_drift_baseline")
+    tmp = f"{root}/pq_code_hist__tmp"
+    hist.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir_atomic(spark, tmp, f"{root}/pq_code_hist")
+
+
+def ivf_pq_index_drift(spark, path: str) -> dict:
+    """Maintenance metric for append-heavy IVF-PQ indexes — the compressed
+    twin of ``similarity.ivf_index_drift`` (which needs raw vectors the PQ
+    index does not store).  The observable that survives quantization is
+    the DECODED residual energy ``||decode(codes)||^2``: rows appended
+    after the data drifted land on far coarse centroids, so their
+    residuals — and the codewords chosen to approximate them — are large
+    relative to the build-time distribution.  Two complementary triggers:
+
+    - ``drift_ratio`` (current/base decoded energy): scale-meaningful but
+      SATURATING — a residual 100x the training scale still decodes to
+      the largest training-scale codeword, so far-drifted appends move it
+      to ~1.2-1.5x, not 10x;
+    - ``code_tv``: mean per-subspace total-variation distance between the
+      CURRENT code-usage histogram and the build-time one (``pq_code_hist``
+      sidecar).  k-means cells start near-balanced; drifted rows pile
+      onto the few extreme codewords, so the distribution shift grows
+      with the drifted FRACTION and does not saturate.  0 = identical,
+      1 = disjoint; recompact when it exceeds ~0.1-0.2.
+
+    ``partition_skew`` (max/mean rows per centroid, exact from the codes
+    layout) is the third signal.  :func:`ivf_pq_compact_index` re-trains
+    centroids AND codebooks from source and re-records both baselines.
+
+    Returns ``{n_rows, n_centroids, resid_energy, base_energy,
+    drift_ratio, code_tv, partition_skew}`` — the baseline-relative
+    fields are None for an index built before these sidecars existed
+    (recompact once to record them).  Cost: one scan of the (already
+    ~dim/m-compressed) codes plus two bounded groupBys.
+    """
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_centroids,
+        _resolve_index_root,
+    )
+
+    root = _resolve_index_root(spark, path)
+    cents = _load_centroids(spark, root)
+    B = _load_codebooks(spark, root)
+    m, n_codes, _d = B.shape
+    codes = spark.read.parquet(f"{root}/codes")
+    sizes = {
+        r["centroid"]: r["n"]
+        for r in codes.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = int(sum(sizes.values()))
+    energy = _decoded_residual_energy(codes, B)
+    base = None
+    code_tv = None
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path(f"{root}/pq_drift_baseline")):
+        r = spark.read.parquet(f"{root}/pq_drift_baseline").first()
+        base = float(r["base_energy"])
+    if fs.exists(jvm_path(f"{root}/pq_code_hist")) and n:
+        def hist_matrix(rows):
+            H = np.zeros((m, n_codes), dtype=np.float64)
+            for r in rows:
+                H[int(r["sub"]), int(r["code"])] = float(r["cnt"])
+            return H / np.maximum(H.sum(axis=1, keepdims=True), 1.0)
+
+        H0 = hist_matrix(spark.read.parquet(f"{root}/pq_code_hist").collect())
+        H1 = hist_matrix(_code_histogram(codes).collect())
+        code_tv = float(0.5 * np.abs(H1 - H0).sum(axis=1).mean())
+    mean_rows = n / max(len(cents), 1)
+    return {
+        "n_rows": n,
+        "n_centroids": len(cents),
+        "resid_energy": round(energy, 9),
+        "base_energy": base,
+        "drift_ratio": (
+            round(energy / base, 6) if base is not None and base > 0 else None
+        ),
+        "code_tv": round(code_tv, 6) if code_tv is not None else None,
+        "partition_skew": (
+            round(max(sizes.values()) / mean_rows, 6) if sizes and mean_rows > 0 else 0.0
+        ),
+    }
 
 
 def _load_codebooks(spark, path: str) -> np.ndarray:
