@@ -1777,6 +1777,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "boolean, rows_preserved boolean, skew_sane boolean",
         )
 
+    def pq_drift_contract(spark, sf):  # IVF-PQ maintenance metric (round 10)
+        # the compressed twin of ivf_drift_contract: fresh build -> decoded
+        # residual energy equals the recorded baseline (ratio 1) and the
+        # code-usage histogram equals its baseline (TV 0); compaction from
+        # source preserves rows and re-records unit baselines; partition
+        # skew sane.  Pins ivf_pq_index_drift + the PQ manifest commit.
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.operators.pq import (
+            ivf_pq_compact_index,
+            ivf_pq_index_drift,
+            ivf_pq_write_index,
+        )
+
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
+        path = os.path.join(
+            scratch, f"oracle_pq_drift_{os.path.basename(str(sf))}"
+        )
+        df = _vectors(spark, sf)
+        n = df.count()
+        try:
+            ivf_pq_write_index(df, path, n_centroids=8, m=8, n_codes=16)
+            d0 = ivf_pq_index_drift(spark, path)
+            ivf_pq_compact_index(df, path)
+            d1 = ivf_pq_index_drift(spark, path)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+        def unit(d):
+            return bool(
+                d["drift_ratio"] is not None and abs(d["drift_ratio"] - 1.0) <= 1e-5
+                and d["code_tv"] is not None and d["code_tv"] <= 1e-9
+            )
+
+        return spark.createDataFrame(
+            [(
+                int(d0["n_rows"]),
+                unit(d0),
+                unit(d1),
+                bool(d1["n_rows"] == n),
+                bool(d0["partition_skew"] >= 1.0),
+            )],
+            "n_rows long, fresh_unit boolean, compacted_unit boolean, "
+            "rows_preserved boolean, skew_sane boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1928,6 +1976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": point_lookup,
         "vector_scan": vector_scan,
         "vector_stats": vector_stats,
+        # -- new in round 10 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, leads the round-11 rotation) --
+        "pq_drift_contract": pq_drift_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2153,6 +2204,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS fresh_ratio_unit,
                    CAST(TRUE AS BOOLEAN) AS compacted_ratio_unit,
+                   CAST(TRUE AS BOOLEAN) AS rows_preserved,
+                   CAST(TRUE AS BOOLEAN) AS skew_sane
+            FROM embeddings""",
+        "pq_drift_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS fresh_unit,
+                   CAST(TRUE AS BOOLEAN) AS compacted_unit,
                    CAST(TRUE AS BOOLEAN) AS rows_preserved,
                    CAST(TRUE AS BOOLEAN) AS skew_sane
             FROM embeddings""",
