@@ -931,7 +931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ev = _events(spark, sf)
         u = keyed_uniform("wsample-42", "w", F.col("event_id"))
-        score = F.log(u) / F.col("value")  # value > 0 in this table
+        # weight 0 => u^(1/w) -> 0: the item can never be drawn.  Score it
+        # -inf explicitly — value=0 rows exist from sf0.1 up, and the bare
+        # division is a DIVIDE_BY_ZERO under ANSI (found by the round-10
+        # sf0.1 spot sweep)
+        score = F.when(
+            F.col("value") > 0, F.log(u) / F.col("value")
+        ).otherwise(F.lit(float("-inf")))
         return (
             ev.select("event_id", "user_id", score.alias("s"))
             .orderBy(F.col("s").desc(), F.col("event_id").asc())
@@ -2755,7 +2761,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_weighted": f"""
             SELECT event_id, user_id FROM (
               SELECT event_id, user_id,
-                     ln({sql_keyed_uniform("'wsample-42'", "'w'", "event_id")}) / value AS s
+                     CASE WHEN value > 0
+                          THEN ln({sql_keyed_uniform("'wsample-42'", "'w'", "event_id")}) / value
+                          ELSE '-infinity'::DOUBLE END AS s
               FROM events
             ) ORDER BY s DESC, event_id ASC LIMIT 100""",
         "events_running_window": """

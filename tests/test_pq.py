@@ -549,6 +549,10 @@ def test_ivf_pq_index_drift_signals_recompact(spark, tmp_path):
     )
     after = P.ivf_pq_index_drift(spark, path)
     assert after["n_rows"] == 400
+    # keyed-hash sampling: deterministic subset, same triggers within noise
+    samp = P.ivf_pq_index_drift(spark, path, sample_fraction=0.5)
+    assert 100 < samp["n_rows"] < 300
+    assert samp["code_tv"] is not None and samp["code_tv"] <= 0.1
     assert after["drift_ratio"] is not None and 0.8 <= after["drift_ratio"] <= 1.2
     assert after["code_tv"] is not None and after["code_tv"] <= 0.02
     assert after["resid_energy"] != drifted["resid_energy"]

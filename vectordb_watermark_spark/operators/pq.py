@@ -802,7 +802,9 @@ def _write_pq_drift_baseline(
     _swap_dir_atomic(spark, tmp, f"{root}/pq_code_hist")
 
 
-def ivf_pq_index_drift(spark, path: str) -> dict:
+def ivf_pq_index_drift(
+    spark, path: str, sample_fraction: float | None = None, key: str = "pqdrift"
+) -> dict:
     """Maintenance metric for append-heavy IVF-PQ indexes — the compressed
     twin of ``similarity.ivf_index_drift`` (which needs raw vectors the PQ
     index does not store).  The observable that survives quantization is
@@ -830,7 +832,10 @@ def ivf_pq_index_drift(spark, path: str) -> dict:
     drift_ratio, code_tv, partition_skew}`` — the baseline-relative
     fields are None for an index built before these sidecars existed
     (recompact once to record them).  Cost: one scan of the (already
-    ~dim/m-compressed) codes plus two bounded groupBys.
+    ~dim/m-compressed) codes plus two bounded groupBys — pass
+    ``sample_fraction`` for a keyed-hash sample at extreme scale
+    (deterministic, partition-order free; both signals are means/
+    distributions, so sampling only widens their noise).
     """
     import numpy as np
 
@@ -844,6 +849,12 @@ def ivf_pq_index_drift(spark, path: str) -> dict:
     B = _load_codebooks(spark, root)
     m, n_codes, _d = B.shape
     codes = spark.read.parquet(f"{root}/codes")
+    if sample_fraction is not None:
+        from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+        codes = codes.filter(
+            keyed_uniform(key, "s", F.col("id")) < F.lit(float(sample_fraction))
+        )
     sizes = {
         r["centroid"]: r["n"]
         for r in codes.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()
