@@ -301,8 +301,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     2,
                 ).alias("sum_charge"),
                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                # tie-hardened: 2-dp prices / discounts average through the
+                # 2-dp-rounded sum so both engines divide identical doubles
+                F.round(
+                    F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6
+                ).alias("avg_price"),
+                F.round(
+                    F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6
+                ).alias("avg_disc"),
                 F.count(F.lit(1)).alias("count_order"),
             )
         )
@@ -803,11 +809,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer arithmetic end-to-end: double would lose ns precision at 2^60
         sec = F.expr("ts_ns DIV 1000000000")
         hour_epoch = (sec - (sec % 3600)).alias("hour_epoch")
+        # avg derives from the 2-dp-ROUNDED sum: the raw double sums differ
+        # between engines in the last ulp (addition order), and a group whose
+        # exact mean is a half-way case at the 6th decimal (e.g. 1391.13/32 =
+        # 43.4728125, hit at sf0.1) then rounds differently.  Source values
+        # are exact to 2 dp, so round(sum, 2) collapses both engines to the
+        # identical double before the tie-sensitive divide+round.
         return (
             ev.groupBy(hour_epoch, "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.avg("value"), 6).alias("avg_value"),
+                F.round(
+                    F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6
+                ).alias("avg_value"),
                 F.round(F.sum("value"), 2).alias("sum_value"),
             )
         )
@@ -835,7 +849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cube("event_type", "dow")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.round(F.avg("value"), 6).alias("avg_value"),
+                # tie-hardened like events_hourly: avg from the 2-dp sum
+                F.round(
+                    F.round(F.sum("value"), 2) / F.count(F.lit(1)), 6
+                ).alias("avg_value"),
             )
         )
 
@@ -2585,8 +2602,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                    round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+                   round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem WHERE l_shipdate <= DATE '2001-09-01'
             GROUP BY l_returnflag, l_linestatus""",
@@ -2741,7 +2758,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST((epoch_ns(ts) // 1000000000 // 86400) % 7 AS INT) AS dow,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(avg(value), 6) AS avg_value
+                   round(round(sum(value), 2) / count(*), 6) AS avg_value
             FROM events
             GROUP BY CUBE(event_type, dow)""",
         "set_ops_users": """
@@ -2825,7 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT) AS hour_epoch, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(avg(value), 6) AS avg_value,
+                   round(round(sum(value), 2) / count(*), 6) AS avg_value,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2""",
         "events_json_extract": """
