@@ -1860,22 +1860,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 117 oracles
+    # recomposed so the LEAST-recently-verified oracles lead — with 118 oracles
     # and a 50-slot window every oracle has a driver-green row within a 3-round
     # period (the full local tools/check_oracle.py run covers every oracle every
-    # round regardless of window position).  Round-10 window: the r7 tail that
-    # was deferred out of the round-9 window leads (13 rows), then the 4
-    # round-9 oracles that have never had a driver-green row, then the first
-    # 33 rows of the round-8-verified block (CORRECTNESS_r08.json order).
-    # Below the line: the r8 remainder (17 rows, deferred to round 11), then
-    # the round-9 window (CORRECTNESS_r09.json).  Zero overlap with r9's 50.
-    # The 5 rows-only entries stay at the very bottom permanently: in-window
-    # they record only a weak rows-only check, and their contracts are pinned
-    # by the hash-verified contract rows (knn_lsh_recall, ivf_recall,
-    # lsh_recall, pca_invariants, lsh_edges_exactness; BPE by
+    # round regardless of window position).  Round-11 window: the r8 remainder
+    # that was deferred out of the round-10 window leads (17 rows), then
+    # pq_drift_contract (the one round-10 oracle, never driver-verified), then
+    # the first 32 rows of the round-9-verified block (CORRECTNESS_r09.json
+    # order).  Below the line: the r9 remainder (18 rows, deferred to round
+    # 12), then the round-10 window (CORRECTNESS_r10.json).  Zero overlap with
+    # r10's 50.  The 5 rows-only entries stay at the very bottom permanently:
+    # in-window they record only a weak rows-only check, and their contracts
+    # are pinned by the hash-verified contract rows (knn_lsh_recall,
+    # ivf_recall, lsh_recall, pca_invariants, lsh_edges_exactness; BPE by
     # tests/test_tokenizer.py).
     return {
-        # -- r10 window head: r7 tail deferred out of the round-9 window --
+        # -- r11 window head: r8 remainder deferred out of the round-10 window --
+        "events_cube": events_cube,
+        "set_ops_users": set_ops_users,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_running_window": events_running_window,
+        "events_pivot": events_pivot,
+        "events_value_quantiles": events_value_quantiles,
+        "events_json_extract": events_json_extract,
+        "events_user_rollup": events_user_rollup,
+        "watermark_roundtrip": watermark_roundtrip,
+        "ivf_recall": ivf_recall,
+        "lsh_recall": lsh_recall,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q20_excess_inventory": q20_excess_inventory,
+        # -- r11 window: the round-10 oracle, never driver-verified --
+        "pq_drift_contract": pq_drift_contract,
+        # -- r11 window body: first 32 rows last driver-verified in round 9 --
+        "q21_suppliers_waiting": q21_suppliers_waiting,
+        "doc_length_percentiles": doc_length_percentiles,
+        "embedding_dim_stats": embedding_dim_stats,
+        "lexical_diversity": lexical_diversity,
+        "gopher_quality_flags": gopher_quality_flags,
+        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
+        "ann_batch_exactness": ann_batch_exactness,
+        "semdedup_contract": semdedup_contract,
+        "text_normalize": text_normalize,
+        "lm_quality_buckets": lm_quality_buckets,
+        "doc_chunks": doc_chunks,
+        "url_curation": url_curation,
+        "embedding_outliers": embedding_outliers,
+        "quality_repetition": quality_repetition,
+        "pii_redaction": pii_redaction,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "corpus_logfreq_score": corpus_logfreq_score,
+        "quality_resample": quality_resample,
+        "codec_eval": codec_eval,
+        "source_mix": source_mix,
+        "source_capped_sample": source_capped_sample,
+        "corpus_curation": corpus_curation,
+        "dedup_components": dedup_components,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_quantize": embedding_quantize,
+        "knn_join_tables": knn_join_tables,
+        "paraphrase_candidates": paraphrase_candidates,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
+        "top_tokens": top_tokens,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "crawl_dedup_join": crawl_dedup_join,
+        # ---- 50-query window line ------------------------------------------
+        # -- r9 remainder deferred to the round-12 window (stay green in the
+        # -- full local check_oracle run every round) --
+        "doc_embeddings": doc_embeddings,
+        "curation_keep_best": curation_keep_best,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_cosine": ann_topk_cosine,
+        "cosine_neardup": cosine_neardup,
+        "events_sessionize": events_sessionize,
+        "media_metadata": media_metadata,
+        "carriers_by_threshold": carriers_by_threshold,
+        "pairwise_viz_stats": pairwise_viz_stats,
+        "knn_lsh_recall": knn_lsh_recall,
+        "point_lookup": point_lookup,
+        "vector_scan": vector_scan,
+        "vector_stats": vector_stats,
+        # -- r10 window (driver-green in round 10, CORRECTNESS_r10.json) --
         "vector_mean": vector_mean,
         "knn_degrees": knn_degrees,
         "gated_degrees": gated_degrees,
@@ -1889,12 +1963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "pca_invariants": pca_invariants,
         "lsh_edges_exactness": lsh_edges_exactness,
-        # -- r10 window: round-9 oracles, never driver-verified --
         "dedup_minhash_agree": dedup_minhash_agree,
         "rag_pipeline": rag_pipeline,
         "ivf_drift_contract": ivf_drift_contract,
         "token_heavy_hitters": token_heavy_hitters,
-        # -- r10 window body: rows last driver-verified in round 8 --
         "dup_ngram_spans": dup_ngram_spans,
         "span_scrubbed_docs": span_scrubbed_docs,
         "bigram_lm_scores": bigram_lm_scores,
@@ -1928,80 +2000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
-        # ---- 50-query window line ------------------------------------------
-        # -- r8 remainder deferred to the round-11 window (stay green in the
-        # -- full local check_oracle run every round) --
-        "events_cube": events_cube,
-        "set_ops_users": set_ops_users,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
-        "events_running_window": events_running_window,
-        "events_pivot": events_pivot,
-        "events_value_quantiles": events_value_quantiles,
-        "events_json_extract": events_json_extract,
-        "events_user_rollup": events_user_rollup,
-        "watermark_roundtrip": watermark_roundtrip,
-        "ivf_recall": ivf_recall,
-        "lsh_recall": lsh_recall,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_counts": q16_parts_supplier_counts,
-        "q20_excess_inventory": q20_excess_inventory,
-        # -- r9 window (driver-green in round 9, CORRECTNESS_r09.json) --
-        "q21_suppliers_waiting": q21_suppliers_waiting,
-        "doc_length_percentiles": doc_length_percentiles,
-        "embedding_dim_stats": embedding_dim_stats,
-        "lexical_diversity": lexical_diversity,
-        "gopher_quality_flags": gopher_quality_flags,
-        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
-        "ann_batch_exactness": ann_batch_exactness,
-        "semdedup_contract": semdedup_contract,
-        "text_normalize": text_normalize,
-        "lm_quality_buckets": lm_quality_buckets,
-        "doc_chunks": doc_chunks,
-        "url_curation": url_curation,
-        "embedding_outliers": embedding_outliers,
-        "quality_repetition": quality_repetition,
-        "pii_redaction": pii_redaction,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "corpus_logfreq_score": corpus_logfreq_score,
-        "quality_resample": quality_resample,
-        "codec_eval": codec_eval,
-        "source_mix": source_mix,
-        "source_capped_sample": source_capped_sample,
-        "corpus_curation": corpus_curation,
-        "dedup_components": dedup_components,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_quantize": embedding_quantize,
-        "knn_join_tables": knn_join_tables,
-        "paraphrase_candidates": paraphrase_candidates,
-        "sketch_distinct_tokens": sketch_distinct_tokens,
-        "top_tokens": top_tokens,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "crawl_dedup_join": crawl_dedup_join,
-        "doc_embeddings": doc_embeddings,
-        "curation_keep_best": curation_keep_best,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_stats": text_stats,
-        "lang_id": lang_id,
-        "doc_fingerprints": doc_fingerprints,
-        "ann_topk_cosine": ann_topk_cosine,
-        "cosine_neardup": cosine_neardup,
-        "events_sessionize": events_sessionize,
-        "media_metadata": media_metadata,
-        "carriers_by_threshold": carriers_by_threshold,
-        "pairwise_viz_stats": pairwise_viz_stats,
-        "knn_lsh_recall": knn_lsh_recall,
-        "point_lookup": point_lookup,
-        "vector_scan": vector_scan,
-        "vector_stats": vector_stats,
-        # -- new in round 10 (below the driver window; full-green locally via
-        # -- tools/check_oracle.py, leads the round-11 rotation) --
-        "pq_drift_contract": pq_drift_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
