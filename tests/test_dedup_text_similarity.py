@@ -2213,14 +2213,20 @@ def test_ivf_compact_crash_mid_pieces_keeps_old_version_live(
     monkeypatch.setattr(S, "_write_centroids_atomic", real)
 
     assert S._resolve_index_root(spark, idx) == idx
-    # the torn _v00001 leftover exists but is uncommitted garbage
-    assert os.path.isdir(f"{idx}/_v00001")
+    # the torn leftover is a PRIVATE staging dir (_v00001__{token}), never
+    # the shared _v00001 placement — uncommitted garbage by construction
+    import glob
+
+    assert not os.path.exists(f"{idx}/_v00001")
+    assert glob.glob(f"{idx}/_v00001__*")
     assert spark.read.parquet(f"{idx}/vectors").count() == 100
 
     S.ivf_compact_index(spark, idx, key="c2")
     root = S._resolve_index_root(spark, idx)
-    assert root == f"{idx}/_v00001"  # re-used after cleanup, now committed
+    assert root == f"{idx}/_v00001"  # fresh staging renamed in, committed
     assert spark.read.parquet(f"{root}/vectors").count() == 100
+    # GC collected the crashed attempt's stale staging dir
+    assert not glob.glob(f"{idx}/_v00001__*")
 
 
 def test_ivf_manifest_versioning_gc_and_concurrent_commit(spark, tmp_path):
@@ -2361,3 +2367,141 @@ def test_ivf_full_lifecycle_through_manifest(spark, tmp_path):
     assert all(r["id"] >= 9000 for r in top)
     q2 = S.ivf_query_index(spark, idx, [0.0, 2.0] + [0.0] * 6, k=3, n_probe=4).collect()
     assert all(5000 <= r["id"] < 6000 for r in q2)
+
+
+def test_racing_compactions_are_isolated_not_just_detected(spark, tmp_path):
+    """ADVICE r10 #1: two attempts building the same next version must
+    never delete or overwrite each other's pieces.  Each builds in a
+    private ``_v{N}__{token}`` staging dir; publication is an atomic
+    rename + manifest commit.  Simulated interleaving: the winner stages,
+    publishes, and commits; the loser (stale staging for the same
+    sequence) then publishes — it must lose LOUDLY, remove only its own
+    staging dir, and leave the winner's committed version byte-intact."""
+    import glob
+    import os
+
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=31)
+    idx = str(tmp_path / "ivf_race")
+    S.ivf_write_index(blob([1.0] + [0.0] * 7, 60, 0), idx, n_centroids=4, key="c")
+
+    # loser's attempt: fully stage version 1 pieces (private dir)
+    loser = S._stage_index_version(spark, idx, 1)
+    spark.read.parquet(f"{idx}/vectors").write.parquet(f"{loser}/vectors")
+    S._write_centroids_atomic(spark, loser, S._load_centroids(spark, idx))
+
+    # winner compacts normally in the meantime (commits _v00001)
+    S.ivf_compact_index(spark, idx, key="c2", gc_keep_last=None)
+    root = S._resolve_index_root(spark, idx)
+    assert root == f"{idx}/_v00001"
+    files_before = {
+        p: os.path.getsize(p)
+        for p in glob.glob(f"{root}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+    top_before = [
+        r["id"]
+        for r in S.ivf_query_index(spark, idx, [1.0] + [0.0] * 7, k=5, n_probe=4).collect()
+    ]
+
+    # loser's publish loses loudly — and touches nothing of the winner's
+    with pytest.raises(S.ConcurrentCompactionError):
+        S._publish_index_version(spark, idx, 1, loser)
+    assert not os.path.exists(loser)  # its own staging removed
+    files_after = {
+        p: os.path.getsize(p)
+        for p in glob.glob(f"{root}/**/*", recursive=True)
+        if os.path.isfile(p)
+    }
+    assert files_after == files_before  # winner byte-count-intact
+    top_after = [
+        r["id"]
+        for r in S.ivf_query_index(spark, idx, [1.0] + [0.0] * 7, k=5, n_probe=4).collect()
+    ]
+    assert top_after == top_before
+
+
+def test_publish_recovers_placed_but_uncommitted_orphan(spark, tmp_path):
+    """A crash BETWEEN the rename and the commit leaves a complete but
+    uncommitted ``_v{N}`` orphan.  The retry must converge: remove the
+    orphan, place its own staging, commit."""
+    import os
+
+    import pytest
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=37)
+    idx = str(tmp_path / "ivf_orphan")
+    S.ivf_write_index(blob([1.0] + [0.0] * 7, 60, 0), idx, n_centroids=4, key="c")
+
+    def crash(sp, p, seq):
+        raise RuntimeError("injected crash between rename and commit")
+
+    orig = S._commit_index_version
+    S._commit_index_version = crash
+    try:
+        with pytest.raises(RuntimeError, match="between rename and commit"):
+            S.ivf_compact_index(spark, idx, key="c2")
+    finally:
+        S._commit_index_version = orig
+
+    # the crash hit AFTER the rename: _v00001 is placed but uncommitted
+    assert os.path.isdir(f"{idx}/_v00001")
+    assert S._current_index_version(spark, idx) is None
+    assert S._resolve_index_root(spark, idx) == idx  # old version live
+
+    # retry converges: orphan removed, fresh version committed
+    S.ivf_compact_index(spark, idx, key="c2")
+    assert S._current_index_version(spark, idx) == 1
+    root = S._resolve_index_root(spark, idx)
+    assert spark.read.parquet(f"{root}/vectors").count() == 60
+
+
+def test_gc_keep_last_grace_and_inflight_staging(spark, tmp_path):
+    """ADVICE r10 #2: ``gc_keep_last=K`` keeps the newest K committed
+    versions (readers that resolved N-1 finish against intact files);
+    GC skips IN-FLIGHT staging dirs (sequence above the committed one)
+    and the public ``gc_index_versions`` collects on demand."""
+    import os
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=41)
+    idx = str(tmp_path / "ivf_grace")
+    S.ivf_write_index(blob([1.0] + [0.0] * 7, 60, 0), idx, n_centroids=4, key="c")
+
+    S.ivf_compact_index(spark, idx, key="c2", gc_keep_last=2)   # -> v1
+    # keep_last=2 with only one committed version: flat pieces ARE the
+    # previous generation — still readable
+    assert os.path.isdir(f"{idx}/_v00001")
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+
+    S.ivf_compact_index(spark, idx, key="c3", gc_keep_last=2)   # -> v2
+    # both committed versions retained; flat pieces now collected
+    assert os.path.isdir(f"{idx}/_v00001")
+    assert os.path.isdir(f"{idx}/_v00002")
+    assert not os.path.exists(f"{idx}/vectors")
+    # a reader that resolved v1 before the v2 commit still reads intact files
+    assert spark.read.parquet(f"{idx}/_v00001/vectors").count() == 60
+    assert os.path.exists(f"{idx}/_commits/00001")  # its commit file too
+
+    # an in-flight staging dir for a FUTURE version survives GC ...
+    future = S._stage_index_version(spark, idx, 3)
+    os.makedirs(future)
+    open(f"{future}/marker", "w").write("building")
+    # ... while a stale staging dir at/below the committed seq is collected
+    stale = S._stage_index_version(spark, idx, 1)
+    os.makedirs(stale)
+
+    S.gc_index_versions(spark, idx, keep_last=1)
+    assert os.path.isdir(future)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(f"{idx}/_v00001")     # grace window shrunk
+    assert not os.path.exists(f"{idx}/_commits/00001")
+    assert os.path.isdir(f"{idx}/_v00002")
+    root = S._resolve_index_root(spark, idx)
+    assert spark.read.parquet(f"{root}/vectors").count() == 60

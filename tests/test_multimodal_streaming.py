@@ -1513,3 +1513,37 @@ def test_decode_mp4_frames_mjpeg_end_to_end(spark):
         decode_mp4_frames(
             spark.createDataFrame([(2, mp4c)], "id long, media binary")
         ).collect()
+
+
+def test_frame_subsampling_stride_validated_on_driver(spark):
+    """ADVICE r10 #3: every_k=0 must be a clear driver-side ValueError,
+    not a ZeroDivisionError buried in an executor stack trace; negative
+    values must not silently select all frames.  All three frame
+    subsamplers share the guard."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        decode_mp4_frames,
+        make_jpeg,
+        make_mp4,
+        mp4_sample_bytes,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(33)
+    frame = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    mp4 = make_mp4([make_jpeg(frame)], width=32, height=24, codec=b"jpeg")
+    df = spark.createDataFrame([(1, mp4)], "id long, media binary")
+
+    for bad in (0, -1, -3):
+        with _pytest.raises(ValueError, match="every_k"):
+            decode_mp4_frames(df, every_k=bad)
+        with _pytest.raises(ValueError, match="every_k"):
+            mp4_sample_bytes(df, every_k=bad)
+        with _pytest.raises(ValueError, match="every_k"):
+            sample_video_frames(df, every_k=bad)
+    with _pytest.raises(ValueError, match="every_k"):
+        decode_mp4_frames(df, every_k=1.5)
+    # the valid boundary still works
+    assert decode_mp4_frames(df, every_k=1).count() == 1

@@ -558,3 +558,29 @@ def test_ivf_pq_index_drift_signals_recompact(spark, tmp_path):
     assert after["resid_energy"] != drifted["resid_energy"]
     # and the metric resolves through the manifest the compaction committed
     assert S._resolve_index_root(spark, path) != path
+
+
+def test_ivf_pq_index_drift_empty_sample_is_none_not_zero(spark, tmp_path):
+    """ADVICE r10 #4: a sample_fraction that selects ZERO rows carries no
+    signal — resid_energy / drift_ratio / code_tv must be None (the
+    missing-baseline convention), never 0.0 readings that a maintenance
+    loop would misread as 'energy collapsed / no drift'."""
+    import numpy as np
+
+    rng = np.random.default_rng(43)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    path = str(tmp_path / "ivfpq_empty_sample")
+    P.ivf_pq_write_index(df, path, n_centroids=4, m=8, n_codes=8)
+
+    d = P.ivf_pq_index_drift(spark, path, sample_fraction=0.0)
+    assert d["n_rows"] == 0
+    assert d["resid_energy"] is None
+    assert d["drift_ratio"] is None
+    assert d["code_tv"] is None
+    assert d["partition_skew"] == 0.0
+    # a non-empty sample on the same index still reads healthy
+    full = P.ivf_pq_index_drift(spark, path)
+    assert full["drift_ratio"] is not None

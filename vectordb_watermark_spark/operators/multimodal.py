@@ -1700,6 +1700,18 @@ def mp4_metadata(df: DataFrame, id_col: str = "id", bytes_col: str = "media") ->
     return df.select(id_col, bytes_col).mapInPandas(kernel, schema=schema)
 
 
+def _validate_every_k(every_k: int) -> None:
+    """Driver-side guard for the frame-subsampling stride (ADVICE r10 #3):
+    ``every_k=0`` would otherwise die as a ZeroDivisionError inside the
+    Arrow kernel (opaque executor-side stack trace) and negative values
+    would silently select all frames."""
+    if not isinstance(every_k, int) or isinstance(every_k, bool) or every_k < 1:
+        raise ValueError(
+            f"every_k must be an integer >= 1 (keep every k-th frame); "
+            f"got {every_k!r}"
+        )
+
+
 def mp4_sample_bytes(
     df: DataFrame,
     every_k: int = 1,
@@ -1713,6 +1725,7 @@ def mp4_sample_bytes(
     the honest boundary of a no-codec environment: the CONTAINER layer is
     fully parsed and the bytes are ready for an external decoder; only the
     codec decode itself remains stubbed (:data:`COMPRESSED_MAGICS`)."""
+    _validate_every_k(every_k)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (
         f"id {id_type}, sample_idx int, is_sync boolean, byte_len long, "
@@ -1772,6 +1785,7 @@ def decode_mp4_frames(
     ``NotImplementedError`` with guidance, exactly where a libav call
     would slot in.
     """
+    _validate_every_k(every_k)
     id_type = df.schema[id_col].dataType.simpleString()
     schema = (
         f"id {id_type}, sample_idx int, is_sync boolean, width int, "
@@ -1893,7 +1907,7 @@ def sample_video_frames(
     """Sample every k-th frame of fake-video payloads ->
     ``(id, frame_idx, width, height, channels, pixels)`` — one output row per
     sampled frame (the fan-out shape a real frame sampler has)."""
-
+    _validate_every_k(every_k)
     schema = "id long, frame_idx int, width int, height int, channels int, pixels binary"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

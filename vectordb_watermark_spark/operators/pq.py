@@ -500,12 +500,12 @@ def ivf_pq_write_index(
     train + one encode pass over the cache.
     """
     from vectordb_watermark_spark.operators.similarity import (
-        _commit_index_version,
         _current_index_version,
         _gc_index_versions,
-        _index_fs,
         _ivf_assign_pass,
         _ivf_train,
+        _publish_index_version,
+        _stage_index_version,
         _swap_dir_atomic,
         _write_centroids_atomic,
     )
@@ -513,14 +513,14 @@ def ivf_pq_write_index(
     spark = df.sparkSession
     # rebuild of a versioned (post-compaction) index: flat pieces under
     # {path} would be invisible behind the commit log — write a new
-    # version and commit it instead (fresh paths keep the flat layout)
+    # version and commit it instead (fresh paths keep the flat layout);
+    # pieces build in a PRIVATE staging dir so racing attempts never
+    # touch each other's files (published by atomic rename + commit)
     cur_seq = _current_index_version(spark, path)
     next_seq = None
     if cur_seq is not None:
         next_seq = cur_seq + 1
-        root = f"{path}/_v{next_seq:05d}"
-        jvm_path, fs = _index_fs(spark, path)
-        fs.delete(jvm_path(root), True)
+        root = _stage_index_version(spark, path, next_seq)
     else:
         root = path
     base = _pq_base(df, id_col, vec_col).persist()
@@ -559,7 +559,7 @@ def ivf_pq_write_index(
         _code_histogram(written),
     )
     if next_seq is not None:
-        _commit_index_version(spark, path, next_seq)
+        _publish_index_version(spark, path, next_seq, root)
         _gc_index_versions(spark, path)
     return cents, books
 
@@ -575,6 +575,7 @@ def ivf_pq_compact_index(
     key: str = "ivfpq",
     id_col: str = "id",
     vec_col: str = "emb",
+    gc_keep_last: int | None = 1,
 ) -> tuple[list[list[float]], np.ndarray]:
     """Rebuild a persisted IVF-PQ index from SOURCE vectors, keeping the
     stored geometry by default — the maintenance pass after heavy
@@ -594,24 +595,28 @@ def ivf_pq_compact_index(
     of ``{path}/_commits/{N:05d}``.  Readers resolve through the commit
     log (``similarity._resolve_index_root``), so a crash ANYWHERE before
     the commit leaves the old version fully live and mutually consistent
-    (no more new-codes-beside-old-codebooks between-swap window), a
+    (no more new-codes-beside-old-codebooks between-swap window), and a
     reader racing the compaction gets a consistent version on either side
-    of the commit, and two racing compactions are arbitrated by the
-    commit file (loser raises ``ConcurrentCompactionError``).  Old
-    versions are garbage-collected right after the commit — a reader that
-    resolved before the commit and reads after the GC fails loudly, never
-    silently; fence serving during maintenance to defer the GC exposure
-    (same discipline as any rebuild).
+    of the commit.  Racing compactions are ISOLATED, not merely detected
+    (ADVICE r10 #1): each attempt builds in its own private
+    ``_v{N}__{token}`` staging dir, publication is an atomic rename onto
+    ``_v{N}`` (first placement wins) and the manifest ``createNewFile``
+    is the final arbiter — the loser raises ``ConcurrentCompactionError``
+    without ever having touched the winner's pieces.  GC after the commit
+    is governed by ``gc_keep_last`` (ADVICE r10 #2): ``1`` (default)
+    collects superseded versions immediately; ``K`` keeps the newest K
+    committed versions for in-flight readers; ``None`` skips GC — collect
+    via ``similarity.gc_index_versions`` on your own schedule.
     """
     from vectordb_watermark_spark.operators.similarity import (
-        _commit_index_version,
         _current_index_version,
         _gc_index_versions,
-        _index_fs,
         _ivf_assign_pass,
         _ivf_train,
         _load_centroids,
+        _publish_index_version,
         _resolve_index_root,
+        _stage_index_version,
         _swap_dir_atomic,
         _write_centroids_atomic,
     )
@@ -620,9 +625,9 @@ def ivf_pq_compact_index(
     cur_seq = _current_index_version(spark, path)
     cur_root = _resolve_index_root(spark, path)
     next_seq = (cur_seq or 0) + 1
-    vdir = f"{path}/_v{next_seq:05d}"
-    jvm_path, fs = _index_fs(spark, path)
-    fs.delete(jvm_path(vdir), True)  # crashed attempt's uncommitted leftover
+    # private staging dir: racing attempts never share a directory, so a
+    # loser cannot delete/overwrite a winner's pieces (ADVICE r10 #1)
+    vdir = _stage_index_version(spark, path, next_seq)
 
     if n_centroids is None:
         n_centroids = len(_load_centroids(spark, cur_root))
@@ -666,9 +671,11 @@ def ivf_pq_compact_index(
         spark, vdir, _decoded_residual_energy(written, books), written.count(),
         _code_histogram(written),
     )
-    # every piece of version N is on disk — ONE atomic commit, then GC
-    _commit_index_version(spark, path, next_seq)
-    _gc_index_versions(spark, path)
+    # every piece is staged — atomic rename onto _v{N}, THE commit, then
+    # GC (skipped entirely under gc_keep_last=None)
+    _publish_index_version(spark, path, next_seq, vdir)
+    if gc_keep_last is not None:
+        _gc_index_versions(spark, path, keep_last=gc_keep_last)
     return cents, books
 
 
@@ -831,7 +838,10 @@ def ivf_pq_index_drift(
     Returns ``{n_rows, n_centroids, resid_energy, base_energy,
     drift_ratio, code_tv, partition_skew}`` — the baseline-relative
     fields are None for an index built before these sidecars existed
-    (recompact once to record them).  Cost: one scan of the (already
+    (recompact once to record them), and ``resid_energy`` /
+    ``drift_ratio`` / ``code_tv`` are None when the (sampled) code scan
+    selects zero rows: an empty sample carries no signal and must not
+    read as a healthy index.  Cost: one scan of the (already
     ~dim/m-compressed) codes plus two bounded groupBys — pass
     ``sample_fraction`` for a keyed-hash sample at extreme scale
     (deterministic, partition-order free; both signals are means/
@@ -860,7 +870,10 @@ def ivf_pq_index_drift(
         for r in codes.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n = int(sum(sizes.values()))
-    energy = _decoded_residual_energy(codes, B)
+    # an empty (sampled) scan carries NO signal: report None (mirroring
+    # the missing-baseline convention) instead of a 0.0 drift_ratio that
+    # reads as "energy collapsed / no drift" (ADVICE r10 #4)
+    energy = _decoded_residual_energy(codes, B) if n else None
     base = None
     code_tv = None
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -882,10 +895,12 @@ def ivf_pq_index_drift(
     return {
         "n_rows": n,
         "n_centroids": len(cents),
-        "resid_energy": round(energy, 9),
+        "resid_energy": round(energy, 9) if energy is not None else None,
         "base_energy": base,
         "drift_ratio": (
-            round(energy / base, 6) if base is not None and base > 0 else None
+            round(energy / base, 6)
+            if energy is not None and base is not None and base > 0
+            else None
         ),
         "code_tv": round(code_tv, 6) if code_tv is not None else None,
         "partition_skew": (

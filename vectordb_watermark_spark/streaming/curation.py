@@ -112,6 +112,7 @@ def incremental_index(
     key: str = "ivf",
     compact_drift_threshold: float | None = None,
     drift_sample_fraction: float | None = None,
+    compact_gc_keep_last: int | None = 2,
 ):
     """Streaming ANN-index maintenance sink: keep a persisted IVF index
     (operators/similarity layout, queried by ``ivf_query_index``)
@@ -149,6 +150,13 @@ def incremental_index(
     double-appending beside them.  The drift check is a full index scan
     per micro-batch unless ``drift_sample_fraction`` bounds it
     (keyed-hash sample — deterministic); size it to your batch cadence.
+    Because drift-triggered compactions are ROUTINE here (not a rare
+    manual maintenance event), the GC default keeps the previous version
+    too (``compact_gc_keep_last=2``, ADVICE r10 #2): an external reader
+    that resolved version N-1 just before the between-batch compaction
+    finishes against intact files instead of hitting missing-file errors.
+    Set ``1`` to reclaim space immediately (single-reader deployments) or
+    ``None`` to defer GC entirely to ``similarity.gc_index_versions``.
 
     Without the threshold, centroid drift is absorbed until a periodic
     batch-layer ``ivf_write_index`` rebuild — the standard IVF
@@ -188,7 +196,10 @@ def incremental_index(
                     d["drift_ratio"] is not None
                     and d["drift_ratio"] > compact_drift_threshold
                 ):
-                    ivf_compact_index(spark, index_path, key=key)
+                    ivf_compact_index(
+                        spark, index_path, key=key,
+                        gc_keep_last=compact_gc_keep_last,
+                    )
                     root = _resolve_index_root(spark, index_path)
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
         fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
