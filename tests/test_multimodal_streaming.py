@@ -1547,3 +1547,170 @@ def test_frame_subsampling_stride_validated_on_driver(spark):
         decode_mp4_frames(df, every_k=1.5)
     # the valid boundary still works
     assert decode_mp4_frames(df, every_k=1).count() == 1
+
+
+def test_incremental_pq_index_drift_triggered_recompaction(spark, tmp_path):
+    """Streaming IVF-PQ maintenance (round 11): the compressed twin of
+    incremental_index.  Bootstrap trains coarse centroids + PQ codebooks
+    from the first batch; skewed batches shift the code-usage histogram
+    past the code_tv threshold; the sink recompacts BETWEEN batch writes
+    from its raw archive (tags preserved through the manifest commit);
+    queries stay correct; a full fresh-checkpoint retry across the
+    recompaction is idempotent."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.pq import (
+        ivf_pq_index_drift,
+        ivf_pq_query_index,
+    )
+    from vectordb_watermark_spark.operators.similarity import (
+        _current_index_version,
+        _resolve_index_root,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_pq_index
+
+    rng = np.random.default_rng(29)
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [
+                    float(round(x, 4))
+                    for x in np.asarray(center) + 0.05 * rng.standard_normal(8)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    a = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 40, 0)        # bootstrap cluster
+    b = blob([0, 0, 0, 0, 0, 0, 0, 20.0], 40, 1000)    # far cluster: drifts codes
+    c = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 10, 5000)     # trigger batch
+    src = tmp_path / "pq_drift_src"
+    src.mkdir()
+    for name, rows in (("a", a), ("b", b), ("c", c)):
+        stage = tmp_path / f"pq_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    idx = str(tmp_path / "ivfpq_stream")
+    arc = str(tmp_path / "ivfpq_stream_raw")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_pq_index(
+            stream, idx, arc, str(tmp_path / ckpt),
+            n_centroids=4, m=4, n_codes=8, key="pqs",
+            compact_code_tv_threshold=0.2,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    run("pq_ckpt1")
+
+    # the code-usage drift fired a recompaction: index is versioned
+    assert _current_index_version(spark, idx) is not None
+    root = _resolve_index_root(spark, idx)
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == 90
+    assert codes.select("id").distinct().count() == 90
+    # tags preserved through the rebuild + the post-compaction batch
+    tags = {str(r["batch"]) for r in codes.select("batch").distinct().collect()}
+    assert tags == {"stream-0", "stream-1", "stream-2"}
+    # post-recompaction drift is healthy on BOTH triggers
+    d = ivf_pq_index_drift(spark, idx)
+    assert d["code_tv"] is not None and d["code_tv"] <= 0.05
+    assert d["drift_ratio"] is not None and 0.8 <= d["drift_ratio"] <= 1.2
+    # far-cluster rows reachable with a tight probe budget (recall restored
+    # by the recompaction's retrained centroids + codebooks)
+    top = ivf_pq_query_index(spark, idx, [0.0] * 7 + [20.0], k=5, n_probe=1).collect()
+    assert len(top) == 5 and all(1000 <= r["id"] < 2000 for r in top)
+
+    # the raw archive is the recompaction source AND the re-rank table
+    raw = spark.read.parquet(arc)
+    assert raw.count() == 90
+    rr = ivf_pq_query_index(
+        spark, idx, [0.0] * 7 + [20.0], k=5, n_probe=1,
+        rerank_with=raw, id_col="id", vec_col="v",
+    ).collect()
+    assert len(rr) == 5 and all(1000 <= r["id"] < 2000 for r in rr)
+
+    # full retry across the recompaction: fresh checkpoint reprocesses all
+    # batches; preserved stream-N tags mean overwrite-in-place, no doubling
+    ver_before = _current_index_version(spark, idx)
+    run("pq_ckpt2")
+    codes = spark.read.parquet(f"{_resolve_index_root(spark, idx)}/codes")
+    assert codes.count() == 90
+    assert codes.select("id").distinct().count() == 90
+    assert spark.read.parquet(arc).count() == 90
+    # the retry found a healthy (already-recompacted) index: no new version
+    assert _current_index_version(spark, idx) == ver_before
+
+
+def test_ivf_pq_append_index_tagged_layout_claims(spark, tmp_path):
+    """Tag-aware PQ appends (round 11): onto a TAGGED (streaming-style)
+    codes layout, ivf_pq_append_index lands under a fresh append-N tag
+    with the claim-before-write protocol — full parity with
+    similarity.ivf_append_index; the flat batch-built layout keeps its
+    original no-tag append behavior."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from vectordb_watermark_spark.operators import pq as P
+    from vectordb_watermark_spark.operators.similarity import (
+        ConcurrentAppendError,
+        _load_index_meta,
+    )
+
+    rng = np.random.default_rng(47)
+
+    def blob(center, n, start_id):
+        rows = [
+            (
+                start_id + i,
+                [float(x) for x in np.asarray(center) + 0.05 * rng.standard_normal(8)],
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "id long, emb array<float>")
+
+    # tagged index: build flat, then compact WITH batch_col to migrate
+    idx = str(tmp_path / "pq_tagged")
+    a = blob([1.0] + [0.0] * 7, 60, 0)
+    P.ivf_pq_write_index(a, idx, n_centroids=4, m=4, n_codes=8)
+    src = a.withColumn("batch", F.lit("full"))
+    P.ivf_pq_compact_index(src, idx, batch_col="batch")
+    root = str(tmp_path / "pq_tagged/_v00001")
+    assert "batch" in spark.read.parquet(f"{root}/codes").schema.fieldNames()
+    assert _load_index_meta(spark, root)["next_append_seq"] == 1
+
+    n = P.ivf_pq_append_index(blob([0.0] * 7 + [3.0], 20, 2000), idx)
+    assert n == 20
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == 80
+    tags = {str(r["batch"]) for r in codes.select("batch").distinct().collect()}
+    assert tags == {"full", "append-1"}
+    assert os.path.exists(f"{root}/append_claims/append-1.claim")
+    assert _load_index_meta(spark, root)["next_append_seq"] == 2
+
+    # a stale appender racing for an already-claimed tag loses loudly
+    os.makedirs(f"{root}/append_claims", exist_ok=True)
+    open(f"{root}/append_claims/append-2.claim", "w").close()
+    with pytest.raises(ConcurrentAppendError, match="append-2"):
+        P.ivf_pq_append_index(blob([0.0] * 7 + [3.0], 5, 3000), idx)
+    # ... and a plain retry lands on the NEXT tag (sidecar was bumped)
+    assert P.ivf_pq_append_index(blob([0.0] * 7 + [3.0], 5, 3000), idx) == 5
+    tags = {
+        str(r["batch"])
+        for r in spark.read.parquet(f"{root}/codes").select("batch").distinct().collect()
+    }
+    assert tags == {"full", "append-1", "append-3"}

@@ -399,15 +399,23 @@ def pq_reconstruction_mse(
 
 
 def _residual_encode_pass(
-    assigned: DataFrame, cents: list[list[float]], books: np.ndarray
+    assigned: DataFrame,
+    cents: list[list[float]],
+    books: np.ndarray,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(id, v, centroid) -> (id, centroid, codes)`` in ONE Arrow pass:
     subtract the coarse centroid, quantize the residual against the global
-    PQ codebooks."""
+    PQ codebooks.  ``extra`` columns of ``assigned`` ride through unchanged
+    (tag-preserving compaction and the streaming sink use this to keep the
+    ``batch`` tags their input rows carry)."""
     B = np.asarray(books, dtype=np.float64)
     m, n_codes, dsub = B.shape
     C = np.asarray(cents, dtype=np.float64)
     id_type = assigned.schema["id"].dataType.simpleString()
+    extra_sql = "".join(
+        f", {c} {assigned.schema[c].dataType.simpleString()}" for c in extra
+    )
 
     def kernel(batches):
         import pyarrow as pa
@@ -418,8 +426,10 @@ def _residual_encode_pass(
         for rb in batches:
             if not rb.num_rows:
                 continue
-            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
-            cent = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            names = rb.schema.names
+            X = list_array_to_matrix(rb.column(names.index("v")), dtype=np.float64)
+            centcol = rb.column(names.index("centroid"))
+            cent = centcol.to_numpy(zero_copy_only=False).astype(np.int64)
             R = X - C[cent]
             n = R.shape[0]
             Rs = R.reshape(n, m, dsub)
@@ -433,15 +443,16 @@ def _residual_encode_pass(
                 codes[:, s] = d2.argmin(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [
-                    rb.column(0),
-                    rb.column(2),
+                    rb.column(names.index("id")),
+                    centcol,
                     pa.array(codes.tolist(), type=pa.list_(pa.int32())),
+                    *[rb.column(names.index(c)) for c in extra],
                 ],
-                names=["id", "centroid", "codes"],
+                names=["id", "centroid", "codes", *extra],
             )
 
     return assigned.mapInArrow(
-        kernel, schema=f"id {id_type}, centroid int, codes array<int>"
+        kernel, schema=f"id {id_type}, centroid int, codes array<int>{extra_sql}"
     )
 
 
@@ -576,10 +587,23 @@ def ivf_pq_compact_index(
     id_col: str = "id",
     vec_col: str = "emb",
     gc_keep_last: int | None = 1,
+    batch_col: str | None = None,
 ) -> tuple[list[list[float]], np.ndarray]:
     """Rebuild a persisted IVF-PQ index from SOURCE vectors, keeping the
     stored geometry by default — the maintenance pass after heavy
     :func:`ivf_pq_append_index` traffic.
+
+    ``batch_col``: when the source carries a batch-tag column (the
+    TAGGED ``centroid=X/batch=Y`` codes layout the streaming sink and
+    tag-aware appends write), tags are PRESERVED through the rebuild —
+    rows keep their tag, the codes land partitioned by
+    ``(centroid, batch)``, claim files are re-created for every
+    preserved ``append-N`` tag, and ``next_append_seq`` carries forward
+    through the ``index_meta`` sidecar — so a streaming checkpoint retry
+    still dynamic-overwrites exactly its own ``batch=stream-N``
+    partitions inside the compacted version (no double-append), same
+    contract as ``similarity.ivf_compact_index``.  ``None`` (default)
+    keeps the flat ``centroid=``-only layout of batch-built indexes.
 
     PQ codes are LOSSY: unlike the raw-vector IVF index (whose
     ``similarity.ivf_compact_index`` re-clusters from its own contents),
@@ -611,14 +635,17 @@ def ivf_pq_compact_index(
     from vectordb_watermark_spark.operators.similarity import (
         _current_index_version,
         _gc_index_versions,
+        _index_fs,
         _ivf_assign_pass,
         _ivf_train,
         _load_centroids,
+        _load_index_meta,
         _publish_index_version,
         _resolve_index_root,
         _stage_index_version,
         _swap_dir_atomic,
         _write_centroids_atomic,
+        _write_index_meta_atomic,
     )
 
     spark = df.sparkSession
@@ -636,18 +663,57 @@ def ivf_pq_compact_index(
         m = m or int(stored.shape[0])
         n_codes = n_codes or int(stored.shape[1])
 
-    base = _pq_base(df, id_col, vec_col).persist()
+    if batch_col is not None:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("v"),
+            F.col(batch_col).cast("string").alias("batch"),
+        ).persist()
+        extra = ("batch",)
+    else:
+        base = _pq_base(df, id_col, vec_col).persist()
+        extra = ()
     try:
-        cents = _ivf_train(base, n_centroids, coarse_iters, key)
-        assigned = _ivf_assign_pass(base, cents).persist()
+        cents = _ivf_train(base.select("id", "v"), n_centroids, coarse_iters, key)
+        assigned = _ivf_assign_pass(base, cents, extra=extra).persist()
         try:
-            res = _residual_pass(assigned, cents)
+            res = _residual_pass(assigned.select("id", "v", "centroid"), cents)
             books = pq_train(
                 res, m, n_codes, pq_iters, key, id_col="id", vec_col="r"
             )
-            _residual_encode_pass(assigned, cents, books).write.mode(
+            _residual_encode_pass(assigned, cents, books, extra=extra).write.mode(
                 "overwrite"
-            ).partitionBy("centroid").parquet(f"{vdir}/codes")
+            ).partitionBy("centroid", *extra).parquet(f"{vdir}/codes")
+            if batch_col is not None:
+                # preserved tags (bounded: one row per batch ever made) —
+                # drive the carried-forward sequence + claim re-creation,
+                # same contract as similarity.ivf_compact_index
+                tags = [
+                    str(r["batch"])
+                    for r in assigned.select("batch").distinct().collect()
+                ]
+                appends = [
+                    int(t.split("-", 1)[1])
+                    for t in tags
+                    if t.startswith("append-")
+                ]
+                prior = _load_index_meta(spark, cur_root)
+                if prior is not None:
+                    seq_keep = int(prior["next_append_seq"])
+                else:
+                    seq_keep = (max(appends) + 1) if appends else 1
+                _write_index_meta_atomic(
+                    spark, vdir,
+                    df.schema[id_col].dataType.simpleString(),
+                    len(cents[0]), seq_keep,
+                )
+                if appends:
+                    jvm_path, fs = _index_fs(spark, path)
+                    fs.mkdirs(jvm_path(f"{vdir}/append_claims"))
+                    for n_ in appends:
+                        fs.createNewFile(
+                            jvm_path(f"{vdir}/append_claims/append-{n_}.claim")
+                        )
         finally:
             assigned.unpersist()
     finally:
@@ -698,16 +764,29 @@ def ivf_pq_append_index(
     only fail at some later read).  The id-type check reads the codes
     schema — one footer read, not a data scan.
 
-    Discipline: ONE appender at a time per index (the codes layout has no
-    per-append batch tags; concurrent appends can collide in the shared
-    ``_temporary`` staging directory).  Crash semantics are clean — an
-    aborted write job commits no files, so a retry simply appends.
+    TWO LAYOUTS, AUTO-DETECTED from the codes schema:
+
+    - flat ``centroid=X/`` (batch-built indexes): the original behavior —
+      plain append, discipline ONE appender at a time (no tags;
+      concurrent appends can collide in the shared ``_temporary``
+      staging directory).  Crash semantics are clean — an aborted write
+      job commits no files, so a retry simply appends.
+    - tagged ``centroid=X/batch=Y/`` (streaming-sink-built or
+      ``batch_col``-compacted indexes): full parity with
+      ``similarity.ivf_append_index`` — the append lands under a fresh
+      ``batch=append-N`` tag with the claim-before-write protocol
+      (sidecar bumped first so a crashed attempt's blind retry lands on
+      a fresh tag; ``createNewFile`` on the claim file turns a
+      concurrent appender into a loud :class:`similarity.ConcurrentAppendError`).
     """
     from vectordb_watermark_spark.operators.similarity import (
+        ConcurrentAppendError,
         _ivf_assign_pass,
         _ivf_base,
         _load_centroids,
+        _load_index_meta,
         _resolve_index_root,
+        _write_index_meta_atomic,
     )
     from vectordb_watermark_spark.sources.io import vector_dim
 
@@ -724,13 +803,52 @@ def ivf_pq_append_index(
             f"appended vectors are {dim}-d but the index at {path} is "
             f"{len(cents[0])}-d (codebooks {m}x{dsub})"
         )
-    stored_t = spark.read.parquet(f"{path}/codes").schema["id"].dataType.simpleString()
+    codes_schema = spark.read.parquet(f"{path}/codes").schema
+    stored_t = codes_schema["id"].dataType.simpleString()
     new_t = df.schema[id_col].dataType.simpleString()
     if stored_t != new_t:
         raise ValueError(
             f"appended id type {new_t} does not match the index's id type "
             f"{stored_t}"
         )
+    tagged = "batch" in codes_schema.fieldNames()
+    batch_tag = None
+    if tagged:
+        meta = _load_index_meta(spark, path)
+        if meta is None:
+            # pre-sidecar tagged index: derive the next sequence from the
+            # tags ONCE (the expensive path), then self-heal the sidecar
+            appends = [
+                int(str(r["batch"]).split("-", 1)[1])
+                for r in spark.read.parquet(f"{path}/codes")
+                .select("batch").distinct().collect()
+                if str(r["batch"]).startswith("append-")
+            ]
+            meta = {
+                "id_type": stored_t,
+                "dim": dim,
+                "next_append_seq": (max(appends) + 1) if appends else 1,
+            }
+        seq = int(meta["next_append_seq"])
+        batch_tag = f"append-{seq}"
+        # claim-before-write, monotonic bump (same protocol + rationale as
+        # similarity.ivf_append_index)
+        cur = _load_index_meta(spark, path)
+        stored_next = int(cur["next_append_seq"]) if cur is not None else seq
+        _write_index_meta_atomic(
+            spark, path, stored_t, dim, max(stored_next, seq + 1)
+        )
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(jvm_path(f"{path}/append_claims"))
+        if not fs.createNewFile(jvm_path(f"{path}/append_claims/{batch_tag}.claim")):
+            raise ConcurrentAppendError(
+                f"batch tag {batch_tag} at {path} is already claimed: "
+                f"another appender read the same sequence number "
+                f"concurrently (or a crashed attempt claimed it — then "
+                f"simply retry: the bumped sidecar routes the retry to a "
+                f"fresh tag)"
+            )
     # cast to array<float> FIRST (same as _pq_base at build time): append-time
     # and rebuild-time encoding must see bit-identical inputs, or a float64
     # source column could flip argmin ties and diverge appended codes from
@@ -738,9 +856,15 @@ def ivf_pq_append_index(
     base = _ivf_base(_pq_base(df, id_col, vec_col), "id", "v")  # persisted: write + count, one scan
     try:
         assigned = _ivf_assign_pass(base, cents)
-        _residual_encode_pass(assigned, cents, B).write.mode(
-            "append"
-        ).partitionBy("centroid").parquet(f"{path}/codes")
+        enc = _residual_encode_pass(assigned, cents, B)
+        if tagged:
+            enc.withColumn("batch", F.lit(batch_tag)).write.mode(
+                "append"
+            ).partitionBy("centroid", "batch").parquet(f"{path}/codes")
+        else:
+            enc.write.mode("append").partitionBy("centroid").parquet(
+                f"{path}/codes"
+            )
         n = base.count()
     finally:
         base.unpersist()

@@ -268,3 +268,188 @@ def incremental_index(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(handle)
     )
+
+
+def incremental_pq_index(
+    stream: DataFrame,
+    index_path: str,
+    archive_path: str,
+    checkpoint_path: str,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 64,
+    coarse_iters: int = 3,
+    pq_iters: int = 3,
+    key: str = "ivfpq",
+    compact_code_tv_threshold: float | None = None,
+    drift_sample_fraction: float | None = None,
+    compact_gc_keep_last: int | None = 2,
+):
+    """Streaming IVF-PQ index maintenance sink — the compressed twin of
+    :func:`incremental_index`, completing the maintenance symmetry the
+    round-10 ``ivf_pq_index_drift`` metric opened.  Returns the
+    DataStreamWriter (call ``.start()``).
+
+    - **bootstrap**: the first batch trains the coarse centroids AND the
+      residual PQ codebooks (keyed-hash seeded — deterministic, so a
+      retried bootstrap rewrites identical artifacts) and encodes itself;
+    - **steady state**: each batch is assigned to the nearest EXISTING
+      centroid and residual-encoded against the STORED codebooks (two
+      Arrow passes, one source scan — the ``ivf_pq_append_index``
+      freshness trade), landing in the TAGGED
+      ``centroid=X/batch=stream-N/`` codes layout;
+    - **idempotence**: dynamic partition overwrite on ``(centroid,
+      batch)`` — a checkpoint-retried micro-batch replaces exactly its
+      own ``batch=stream-N`` subpartitions instead of double-appending;
+    - **raw archive**: PQ codes are LOSSY, so recompaction needs source
+      vectors the index does not store.  Every batch's raw ``(id, v)``
+      rows are archived FIRST under ``{archive_path}/batch=stream-N/``
+      (overwrite per batch dir — idempotent under retry; archive-first
+      ordering means the archive is always a superset of the committed
+      codes, so a crash between archive and codes write self-heals on
+      retry).  The archive doubles as the exact-re-rank table
+      (``rerank_with=spark.read.parquet(archive_path)``).  Cost: dim x 4
+      bytes per row — the raw vectors a production deployment keeps in
+      its source-of-truth table anyway; point ``archive_path`` at a
+      cheaper storage tier when the index tier is premium.
+    - **drift-triggered recompaction** (``compact_code_tv_threshold``):
+      before each batch write (foreachBatch serialization = the fence),
+      checks :func:`~vectordb_watermark_spark.operators.pq.ivf_pq_index_drift`
+      and recompacts from the archive through the manifest
+      (:func:`~vectordb_watermark_spark.operators.pq.ivf_pq_compact_index`
+      with ``batch_col`` preservation) when ``code_tv`` — the
+      UNSATURATED trigger; the energy ratio saturates at training-scale
+      codewords — exceeds the threshold.  Tags survive the rebuild, so
+      a retry racing a compaction still overwrites its own partitions.
+      GC keeps the previous version by default (``compact_gc_keep_last=2``)
+      because streaming compactions are routine, not rare maintenance.
+
+    The drift check scans the (already ~dim*4/m-compressed) codes each
+    micro-batch unless ``drift_sample_fraction`` bounds it; size it to
+    the batch cadence.
+    """
+    from vectordb_watermark_spark.operators.pq import (
+        _load_codebooks,
+        _pq_base,
+        _residual_encode_pass,
+        _residual_pass,
+        _write_pq_drift_baseline,
+        _code_histogram,
+        _decoded_residual_energy,
+        ivf_pq_compact_index,
+        ivf_pq_index_drift,
+        pq_train,
+    )
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _ivf_train,
+        _load_centroids,
+        _load_index_meta,
+        _resolve_index_root,
+        _swap_dir_atomic,
+        _write_centroids_atomic,
+        _write_index_meta_atomic,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        tag = f"stream-{int(batch_id)}"
+        root = _resolve_index_root(spark, index_path)
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+        # 1) drift check BEFORE this batch's writes — between-batch fence
+        if compact_code_tv_threshold is not None and fs.exists(
+            jvm_path(f"{root}/pq_codebooks")
+        ):
+            d = ivf_pq_index_drift(
+                spark, index_path, sample_fraction=drift_sample_fraction
+            )
+            if (
+                d["code_tv"] is not None
+                and d["code_tv"] > compact_code_tv_threshold
+            ):
+                src = spark.read.parquet(archive_path)
+                ivf_pq_compact_index(
+                    src, index_path,
+                    coarse_iters=coarse_iters, pq_iters=pq_iters, key=key,
+                    id_col="id", vec_col="v", batch_col="batch",
+                    gc_keep_last=compact_gc_keep_last,
+                )
+                root = _resolve_index_root(spark, index_path)
+                fs = jvm_path(root).getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+
+        # 2) archive the raw batch FIRST (idempotent: own dir overwritten;
+        #    archive ⊇ committed codes is the recompaction invariant)
+        raw = _pq_base(batch_df, id_col, vec_col)
+        raw.write.mode("overwrite").parquet(f"{archive_path}/batch={tag}")
+
+        base = raw.persist()
+        try:
+            if fs.exists(jvm_path(f"{root}/pq_codebooks")):
+                cents = _load_centroids(spark, root)
+                books = _load_codebooks(spark, root)
+            else:
+                # bootstrap: deterministic train (coarse + residual PQ)
+                cents = _ivf_train(base, n_centroids, coarse_iters, key)
+                assigned0 = _ivf_assign_pass(base, cents)
+                books = pq_train(
+                    _residual_pass(assigned0, cents),
+                    m, n_codes, pq_iters, key, id_col="id", vec_col="r",
+                )
+                _write_centroids_atomic(spark, root, cents)
+                rows = [
+                    (s, c, [float(x) for x in books[s, c]])
+                    for s in range(books.shape[0])
+                    for c in range(books.shape[1])
+                ]
+                staged = f"{root}/pq_codebooks__staged"
+                spark.createDataFrame(
+                    rows, "sub int, code int, vec array<double>"
+                ).coalesce(1).write.mode("overwrite").parquet(staged)
+                _swap_dir_atomic(spark, staged, f"{root}/pq_codebooks")
+                # sidecar: id type + dim + append sequence (re-bootstrap
+                # over a surviving sidecar must not roll the sequence back
+                # — same self-heal as incremental_index)
+                prior = _load_index_meta(spark, root)
+                next_seq = (
+                    int(prior["next_append_seq"]) if prior is not None else 1
+                )
+                _write_index_meta_atomic(
+                    spark, root,
+                    batch_df.schema[id_col].dataType.simpleString(),
+                    len(cents[0]), next_seq,
+                )
+
+            assigned = _ivf_assign_pass(base, cents)
+            (
+                _residual_encode_pass(assigned, cents, books)
+                .withColumn("batch", F.lit(tag))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid", "batch")
+                .parquet(f"{root}/codes")
+            )
+            if not fs.exists(jvm_path(f"{root}/pq_drift_baseline")):
+                # baseline over the bootstrap codes — without it the drift
+                # metric has no denominator and the trigger can never fire
+                written = spark.read.parquet(f"{root}/codes")
+                _write_pq_drift_baseline(
+                    spark, root,
+                    _decoded_residual_energy(written, books),
+                    written.count(), _code_histogram(written),
+                )
+        finally:
+            base.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
