@@ -1848,6 +1848,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rows_preserved boolean, skew_sane boolean",
         )
 
+    def pq_tagged_contract(spark, sf):  # tagged PQ maintenance (round 11)
+        # pins the tag-preserving IVF-PQ lifecycle: a batch_col compaction
+        # migrates the codes to the tagged centroid/batch layout, a
+        # tag-aware append lands under a claimed append-N tag, and a
+        # second tagged compaction PRESERVES the tags, re-creates the
+        # claim files, carries next_append_seq forward, and re-records
+        # unit drift baselines — the invariants that make a streaming
+        # checkpoint retry overwrite its own partitions after maintenance
+        # (streaming/curation.incremental_pq_index depends on all of them).
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.operators.pq import (
+            ivf_pq_append_index,
+            ivf_pq_compact_index,
+            ivf_pq_index_drift,
+            ivf_pq_write_index,
+        )
+        from vectordb_watermark_spark.operators.similarity import (
+            _load_index_meta,
+            _resolve_index_root,
+        )
+
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
+        path = os.path.join(
+            scratch, f"oracle_pq_tagged_{os.path.basename(str(sf))}"
+        )
+        df = _vectors(spark, sf)
+        n = df.count()
+        half = df.filter(F.col("id") % 2 == 0)
+        rest = df.filter(F.col("id") % 2 == 1)
+        n_half = half.count()
+        try:
+            ivf_pq_write_index(half, path, n_centroids=8, m=8, n_codes=16)
+            # migrate to the tagged layout (tags ride the encode kernel)
+            ivf_pq_compact_index(
+                half.withColumn("batch", F.lit("full")), path, batch_col="batch"
+            )
+            root = _resolve_index_root(spark, path)
+            codes = spark.read.parquet(f"{root}/codes")
+            tagged = "batch" in codes.schema.fieldNames()
+            # tag-aware append: fresh append-1 tag + claim + sidecar bump
+            n_app = ivf_pq_append_index(rest, path)
+            tags1 = {
+                str(r["batch"])
+                for r in spark.read.parquet(f"{root}/codes")
+                .select("batch").distinct().collect()
+            }
+            meta1 = _load_index_meta(spark, root)
+            # tagged recompaction: tags/claims/sequence survive the rebuild
+            src = spark.read.parquet(f"{root}/codes").select("id", "batch").join(
+                df, "id"
+            )
+            ivf_pq_compact_index(src, path, batch_col="batch")
+            root2 = _resolve_index_root(spark, path)
+            codes2 = spark.read.parquet(f"{root2}/codes")
+            tags2 = {
+                str(r["batch"])
+                for r in codes2.select("batch").distinct().collect()
+            }
+            meta2 = _load_index_meta(spark, root2)
+            claim_ok = os.path.exists(f"{root2}/append_claims/append-1.claim")
+            d = ivf_pq_index_drift(spark, path)
+            rows2 = codes2.count()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+        return spark.createDataFrame(
+            [(
+                int(n),
+                bool(tagged),
+                bool(n_app == n - n_half),
+                bool(tags1 == {"full", "append-1"}),
+                bool(tags2 == tags1 and claim_ok),
+                bool(
+                    int(meta1["next_append_seq"]) == 2
+                    and int(meta2["next_append_seq"]) == 2
+                ),
+                bool(rows2 == n),
+                bool(
+                    d["drift_ratio"] is not None
+                    and abs(d["drift_ratio"] - 1.0) <= 1e-5
+                    and d["code_tv"] is not None and d["code_tv"] <= 1e-9
+                ),
+            )],
+            "n_rows long, tagged_layout boolean, append_counted boolean, "
+            "append_tagged boolean, tags_preserved boolean, seq_carried boolean, "
+            "rows_preserved boolean, compacted_unit boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1860,7 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 118 oracles
+    # recomposed so the LEAST-recently-verified oracles lead — with 119 oracles
     # and a 50-slot window every oracle has a driver-green row within a 3-round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-11 window: the r8 remainder
@@ -2000,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
+        # -- new in round 11 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, leads the round-12 rotation) --
+        "pq_tagged_contract": pq_tagged_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2234,6 +2328,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(TRUE AS BOOLEAN) AS compacted_unit,
                    CAST(TRUE AS BOOLEAN) AS rows_preserved,
                    CAST(TRUE AS BOOLEAN) AS skew_sane
+            FROM embeddings""",
+        "pq_tagged_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS tagged_layout,
+                   CAST(TRUE AS BOOLEAN) AS append_counted,
+                   CAST(TRUE AS BOOLEAN) AS append_tagged,
+                   CAST(TRUE AS BOOLEAN) AS tags_preserved,
+                   CAST(TRUE AS BOOLEAN) AS seq_carried,
+                   CAST(TRUE AS BOOLEAN) AS rows_preserved,
+                   CAST(TRUE AS BOOLEAN) AS compacted_unit
             FROM embeddings""",
         "semdedup_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -230,8 +230,13 @@ def _gc_index_versions(spark, path: str, keep_last: int = 1) -> None:
             continue
         if name.startswith("_v"):
             head = name[2:].split("__", 1)[0]
-            if "__" in name and head.isdigit() and int(head) > seq:
-                continue  # in-flight staging attempt for a future version
+            if head.isdigit() and int(head) > seq:
+                # in-flight FUTURE attempt — private staging, or a placed
+                # _v{N} inside its rename->commit window.  Skipping both
+                # keeps "GC is safe to run at any time" true; a crashed
+                # future orphan is cleaned by the next publish attempt's
+                # orphan recovery instead.
+                continue
             fs.delete(st.getPath(), True)
         elif not keep_flat:
             fs.delete(st.getPath(), True)
