@@ -584,3 +584,27 @@ def test_ivf_pq_index_drift_empty_sample_is_none_not_zero(spark, tmp_path):
     # a non-empty sample on the same index still reads healthy
     full = P.ivf_pq_index_drift(spark, path)
     assert full["drift_ratio"] is not None
+
+
+def test_ivf_pq_query_prunes_partitions_tagged_layout(spark, vectors, tmp_path):
+    """Plan-time centroid pruning survives the TAGGED (centroid, batch)
+    codes layout the streaming sink writes: the batch level only
+    subdivides files below the pruned first level, and single/batch
+    query answers agree with the flat layout's."""
+    path = str(tmp_path / "ivfpq_flat_ref")
+    tpath = str(tmp_path / "ivfpq_tagged")
+    P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)
+    P.ivf_pq_write_index(vectors, tpath, n_centroids=8, m=8, n_codes=16)
+    P.ivf_pq_compact_index(
+        vectors.withColumn("batch", F.lit("full")), tpath, batch_col="batch"
+    )
+    qv = [float(x) for x in vectors.first()["emb"]]
+    q = P.ivf_pq_query_index(spark, tpath, qv, k=5, n_probe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+    got = [(r["id"], r["cos"]) for r in q.collect()]
+    ref = [
+        (r["id"], r["cos"])
+        for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=2).collect()
+    ]
+    assert got == ref
