@@ -1939,6 +1939,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rows_preserved boolean, compacted_unit boolean",
         )
 
+    def ann_delete_contract(spark, sf):  # tombstone deletes (round 11)
+        # pins similarity.ivf_delete_ids end-to-end on the persisted raw
+        # IVF index: deletes mask ids from BOTH query paths immediately,
+        # the drift metric reports the dead fraction over live rows, and
+        # compaction FOLDS the tombstones (rows dropped, set not carried).
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.operators.similarity import (
+            _resolve_index_root,
+            ivf_compact_index,
+            ivf_delete_ids,
+            ivf_index_drift,
+            ivf_query_index,
+            ivf_query_index_batch,
+            ivf_write_index,
+        )
+
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
+        path = os.path.join(
+            scratch, f"oracle_ann_delete_{os.path.basename(str(sf))}"
+        )
+        df = _vectors(spark, sf)
+        n = df.count()
+        try:
+            ivf_write_index(df, path, n_centroids=8, key="del")
+            qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+            top = [
+                int(r["id"])
+                for r in ivf_query_index(spark, path, qv, k=8, n_probe=8).collect()
+            ]
+            victims = top[:4]
+            n_del = ivf_delete_ids(spark, path, victims)
+            single = [
+                int(r["id"])
+                for r in ivf_query_index(spark, path, qv, k=8, n_probe=8).collect()
+            ]
+            qblock = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+            batch = [
+                int(r["id"])
+                for r in ivf_query_index_batch(
+                    spark, path, qblock, k=8, n_probe=8
+                ).collect()
+            ]
+            d = ivf_index_drift(spark, path)
+            ivf_compact_index(spark, path, key="del2")
+            root = _resolve_index_root(spark, path)
+            folded_rows = spark.read.parquet(f"{root}/vectors").count()
+            tomb_gone = not os.path.exists(f"{root}/tombstones")
+            after = [
+                int(r["id"])
+                for r in ivf_query_index(spark, path, qv, k=8, n_probe=8).collect()
+            ]
+            d2 = ivf_index_drift(spark, path)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+        return spark.createDataFrame(
+            [(
+                int(n),
+                bool(n_del == 4),
+                bool(not set(victims) & set(single)),
+                bool(sorted(batch) == sorted(single)),
+                bool(
+                    d["n_rows"] == n - 4
+                    and d["dead_fraction"] == round(4 / n, 6)
+                ),
+                bool(folded_rows == n - 4 and tomb_gone),
+                bool(
+                    not set(victims) & set(after)
+                    and d2["dead_fraction"] == 0.0
+                ),
+            )],
+            "n_rows long, delete_counted boolean, single_masked boolean, "
+            "batch_agrees boolean, drift_live boolean, fold_clean boolean, "
+            "post_fold_masked boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -1951,7 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 119 oracles
+    # recomposed so the LEAST-recently-verified oracles lead — with 120 oracles
     # and a 50-slot window every oracle has a driver-green row within a 3-round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-11 window: the r8 remainder
@@ -2094,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 11 (below the driver window; full-green locally via
         # -- tools/check_oracle.py, leads the round-12 rotation) --
         "pq_tagged_contract": pq_tagged_contract,
+        "ann_delete_contract": ann_delete_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2328,6 +2408,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(TRUE AS BOOLEAN) AS compacted_unit,
                    CAST(TRUE AS BOOLEAN) AS rows_preserved,
                    CAST(TRUE AS BOOLEAN) AS skew_sane
+            FROM embeddings""",
+        "ann_delete_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS delete_counted,
+                   CAST(TRUE AS BOOLEAN) AS single_masked,
+                   CAST(TRUE AS BOOLEAN) AS batch_agrees,
+                   CAST(TRUE AS BOOLEAN) AS drift_live,
+                   CAST(TRUE AS BOOLEAN) AS fold_clean,
+                   CAST(TRUE AS BOOLEAN) AS post_fold_masked
             FROM embeddings""",
         "pq_tagged_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -2505,3 +2505,57 @@ def test_gc_keep_last_grace_and_inflight_staging(spark, tmp_path):
     assert os.path.isdir(f"{idx}/_v00002")
     root = S._resolve_index_root(spark, idx)
     assert spark.read.parquet(f"{root}/vectors").count() == 60
+
+
+def test_ivf_delete_ids_tombstones_queries_drift_and_fold(spark, tmp_path):
+    """Round-11 delete support: tombstoned ids vanish from single AND
+    batch query paths immediately, the drift metric reports the dead
+    fraction over LIVE rows, and compaction FOLDS the tombstones (rows
+    dropped from the rebuilt version, tombstone set not carried)."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=53)
+    idx = str(tmp_path / "ivf_del")
+    a = blob([1.0] + [0.0] * 7, 60, 0)
+    b = blob([0.0] * 7 + [5.0], 40, 1000)
+    S.ivf_write_index(a.unionByName(b), idx, n_centroids=4, key="c")
+
+    qv = [0.0] * 7 + [5.0]
+    top = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    victims = top[:3]
+
+    assert S.ivf_delete_ids(spark, idx, victims) == 3
+    assert S.ivf_delete_ids(spark, idx, []) == 0
+
+    after = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    assert not set(victims) & set(after)
+    assert set(after) >= set(top[3:])  # survivors keep their places
+    qblock = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+    batch = [r["id"] for r in S.ivf_query_index_batch(spark, idx, qblock, k=5, n_probe=4).collect()]
+    assert sorted(batch) == sorted(after)  # both query paths agree
+
+    d = S.ivf_index_drift(spark, idx)
+    assert d["n_rows"] == 97  # live rows only
+    assert d["dead_fraction"] == round(3 / 100, 6)
+
+    # a second delete batch ACCUMULATES (DataFrame form)
+    more = spark.createDataFrame([(int(top[3]),)], "id long")
+    assert S.ivf_delete_ids(spark, idx, more) == 1
+    after2 = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    assert int(top[3]) not in after2
+
+    # compaction folds: deleted rows gone, tombstones not carried
+    S.ivf_compact_index(spark, idx, key="c2")
+    root = S._resolve_index_root(spark, idx)
+    stored = spark.read.parquet(f"{root}/vectors")
+    assert stored.count() == 96
+    assert stored.filter(SF.col("id").isin([int(v) for v in victims] + [int(top[3])])).count() == 0
+    assert not os.path.exists(f"{root}/tombstones")
+    d2 = S.ivf_index_drift(spark, idx)
+    assert d2["n_rows"] == 96 and d2["dead_fraction"] == 0.0
+    after3 = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    assert not set(victims) & set(after3)

@@ -608,3 +608,41 @@ def test_ivf_pq_query_prunes_partitions_tagged_layout(spark, vectors, tmp_path):
         for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=2).collect()
     ]
     assert got == ref
+
+
+def test_ivf_pq_delete_ids_tombstones_and_fold(spark, vectors, tmp_path):
+    """Delete support on the COMPRESSED index: tombstoned ids vanish from
+    ADC single and batch paths, dead_fraction reports over live codes,
+    and a source-side compaction folds the tombstones even though the
+    source still contains the deleted rows."""
+    import os
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    path = str(tmp_path / "ivfpq_del")
+    P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)
+    n = vectors.count()
+    qv = [float(x) for x in vectors.first()["emb"]]
+    top = [r["id"] for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()]
+    victims = top[:2]
+
+    assert S.ivf_delete_ids(spark, path, victims) == 2
+    after = [r["id"] for r in P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=8).collect()]
+    assert not set(victims) & set(after)
+    qblock = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+    batch = [r["id"] for r in P.ivf_pq_query_index_batch(spark, path, qblock, k=5, n_probe=8).collect()]
+    assert sorted(batch) == sorted(after)
+
+    d = P.ivf_pq_index_drift(spark, path)
+    assert d["n_rows"] == n - 2
+    assert d["dead_fraction"] == round(2 / n, 6)
+
+    # compaction from the UNFILTERED source still folds the tombstones
+    P.ivf_pq_compact_index(vectors, path)
+    root = S._resolve_index_root(spark, path)
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == n - 2
+    assert codes.filter(F.col("id").isin([int(v) for v in victims])).count() == 0
+    assert not os.path.exists(f"{root}/tombstones")
+    d2 = P.ivf_pq_index_drift(spark, path)
+    assert d2["dead_fraction"] == 0.0

@@ -611,6 +611,9 @@ def ivf_pq_compact_index(
     provides the raw-vector table.  ``n_centroids``/``m``/``n_codes``
     default to the stored artifacts (centroid table / codebook shape), so
     the call needs no memory of the original build parameters.
+    Tombstones (``similarity.ivf_delete_ids``) are FOLDED: deleted ids
+    are dropped even when the caller-provided source still contains
+    them, and the tombstone set is not carried into the new version.
 
     MANIFEST-POINTER COMMIT (round 10, closes VERDICT r9 #3): all three
     pieces — codes, centroid table, PQ codebooks — are written into a
@@ -640,6 +643,7 @@ def ivf_pq_compact_index(
         _ivf_train,
         _load_centroids,
         _load_index_meta,
+        _load_tombstones,
         _publish_index_version,
         _resolve_index_root,
         _stage_index_version,
@@ -668,11 +672,18 @@ def ivf_pq_compact_index(
             F.col(id_col).alias("id"),
             F.col(vec_col).cast("array<float>").alias("v"),
             F.col(batch_col).cast("string").alias("batch"),
-        ).persist()
+        )
         extra = ("batch",)
     else:
-        base = _pq_base(df, id_col, vec_col).persist()
+        base = _pq_base(df, id_col, vec_col)
         extra = ()
+    # FOLD tombstones (ivf_delete_ids): deleted ids are dropped even if
+    # the caller-provided source still contains them, and the tombstone
+    # set is not carried into the new version
+    tomb = _load_tombstones(spark, cur_root)
+    if tomb is not None:
+        base = base.join(tomb, "id", "left_anti")
+    base = base.persist()
     try:
         cents = _ivf_train(base.select("id", "v"), n_centroids, coarse_iters, key)
         assigned = _ivf_assign_pass(base, cents, extra=extra).persist()
@@ -975,6 +986,7 @@ def ivf_pq_index_drift(
 
     from vectordb_watermark_spark.operators.similarity import (
         _load_centroids,
+        _load_tombstones,
         _resolve_index_root,
     )
 
@@ -989,6 +1001,13 @@ def ivf_pq_index_drift(
         codes = codes.filter(
             keyed_uniform(key, "s", F.col("id")) < F.lit(float(sample_fraction))
         )
+    # metrics describe the LIVE index (what queries see); the tombstoned
+    # share is its own recompaction trigger (dead_fraction)
+    n_with_dead = None
+    tomb = _load_tombstones(spark, root)
+    if tomb is not None:
+        n_with_dead = codes.count()
+        codes = codes.join(tomb, "id", "left_anti")
     sizes = {
         r["centroid"]: r["n"]
         for r in codes.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1029,6 +1048,10 @@ def ivf_pq_index_drift(
         "code_tv": round(code_tv, 6) if code_tv is not None else None,
         "partition_skew": (
             round(max(sizes.values()) / mean_rows, 6) if sizes and mean_rows > 0 else 0.0
+        ),
+        "dead_fraction": (
+            round((n_with_dead - n) / n_with_dead, 6)
+            if n_with_dead else 0.0
         ),
     }
 
@@ -1072,6 +1095,7 @@ def ivf_pq_query_index(
     reads ~n_probe/n_centroids of an already-192x-smaller payload.
     """
     from vectordb_watermark_spark.operators.similarity import (
+        _apply_tombstones,
         _load_centroids,
         _resolve_index_root,
     )
@@ -1098,7 +1122,10 @@ def ivf_pq_query_index(
     cn2 = {i: float((C[i] ** 2).sum()) for i in probe}
     qn = float(np.sqrt((q**2).sum()))
 
-    codes = spark.read.parquet(f"{path}/codes").filter(F.col("centroid").isin(probe))
+    codes = _apply_tombstones(
+        spark.read.parquet(f"{path}/codes").filter(F.col("centroid").isin(probe)),
+        spark, path,
+    )
     id_type = codes.schema["id"].dataType.simpleString()
 
     def kernel(batches):
@@ -1203,6 +1230,7 @@ def ivf_pq_query_index_batch(
     from pyspark.sql import Window
 
     from vectordb_watermark_spark.operators.similarity import (
+        _apply_tombstones,
         _load_centroids,
         _resolve_index_root,
     )
@@ -1252,8 +1280,11 @@ def ivf_pq_query_index_batch(
     qid_type = queries.schema[qid_col].dataType.simpleString()
     qid_arrow = arrow_type_of(queries.schema[qid_col].dataType)
 
-    codes = spark.read.parquet(f"{path}/codes").filter(
-        F.col("centroid").isin(probe_union)
+    codes = _apply_tombstones(
+        spark.read.parquet(f"{path}/codes").filter(
+            F.col("centroid").isin(probe_union)
+        ),
+        spark, path,
     )
     id_type = codes.schema["id"].dataType.simpleString()
 

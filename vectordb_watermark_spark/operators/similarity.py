@@ -253,6 +253,78 @@ def gc_index_versions(spark, path: str, keep_last: int = 1) -> None:
     _gc_index_versions(spark, path, keep_last=keep_last)
 
 
+def ivf_delete_ids(spark, path: str, ids, id_col: str = "id") -> int:
+    """Delete rows from a persisted IVF or IVF-PQ index by id — TOMBSTONES,
+    the standard LSM-style answer for an immutable-files index: each call
+    atomically lands one id-set under ``{root}/tombstones/del-*/``, every
+    query path anti-joins the set (Catalyst auto-broadcasts it while it is
+    small — the normal case; a shuffle anti-join takes over if it grows),
+    the drift metrics report the ``dead_fraction`` as a recompaction
+    trigger, and COMPACTION FOLDS the tombstones: deleted rows are dropped
+    from the rebuilt version and the tombstone set is not carried forward.
+
+    ``ids``: a python list/iterable of ids or a single-column DataFrame.
+    Returns the number of (distinct) newly recorded tombstone ids.
+
+    Semantics (documented limits, both standard for tombstone designs):
+
+    - delete-then-reinsert: an appended row whose id is still tombstoned
+      stays MASKED until a compaction folds the tombstones (the
+      append-side alternative — rewriting the tombstone set per append —
+      would turn appends into read-modify-write cycles);
+    - one maintainer at a time: a delete racing a running compaction can
+      land in the old version after the compactor finished reading it,
+      and the fold then misses it (same fence every maintenance pair on
+      this layout requires).
+    """
+    root = _resolve_index_root(spark, path)
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias("id")).distinct()
+    else:
+        vals = list(ids)
+        if not vals:
+            return 0
+        tomb = spark.createDataFrame(
+            [(v,) for v in vals], f"id {'string' if isinstance(vals[0], str) else 'long'}"
+        ).distinct()
+    n = tomb.count()
+    if not n:
+        return 0
+    import uuid
+
+    dest = f"{root}/tombstones/del-{uuid.uuid4().hex[:12]}"
+    staged = f"{dest}__staged"
+    tomb.write.mode("overwrite").parquet(staged)
+    _swap_dir_atomic(spark, staged, dest)
+    return int(n)
+
+
+def _load_tombstones(spark, root: str) -> DataFrame | None:
+    """Distinct tombstoned ids of an index version, or None when the index
+    has none — one directory existence probe on the common path."""
+    jvm_path, fs = _index_fs(spark, root)
+    if not fs.exists(jvm_path(f"{root}/tombstones")):
+        return None
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(jvm_path(f"{root}/tombstones"))
+        if st.getPath().getName().startswith("del-")
+        and not st.getPath().getName().endswith("__staged")
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("id").distinct()
+
+
+def _apply_tombstones(df: DataFrame, spark, root: str) -> DataFrame:
+    """Anti-join the version's tombstone set into a scan of its rows —
+    identity when the index has no tombstones (no join in the plan)."""
+    tomb = _load_tombstones(spark, root)
+    if tomb is None:
+        return df
+    return df.join(tomb, "id", "left_anti")
+
+
 def _vec_lit(vec: list[float]) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
@@ -1200,7 +1272,11 @@ def ivf_index_drift(
       partitioning (recall degrades at fixed ``n_probe``);
     - ``partition_skew``: max/mean rows per centroid — retrain-free appends
       grow hot partitions unboundedly; skew >> 1 means probe cost is no
-      longer ~1/n_centroids per probe.
+      longer ~1/n_centroids per probe;
+    - ``dead_fraction``: tombstoned share of stored rows
+      (:func:`ivf_delete_ids`) — every query pays the masked rows' scan
+      cost until a compaction folds them out.  Distortion and skew are
+      computed over LIVE rows only (what queries see).
 
     Cost: one pruned-free scan (the metric needs every row) — pass
     ``sample_fraction`` for a keyed-hash sample at 100 TB (deterministic,
@@ -1216,6 +1292,14 @@ def ivf_index_drift(
         vecs = vecs.filter(
             keyed_uniform(key, "s", F.col("id")) < F.lit(float(sample_fraction))
         )
+    # the metric describes the LIVE index (what queries see): tombstoned
+    # rows are excluded from distortion/skew; their share is its own
+    # recompaction trigger (dead_fraction)
+    n_with_dead = None
+    tomb = _load_tombstones(spark, path)
+    if tomb is not None:
+        n_with_dead = vecs.count()
+        vecs = vecs.join(tomb, "id", "left_anti")
     sizes = {
         r["centroid"]: r["n"]
         for r in vecs.groupBy("centroid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1240,6 +1324,10 @@ def ivf_index_drift(
         "partition_skew": (
             round(max(sizes.values()) / mean_rows, 6) if sizes and mean_rows > 0 else 0.0
         ),
+        "dead_fraction": (
+            round((n_with_dead - n) / n_with_dead, 6)
+            if n_with_dead else 0.0
+        ),
     }
 
 
@@ -1258,7 +1346,9 @@ def ivf_compact_index(
     whose codes are lossy — compact that one by rebuilding from source with
     :func:`~vectordb_watermark_spark.operators.pq.ivf_pq_write_index`).
 
-    ``n_centroids=None`` keeps the stored centroid count.
+    ``n_centroids=None`` keeps the stored centroid count.  Tombstones
+    (:func:`ivf_delete_ids`) are FOLDED: deleted rows are dropped from
+    the rebuilt version and the tombstone set is not carried forward.
 
     MANIFEST-POINTER COMMIT (round 10, closes VERDICT r9 #3): every piece
     — vectors, centroid table, metadata sidecar, drift baseline — is
@@ -1322,6 +1412,11 @@ def ivf_compact_index(
     src = spark.read.parquet(f"{cur_root}/vectors").select(
         "id", "v", F.col("batch").cast("string").alias("batch")
     )
+    # FOLD tombstones: deleted rows are dropped from the rebuilt version
+    # and the tombstone set is not carried forward (ivf_delete_ids)
+    tomb = _load_tombstones(spark, cur_root)
+    if tomb is not None:
+        src = src.join(tomb, "id", "left_anti")
     id_type = (
         meta["id_type"] if meta is not None
         else src.schema["id"].dataType.simpleString()
@@ -1385,7 +1480,10 @@ def ivf_query_index(
         (float(((np.asarray(v) - q) ** 2).sum()), i) for i, v in enumerate(cents)
     )
     probe = [c for _, c in order[:n_probe]]
-    sub = spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe))
+    sub = _apply_tombstones(
+        spark.read.parquet(f"{path}/vectors").filter(F.col("centroid").isin(probe)),
+        spark, path,
+    )
     return topk_cosine(sub, query_vec, k, "id", "v")
 
 
@@ -1452,8 +1550,11 @@ def ivf_query_index_batch(
 
     qid_arrow = arrow_type_of(queries.schema[qid_col].dataType)
 
-    sub = spark.read.parquet(f"{path}/vectors").filter(
-        F.col("centroid").isin(probe_union)
+    sub = _apply_tombstones(
+        spark.read.parquet(f"{path}/vectors").filter(
+            F.col("centroid").isin(probe_union)
+        ),
+        spark, path,
     )
     id_type = sub.schema["id"].dataType.simpleString()
 
