@@ -245,6 +245,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             keyed_uniform("strat-42", "s", F.col("event_id")) < rate
         ).select("event_id", "event_type")
 
+    def group_split_docs(spark, sf):  # leakage-guarded group-level split
+        # round 11: O6 extension — every row of a group (here: a crawl
+        # source) lands on the SAME side of the train/val boundary, so
+        # same-source near-duplicates can never straddle it (the standard
+        # eval-contamination failure of row-level splits).  Keyed-hash on
+        # the group value: deterministic, map-only, no group shuffle.
+        from vectordb_watermark_spark.operators.quality import group_split
+
+        return group_split(
+            _docs(spark, sf), "source", val_frac=0.25, key="gs-7"
+        ).select("doc_id", "split")
+
     def semi_join_carriers(spark, sf):  # JN1/S3: semi-join carrier fetch
         carriers = select_carriers(_degrees(spark, sf), key=KEY, rate=RATE)
         return (
@@ -2030,7 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 120 oracles
+    # recomposed so the LEAST-recently-verified oracles lead — with 121 oracles
     # and a 50-slot window every oracle has a driver-green row within a 3-round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-11 window: the r8 remainder
@@ -2174,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tools/check_oracle.py, leads the round-12 rotation) --
         "pq_tagged_contract": pq_tagged_contract,
         "ann_delete_contract": ann_delete_contract,
+        "group_split_docs": group_split_docs,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2409,6 +2422,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(TRUE AS BOOLEAN) AS rows_preserved,
                    CAST(TRUE AS BOOLEAN) AS skew_sane
             FROM embeddings""",
+        "group_split_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN {sql_keyed_uniform("'gs-7'", "'grpsplit'", "source")} < 0.25
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents""",
         "ann_delete_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS delete_counted,

@@ -389,3 +389,43 @@ def test_write_with_bloom_emits_bloom_filters(spark, tmp_path):
     back = spark.read.parquet(bloomed)
     assert back.count() == 5000
     assert back.filter(F.col("id") == 4321).first()["payload"] == 8642
+
+
+def test_group_split_atomic_deterministic_partition_invariant(spark):
+    """Leakage guard (round 11): every row of a group lands on ONE side,
+    the split is a pure function of (key, group value) — re-runs and
+    repartitionings agree — and the val fraction is honored over groups."""
+    import pytest
+
+    from vectordb_watermark_spark.operators.quality import group_split
+
+    rows = [(i, f"domain-{i % 97}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+
+    out = group_split(df, "domain", val_frac=0.3, key="k1")
+    # group atomicity: one split value per domain
+    per = out.groupBy("domain").agg(
+        F.countDistinct("split").alias("n")
+    ).collect()
+    assert all(r["n"] == 1 for r in per)
+    # fraction honored over GROUPS (97 domains, expectation 0.3)
+    val_domains = {
+        r["domain"] for r in out.filter("split = 'val'").select("domain").distinct().collect()
+    }
+    assert 0.15 <= len(val_domains) / 97 <= 0.45
+    # deterministic + partition-invariant
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {
+        (r["id"], r["split"])
+        for r in group_split(df.repartition(13), "domain", 0.3, key="k1").collect()
+    }
+    assert a == b
+    # a different key reshuffles the groups
+    c = {
+        r["domain"]
+        for r in group_split(df, "domain", 0.3, key="k2")
+        .filter("split = 'val'").select("domain").distinct().collect()
+    }
+    assert c != val_domains
+    with pytest.raises(ValueError, match="val_frac"):
+        group_split(df, "domain", val_frac=1.5)

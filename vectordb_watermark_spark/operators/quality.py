@@ -419,3 +419,38 @@ def lm_quality_buckets(
             name.alias("bucket"),
         )
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    val_frac: float = 0.1,
+    key: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-guarded train/validation split: EVERY row of a group lands
+    on the same side, so near-duplicates that share the group (all pages
+    of one domain, all turns of one conversation, all chunks of one
+    document) can never straddle the boundary and leak eval answers into
+    training — the standard contamination failure a ROW-level split
+    invites (row-level sampling is ``functions.hashing.keyed_uniform`` on
+    the row id; this operator is its group-level counterpart).
+
+    Keyed-hash on the GROUP VALUE: deterministic, partition-order free,
+    re-runnable (the same key always produces the same split), and
+    map-only — no shuffle, no materialized group table, no join; the
+    fraction is honored in expectation over groups (exact per-group
+    atomicity, approximate global fraction — the leakage guarantee is
+    the exact one, by construction).
+    """
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError(f"val_frac must be in [0, 1]; got {val_frac!r}")
+    from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+    u = keyed_uniform(key, "grpsplit", F.col(group_col).cast("string"))
+    return df.withColumn(
+        split_col,
+        F.when(u < F.lit(float(val_frac)), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
