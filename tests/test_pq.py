@@ -646,3 +646,25 @@ def test_ivf_pq_delete_ids_tombstones_and_fold(spark, vectors, tmp_path):
     assert not os.path.exists(f"{root}/tombstones")
     d2 = P.ivf_pq_index_drift(spark, path)
     assert d2["dead_fraction"] == 0.0
+
+
+def test_pq_stream_encode_path_is_shuffle_free(spark, vectors, tmp_path):
+    """100-TB plan audit: the steady-state streaming encode (assign ->
+    residual-encode -> tagged write) contains NO exchange — both kernels
+    are mapInArrow over the source scan, so a micro-batch costs one
+    map-only pass regardless of index size."""
+    from vectordb_watermark_spark.operators.similarity import (
+        _ivf_assign_pass,
+        _load_centroids,
+    )
+
+    path = str(tmp_path / "ivfpq_plan")
+    P.ivf_pq_write_index(vectors, path, n_centroids=8, m=8, n_codes=16)
+    cents = _load_centroids(spark, path)
+    B = P._load_codebooks(spark, path)
+
+    enc = P._residual_encode_pass(
+        _ivf_assign_pass(P._pq_base(vectors, "id", "emb"), cents), cents, B
+    ).withColumn("batch", F.lit("stream-0"))
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
