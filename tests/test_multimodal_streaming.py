@@ -1714,3 +1714,99 @@ def test_ivf_pq_append_index_tagged_layout_claims(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/codes").select("batch").distinct().collect()
     }
     assert tags == {"full", "append-1", "append-3"}
+
+
+def test_incremental_pq_index_composes_with_deletes(spark, tmp_path):
+    """Integration: tombstone deletes compose with the streaming sink.
+    Delete between stream runs (the between-batch fence), later batches
+    keep appending, queries mask the victims immediately, and the next
+    drift-triggered recompaction FOLDS them out of the rebuilt version."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.pq import (
+        ivf_pq_index_drift,
+        ivf_pq_query_index,
+    )
+    from vectordb_watermark_spark.operators.similarity import (
+        _resolve_index_root,
+        ivf_delete_ids,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_pq_index
+
+    rng = np.random.default_rng(61)
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [
+                    float(round(x, 4))
+                    for x in np.asarray(center) + 0.05 * rng.standard_normal(8)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    src = tmp_path / "pq_del_src"
+    src.mkdir()
+
+    def add_file(name, rows):
+        stage = tmp_path / f"pq_del_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    idx = str(tmp_path / "ivfpq_del_stream")
+    arc = str(tmp_path / "ivfpq_del_stream_raw")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_pq_index(
+            stream, idx, arc, str(tmp_path / ckpt),
+            n_centroids=4, m=4, n_codes=8, key="pqd",
+            compact_code_tv_threshold=0.2,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    # run 1: bootstrap cluster only
+    add_file("a", blob([1.0] + [0.0] * 7, 40, 0))
+    run("ck")
+
+    qv = [1.0] + [0.0] * 7
+    top = [r["id"] for r in ivf_pq_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    victims = top[:2]
+    # delete BETWEEN stream runs (the fence the contract requires)
+    assert ivf_delete_ids(spark, idx, victims) == 2
+    masked = [r["id"] for r in ivf_pq_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    assert not set(victims) & set(masked)
+    assert ivf_pq_index_drift(spark, idx)["dead_fraction"] == round(2 / 40, 6)
+
+    # run 2: far cluster drifts the codes; trigger batch fires recompaction
+    add_file("b", blob([0.0] * 7 + [20.0], 40, 1000))
+    add_file("c", blob([1.0] + [0.0] * 7, 10, 5000))
+    run("ck")  # same checkpoint: only the new files are processed
+
+    # recompaction happened and FOLDED the tombstones
+    root = _resolve_index_root(spark, idx)
+    assert root != idx
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == 88  # 90 streamed - 2 deleted
+    assert codes.filter(F.col("id").isin([int(v) for v in victims])).count() == 0
+    assert not os.path.exists(f"{root}/tombstones")
+    d = ivf_pq_index_drift(spark, idx)
+    assert d["dead_fraction"] == 0.0 and d["code_tv"] <= 0.05
+    after = [r["id"] for r in ivf_pq_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    assert not set(victims) & set(after)
+    # the ARCHIVE was folded too: a later recompaction cannot resurrect
+    # the deleted rows from an unfolded source
+    arc_ids = spark.read.parquet(arc)
+    assert arc_ids.count() == 88
+    assert arc_ids.filter(F.col("id").isin([int(v) for v in victims])).count() == 0

@@ -329,6 +329,18 @@ def incremental_pq_index(
     The drift check scans the (already ~dim*4/m-compressed) codes each
     micro-batch unless ``drift_sample_fraction`` bounds it; size it to
     the batch cadence.
+
+    **Deletes** (``similarity.ivf_delete_ids``, issued between stream
+    runs — the same fence as any maintenance): queries mask tombstoned
+    ids immediately, and the sink's recompaction folds them out of BOTH
+    the codes and the raw archive (only archive batch dirs that contain
+    victims are rewritten, via staged atomic swaps; a crash mid-fold
+    self-heals because the tombstones stay in place until the compaction
+    commits).  One caveat is inherent to tombstone-over-replay designs:
+    a FULL fresh-checkpoint replay of batches ingested before the delete
+    re-inserts those rows from the source — a delete is an index
+    operation, not a source rewrite; fence checkpoint resets behind the
+    last fold the way any log-compacted system fences replays.
     """
     from vectordb_watermark_spark.operators.pq import (
         _load_codebooks,
@@ -373,6 +385,36 @@ def incremental_pq_index(
                 d["code_tv"] is not None
                 and d["code_tv"] > compact_code_tv_threshold
             ):
+                # tombstones must be folded into the ARCHIVE too, not just
+                # the codes: the compaction clears the tombstone set, so a
+                # LATER recompaction sourcing an unfolded archive would
+                # resurrect deleted rows.  Only batch dirs that actually
+                # contain victims are rewritten (bounded collect: one tag
+                # per affected batch); each rewrite is a staged atomic
+                # swap, and a crash mid-fold self-heals — the tombstones
+                # are still in place until the compaction commits, so the
+                # retry just folds the remaining dirs.
+                from vectordb_watermark_spark.operators.similarity import (
+                    _load_tombstones,
+                )
+
+                tomb = _load_tombstones(spark, root)
+                if tomb is not None:
+                    arc = spark.read.parquet(archive_path)
+                    affected = [
+                        str(r["batch"])
+                        for r in arc.join(tomb, "id", "semi")
+                        .select("batch").distinct().collect()
+                    ]
+                    for tag_ in affected:
+                        kept = spark.read.parquet(
+                            f"{archive_path}/batch={tag_}"
+                        ).join(tomb, "id", "left_anti")
+                        staged = f"{archive_path}/__fold_{tag_}"
+                        kept.write.mode("overwrite").parquet(staged)
+                        _swap_dir_atomic(
+                            spark, staged, f"{archive_path}/batch={tag_}"
+                        )
                 src = spark.read.parquet(archive_path)
                 ivf_pq_compact_index(
                     src, index_path,
