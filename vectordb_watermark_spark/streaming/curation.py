@@ -161,6 +161,13 @@ def incremental_index(
     Without the threshold, centroid drift is absorbed until a periodic
     batch-layer ``ivf_write_index`` rebuild — the standard IVF
     maintenance cadence.
+
+    Deletes (``similarity.ivf_delete_ids``, issued between stream runs)
+    compose: queries mask immediately, the drift-triggered compaction
+    folds them (this index stores raw vectors, so no separate archive
+    fold is needed).  Tombstone-over-replay caveat as everywhere: a
+    full fresh-checkpoint replay of pre-delete batches re-inserts those
+    rows from source — fence checkpoint resets behind the last fold.
     """
     from vectordb_watermark_spark.operators.similarity import (
         _ivf_assign_pass,
