@@ -2559,3 +2559,87 @@ def test_ivf_delete_ids_tombstones_queries_drift_and_fold(spark, tmp_path):
     assert d2["n_rows"] == 96 and d2["dead_fraction"] == 0.0
     after3 = [r["id"] for r in S.ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
     assert not set(victims) & set(after3)
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_ivf_lifecycle_model_fuzz(spark, tmp_path, seed):
+    """Model-based fuzz of the whole persisted-index lifecycle: a random
+    interleaving of append / delete / compact / gc / rebuild against a
+    python model of the expected LIVE id set.  After every op the REAL
+    query path (probe-all top-k) must see exactly the model's ids, the
+    drift metric's dead_fraction must match the model's tombstone count,
+    and resolution must stay consistent — the invariant net under which
+    any manifest/tombstone/claim bug would surface as a concrete
+    mismatch rather than a race heisenbug."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    rng = np.random.default_rng(seed)
+    dim = 8
+    idx = str(tmp_path / f"ivf_fuzz_{seed}")
+    next_id = [0]
+
+    def fresh_rows(n):
+        lo = next_id[0]
+        next_id[0] += n
+        return [
+            (
+                lo + i,
+                [float(round(x, 4)) for x in rng.standard_normal(dim)],
+            )
+            for i in range(n)
+        ]
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, emb array<float>")
+
+    first = fresh_rows(24)
+    live = {r[0] for r in first}
+    dead: set[int] = set()
+    S.ivf_write_index(df_of(first), idx, n_centroids=4, key="fz")
+
+    def check():
+        qv = [0.0] * dim
+        got = {
+            int(r["id"])
+            for r in S.ivf_query_index(
+                spark, idx, qv, k=len(live) + 8, n_probe=4
+            ).collect()
+        }
+        assert got == live, f"query sees {len(got)} ids, model has {len(live)}"
+        d = S.ivf_index_drift(spark, idx)
+        assert d["n_rows"] == len(live)
+        total = len(live) + len(dead)
+        assert d["dead_fraction"] == (round(len(dead) / total, 6) if total else 0.0)
+
+    check()
+    ops = rng.choice(
+        ["append", "delete", "compact", "gc", "rebuild"],
+        size=22,
+        p=[0.35, 0.3, 0.15, 0.1, 0.1],
+    )
+    for op in ops:
+        if op == "append":
+            rows = fresh_rows(int(rng.integers(3, 9)))
+            S.ivf_append_index(df_of(rows), idx)
+            live |= {r[0] for r in rows}
+        elif op == "delete" and live:
+            k = int(rng.integers(1, max(2, len(live) // 4)))
+            victims = set(
+                int(v) for v in rng.choice(sorted(live), size=k, replace=False)
+            )
+            S.ivf_delete_ids(spark, idx, sorted(victims))
+            live -= victims
+            dead |= victims
+        elif op == "compact":
+            S.ivf_compact_index(spark, idx, key=f"fz{int(rng.integers(1e6))}")
+            dead = set()  # folded
+        elif op == "gc":
+            S.gc_index_versions(spark, idx, keep_last=int(rng.integers(1, 3)))
+        elif op == "rebuild":
+            rows = fresh_rows(int(rng.integers(10, 20)))
+            S.ivf_write_index(df_of(rows), idx, n_centroids=4, key="fzr")
+            live = {r[0] for r in rows}
+            dead = set()
+        check()
