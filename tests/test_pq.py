@@ -668,3 +668,91 @@ def test_pq_stream_encode_path_is_shuffle_free(spark, vectors, tmp_path):
     ).withColumn("batch", F.lit("stream-0"))
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ivf_pq_lifecycle_model_fuzz(spark, tmp_path):
+    """Model-based fuzz of the IVF-PQ lifecycle: random interleavings of
+    append (layout auto-detect), delete, flat compact, tagged compact,
+    and rebuild, checked against a python model of the live id set after
+    every op through the real ADC probe-all query path and the drift
+    metric.  Exercises the tagged<->flat layout transitions the
+    composable writers allow."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators import similarity as S
+
+    rng = np.random.default_rng(303)
+    dim = 8
+    idx = str(tmp_path / "ivfpq_fuzz")
+    next_id = [0]
+    vecs: dict[int, list[float]] = {}
+
+    def fresh_rows(n):
+        lo = next_id[0]
+        next_id[0] += n
+        rows = []
+        for i in range(n):
+            v = [float(round(x, 4)) for x in rng.standard_normal(dim)]
+            vecs[lo + i] = v
+            rows.append((lo + i, v))
+        return rows
+
+    def df_of(ids):
+        return spark.createDataFrame(
+            [(i, vecs[i]) for i in sorted(ids)], "id long, emb array<float>"
+        )
+
+    first = fresh_rows(24)
+    live = {r[0] for r in first}
+    dead: set = set()
+    P.ivf_pq_write_index(df_of(live), idx, n_centroids=4, m=4, n_codes=8)
+
+    def check():
+        qv = [0.0] * dim
+        got = {
+            int(r["id"])
+            for r in P.ivf_pq_query_index(
+                spark, idx, qv, k=len(live) + 8, n_probe=4
+            ).collect()
+        }
+        assert got == live
+        d = P.ivf_pq_index_drift(spark, idx)
+        assert d["n_rows"] == len(live)
+        total = len(live) + len(dead)
+        assert d["dead_fraction"] == (round(len(dead) / total, 6) if total else 0.0)
+
+    check()
+    ops = rng.choice(
+        ["append", "delete", "compact", "compact_tagged", "rebuild"],
+        size=14,
+        p=[0.3, 0.25, 0.15, 0.15, 0.15],
+    )
+    for op in ops:
+        stored = live | dead  # what the index (pre-fold) physically holds
+        if op == "append":
+            rows = fresh_rows(int(rng.integers(3, 9)))
+            P.ivf_pq_append_index(df_of({r[0] for r in rows}), idx)
+            live |= {r[0] for r in rows}
+        elif op == "delete" and len(live) > 12:
+            k = int(rng.integers(1, max(2, min(len(live) - 10, len(live) // 4))))
+            victims = set(
+                int(v) for v in rng.choice(sorted(live), size=k, replace=False)
+            )
+            S.ivf_delete_ids(spark, idx, sorted(victims))
+            live -= victims
+            dead |= victims
+        elif op == "compact":
+            P.ivf_pq_compact_index(df_of(stored), idx)
+            dead = set()  # folded (source held dead rows; fold drops them)
+        elif op == "compact_tagged":
+            src = df_of(stored).withColumn("batch", F.lit("full"))
+            P.ivf_pq_compact_index(src, idx, batch_col="batch")
+            dead = set()
+        elif op == "rebuild":
+            rows = fresh_rows(int(rng.integers(12, 20)))
+            P.ivf_pq_write_index(
+                df_of({r[0] for r in rows}), idx, n_centroids=4, m=4, n_codes=8
+            )
+            live = {r[0] for r in rows}
+            dead = set()
+        check()
