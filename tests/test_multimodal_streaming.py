@@ -1810,3 +1810,57 @@ def test_incremental_pq_index_composes_with_deletes(spark, tmp_path):
     arc_ids = spark.read.parquet(arc)
     assert arc_ids.count() == 88
     assert arc_ids.filter(F.col("id").isin([int(v) for v in victims])).count() == 0
+
+
+def test_streaming_sinks_reject_dim_mismatch_on_driver(spark, tmp_path):
+    """A stream whose vector width changes under a live index must fail
+    the micro-batch with a clear driver-side error, not an opaque numpy
+    broadcast failure inside the Arrow kernel."""
+    import shutil
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.streaming.curation import (
+        incremental_index,
+        incremental_pq_index,
+    )
+
+    rng = np.random.default_rng(71)
+
+    def add_file(src, name, dim, n, start_id):
+        rows = [
+            (start_id + i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(n)
+        ]
+        stage = tmp_path / f"dim_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    for sink_name in ("ivf", "pq"):
+        src = tmp_path / f"dim_src_{sink_name}"
+        src.mkdir()
+        add_file(src, "a", 8, 30, 0)      # bootstrap at 8-d
+        add_file(src, "b", 12, 10, 1000)  # schema drifts to 12-d
+
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        if sink_name == "ivf":
+            w = incremental_index(
+                stream, str(tmp_path / "dim_idx_ivf"),
+                str(tmp_path / "dim_ck_ivf"), n_centroids=4,
+            )
+        else:
+            w = incremental_pq_index(
+                stream, str(tmp_path / "dim_idx_pq"),
+                str(tmp_path / "dim_arc_pq"), str(tmp_path / "dim_ck_pq"),
+                n_centroids=4, m=4, n_codes=8,
+            )
+        q = w.trigger(availableNow=True).start()
+        with _pytest.raises(Exception, match="-d but the index"):
+            q.awaitTermination(240)

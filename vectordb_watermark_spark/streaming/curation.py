@@ -101,6 +101,22 @@ def incremental_dedup(
     )
 
 
+def _check_batch_dim(base, expected: int, sink: str) -> None:
+    """Driver-side guard for streaming steady state: a batch whose vector
+    width does not match the stored index fails the micro-batch with a
+    clear, retry-visible error instead of an opaque numpy broadcast
+    failure inside the executor-side Arrow kernel."""
+    from pyspark.sql import functions as _F
+
+    row = base.select(_F.size("v").alias("d")).first()
+    if row is not None and int(row["d"]) != expected:
+        raise ValueError(
+            f"{sink}: batch vectors are {int(row['d'])}-d but the index "
+            f"is {expected}-d — the stream schema changed under a live "
+            f"index (rebuild, or route the stream to a new index path)"
+        )
+
+
 def incremental_index(
     stream: DataFrame,
     index_path: str,
@@ -218,6 +234,7 @@ def incremental_index(
                 # fails the micro-batch (retryable) instead of silently
                 # misassigning every subsequent batch by list position
                 cents = _load_centroids(spark, root)
+                _check_batch_dim(base, len(cents[0]), "incremental_index")
             else:
                 cents = _ivf_train(base, n_centroids, n_iters, key)
                 # staged write + rename: a crash mid-bootstrap must not
@@ -444,6 +461,7 @@ def incremental_pq_index(
             if fs.exists(jvm_path(f"{root}/pq_codebooks")):
                 cents = _load_centroids(spark, root)
                 books = _load_codebooks(spark, root)
+                _check_batch_dim(base, len(cents[0]), "incremental_pq_index")
             else:
                 # bootstrap: deterministic train (coarse + residual PQ)
                 cents = _ivf_train(base, n_centroids, coarse_iters, key)
