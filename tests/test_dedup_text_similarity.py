@@ -2643,3 +2643,40 @@ def test_ivf_lifecycle_model_fuzz(spark, tmp_path, seed):
             live = {r[0] for r in rows}
             dead = set()
         check()
+
+
+def test_index_info_describe(spark, tmp_path):
+    """index_info: operational DESCRIBE for both persisted index kinds —
+    version/layout/geometry/sequence/tag-counts/tombstones without the
+    caller touching the directory layout."""
+    from vectordb_watermark_spark.operators import pq as P
+    from vectordb_watermark_spark.operators import similarity as S
+
+    blob = _mk_blobs(spark, seed=67)
+    idx = str(tmp_path / "ivf_info")
+    S.ivf_write_index(blob([1.0] + [0.0] * 7, 40, 0), idx, n_centroids=4, key="c")
+    S.ivf_append_index(blob([0.0] * 7 + [3.0], 10, 1000), idx)
+    S.ivf_delete_ids(spark, idx, [0, 1, 2])
+
+    info = S.index_info(spark, idx)
+    assert info["kind"] == "ivf" and info["layout"] == "tagged"
+    assert info["version"] is None and info["resolved_root"] == idx
+    assert info["n_centroids"] == 4 and info["dim"] == 8
+    assert info["next_append_seq"] == 2
+    assert info["n_rows_live"] == 47 and info["n_tombstones"] == 3
+    assert info["batch_tags"] == {"full": 37, "append-1": 10}
+    assert info["has_drift_baseline"]
+
+    S.ivf_compact_index(spark, idx, key="c2")
+    info2 = S.index_info(spark, idx)
+    assert info2["version"] == 1 and info2["resolved_root"].endswith("_v00001")
+    assert info2["n_rows_live"] == 47 and info2["n_tombstones"] == 0
+
+    # the PQ kind, flat layout
+    pqi = str(tmp_path / "pq_info")
+    rows = blob([1.0] + [0.0] * 7, 40, 0)
+    P.ivf_pq_write_index(rows, pqi, n_centroids=4, m=4, n_codes=8)
+    pinfo = S.index_info(spark, pqi)
+    assert pinfo["kind"] == "ivf_pq" and pinfo["layout"] == "flat"
+    assert pinfo["batch_tags"] == {None: 40}
+    assert pinfo["n_rows_live"] == 40 and pinfo["has_drift_baseline"]

@@ -441,7 +441,9 @@ def group_split(
     map-only — no shuffle, no materialized group table, no join; the
     fraction is honored in expectation over groups (exact per-group
     atomicity, approximate global fraction — the leakage guarantee is
-    the exact one, by construction).
+    the exact one, by construction).  NULL group values hash to NULL and
+    deterministically land in ``train`` (the ``otherwise`` branch) — one
+    atomic group, same in the DuckDB twin.
     """
     if not 0.0 <= val_frac <= 1.0:
         raise ValueError(f"val_frac must be in [0, 1]; got {val_frac!r}")

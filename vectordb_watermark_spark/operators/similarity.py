@@ -123,8 +123,8 @@ def _commit_index_version(spark, path: str, seq: int) -> None:
     if not fs.createNewFile(jvm_path(f"{path}/_commits/{seq:05d}")):
         raise ConcurrentCompactionError(
             f"index version {seq} at {path} is already committed: another "
-            f"compaction won the race (this attempt's _v{seq:05d} directory "
-            f"is uncommitted garbage and will be GC'd)"
+            f"maintenance pass won the race (this attempt's pieces are "
+            f"uncommitted garbage and will be GC'd)"
         )
 
 
@@ -323,6 +323,67 @@ def _apply_tombstones(df: DataFrame, spark, root: str) -> DataFrame:
     if tomb is None:
         return df
     return df.join(tomb, "id", "left_anti")
+
+
+def index_info(spark, path: str) -> dict:
+    """DESCRIBE for a persisted index (raw IVF or IVF-PQ) — the
+    operational introspection call maintenance tooling needs without
+    reaching into the layout: committed version (None = flat legacy),
+    kind, layout (tagged/flat), centroid count and dimension, the append
+    sequence, per-batch-tag LIVE row counts, tombstone count, and which
+    drift-baseline sidecars are present.
+
+    Cost: metadata ops plus ONE scan of the rows table for the tag
+    counts (the same class as a drift check — bounded output, one row
+    per tag; at extreme scale run it at the drift-check cadence, not per
+    request).
+    """
+    root = _resolve_index_root(spark, path)
+    jvm_path, fs = _index_fs(spark, root)
+    kind = "ivf" if fs.exists(jvm_path(f"{root}/vectors")) else (
+        "ivf_pq" if fs.exists(jvm_path(f"{root}/codes")) else None
+    )
+    if kind is None:
+        raise IOError(f"no index pieces (vectors/ or codes/) under {root}")
+    rows = spark.read.parquet(
+        f"{root}/vectors" if kind == "ivf" else f"{root}/codes"
+    )
+    tagged = "batch" in rows.schema.fieldNames()
+    tomb = _load_tombstones(spark, root)
+    n_dead = tomb.count() if tomb is not None else 0
+    live = rows.join(tomb, "id", "left_anti") if tomb is not None else rows
+    if tagged:
+        tag_counts = {
+            str(r["batch"]): int(r["n"])
+            for r in live.groupBy("batch").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    else:
+        tag_counts = {None: live.count()}
+    cents = _load_centroids(spark, root)
+    meta = _load_index_meta(spark, root)
+    return {
+        "path": path,
+        "resolved_root": root,
+        "version": _current_index_version(spark, path),
+        "kind": kind,
+        "layout": "tagged" if tagged else "flat",
+        "n_centroids": len(cents),
+        "dim": int(meta["dim"]) if meta is not None else len(cents[0]),
+        "id_type": (
+            meta["id_type"] if meta is not None
+            else rows.schema["id"].dataType.simpleString()
+        ),
+        "next_append_seq": (
+            int(meta["next_append_seq"]) if meta is not None else None
+        ),
+        "n_rows_live": int(sum(tag_counts.values())),
+        "n_tombstones": int(n_dead),
+        "batch_tags": tag_counts,
+        "has_drift_baseline": bool(
+            fs.exists(jvm_path(f"{root}/drift_baseline"))
+            or fs.exists(jvm_path(f"{root}/pq_drift_baseline"))
+        ),
+    }
 
 
 def _vec_lit(vec: list[float]) -> F.Column:
