@@ -1864,3 +1864,83 @@ def test_streaming_sinks_reject_dim_mismatch_on_driver(spark, tmp_path):
         q = w.trigger(availableNow=True).start()
         with _pytest.raises(Exception, match="-d but the index"):
             q.awaitTermination(240)
+
+
+def test_incremental_index_composes_with_deletes(spark, tmp_path):
+    """Raw-IVF twin of the PQ composition test: delete between stream
+    runs, masking immediate, later batches append, and the sink's
+    drift-triggered compaction folds the tombstones (this index stores
+    raw vectors — no archive to fold)."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _resolve_index_root,
+        ivf_delete_ids,
+        ivf_index_drift,
+        ivf_query_index,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(73)
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [
+                    float(round(x, 4))
+                    for x in np.asarray(center) + 0.05 * rng.standard_normal(8)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    src = tmp_path / "ivf_del_src"
+    src.mkdir()
+
+    def add_file(name, rows):
+        stage = tmp_path / f"ivf_del_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    idx = str(tmp_path / "ivf_del_stream")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_index(
+            stream, idx, str(tmp_path / "ivf_del_ck"), n_centroids=4,
+            key="ivfd", compact_drift_threshold=5.0,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    add_file("a", blob([1.0] + [0.0] * 7, 40, 0))
+    run()
+
+    qv = [1.0] + [0.0] * 7
+    top = [r["id"] for r in ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    victims = top[:2]
+    assert ivf_delete_ids(spark, idx, victims) == 2
+    masked = [r["id"] for r in ivf_query_index(spark, idx, qv, k=5, n_probe=4).collect()]
+    assert not set(victims) & set(masked)
+
+    add_file("b", blob([0.0] * 7 + [20.0], 40, 1000))  # drifts the centroids
+    add_file("c", blob([1.0] + [0.0] * 7, 10, 5000))   # trigger batch
+    run()
+
+    root = _resolve_index_root(spark, idx)
+    assert root != idx  # compaction fired
+    stored = spark.read.parquet(f"{root}/vectors")
+    assert stored.count() == 88
+    assert stored.filter(F.col("id").isin([int(v) for v in victims])).count() == 0
+    assert not os.path.exists(f"{root}/tombstones")
+    d = ivf_index_drift(spark, idx)
+    assert d["dead_fraction"] == 0.0 and d["drift_ratio"] <= 2.0

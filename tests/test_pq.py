@@ -637,6 +637,14 @@ def test_ivf_pq_delete_ids_tombstones_and_fold(spark, vectors, tmp_path):
     assert d["n_rows"] == n - 2
     assert d["dead_fraction"] == round(2 / n, 6)
 
+    # plan-time centroid pruning SURVIVES the tombstone anti-join (the
+    # mask is applied above the pruned scan, not instead of it)
+    plan = (
+        P.ivf_pq_query_index(spark, path, qv, k=5, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "centroid" in plan
+
     # compaction from the UNFILTERED source still folds the tombstones
     P.ivf_pq_compact_index(vectors, path)
     root = S._resolve_index_root(spark, path)
