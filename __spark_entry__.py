@@ -2030,6 +2030,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "post_fold_masked boolean",
         )
 
+    def opq_contract(spark, sf):  # parametric-OPQ rotation (round 11)
+        # pins operators/opq.py end-to-end on the persisted IVF-PQ index:
+        # the trained rotation is orthonormal, rotation preserves pairwise
+        # cosine (orthogonal transform), an opq=True index stores the
+        # sidecar and answers single == batch, the exact rerank runs in
+        # the ORIGINAL space (own row scores 1.0), and OPQ reconstruction
+        # MSE is not worse than plain PQ at the same geometry.
+        import os
+        import shutil
+
+        import numpy as np
+
+        from vectordb_watermark_spark.operators.opq import (
+            opq_train_rotation,
+            rotate_vectors,
+        )
+        from vectordb_watermark_spark.operators.pq import (
+            _load_rotation,
+            _pq_base,
+            ivf_pq_query_index,
+            ivf_pq_query_index_batch,
+            ivf_pq_write_index,
+            pq_reconstruction_mse,
+            pq_train,
+        )
+
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
+        path = os.path.join(scratch, f"oracle_opq_{os.path.basename(str(sf))}")
+        df = _vectors(spark, sf)
+        n = df.count()
+        try:
+            base = _pq_base(df, "id", "emb")
+            R = opq_train_rotation(base, m=8, vec_col="v")
+            d = R.shape[0]
+            orthonormal = bool(np.allclose(R @ R.T, np.eye(d), atol=1e-8))
+            # pairwise cosine preserved under the rotation (first 20 rows)
+            head = [
+                (int(r["id"]), np.asarray(r["v"], dtype=np.float64))
+                for r in base.filter(F.col("id") < 20).collect()
+            ]
+            rot_head = {
+                int(r["id"]): np.asarray(r["v"], dtype=np.float64)
+                for r in rotate_vectors(
+                    base.filter(F.col("id") < 20), R, vec_col="v"
+                ).collect()
+            }
+
+            def cos(a, b):
+                return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+            cos_ok = all(
+                abs(cos(x, y) - cos(rot_head[i], rot_head[j])) < 1e-5
+                for (i, x) in head[:5]
+                for (j, y) in head[:5]
+                if i != j
+            )
+            # MSE at the same geometry: rotated not worse (tolerance for
+            # near-isotropic corpora where the gain is ~0)
+            rot = rotate_vectors(base, R, vec_col="v")
+            mse_p = pq_reconstruction_mse(
+                base, pq_train(base, m=8, n_codes=16, n_iters=3,
+                               id_col="id", vec_col="v"),
+                id_col="id", vec_col="v",
+            )
+            mse_o = pq_reconstruction_mse(
+                rot, pq_train(rot, m=8, n_codes=16, n_iters=3,
+                              id_col="id", vec_col="v"),
+                id_col="id", vec_col="v",
+            )
+            mse_ok = bool(mse_o <= 1.05 * mse_p)
+            # persisted lifecycle: sidecar stored, single == batch, exact
+            # rerank in original space
+            ivf_pq_write_index(
+                df, path, n_centroids=8, m=8, n_codes=16, opq=True, key="opq"
+            )
+            stored = _load_rotation(spark, path) is not None
+            qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+            single = [
+                (int(r["id"]), float(r["cos"]))
+                for r in ivf_pq_query_index(
+                    spark, path, qv, k=8, n_probe=8
+                ).collect()
+            ]
+            qblock = spark.createDataFrame(
+                [(0, qv)], "qid long, qvec array<double>"
+            )
+            batch = [
+                (int(r["id"]), float(r["cos"]))
+                for r in ivf_pq_query_index_batch(
+                    spark, path, qblock, k=8, n_probe=8
+                ).collect()
+            ]
+            rr = ivf_pq_query_index(
+                spark, path, qv, k=3, n_probe=8, rerank_with=df
+            ).collect()
+            rerank_ok = bool(
+                int(rr[0]["id"]) == 0 and abs(float(rr[0]["cos"]) - 1.0) < 1e-6
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+        return spark.createDataFrame(
+            [(
+                int(n),
+                orthonormal,
+                bool(cos_ok),
+                mse_ok,
+                bool(stored),
+                bool(single == batch),
+                rerank_ok,
+            )],
+            "n_rows long, r_orthonormal boolean, cosine_preserved boolean, "
+            "mse_not_worse boolean, sidecar_stored boolean, "
+            "single_batch_agree boolean, rerank_original_space boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -2187,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_tagged_contract": pq_tagged_contract,
         "ann_delete_contract": ann_delete_contract,
         "group_split_docs": group_split_docs,
+        "opq_contract": opq_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2427,6 +2545,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {sql_keyed_uniform("'gs-7'", "'grpsplit'", "source")} < 0.25
                         THEN 'val' ELSE 'train' END AS split
             FROM documents""",
+        "opq_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS r_orthonormal,
+                   CAST(TRUE AS BOOLEAN) AS cosine_preserved,
+                   CAST(TRUE AS BOOLEAN) AS mse_not_worse,
+                   CAST(TRUE AS BOOLEAN) AS sidecar_stored,
+                   CAST(TRUE AS BOOLEAN) AS single_batch_agree,
+                   CAST(TRUE AS BOOLEAN) AS rerank_original_space
+            FROM embeddings""",
         "ann_delete_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS delete_counted,

@@ -1944,3 +1944,92 @@ def test_incremental_index_composes_with_deletes(spark, tmp_path):
     assert not os.path.exists(f"{root}/tombstones")
     d = ivf_index_drift(spark, idx)
     assert d["dead_fraction"] == 0.0 and d["drift_ratio"] <= 2.0
+
+
+def test_incremental_pq_index_opq_rotation(spark, tmp_path):
+    """OPQ in the streaming sink (operators/opq.py): opq=True trains a
+    parametric rotation on the bootstrap batch and stores the sidecar;
+    steady-state batches are rotated before encoding (codes live in
+    rotated space while the raw archive stays original-space); a
+    drift-triggered recompaction CARRIES the rotation into the new
+    version; queries answer in original-space cosine throughout."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.pq import (
+        _load_rotation,
+        ivf_pq_query_index,
+    )
+    from vectordb_watermark_spark.operators.similarity import (
+        _current_index_version,
+        _resolve_index_root,
+        index_info,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_pq_index
+
+    rng = np.random.default_rng(31)
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [
+                    float(round(x, 4))
+                    for x in np.asarray(center) + 0.05 * rng.standard_normal(8)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    a = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 40, 0)
+    b = blob([0, 0, 0, 0, 0, 0, 0, 20.0], 40, 1000)  # drifts codes
+    c = blob([1.0, 0, 0, 0, 0, 0, 0, 0], 10, 5000)   # trigger batch
+    src = tmp_path / "opq_stream_src"
+    src.mkdir()
+    for name, rows in (("a", a), ("b", b), ("c", c)):
+        stage = tmp_path / f"opq_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    idx = str(tmp_path / "opq_stream_idx")
+    arc = str(tmp_path / "opq_stream_raw")
+    stream = (
+        spark.readStream.schema("id long, emb array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_pq_index(
+        stream, idx, arc, str(tmp_path / "opq_ckpt"),
+        n_centroids=4, m=4, n_codes=8, key="pqo",
+        compact_code_tv_threshold=0.2, opq=True,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(240)
+
+    # rotation trained at bootstrap, carried through the recompaction
+    assert _current_index_version(spark, idx) is not None  # compaction fired
+    R = _load_rotation(spark, idx)
+    assert R is not None and np.allclose(R @ R.T, np.eye(8), atol=1e-8)
+    assert index_info(spark, idx)["rotated"] is True
+
+    root = _resolve_index_root(spark, idx)
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == 90
+    tags = {str(r["batch"]) for r in codes.select("batch").distinct().collect()}
+    assert tags == {"stream-0", "stream-1", "stream-2"}
+
+    # original-space query finds the far cluster; archive stays raw so the
+    # exact rerank (original space) agrees on the same rows
+    top = ivf_pq_query_index(
+        spark, idx, [0.0] * 7 + [20.0], k=5, n_probe=1
+    ).collect()
+    assert len(top) == 5 and all(1000 <= r["id"] < 2000 for r in top)
+    raw = spark.read.parquet(arc)
+    rr = ivf_pq_query_index(
+        spark, idx, [0.0] * 7 + [20.0], k=5, n_probe=1,
+        rerank_with=raw, id_col="id", vec_col="v",
+    ).collect()
+    assert len(rr) == 5 and all(1000 <= r["id"] < 2000 for r in rr)
+    assert rr[0]["cos"] > 0.99  # exact cosine against the raw archive

@@ -1,0 +1,228 @@
+"""Optimized Product Quantization rotation (OPQ) for the IVF-PQ index.
+
+Parametric OPQ per Ge et al., "Optimized Product Quantization for
+Approximate Nearest Neighbor Search" (CVPR 2013), §4: for data that is
+(approximately) Gaussian, the quantization-MSE-optimal orthogonal
+pre-transform is the PCA basis with **eigenvalue allocation** — assign
+principal directions to the ``m`` PQ subspaces so the products of the
+eigenvalues per subspace are balanced (the paper's independence +
+balanced-variance criteria).  This is the transform FAISS ships as
+``OPQMatrix`` in its ``OPQx,IVFy,PQz`` factory strings; we implement the
+closed-form parametric variant (no iterative codebook/rotation
+alternation), which is deterministic and needs exactly one extra pass
+over the corpus.
+
+Why it helps: plain PQ quantizes **contiguous coordinate blocks**. When
+coordinates are correlated or variance concentrates in a few of them
+(true of real embedding models; the reference's vector tables at
+`util/pg_vector.py` store raw model embeddings which are strongly
+anisotropic), some sub-quantizers see almost all the energy and others
+see none — code budget is wasted.  A rotation that decorrelates the
+coordinates and spreads variance evenly across the blocks lowers
+reconstruction MSE at the same code size, which lifts ADC ranking
+quality (recall) for free at query time.
+
+Scale shape (100 TB): rotation training is ONE ``mapInArrow`` pass that
+emits per-Arrow-batch moment partials — ``(count, sum, X^T X)`` flattened
+— so the shuffle reduces ``d + d^2`` cells regardless of corpus size
+(same bounded-reduce property as ``pq._reduce_partials``, and the same
+exact ``decimal(38,18)`` summation so the trained rotation is
+bit-deterministic under any partitioning).  Applying the rotation is
+map-only GEMM (no shuffle); the stored rotation makes append-time
+encoding bit-identical to build-time encoding.  Only the ``d x d``
+moment matrix ever reaches the driver.
+
+Cosine/L2 safety: ``R`` is orthonormal, so dot products and norms are
+preserved exactly — a rotated index returns the SAME cosine scores as an
+unrotated one would for the same (lossless) reconstructions; only the
+lossy-quantization error shrinks.  Queries are rotated driver-side
+(``R @ q`` — d^2 flops on a scalar).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["opq_train_rotation", "rotate_vectors", "eigenvalue_allocation"]
+
+
+def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
+    """One row per Arrow batch: ``(cnt, s[d], ss[d*d])`` — count, coordinate
+    sums and raw second-moment sums (row-major flattened ``X^T X``).  The
+    heavy O(n d^2) work happens inside numpy per batch; the output
+    cardinality is the number of Arrow batches, not rows."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            X = list_array_to_matrix(
+                rb.column(names.index(vec_col)), dtype=np.float64
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([rb.num_rows], type=pa.int64()),
+                    pa.array([X.sum(axis=0).tolist()],
+                             type=pa.list_(pa.float64())),
+                    pa.array([(X.T @ X).reshape(-1).tolist()],
+                             type=pa.list_(pa.float64())),
+                ],
+                names=["cnt", "s", "ss"],
+            )
+
+    return df.select(vec_col).mapInArrow(
+        kernel, schema="cnt long, s array<double>, ss array<double>"
+    )
+
+
+def _corpus_moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """``(n, mean, cov)`` from one corpus pass.  Cross-partial reduction
+    uses exact ``decimal(38,18)`` sums (commutative — shuffle-merge order
+    cannot flip last-ulp bits), so for a FIXED partitioning the trained
+    rotation is bit-deterministic run-to-run (the same guarantee class as
+    ``pq._reduce_partials``; across DIFFERENT partitionings the per-batch
+    numpy summation grouping changes last ulps, so rotations agree to
+    ~1e-8, not bitwise).  The reduce is a posexplode groupBy over
+    ``d + d^2`` cells with map-side combine (bounded output no matter the
+    corpus size)."""
+    partials = _moment_partials(df, vec_col).persist()
+    try:
+        n = int(
+            partials.agg(F.sum("cnt").alias("n")).collect()[0]["n"] or 0
+        )
+        if n == 0:
+            raise ValueError("opq_train_rotation: empty vector table")
+        srows = (
+            partials.select(F.posexplode("s").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"))
+            .collect()
+        )
+        ssrows = (
+            partials.select(F.posexplode("ss").alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
+    d = len(srows)
+    s = np.zeros(d)
+    for r in srows:
+        s[r["i"]] = float(r["sx"])
+    ss = np.zeros(d * d)
+    for r in ssrows:
+        ss[r["i"]] = float(r["sx"])
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def eigenvalue_allocation(vals: np.ndarray, m: int) -> list[list[int]]:
+    """Ge et al. §4.2 balanced-variance assignment: walk the eigenvalues
+    in descending order, placing each into the non-full bucket whose
+    current log-product of eigenvalues is smallest — balancing the
+    PRODUCTS (not sums) because a sub-quantizer's distortion under the
+    Gaussian model scales with the determinant of its covariance block.
+    Returns ``m`` lists of eigen-indices (each of size ``d // m``)."""
+    d = vals.size
+    if d % m != 0:
+        raise ValueError(f"dim={d} not divisible by m={m} subspaces")
+    cap = d // m
+    order = np.argsort(vals)[::-1]
+    # floor: zero/negative eigenvalues (rank-deficient or fp noise) must
+    # not produce -inf logs that make one bucket absorb everything
+    logs = np.log(np.maximum(vals, 1e-12))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    load = np.zeros(m)
+    for idx in order:
+        open_b = [b for b in range(m) if len(buckets[b]) < cap]
+        b = min(open_b, key=lambda b: (load[b], b))  # tie -> lowest index
+        buckets[b].append(int(idx))
+        load[b] += logs[idx]
+    return buckets
+
+
+def opq_train_rotation(
+    df: DataFrame, m: int, vec_col: str = "v"
+) -> np.ndarray:
+    """Train the parametric-OPQ rotation on a vector table: one moment
+    pass, an eigendecomposition of the ``d x d`` covariance on the
+    driver, then eigenvalue allocation into ``m`` balanced subspaces.
+
+    Returns ``R`` of shape ``(d, d)`` with orthonormal ROWS; transform is
+    ``x' = R @ x`` and subspace ``s`` of the PQ sees rows
+    ``[s*dsub, (s+1)*dsub)``.  Deterministic for a fixed partitioning
+    (exact decimal moment sums + sign-stabilized eigenvectors
+    (largest-|coef| coordinate positive) + lowest-index tie-breaks in the
+    allocation); across partitionings rotations agree to fp noise —
+    bit-exactness between build/append/query comes from the STORED
+    sidecar, never from retraining."""
+    _n, _mean, cov = _corpus_moments(df, vec_col)
+    vals, vecs = np.linalg.eigh(cov)  # ascending; columns are eigenvectors
+    for c in range(vecs.shape[1]):  # deterministic sign
+        j = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[j, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    buckets = eigenvalue_allocation(vals, m)
+    rows = [vecs[:, i] for bucket in buckets for i in bucket]
+    return np.asarray(rows, dtype=np.float64)
+
+
+def rotate_vectors(
+    df: DataFrame, R: np.ndarray, vec_col: str = "v"
+) -> DataFrame:
+    """Map-only GEMM ``x -> R @ x`` on ``vec_col`` (all other columns ride
+    through unchanged; output column keeps the name and the engine's
+    ``array<float>`` storage convention).  Compute is float64, emission is
+    float32 — the same precision contract as ``pq._pq_base``'s cast, so a
+    build that rotates and an append that rotates see bit-identical
+    inputs to the encoder."""
+    R = np.ascontiguousarray(np.asarray(R, dtype=np.float64))
+    if R.ndim != 2 or R.shape[0] != R.shape[1]:
+        raise ValueError(f"rotation must be square, got {R.shape}")
+    names = df.schema.fieldNames()
+    if vec_col not in names:
+        raise ValueError(f"no column {vec_col!r} in {names}")
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" if f.name != vec_col
+        else f"{f.name} array<float>"
+        for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            bnames = rb.schema.names
+            X = list_array_to_matrix(
+                rb.column(bnames.index(vec_col)), dtype=np.float64
+            )
+            if X.shape[1] != R.shape[0]:
+                raise ValueError(
+                    f"vector dim {X.shape[1]} != rotation dim {R.shape[0]}"
+                )
+            Y = (X @ R.T).astype(np.float32)
+            arrays = [
+                pa.array(Y.tolist(), type=pa.list_(pa.float32()))
+                if nm == vec_col else rb.column(bnames.index(nm))
+                for nm in bnames
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=bnames)
+
+    return df.mapInArrow(kernel, schema=out_fields)

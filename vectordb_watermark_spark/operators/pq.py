@@ -57,6 +57,39 @@ def _pq_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _write_rotation_atomic(spark, root: str, R: np.ndarray) -> None:
+    """Persist an OPQ rotation sidecar ``{root}/rotation`` (rows of R,
+    staged swap — same atomicity idiom as the centroid table)."""
+    from vectordb_watermark_spark.operators.similarity import _swap_dir_atomic
+
+    rows = [(i, [float(x) for x in R[i]]) for i in range(R.shape[0])]
+    staged = f"{root}/rotation__staged"
+    spark.createDataFrame(rows, "i int, vec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(staged)
+    _swap_dir_atomic(spark, staged, f"{root}/rotation")
+
+
+def _load_rotation(spark, path: str) -> np.ndarray | None:
+    """OPQ rotation sidecar, or None for an unrotated index (every
+    pre-OPQ index keeps working — the sidecar is strictly additive)."""
+    from vectordb_watermark_spark.operators.similarity import (
+        _index_fs,
+        _resolve_index_root,
+    )
+
+    root = _resolve_index_root(spark, path)
+    jvm_path, fs = _index_fs(spark, root)
+    if not fs.exists(jvm_path(f"{root}/rotation")):
+        return None
+    rows = spark.read.parquet(f"{root}/rotation").collect()
+    d = len(rows)
+    R = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        R[r["i"]] = r["vec"]
+    return R
+
+
 def _check_geometry(dim: int, m: int) -> int:
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
@@ -491,6 +524,7 @@ def ivf_pq_write_index(
     key: str = "ivfpq",
     id_col: str = "id",
     vec_col: str = "emb",
+    opq: bool = False,
 ) -> tuple[list[list[float]], np.ndarray]:
     """Persist an IVF-PQ index: coarse centroids partition the corpus
     (plan-time pruning, same layout rule as similarity.ivf_write_index), PQ
@@ -498,11 +532,22 @@ def ivf_pq_write_index(
     residuals are smaller and better-conditioned than raw vectors, so the
     same code budget buys more precision).
 
+    ``opq=True`` trains a parametric-OPQ rotation (Ge et al. 2013 —
+    PCA basis + balanced eigenvalue allocation, see ``operators/opq.py``)
+    on one extra corpus pass and builds the ENTIRE index in rotated space
+    (FAISS's ``OPQx,IVFy,PQz`` pre-transform shape): coarse centroids,
+    residuals and codebooks all live after the rotation, a ``rotation``
+    sidecar is persisted, and every query/append/compact path applies it
+    automatically.  Rotation is orthonormal, so returned cosine scores
+    stay in the original space's units — only the quantization error
+    shrinks.
+
     Layout::
 
         {path}/codes/centroid=X/          (id, codes array<int>)
         {path}/centroids/                 coarse centroid table (staged swap)
         {path}/pq_codebooks/              (sub, code, vec) parquet (staged swap)
+        {path}/rotation/                  optional OPQ rotation (staged swap)
 
     The row payload stored is ``m`` ints per vector — the original vectors
     are NOT in the index; query-time exact re-rank (optional) joins the ADC
@@ -534,7 +579,17 @@ def ivf_pq_write_index(
         root = _stage_index_version(spark, path, next_seq)
     else:
         root = path
-    base = _pq_base(df, id_col, vec_col).persist()
+    base = _pq_base(df, id_col, vec_col)
+    R = None
+    if opq:
+        from vectordb_watermark_spark.operators.opq import (
+            opq_train_rotation,
+            rotate_vectors,
+        )
+
+        R = opq_train_rotation(base, m, vec_col="v")
+        base = rotate_vectors(base, R, vec_col="v")
+    base = base.persist()
     try:
         cents = _ivf_train(base, n_centroids, coarse_iters, key)
         assigned = _ivf_assign_pass(base, cents).persist()
@@ -551,6 +606,8 @@ def ivf_pq_write_index(
     finally:
         base.unpersist()
     _write_centroids_atomic(spark, root, cents)
+    if R is not None:
+        _write_rotation_atomic(spark, root, R)
     mm, nc, dsub = books.shape
     rows = [
         (s, c, [float(x) for x in books[s, c]])
@@ -588,10 +645,18 @@ def ivf_pq_compact_index(
     vec_col: str = "emb",
     gc_keep_last: int | None = 1,
     batch_col: str | None = None,
+    opq: bool = False,
 ) -> tuple[list[list[float]], np.ndarray]:
     """Rebuild a persisted IVF-PQ index from SOURCE vectors, keeping the
     stored geometry by default — the maintenance pass after heavy
     :func:`ivf_pq_append_index` traffic.
+
+    An OPQ ``rotation`` sidecar on the current version is REUSED (the
+    source is rotated with the stored matrix and the sidecar is carried
+    into the new version) — compaction never silently changes the space
+    queries are answered in.  ``opq=True`` on an index that has no
+    rotation yet trains one during the rebuild (the upgrade path from a
+    plain IVF-PQ index to an OPQ one).
 
     ``batch_col``: when the source carries a batch-tag column (the
     TAGGED ``centroid=X/batch=Y`` codes layout the streaming sink and
@@ -677,6 +742,17 @@ def ivf_pq_compact_index(
     else:
         base = _pq_base(df, id_col, vec_col)
         extra = ()
+    # OPQ: reuse the stored rotation (queries keep their space), or train
+    # one during the rebuild when the caller upgrades with opq=True
+    R = _load_rotation(spark, cur_root)
+    if R is None and opq:
+        from vectordb_watermark_spark.operators.opq import opq_train_rotation
+
+        R = opq_train_rotation(base, m, vec_col="v")
+    if R is not None:
+        from vectordb_watermark_spark.operators.opq import rotate_vectors
+
+        base = rotate_vectors(base, R, vec_col="v")
     # FOLD tombstones (ivf_delete_ids): deleted ids are dropped even if
     # the caller-provided source still contains them, and the tombstone
     # set is not carried into the new version
@@ -730,6 +806,8 @@ def ivf_pq_compact_index(
     finally:
         base.unpersist()
     _write_centroids_atomic(spark, vdir, cents)
+    if R is not None:
+        _write_rotation_atomic(spark, vdir, R)
     mm, nc, _dsub = books.shape
     rows = [
         (s, c, [float(x) for x in books[s, c]])
@@ -864,7 +942,16 @@ def ivf_pq_append_index(
     # and rebuild-time encoding must see bit-identical inputs, or a float64
     # source column could flip argmin ties and diverge appended codes from
     # what a rebuild would produce (ADVICE r8)
-    base = _ivf_base(_pq_base(df, id_col, vec_col), "id", "v")  # persisted: write + count, one scan
+    pb = _pq_base(df, id_col, vec_col)
+    R = _load_rotation(spark, path)
+    if R is not None:
+        # OPQ index: centroids/codebooks live in rotated space — rotate
+        # the appended vectors with the STORED rotation (same float64
+        # GEMM → float32 emission as the build, bit-identical encoding)
+        from vectordb_watermark_spark.operators.opq import rotate_vectors
+
+        pb = rotate_vectors(pb, R, vec_col="v")
+    base = _ivf_base(pb, "id", "v")  # persisted: write + count, one scan
     try:
         assigned = _ivf_assign_pass(base, cents)
         enc = _residual_encode_pass(assigned, cents, B)
@@ -1107,6 +1194,11 @@ def ivf_pq_query_index(
     q = np.asarray(query_vec, dtype=np.float64)
     if q.size != m * dsub:
         raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    R = _load_rotation(spark, path)
+    if R is not None:
+        # OPQ index: centroids/codes live in rotated space; R is
+        # orthonormal so the cosine returned is the original-space cosine
+        q = R @ q
     C = np.asarray(cents, dtype=np.float64)
     order = sorted(
         (float(((C[i] - q) ** 2).sum()), i) for i in range(C.shape[0])
@@ -1254,6 +1346,10 @@ def ivf_pq_query_index_batch(
     Q = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
     if Q.shape[1] != m * dsub:
         raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * dsub}")
+    Q_orig = Q  # exact rerank runs against RAW vectors in the original space
+    R = _load_rotation(spark, path)
+    if R is not None:
+        Q = Q @ R.T  # same driver-side rotation as the single-query path
     C = np.asarray(cents, dtype=np.float64)
     qn = np.sqrt((Q**2).sum(axis=1))
 
@@ -1374,7 +1470,7 @@ def ivf_pq_query_index_batch(
             F.col(vec_col).cast("array<float>").alias("__v"),
         )
         qdf = spark.createDataFrame(
-            [(qids[i], [float(x) for x in Q[i]]) for i in range(len(qids))],
+            [(qids[i], [float(x) for x in Q_orig[i]]) for i in range(len(qids))],
             f"qid {qid_type}, __qv array<double>",
         )
         exact = (

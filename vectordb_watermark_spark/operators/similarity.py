@@ -383,6 +383,8 @@ def index_info(spark, path: str) -> dict:
             fs.exists(jvm_path(f"{root}/drift_baseline"))
             or fs.exists(jvm_path(f"{root}/pq_drift_baseline"))
         ),
+        # OPQ rotation sidecar (IVF-PQ only; operators/opq.py)
+        "rotated": bool(fs.exists(jvm_path(f"{root}/rotation"))),
     }
 
 

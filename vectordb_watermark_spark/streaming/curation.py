@@ -310,6 +310,7 @@ def incremental_pq_index(
     compact_code_tv_threshold: float | None = None,
     drift_sample_fraction: float | None = None,
     compact_gc_keep_last: int | None = 2,
+    opq: bool = False,
 ):
     """Streaming IVF-PQ index maintenance sink — the compressed twin of
     :func:`incremental_index`, completing the maintenance symmetry the
@@ -366,12 +367,18 @@ def incremental_pq_index(
     operation, not a source rewrite; fence checkpoint resets behind the
     last fold the way any log-compacted system fences replays.
     """
+    from vectordb_watermark_spark.operators.opq import (
+        opq_train_rotation,
+        rotate_vectors,
+    )
     from vectordb_watermark_spark.operators.pq import (
         _load_codebooks,
+        _load_rotation,
         _pq_base,
         _residual_encode_pass,
         _residual_pass,
         _write_pq_drift_baseline,
+        _write_rotation_atomic,
         _code_histogram,
         _decoded_residual_energy,
         ivf_pq_compact_index,
@@ -462,15 +469,37 @@ def incremental_pq_index(
                 cents = _load_centroids(spark, root)
                 books = _load_codebooks(spark, root)
                 _check_batch_dim(base, len(cents[0]), "incremental_pq_index")
+                # OPQ index (bootstrapped with opq=True, or upgraded by a
+                # rotated compaction): centroids/codebooks live in rotated
+                # space — rotate the batch before assign/encode.  The RAW
+                # archive stays unrotated (original space is the
+                # source-of-truth; compaction re-rotates from the sidecar).
+                R = _load_rotation(spark, root)
+                enc_base = (
+                    rotate_vectors(base, R, vec_col="v")
+                    if R is not None else base
+                )
             else:
-                # bootstrap: deterministic train (coarse + residual PQ)
-                cents = _ivf_train(base, n_centroids, coarse_iters, key)
-                assigned0 = _ivf_assign_pass(base, cents)
+                # bootstrap: deterministic train (coarse + residual PQ),
+                # optionally after a parametric-OPQ rotation trained on
+                # the bootstrap batch (deterministic too — retry-safe)
+                R = (
+                    opq_train_rotation(base, m, vec_col="v")
+                    if opq else None
+                )
+                enc_base = (
+                    rotate_vectors(base, R, vec_col="v")
+                    if R is not None else base
+                )
+                cents = _ivf_train(enc_base, n_centroids, coarse_iters, key)
+                assigned0 = _ivf_assign_pass(enc_base, cents)
                 books = pq_train(
                     _residual_pass(assigned0, cents),
                     m, n_codes, pq_iters, key, id_col="id", vec_col="r",
                 )
                 _write_centroids_atomic(spark, root, cents)
+                if R is not None:
+                    _write_rotation_atomic(spark, root, R)
                 rows = [
                     (s, c, [float(x) for x in books[s, c]])
                     for s in range(books.shape[0])
@@ -494,7 +523,7 @@ def incremental_pq_index(
                     len(cents[0]), next_seq,
                 )
 
-            assigned = _ivf_assign_pass(base, cents)
+            assigned = _ivf_assign_pass(enc_base, cents)
             (
                 _residual_encode_pass(assigned, cents, books)
                 .withColumn("batch", F.lit(tag))
