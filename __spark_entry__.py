@@ -2147,6 +2147,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "single_batch_agree boolean, rerank_original_space boolean",
         )
 
+    def whitening_contract(spark, sf):  # retrieval whitening (round 11)
+        # pins opq.whitening_transform / whiten_embeddings (Su et al. 2021):
+        # the whitened corpus has ~zero mean and ~identity covariance,
+        # whitening-k truncates to k dims with the same properties, and
+        # the distributed transform matches the numpy closed form computed
+        # from the SAME distributed moments.
+        import numpy as np
+
+        from vectordb_watermark_spark.operators.opq import (
+            _corpus_moments,
+            affine_transform_vectors,
+            whiten_embeddings,
+            whitening_transform,
+        )
+        from vectordb_watermark_spark.operators.pq import _pq_base
+
+        df = _vectors(spark, sf)
+        n = df.count()
+        base = _pq_base(df, "id", "emb")
+        mean, W = whitening_transform(base, vec_col="v")
+        d = mean.size
+        Y = np.stack([
+            np.asarray(r["v"], dtype=np.float64)
+            for r in whiten_embeddings(base, vec_col="v").collect()
+        ])
+        mean_zero = bool(np.allclose(Y.mean(axis=0), 0.0, atol=1e-3))
+        cov = np.cov(Y, rowvar=False, bias=True)
+        cov_identity = bool(np.allclose(cov, np.eye(d), atol=1e-2))
+        # whitening-k: 16-d output, still identity covariance
+        Yk = np.stack([
+            np.asarray(r["v"], dtype=np.float64)
+            for r in whiten_embeddings(base, vec_col="v", k=16).collect()
+        ])
+        k_ok = bool(
+            Yk.shape[1] == 16
+            and np.allclose(
+                np.cov(Yk, rowvar=False, bias=True), np.eye(16), atol=1e-2
+            )
+        )
+        # numpy twin from the same moments: distributed apply == closed form
+        head = {
+            int(r["id"]): np.asarray(r["v"], dtype=np.float64)
+            for r in base.filter(F.col("id") < 20).collect()
+        }
+        applied = {
+            int(r["id"]): np.asarray(r["v"], dtype=np.float64)
+            for r in affine_transform_vectors(
+                base.filter(F.col("id") < 20), W, mean=mean, vec_col="v"
+            ).collect()
+        }
+        twin_ok = all(
+            np.allclose(applied[i], (head[i] - mean) @ W, atol=1e-3)
+            for i in head
+        )
+        return spark.createDataFrame(
+            [(int(n), mean_zero, cov_identity, k_ok, bool(twin_ok))],
+            "n_rows long, mean_zero boolean, cov_identity boolean, "
+            "k_truncation_ok boolean, matches_closed_form boolean",
+        )
+
     def ivf_topk(spark, sf):  # approximate ANN: rows-only
         df = _vectors(spark, sf)
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
@@ -2305,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_delete_contract": ann_delete_contract,
         "group_split_docs": group_split_docs,
         "opq_contract": opq_contract,
+        "whitening_contract": whitening_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2545,6 +2606,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {sql_keyed_uniform("'gs-7'", "'grpsplit'", "source")} < 0.25
                         THEN 'val' ELSE 'train' END AS split
             FROM documents""",
+        "whitening_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS mean_zero,
+                   CAST(TRUE AS BOOLEAN) AS cov_identity,
+                   CAST(TRUE AS BOOLEAN) AS k_truncation_ok,
+                   CAST(TRUE AS BOOLEAN) AS matches_closed_form
+            FROM embeddings""",
         "opq_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS r_orthonormal,

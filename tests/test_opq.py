@@ -236,3 +236,71 @@ def test_opq_recall_not_worse_than_plain(spark, aniso, tmp_path):
         hits_p += len(truth & got_p)
         hits_o += len(truth & got_o)
     assert hits_o >= hits_p, (hits_o, hits_p)
+
+
+# ---------------------------------------------------------------- whitening
+
+def test_whitening_matches_numpy_and_identity_covariance(spark, aniso):
+    """PCA whitening: output matches the numpy closed form, and the
+    whitened corpus has ~zero mean and ~identity covariance."""
+    from vectordb_watermark_spark.operators.opq import (
+        whiten_embeddings,
+        whitening_transform,
+    )
+
+    df, X = aniso
+    base = P._pq_base(df, "id", "emb")
+    mean, W = whitening_transform(base, vec_col="v", eps=1e-9)
+    assert W.shape == (D, D)
+    out = {r["id"]: np.asarray(r["v"]) for r in
+           whiten_embeddings(base, vec_col="v").collect()}
+    Y = np.stack([out[i] for i in range(N)])
+    # numpy twin on the same corpus
+    Xd = X.astype(np.float64)
+    ref = (Xd - mean[None, :]) @ W
+    assert np.allclose(Y, ref, atol=1e-3)  # float32 emission
+    assert np.allclose(Y.mean(axis=0), 0.0, atol=1e-3)
+    cov = np.cov(Y, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(D), atol=1e-2)
+
+
+def test_whitening_k_truncation_and_zca(spark, aniso):
+    from vectordb_watermark_spark.operators.opq import (
+        whiten_embeddings,
+        whitening_transform,
+    )
+
+    df, _ = aniso
+    base = P._pq_base(df, "id", "emb")
+    k = 8
+    red = whiten_embeddings(base, vec_col="v", k=k)
+    row = red.first()
+    assert len(row["v"]) == k
+    Y = np.stack([np.asarray(r["v"]) for r in red.collect()])
+    assert np.allclose(np.cov(Y, rowvar=False, bias=True), np.eye(k), atol=1e-2)
+    # zca: full-dim only, and symmetric whitener W = W.T
+    _, Wz = whitening_transform(base, vec_col="v", mode="zca")
+    assert np.allclose(Wz, Wz.T, atol=1e-8)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="full-dimensional"):
+        whitening_transform(base, vec_col="v", mode="zca", k=4)
+    with _pt.raises(ValueError, match="mode"):
+        whitening_transform(base, vec_col="v", mode="nope")
+    with _pt.raises(ValueError, match="out of range"):
+        whitening_transform(base, vec_col="v", k=0)
+
+
+def test_affine_transform_validates_and_passes_columns(spark, aniso):
+    from vectordb_watermark_spark.operators.opq import affine_transform_vectors
+
+    df, X = aniso
+    base = P._pq_base(df.limit(10), "id", "emb").withColumn("tag", F.lit("t"))
+    A = np.eye(D)[:, :3]  # project to first 3 coords
+    out = affine_transform_vectors(base, A, vec_col="v")
+    assert out.schema.fieldNames() == ["id", "v", "tag"]
+    r = out.filter(F.col("id") == 0).first()
+    assert np.allclose(np.asarray(r["v"]), X[0][:3], atol=1e-5)
+    assert r["tag"] == "t"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mean dim"):
+        affine_transform_vectors(base, A, mean=np.zeros(5), vec_col="v")

@@ -27,7 +27,7 @@ emits per-Arrow-batch moment partials — ``(count, sum, X^T X)`` flattened
 — so the shuffle reduces ``d + d^2`` cells regardless of corpus size
 (same bounded-reduce property as ``pq._reduce_partials``, and the same
 exact ``decimal(38,18)`` summation so the trained rotation is
-bit-deterministic under any partitioning).  Applying the rotation is
+bit-deterministic run-to-run for a fixed partitioning).  Applying the rotation is
 map-only GEMM (no shuffle); the stored rotation makes append-time
 encoding bit-identical to build-time encoding.  Only the ``d x d``
 moment matrix ever reaches the driver.
@@ -45,7 +45,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["opq_train_rotation", "rotate_vectors", "eigenvalue_allocation"]
+__all__ = [
+    "opq_train_rotation",
+    "rotate_vectors",
+    "eigenvalue_allocation",
+    "whitening_transform",
+    "whiten_embeddings",
+    "affine_transform_vectors",
+]
 
 
 def _moment_partials(df: DataFrame, vec_col: str) -> DataFrame:
@@ -226,3 +233,131 @@ def rotate_vectors(
             yield pa.RecordBatch.from_arrays(arrays, names=bnames)
 
     return df.mapInArrow(kernel, schema=out_fields)
+
+
+def affine_transform_vectors(
+    df: DataFrame,
+    A: np.ndarray,
+    mean: np.ndarray | None = None,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Map-only affine transform ``x -> (x - mean) @ A`` on ``vec_col``
+    (``A`` is ``(d, k)`` — rectangular allowed, so this covers projection
+    and whitening; other columns ride through).  Compute float64, emit
+    float32 — the engine's vector storage convention."""
+    A = np.ascontiguousarray(np.asarray(A, dtype=np.float64))
+    if A.ndim != 2:
+        raise ValueError(f"transform must be 2-d, got {A.shape}")
+    mu = (
+        np.zeros(A.shape[0]) if mean is None
+        else np.asarray(mean, dtype=np.float64).reshape(-1)
+    )
+    if mu.size != A.shape[0]:
+        raise ValueError(f"mean dim {mu.size} != transform rows {A.shape[0]}")
+    names = df.schema.fieldNames()
+    if vec_col not in names:
+        raise ValueError(f"no column {vec_col!r} in {names}")
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" if f.name != vec_col
+        else f"{f.name} array<float>"
+        for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            bnames = rb.schema.names
+            X = list_array_to_matrix(
+                rb.column(bnames.index(vec_col)), dtype=np.float64
+            )
+            if X.shape[1] != A.shape[0]:
+                raise ValueError(
+                    f"vector dim {X.shape[1]} != transform dim {A.shape[0]}"
+                )
+            Y = ((X - mu[None, :]) @ A).astype(np.float32)
+            arrays = [
+                pa.array(Y.tolist(), type=pa.list_(pa.float32()))
+                if nm == vec_col else rb.column(bnames.index(nm))
+                for nm in bnames
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=bnames)
+
+    return df.mapInArrow(kernel, schema=out_fields)
+
+
+def whitening_transform(
+    df: DataFrame,
+    vec_col: str = "v",
+    k: int | None = None,
+    eps: float = 1e-9,
+    mode: str = "pca",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train a retrieval-whitening transform (Su et al. 2021, "Whitening
+    Sentence Representations for Better Semantics and Faster Retrieval"):
+    embedding models emit ANISOTROPIC vectors — cosine similarities crowd
+    into a narrow cone, which flattens the score distribution retrieval
+    and semantic-dedup thresholds depend on.  Whitening maps the corpus
+    to zero mean and identity covariance, restoring the geometry cosine
+    assumes; the paper's ``whitening-k`` variant keeps only the top-``k``
+    principal directions (dimensionality reduction for free — smaller
+    vectors ALSO make every downstream kNN/ANN/dedup pass cheaper, the
+    100 TB lever).
+
+    Returns ``(mean (d,), W (d, k))`` for ``y = (x - mean) @ W``:
+
+    - ``mode="pca"``: ``W = U_k diag(1/sqrt(lambda_k + eps))`` — the
+      paper's choice; output coordinates are the scaled principal scores.
+    - ``mode="zca"``: ``W = U diag(1/sqrt(lambda + eps)) U^T`` — the
+      symmetric whitener, closest-to-identity (only defined for full
+      ``k = d``; ZCA preserves the original coordinate meaning).
+
+    Training shape is the same bounded moment pass as the OPQ rotation:
+    one ``mapInArrow`` corpus scan reducing to ``d + d^2`` cells.
+    Deterministic for a fixed partitioning (exact decimal reduce +
+    sign-stabilized eigenvectors)."""
+    _n, mean, cov = _corpus_moments(df, vec_col)
+    d = mean.size
+    if k is None:
+        k = d
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} out of range 1..{d}")
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    for c in range(vecs.shape[1]):  # deterministic sign
+        j = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[j, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    scale = 1.0 / np.sqrt(np.maximum(vals, 0.0) + eps)
+    if mode == "pca":
+        W = vecs[:, :k] * scale[None, :k]
+    elif mode == "zca":
+        if k != d:
+            raise ValueError("zca whitening is full-dimensional (k must be d)")
+        W = (vecs * scale[None, :]) @ vecs.T
+    else:
+        raise ValueError(f"mode must be 'pca' or 'zca', got {mode!r}")
+    return mean, W
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    vec_col: str = "v",
+    k: int | None = None,
+    eps: float = 1e-9,
+    mode: str = "pca",
+) -> DataFrame:
+    """Train-and-apply convenience: :func:`whitening_transform` on the
+    corpus, then the map-only :func:`affine_transform_vectors` pass.  For
+    the split train-on-corpus / apply-to-queries pattern (every retrieval
+    deployment: queries must go through the SAME frozen transform), call
+    the two pieces yourself and persist ``(mean, W)``."""
+    mean, W = whitening_transform(df, vec_col, k=k, eps=eps, mode=mode)
+    return affine_transform_vectors(df, W, mean=mean, vec_col=vec_col)
