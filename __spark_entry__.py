@@ -2147,6 +2147,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "single_batch_agree boolean, rerank_original_space boolean",
         )
 
+    def knn_pagerank(spark, sf):  # graph centrality (round 11)
+        # PageRank over the exact kNN graph (operators/graph.pagerank):
+        # per-iteration 12-dp rounding pins Spark and the unrolled DuckDB
+        # twin to the same float trajectory (see graph.py docstring); the
+        # kNN graph has uniform out-degree k, so dangling mass is zero in
+        # both engines.  Personalized teleport is pinned by pytest.
+        from vectordb_watermark_spark.operators import knn as K
+        from vectordb_watermark_spark.operators.graph import pagerank
+
+        df = _vectors(spark, sf)
+        edges = K.knn_edges_exact(df, k=KNN_K)
+        pr = pagerank(
+            edges, damping=0.85, n_iter=3,
+            nodes=df.select("id"), round_dp=12,
+        )
+        return pr.select("node", F.round("pr", 9).alias("pr"))
+
     def whitening_contract(spark, sf):  # retrieval whitening (round 11)
         # pins opq.whitening_transform / whiten_embeddings (Su et al. 2021):
         # the whitened corpus has ~zero mean and ~identity covariance,
@@ -2366,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split_docs": group_split_docs,
         "opq_contract": opq_contract,
         "whitening_contract": whitening_contract,
+        "knn_pagerank": knn_pagerank,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2606,6 +2624,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {sql_keyed_uniform("'gs-7'", "'grpsplit'", "source")} < 0.25
                         THEN 'val' ELSE 'train' END AS split
             FROM documents""",
+
+        "knn_pagerank": f"""
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst,
+         list_sum(list_transform(list_zip(a.e, b.e), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+  FROM v a JOIN v b ON a.id <> b.id
+),
+ranked AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist2, dst) AS rk
+  FROM pairs
+),
+knn_edges AS (SELECT src, dst FROM ranked WHERE rk <= {KNN_K}),
+p0 AS (
+  SELECT id AS node, ROUND(1.0 / (SELECT count(*) FROM v), 12) AS pr FROM v
+),
+p1 AS (
+  SELECT v.id AS node,
+         ROUND((1 - 0.85) * (1.0 / (SELECT count(*) FROM v))
+               + 0.85 * COALESCE(c.s, 0), 12) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.pr / 16) AS s
+    FROM knn_edges e JOIN p0 p ON e.src = p.node GROUP BY e.dst
+  ) c ON v.id = c.dst
+),
+p2 AS (
+  SELECT v.id AS node,
+         ROUND((1 - 0.85) * (1.0 / (SELECT count(*) FROM v))
+               + 0.85 * COALESCE(c.s, 0), 12) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.pr / 16) AS s
+    FROM knn_edges e JOIN p1 p ON e.src = p.node GROUP BY e.dst
+  ) c ON v.id = c.dst
+),
+p3 AS (
+  SELECT v.id AS node,
+         ROUND((1 - 0.85) * (1.0 / (SELECT count(*) FROM v))
+               + 0.85 * COALESCE(c.s, 0), 12) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.pr / 16) AS s
+    FROM knn_edges e JOIN p2 p ON e.src = p.node GROUP BY e.dst
+  ) c ON v.id = c.dst
+)
+SELECT node, ROUND(pr, 9) AS pr FROM p3
+""",
         "whitening_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS mean_zero,

@@ -1,0 +1,117 @@
+"""PageRank contracts (operators/graph.py): agreement with a dense
+numpy power iteration (dangling + teleport completion), sum-to-one,
+personalized teleport, isolated nodes via an explicit node table,
+input validation, and partition invariance under per-iteration
+rounding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(n, edge_list, d=0.85, iters=5, t=None, round_dp=None):
+    t = np.full(n, 1.0 / n) if t is None else np.asarray(t, dtype=np.float64)
+    t = t / t.sum()
+    out = np.zeros(n)
+    for s, _ in edge_list:
+        out[s] += 1
+    pr = t.copy()
+    if round_dp is not None:
+        pr = np.round(pr, round_dp)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, v in edge_list:
+            contrib[v] += pr[s] / out[s]
+        dm = pr[out == 0].sum()
+        pr = (1 - d) * t + d * (contrib + dm * t)
+        if round_dp is not None:
+            pr = np.round(pr, round_dp)
+    return pr
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    # 6 nodes, node 5 dangling, node 4 isolated (no edges at all)
+    edge_list = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 5), (1, 5),
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node long")
+    return edges, nodes, edge_list
+
+
+def test_pagerank_matches_numpy(spark, toy):
+    edges, nodes, edge_list = toy
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, n_iter=5, nodes=nodes).collect()
+    }
+    ref = _numpy_pagerank(6, edge_list, iters=5)
+    assert set(got) == set(range(6))
+    for i in range(6):
+        assert got[i] == pytest.approx(ref[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_default_node_set_excludes_isolated(spark, toy):
+    edges, _, _ = toy
+    got = pagerank(edges, n_iter=2).collect()
+    assert {r["node"] for r in got} == {0, 1, 2, 3, 5}
+
+
+def test_pagerank_personalized_teleport(spark, toy):
+    edges, _, edge_list = toy
+    w = [5.0, 0.0, 1.0, 1.0, 0.0, 1.0]
+    nodes = spark.createDataFrame(
+        [(i, w[i]) for i in range(6)], "node long, q double"
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, n_iter=4, nodes=nodes, reset_col="q"
+        ).collect()
+    }
+    ref = _numpy_pagerank(6, edge_list, iters=4, t=w)
+    for i in range(6):
+        assert got[i] == pytest.approx(ref[i], abs=1e-12)
+    # mass concentrates toward the teleport-heavy node vs uniform
+    uni = _numpy_pagerank(6, edge_list, iters=4)
+    assert got[0] > uni[0]
+
+
+def test_pagerank_round_dp_partition_invariant(spark, toy):
+    edges, nodes, edge_list = toy
+    a = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges.repartition(7), n_iter=5, nodes=nodes, round_dp=12
+        ).collect()
+    }
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges.coalesce(1), n_iter=5, nodes=nodes, round_dp=12
+        ).collect()
+    }
+    assert a == b
+    ref = _numpy_pagerank(6, edge_list, iters=5, round_dp=12)
+    for i in range(6):
+        assert a[i] == pytest.approx(ref[i], abs=1e-12)
+
+
+def test_pagerank_validation(spark, toy):
+    edges, nodes, _ = toy
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.5)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
+    bad = spark.createDataFrame([(0, -1.0), (1, 2.0)], "node long, q double")
+    with pytest.raises(ValueError, match="nonnegative"):
+        pagerank(edges, nodes=bad, reset_col="q")
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty node set"):
+        pagerank(empty)

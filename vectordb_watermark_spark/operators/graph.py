@@ -1,0 +1,164 @@
+"""Graph centrality over similarity graphs — quality propagation.
+
+PageRank (Page et al. 1999) on the engine's kNN/near-dup graphs: a
+document connected to many well-connected documents is structurally
+central, and in training-data curation centrality is a signal both
+ways — a crawl cluster's canonical page (keep) or a template farm's
+hub (drop).  The personalized variant (``reset_col``) teleports
+proportionally to a per-node weight instead of uniformly, which turns
+a per-document quality score into a GRAPH-SMOOTHED quality score: mass
+flows from trusted documents to their near-duplicates and neighbors
+(the label-propagation trick curation pipelines use to extend sparse
+human labels).
+
+Spark-first shape: pure DataFrame power iteration —
+
+- out-degrees and the node set are computed once and cached;
+- each iteration is ONE join (edges ⋈ pr on src) + ONE groupBy(dst)
+  aggregation; contributions are summed map-side before the shuffle;
+- dangling mass (nodes with no out-edges) is a 1-row aggregate
+  broadcast back with a crossJoin — the scalar-join idiom, never a
+  driver-side loop over rows;
+- iterations persist-and-swap so the lineage stays one-iteration deep
+  (no exponential plan growth; the loop is bounded by ``n_iter``).
+
+At 100 TB: the per-iteration shuffle is keyed by node id — the same
+key every iteration, so AQE/explicit repartitioning amortizes; state
+per node is one double.  ``round_dp`` (round the score each iteration)
+exists for cross-engine reproducibility: float64 addition order differs
+between engines, and per-iteration rounding pins both to the same
+trajectory (the oracle twin unrolls the same iterations in SQL).
+
+No reference analogue (the reference builds kNN graphs for watermark
+carrier selection, `embed_watermark.py:64-118`, but runs no
+centrality); cited pattern is the classic power-iteration PageRank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nodes: DataFrame | None = None,
+    reset_col: str | None = None,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge table -> ``(node, pr)``.
+
+    ``nodes``: optional one-column node table (isolated nodes included);
+    default is ``distinct(src) ∪ distinct(dst)``.  When ``reset_col``
+    names a second column of ``nodes``, teleport mass is distributed
+    proportionally to it (personalized PageRank; weights are normalized
+    to sum 1 — negative weights are a ValueError).  ``round_dp`` rounds
+    the score after every iteration (cross-engine determinism; see
+    module docstring).  Scores sum to 1 over the node set.
+    """
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if nodes is None:
+        node_df = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        reset = None
+    else:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node"))
+        if reset_col is not None:
+            reset = nodes.select(
+                F.col(nodes.columns[0]).alias("node"),
+                F.col(reset_col).cast("double").alias("w"),
+            )
+        else:
+            reset = None
+    node_df = node_df.persist()
+    n = node_df.count()
+    if n == 0:
+        raise ValueError("pagerank: empty node set")
+
+    # teleport distribution t(node): uniform 1/n, or normalized reset_col
+    if reset is None:
+        tele = node_df.select("node", F.lit(1.0 / n).alias("t"))
+    else:
+        neg = reset.filter(
+            F.col("w").isNull() | (F.col("w") < 0)
+        ).limit(1).count()
+        if neg:
+            raise ValueError(
+                "pagerank: reset_col has null/negative weights — teleport "
+                "mass must be a nonnegative distribution"
+            )
+        tot = reset.agg(F.sum("w").alias("s"))
+        tele = reset.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("w") / F.col("s")).alias("t")
+        )
+    tele = tele.persist()
+    tele.count()
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    outdeg.count()
+
+    def _rounded(col):
+        return F.round(col, round_dp) if round_dp is not None else col
+
+    pr = node_df.join(tele, "node").select(
+        "node", _rounded(F.col("t")).alias("pr")
+    ).persist()
+    pr.count()
+
+    for _ in range(n_iter):
+        # mass each node pushes per out-edge (keys renamed per step: the
+        # node set / out-degrees / edges share lineage, and fresh names
+        # keep every self-join unambiguous)
+        push = pr.join(outdeg, pr["node"] == outdeg["src"], "inner").select(
+            pr["node"].alias("psrc"),
+            (F.col("pr") / F.col("outdeg")).alias("share"),
+        )
+        contrib = (
+            e.join(push, e["src"] == push["psrc"], "inner")
+            .select(e["dst"].alias("cnode"), "share")
+            .groupBy("cnode")
+            .agg(F.sum("share").alias("c"))
+        )
+        # dangling mass: pr that sits on nodes without out-edges — it
+        # teleports like the reset mass (standard PageRank completion)
+        dang = pr.join(outdeg, pr["node"] == outdeg["src"], "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+        )
+        new_pr = (
+            node_df.join(tele, "node")
+            .join(contrib, node_df["node"] == contrib["cnode"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                node_df["node"].alias("node"),
+                _rounded(
+                    (1.0 - damping) * F.col("t")
+                    + damping * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") * F.col("t")
+                    )
+                ).alias("pr"),
+            )
+            .persist()
+        )
+        new_pr.count()
+        pr.unpersist()
+        pr = new_pr
+
+    for cached in (node_df, tele, outdeg):
+        cached.unpersist()
+    return pr
