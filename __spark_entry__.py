@@ -1373,6 +1373,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mm(d)
 
+    def audio_spectral_contract(spark, sf):  # FFT audio features (round 11)
+        # pins multimodal.audio_spectral_features as real DSP through the
+        # distributed kernel: pure tones (deterministic WAVs, frequencies
+        # derived from the documents table's row count scale) land their
+        # spectral centroid and 85% rolloff on the tone frequency with
+        # near-zero flatness, and the log-band fingerprint separates
+        # near-identical tones from far ones (the audio near-dup lever).
+        import struct
+
+        import numpy as np
+
+        from vectordb_watermark_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+
+        n = _docs(spark, sf).count()
+        rate = 16000
+
+        def tone_wav(freq):
+            t = np.arange(4096) / rate
+            x = (0.6 * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            data = x.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+            )
+
+        freqs = [500, 505, 1500, 1505, 3000, 3005, 6000, 6005]
+        df = spark.createDataFrame(
+            [(i, bytearray(tone_wav(f))) for i, f in enumerate(freqs)],
+            "id long, media binary",
+        )
+        got = {
+            int(r["id"]): [float(v) for v in r["features"]]
+            for r in audio_spectral_features(df, n_bands=16).collect()
+        }
+        cen_ok = all(abs(got[i][0] - freqs[i]) < 50 for i in range(8))
+        roll_ok = all(abs(got[i][2] - freqs[i]) < 100 for i in range(8))
+        flat_ok = all(got[i][3] < 0.05 for i in range(8))
+
+        def cos(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        near = min(cos(got[2 * j][5:], got[2 * j + 1][5:]) for j in range(4))
+        far = max(
+            cos(got[2 * j][5:], got[2 * k][5:])
+            for j in range(4) for k in range(4) if j != k
+        )
+        fp_ok = bool(near > 0.98 and far < near)
+        return spark.createDataFrame(
+            [(int(n), bool(cen_ok), bool(roll_ok), bool(flat_ok), fp_ok)],
+            "n_rows long, centroid_on_tone boolean, rolloff_on_tone boolean, "
+            "tones_not_flat boolean, fingerprint_separates boolean",
+        )
+
     # ---- non-SQL-expressible (rows-only checks) ----
 
     def knn_lsh_edges(spark, sf):  # approximate: contract-tested, not oracled
@@ -2384,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opq_contract": opq_contract,
         "whitening_contract": whitening_contract,
         "knn_pagerank": knn_pagerank,
+        "audio_spectral_contract": audio_spectral_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2673,6 +2734,13 @@ p3 AS (
 )
 SELECT node, ROUND(pr, 9) AS pr FROM p3
 """,
+        "audio_spectral_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS centroid_on_tone,
+                   CAST(TRUE AS BOOLEAN) AS rolloff_on_tone,
+                   CAST(TRUE AS BOOLEAN) AS tones_not_flat,
+                   CAST(TRUE AS BOOLEAN) AS fingerprint_separates
+            FROM documents""",
         "whitening_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS mean_zero,

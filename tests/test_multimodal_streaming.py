@@ -2033,3 +2033,125 @@ def test_incremental_pq_index_opq_rotation(spark, tmp_path):
     ).collect()
     assert len(rr) == 5 and all(1000 <= r["id"] < 2000 for r in rr)
     assert rr[0]["cos"] > 0.99  # exact cosine against the raw archive
+
+
+def _make_tone_wav(freq, rate=16000, n=4096, amp=0.6):
+    """Mono 16-bit PCM WAV of a pure sine — known-spectrum test signal."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n) / rate
+    x = (amp * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_audio_spectral_features_known_spectra(spark):
+    """FFT features are real DSP: a pure tone's centroid/rolloff land on
+    the tone frequency with near-zero flatness; white noise is flat with
+    a centroid near the band middle; layout is [centroid, bandwidth,
+    rolloff85, flatness, rate, *bands]."""
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    rate = 16000
+    tone = _make_tone_wav(1000, rate=rate)
+    tone2 = _make_tone_wav(1005, rate=rate)   # near-dup of tone
+    tone_far = _make_tone_wav(6000, rate=rate)
+    rng = np.random.default_rng(5)
+    noise_x = (rng.uniform(-0.8, 0.8, 4096) * 32767).astype(np.int16)
+    import struct
+    data = noise_x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    noise = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    df = spark.createDataFrame(
+        [(0, bytearray(tone)), (1, bytearray(noise)),
+         (2, bytearray(tone2)), (3, bytearray(tone_far))],
+        "id long, media binary",
+    )
+    got = {
+        r["id"]: list(r["features"])
+        for r in audio_spectral_features(df, n_bands=16).collect()
+    }
+    cen, bw, roll, flat, r_ = got[0][:5]
+    assert abs(cen - 1000) < 40        # centroid on the tone
+    assert abs(roll - 1000) < 80       # 85% rolloff at the tone
+    assert flat < 0.05                 # tonal -> not flat
+    assert bw < 300
+    assert r_ == rate
+    ncen, _, _, nflat, _ = got[1][:5]
+    assert nflat > 0.3                 # white noise -> flat
+    assert abs(ncen - rate / 4) < 800  # centroid near band middle
+
+    # band fingerprint: near-dup tones are close in cosine, far tone isn't
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    same = cos(got[0][5:], got[2][5:])
+    far = cos(got[0][5:], got[3][5:])
+    assert same > 0.98 and far < same - 0.1
+
+    # fake-audio payloads flow through the same dispatch
+    from vectordb_watermark_spark.operators.multimodal import make_fake_audio
+
+    fdf = spark.createDataFrame(
+        [(9, bytearray(make_fake_audio(b"k", n_samples=512)))],
+        "id long, media binary",
+    )
+    fr = audio_spectral_features(fdf).first()
+    assert len(fr["features"]) == 5 and fr["features"][4] == 16000.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_fft"):
+        audio_spectral_features(df, n_fft=1)
+    with _pt.raises(ValueError, match="n_bands"):
+        audio_spectral_features(df, n_bands=-1)
+
+
+def test_audio_spectral_short_and_silent_clips(spark):
+    """Degenerate payloads produce zero features, not crashes: a silent
+    clip has no energetic frames, a 1-sample clip can't frame."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    def wav_of(x, rate=8000):
+        data = np.asarray(x, dtype=np.int16).tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    df = spark.createDataFrame(
+        [(0, bytearray(wav_of(np.zeros(1024)))),
+         (1, bytearray(wav_of([12000])))],
+        "id long, media binary",
+    )
+    got = {
+        r["id"]: list(r["features"])
+        for r in audio_spectral_features(df, n_bands=4).collect()
+    }
+    assert got[0][:4] == [0.0, 0.0, 0.0, 0.0]
+    assert got[1][:4] == [0.0, 0.0, 0.0, 0.0]
+    assert len(got[0]) == 9
