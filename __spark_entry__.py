@@ -1373,6 +1373,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mm(d)
 
+    def embedding_binarize(spark, sf):  # 1-bit sign quantization (round 11)
+        from vectordb_watermark_spark.functions.vector import (
+            binarize_embeddings,
+        )
+
+        return binarize_embeddings(_vectors(spark, sf))
+
+    def hamming_topk_q(spark, sf):  # binary-quantization search (round 11)
+        # top-10 by Hamming on packed sign words (query = row 0); integer
+        # arithmetic end to end, so the oracle is hash-exact, not a
+        # contract.  The exact-rerank two-stage path is pinned by pytest.
+        from vectordb_watermark_spark.operators.similarity import hamming_topk
+
+        df = _vectors(spark, sf)
+        qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
+        return hamming_topk(df, qv, k=10)
+
     def audio_spectral_contract(spark, sf):  # FFT audio features (round 11)
         # pins multimodal.audio_spectral_features as real DSP through the
         # distributed kernel: pure tones (deterministic WAVs, frequencies
@@ -2445,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whitening_contract": whitening_contract,
         "knn_pagerank": knn_pagerank,
         "audio_spectral_contract": audio_spectral_contract,
+        "embedding_binarize": embedding_binarize,
+        "hamming_topk_q": hamming_topk_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2734,6 +2753,40 @@ p3 AS (
 )
 SELECT node, ROUND(pr, 9) AS pr FROM p3
 """,
+        "embedding_binarize": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            )
+            SELECT id, CAST(w AS INT) AS word,
+                   CAST(list_reduce(
+                     list_transform(e[w*32+1 : w*32+32], x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                     (a, b) -> a * 2 + b) AS BIGINT) AS bits
+            FROM v CROSS JOIN UNNEST(range(CAST(ceil(len(e)/32.0) AS BIGINT))) AS t(w)""",
+        "hamming_topk_q": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            words AS (
+              SELECT id, list_transform(range(CAST(ceil(len(e)/32.0) AS BIGINT)),
+                   w -> CAST(list_reduce(
+                          list_transform(e[CAST(w*32+1 AS BIGINT) : CAST(w*32+32 AS BIGINT)], x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                          (a, b) -> a * 2 + b) AS BIGINT)) AS ws
+              FROM v
+            ),
+            q AS (SELECT ws AS qws FROM words WHERE id = 0),
+            scored AS (
+              SELECT w.id,
+                     CAST(list_sum(list_transform(range(len(w.ws)),
+                          i -> bit_count(xor(w.ws[i+1], q.qws[i+1])))) AS BIGINT) AS hamming
+              FROM words w, q
+            )
+            SELECT id, hamming,
+                   CAST(row_number() OVER (ORDER BY hamming, id) AS INT) AS rank
+            FROM scored ORDER BY hamming, id LIMIT 10""",
         "audio_spectral_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS centroid_on_tone,

@@ -214,3 +214,56 @@ def embedding_outlier_flags(
             (F.col("n_outlier_dims") > 0).alias("outlier"),
         )
     )
+
+
+def binarize_embeddings(
+    df: DataFrame, id_col: str = "id", vec_col: str = "emb", word_bits: int = 32
+) -> DataFrame:
+    """1-bit (sign) quantization packed into integer words — the "binary
+    quantization" storage path modern vector stores ship (32x smaller
+    than float32; Hamming distance approximates angle for L2-normalized
+    embeddings, the SimHash identity-projection case).  Returns one row
+    per word: ``(id, word INT, bits LONG)`` where bit ``j`` (MSB-first
+    within the word) is 1 iff coordinate ``word*word_bits + j`` is
+    strictly positive.
+
+    Pure per-row fold expressions (``aggregate`` over slices), no
+    shuffle; exploded layout keeps the oracle gate's row canonicalizer
+    array-free, mirroring :func:`quantize_int8`.  ``word_bits <= 62``
+    keeps the fold inside a signed 64-bit long.
+    """
+    if not 1 <= word_bits <= 62:
+        raise ValueError(f"word_bits must be in 1..62, got {word_bits}")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n_words = (F.size(v) + F.lit(word_bits - 1)) / F.lit(word_bits)
+    words = F.transform(
+        F.sequence(F.lit(0), F.floor(n_words).cast("int") - 1),
+        lambda w: F.aggregate(
+            F.slice(v, w * word_bits + 1, word_bits),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(words).alias("word", "bits")
+    ).select("id", F.col("word").cast("int").alias("word"), "bits")
+
+
+def pack_sign_words(vec: Column, dim: int, word_bits: int = 32) -> Column:
+    """Per-row ``array<long>`` of sign-bit words for a ``dim``-d vector —
+    the in-plan (non-exploded) twin of :func:`binarize_embeddings`, used
+    by Hamming search where the whole word array stays in one row."""
+    if not 1 <= word_bits <= 62:
+        raise ValueError(f"word_bits must be in 1..62, got {word_bits}")
+    v = F.transform(vec, lambda x: x.cast("double"))
+    n_words = -(-dim // word_bits)
+    return F.array(*[
+        F.aggregate(
+            F.slice(v, w * word_bits + 1, word_bits),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        for w in range(n_words)
+    ])

@@ -1681,3 +1681,83 @@ def ivf_query_index_batch(
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _sign_words_py(q, word_bits: int = 32) -> list[int]:
+    """Driver-side twin of functions.vector.pack_sign_words (same MSB-first
+    fold, strict positivity) for the query vector."""
+    words = []
+    for w in range(-(-len(q) // word_bits)):
+        acc = 0
+        for x in q[w * word_bits : (w + 1) * word_bits]:
+            acc = acc * 2 + (1 if x > 0 else 0)
+        words.append(acc)
+    return words
+
+
+def hamming_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    word_bits: int = 32,
+    rerank_with: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Top-k by Hamming distance on 1-bit sign quantization — the
+    binary-quantization search path (SimHash with the identity
+    projection: for L2-normalized embeddings, Hamming distance is a
+    monotone estimate of angle).  Everything is whole-stage-codegen
+    expressions: per-row sign-word packing (``pack_sign_words``),
+    ``bit_count(xor)`` per word, a fold to the distance, then the same
+    TakeOrderedAndProject top-k every search operator uses — ZERO
+    shuffles and a 32x-smaller comparison payload, the cheapest possible
+    first-pass filter at 100 TB.
+
+    Returns ``(id, hamming, rank)`` (tie-break: smallest id).  With
+    ``rerank_with``, a ``shortlist`` (default ``4*k``) of Hamming
+    candidates is re-ranked by EXACT cosine against that table — the
+    production two-stage shape (coarse binary filter -> exact top-k),
+    returning ``(id, cos, rank)``.
+
+    No reference analogue (the reference searches full-precision
+    vectors); cited pattern: binary/1-bit quantization in public vector
+    stores + Charikar 2002 sign-random-projection LSH.
+    """
+    from vectordb_watermark_spark.functions.vector import pack_sign_words
+
+    dim = len(query_vec)
+    if dim == 0:
+        raise ValueError("empty query vector")
+    qw = _sign_words_py(list(query_vec), word_bits)
+    words = pack_sign_words(F.col(vec_col), dim, word_bits)
+    qarr = F.array(*[F.lit(int(w)).cast("long") for w in qw])
+    ham = F.aggregate(
+        F.zip_with(
+            words, qarr,
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = df.select(F.col(id_col).alias("id"), ham.alias("hamming"))
+
+    from pyspark.sql import Window
+
+    if rerank_with is not None:
+        n_short = shortlist or 4 * k
+        short = scored.orderBy(
+            F.col("hamming").asc(), F.col("id").asc()
+        ).limit(n_short)
+        sub = rerank_with.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<float>").alias("v"),
+        ).join(short.select("id"), "id", "semi")
+        return topk_cosine(sub, query_vec, k, "id", "v")
+
+    top = scored.orderBy(F.col("hamming").asc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("hamming").asc(), F.col("id").asc())
+    return top.select(
+        "id", "hamming", F.row_number().over(w).cast("int").alias("rank")
+    )
