@@ -1373,6 +1373,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mm(d)
 
+    def fuzzy_token_join(spark, sf):  # PassJoin edit-distance join (round 11)
+        # self-join of a deterministic ASCII token pool at levenshtein<=1;
+        # Spark runs the segment-blocked dedup.fuzzy_join (never N x M),
+        # the DuckDB twin brute-forces the same bounded pool.  ASCII-only:
+        # the engines' levenshtein units differ on multibyte text
+        # (codepoints vs bytes — documented on the operator).
+        from vectordb_watermark_spark.operators.dedup import fuzzy_join
+
+        # pool: adjacent-token concatenations (the synthetic vocabulary is
+        # tiny, so single tokens have no near pairs); right side = the pool
+        # with a deterministic typo (2nd char dropped) applied in BOTH
+        # engines, so true matches exist by construction and the blocking
+        # must also find every accidental cross match
+        pool = (
+            _docs(spark, sf)
+            .select(T.tokens(F.col("text")).alias("ts"))
+            .select(F.explode(F.expr(
+                "transform(sequence(0, size(ts)-2), i -> concat(ts[i], ts[i+1]))"
+            )).alias("tok"))
+            .filter(F.col("tok").rlike("^[a-z]{6,}$"))
+            .distinct()
+            .orderBy("tok")
+            .limit(600)
+        )
+        edited = pool.select(
+            F.col("tok").alias("rid"),
+            F.concat(
+                F.substring("tok", 1, 1), F.expr("substring(tok, 3)")
+            ).alias("rtok"),
+        )
+        out = fuzzy_join(
+            pool, edited, max_distance=1,
+            left_id="tok", left_col="tok", right_id="rid", right_col="rtok",
+        )
+        return out.select(
+            "lid", "rid", F.col("distance").cast("int").alias("distance")
+        )
+
     def embedding_binarize(spark, sf):  # 1-bit sign quantization (round 11)
         from vectordb_watermark_spark.functions.vector import (
             binarize_embeddings,
@@ -2463,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": knn_pagerank,
         "audio_spectral_contract": audio_spectral_contract,
         "embedding_binarize": embedding_binarize,
+        "fuzzy_token_join": fuzzy_token_join,
         "hamming_topk_q": hamming_topk_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -2753,6 +2792,23 @@ p3 AS (
 )
 SELECT node, ROUND(pr, 9) AS pr FROM p3
 """,
+        "fuzzy_token_join": f"""
+            WITH t AS (
+              SELECT {T.sql_tokens('text')} AS ts FROM documents
+            ),
+            pool AS (
+              SELECT DISTINCT ts[i] || ts[i+1] AS tok
+              FROM t CROSS JOIN UNNEST(range(1, len(ts))) AS u(i)
+              WHERE regexp_matches(ts[i] || ts[i+1], '^[a-z]{{6,}}$')
+              ORDER BY tok LIMIT 600
+            ),
+            edited AS (
+              SELECT tok AS rid, substr(tok,1,1) || substr(tok,3) AS rtok
+              FROM pool
+            )
+            SELECT a.tok AS lid, b.rid AS rid,
+                   CAST(levenshtein(a.tok, b.rtok) AS INT) AS distance
+            FROM pool a JOIN edited b ON levenshtein(a.tok, b.rtok) <= 1""",
         "embedding_binarize": """
             WITH v AS (
               SELECT vec_id AS id,
