@@ -1373,6 +1373,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mm(d)
 
+    def bm25_docs(spark, sf):  # keyword retrieval (round 11)
+        # Okapi BM25 (Lucene +1-smoothed idf) over documents for a fixed
+        # term bag; the DuckDB twin recomputes the formula declaratively
+        # with matched operation order (multiplication grouping matters
+        # in the last ulp; both engines round at 6 dp).
+        from vectordb_watermark_spark.operators.retrieval import bm25_scores
+
+        return bm25_scores(
+            _docs(spark, sf), ["batch", "data", "fast"]
+        ).select(F.col("id").alias("doc_id"), "score")
+
+    def hybrid_rag_fusion(spark, sf):  # hybrid retrieval + RRF (round 11)
+        # the production RAG retrieval shape, end to end: BM25 top-20
+        # (lexical) + hash-embedding dot-product top-20 vs doc 0's vector
+        # (semantic, embeddings L2-normalized so dot == cosine) fused by
+        # reciprocal rank fusion (k=60), top-10 out.  Both legs and the
+        # fusion are recomputed declaratively by the DuckDB twin.
+        from pyspark.sql import Window
+
+        from vectordb_watermark_spark.operators.retrieval import (
+            bm25_topk,
+            reciprocal_rank_fusion,
+        )
+
+        d = _docs(spark, sf)
+        lex = bm25_topk(d, ["batch", "data", "fast"], k=20)
+
+        emb = T.hash_embed_documents(d)  # (id, pos, val) exploded
+        q = emb.filter(F.col("id") == 0).select(
+            F.col("pos").alias("qpos"), F.col("val").alias("qval")
+        )
+        dots = (
+            emb.join(F.broadcast(q), emb["pos"] == q["qpos"])
+            .groupBy("id")
+            .agg(F.round(F.sum(F.col("val") * F.col("qval")), 6).alias("dot"))
+        )
+        w = Window.orderBy(F.col("dot").desc(), F.col("id").asc())
+        sem = (
+            dots.orderBy(F.col("dot").desc(), F.col("id").asc()).limit(20)
+            .select("id", F.row_number().over(w).cast("int").alias("rank"))
+        )
+        fused = reciprocal_rank_fusion(
+            [lex.select("id", "rank"), sem], k=60, top=10
+        )
+        return fused.select(F.col("id").alias("doc_id"), "rrf", "rank")
+
     def fuzzy_token_join(spark, sf):  # PassJoin edit-distance join (round 11)
         # self-join of a deterministic ASCII token pool at levenshtein<=1;
         # Spark runs the segment-blocked dedup.fuzzy_join (never N x M),
@@ -2501,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": knn_pagerank,
         "audio_spectral_contract": audio_spectral_contract,
         "embedding_binarize": embedding_binarize,
+        "bm25_docs": bm25_docs,
+        "hybrid_rag_fusion": hybrid_rag_fusion,
         "fuzzy_token_join": fuzzy_token_join,
         "hamming_topk_q": hamming_topk_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
@@ -2792,6 +2840,75 @@ p3 AS (
 )
 SELECT node, ROUND(pr, 9) AS pr FROM p3
 """,
+        "bm25_docs": f"""
+            WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
+            docs AS (SELECT id, len(ts) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+            hits AS (
+              SELECT dd.id, dd.dl, t
+              FROM (SELECT id, len(ts) AS dl, ts FROM d) dd
+              CROSS JOIN UNNEST(dd.ts) AS u(t)
+              WHERE t IN ('batch', 'data', 'fast')
+            ),
+            tf AS (SELECT id, dl, t, count(*) AS tf FROM hits GROUP BY id, dl, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            idf AS (
+              SELECT t, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+              FROM dfreq CROSS JOIN stats
+            ),
+            bm AS (
+              SELECT tf.id AS doc_id,
+                     ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+              FROM tf JOIN idf USING (t) GROUP BY tf.id
+            )
+            SELECT doc_id, score FROM bm""",
+        "hybrid_rag_fusion": f"""
+            WITH emb AS ({T.sql_hash_embed(64)}),
+            q AS (SELECT pos AS qpos, val AS qval FROM emb WHERE id = 0),
+            dots AS (
+              SELECT e.id, ROUND(SUM(e.val * q.qval), 6) AS dot
+              FROM emb e JOIN q ON e.pos = q.qpos GROUP BY e.id
+            ),
+            sem AS (
+              SELECT id, CAST(row_number() OVER (ORDER BY dot DESC, id) AS INT) AS rank
+              FROM dots ORDER BY dot DESC, id LIMIT 20
+            ),
+            d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
+            docs AS (SELECT id, len(ts) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+            hits AS (
+              SELECT dd.id, dd.dl, t
+              FROM (SELECT id, len(ts) AS dl, ts FROM d) dd
+              CROSS JOIN UNNEST(dd.ts) AS u(t)
+              WHERE t IN ('batch', 'data', 'fast')
+            ),
+            tf AS (SELECT id, dl, t, count(*) AS tf FROM hits GROUP BY id, dl, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            idf AS (
+              SELECT t, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+              FROM dfreq CROSS JOIN stats
+            ),
+            bm AS (
+              SELECT tf.id AS doc_id,
+                     ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+              FROM tf JOIN idf USING (t) GROUP BY tf.id
+            ),
+            lex AS (
+              SELECT doc_id AS id,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+              FROM bm ORDER BY score DESC, doc_id LIMIT 20
+            ),
+            parts AS (
+              SELECT id, 1.0 / (60.0 + rank) AS part FROM lex
+              UNION ALL
+              SELECT id, 1.0 / (60.0 + rank) AS part FROM sem
+            ),
+            fused AS (SELECT id, ROUND(SUM(part), 9) AS rrf FROM parts GROUP BY id)
+            SELECT id AS doc_id, rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT) AS rank
+            FROM fused ORDER BY rrf DESC, id LIMIT 10""",
         "fuzzy_token_join": f"""
             WITH t AS (
               SELECT {T.sql_tokens('text')} AS ts FROM documents

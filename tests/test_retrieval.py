@@ -1,0 +1,125 @@
+"""BM25 + RRF contracts (operators/retrieval.py): BM25 agrees with a
+direct numpy implementation of the Lucene-variant formula on a
+hand-built corpus (tf saturation, idf ordering, length normalization),
+zero-hit documents are absent, rank/tie-break determinism, and RRF
+matches the paper formula with absent-list handling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vectordb_watermark_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    reciprocal_rank_fusion,
+)
+
+CORPUS = [
+    (1, "data model data data"),
+    (2, "data pipeline"),
+    (3, "model training loop"),
+    (4, "unrelated words entirely"),
+    (5, "data data model pipeline pipeline pipeline"),
+]
+
+
+def _bm25_ref(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    out = {}
+    for term in set(terms):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            out[i] = out.get(i, 0.0) + c
+    return {i: round(s, 6) for i, s in out.items()}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_bm25_matches_reference_formula(spark, docs):
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, ["data", "model"]).collect()
+    }
+    want = _bm25_ref(CORPUS, ["data", "model"])
+    assert got == want
+    assert 4 not in got  # zero-hit docs absent
+
+
+def test_bm25_semantics(spark, docs):
+    got = {
+        r["id"]: r["score"] for r in bm25_scores(docs, ["data"]).collect()
+    }
+    # tf saturation: doc 1 (tf=3, dl=4) beats doc 2 (tf=1, dl=2)
+    assert got[1] > got[2]
+    # length normalization is the b knob: at b=0.75 the long tf=2 doc 5
+    # loses to the short tf=1 doc 2; with b=0 (no normalization) tf wins
+    assert got[5] < got[2]
+    got_b0 = {
+        r["id"]: r["score"]
+        for r in bm25_scores(docs, ["data"], b=0.0).collect()
+    }
+    assert got_b0[5] > got_b0[2]
+    # a term in every doc still contributes positively (+1-smoothed idf)
+    all_term = {
+        r["id"]: r["score"]
+        for r in bm25_scores(
+            spark.createDataFrame(
+                [(1, "x a"), (2, "x b")], "doc_id long, text string"
+            ),
+            ["x"],
+        ).collect()
+    }
+    assert all(v > 0 for v in all_term.values())
+    with pytest.raises(ValueError, match="empty query_terms"):
+        bm25_scores(docs, [])
+
+
+def test_bm25_topk_rank_and_ties(spark, docs):
+    top = bm25_topk(docs, ["data", "model", "pipeline"], k=3).collect()
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    # unknown-only terms -> empty result, not an error
+    assert bm25_topk(docs, ["zzzznotfound"], k=3).count() == 0
+
+
+def test_rrf_matches_formula_and_handles_absence(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)], "id long, rank int")
+    got = {
+        r["id"]: (r["rrf"], r["rank"])
+        for r in reciprocal_rank_fusion([a, b], k=60).collect()
+    }
+    want = {
+        10: 1 / 61,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    for i, s in want.items():
+        assert got[i][0] == pytest.approx(round(s, 9), abs=1e-12)
+    # fused order: 11 (in both lists) first
+    assert got[11][1] == 1
+    order = sorted(got.items(), key=lambda kv: kv[1][1])
+    assert [i for i, _ in order] == [11, 10, 13, 12]
+    # top cut
+    cut = reciprocal_rank_fusion([a, b], k=60, top=2).collect()
+    assert {r["id"] for r in cut} == {11, 10}
+    with pytest.raises(ValueError, match="no rankings"):
+        reciprocal_rank_fusion([])
+    with pytest.raises(ValueError, match="k must be"):
+        reciprocal_rank_fusion([a], k=0)

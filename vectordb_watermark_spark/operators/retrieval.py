@@ -1,0 +1,154 @@
+"""Keyword retrieval (BM25) and hybrid rank fusion (RRF).
+
+A RAG stack retrieves two ways: lexically (exact terms — BM25, the
+Lucene/Elasticsearch default) and semantically (embedding ANN — the
+engine's `similarity`/`pq` operators).  Production systems fuse the two
+lists because each catches what the other misses; reciprocal rank
+fusion (Cormack, Clarke, Buettcher 2009) is the standard fusion — it
+needs only RANKS, so incomparable score scales (BM25 vs cosine) are a
+non-issue.
+
+Spark-first shapes:
+
+- **BM25**: tokenize -> explode filtered to the query terms (a tiny
+  broadcast `isin`) -> ONE groupBy for per-(doc, term) tf, ONE bounded
+  groupBy for per-term df (output <= |query| rows), corpus scalars
+  (N, avgdl) as a broadcast 1-row aggregate.  Everything is
+  whole-stage-codegen expressions; cost is one corpus scan however
+  large the corpus, and only documents containing at least one query
+  term survive the explode-filter (the inverted-index sparsity, gotten
+  relationally).
+- **RRF**: union the ranked lists, one map-side-combined groupBy sum of
+  ``1/(k + rank)``.
+
+Scores are rounded (``round_dp``) so ranks are reproducible across
+engines — the oracle twin recomputes BM25 + cosine + RRF declaratively
+in DuckDB.
+
+The reference has no keyword or hybrid retrieval (it searches vectors
+only); cited pattern: Robertson et al. BM25 as shipped by Lucene
+(the `k1`/`b` defaults and the +1-smoothed idf), RRF per Cormack 2009.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.functions.text import tokens
+
+__all__ = ["bm25_scores", "bm25_topk", "reciprocal_rank_fusion"]
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Okapi BM25 per document for a bag of query terms -> ``(id,
+    score)``; documents containing none of the terms are absent (score
+    0 — the inverted-index convention).  Lucene's +1-smoothed idf
+    (``ln(1 + (N - df + 0.5)/(df + 0.5))``), so scores are always
+    nonnegative even for terms in more than half the corpus."""
+    if not query_terms:
+        raise ValueError("bm25_scores: empty query_terms")
+    terms = sorted(set(query_terms))
+    docs = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
+    ).select("id", F.size("__ts").alias("dl"), "__ts")
+    # two corpus scans by design (corpus scalars + term hits) — no cache
+    # is left behind; callers scoring many queries against one corpus
+    # should persist their tokenized docs themselves and pass that in
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        docs.select("id", "dl", F.explode("__ts").alias("t"))
+        .filter(F.col("t").isin(terms))
+    )
+    tf = hits.groupBy("id", "dl", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    contrib = tf.join(F.broadcast(idf), "t").select(
+        "id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        ).alias("c"),
+    )
+    score = F.sum("c")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    return contrib.groupBy("id").agg(score.alias("score"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 -> ``(id, score, rank)`` (tie-break: smallest id)."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(df, query_terms, **kwargs)
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.select(
+        "id", "score", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def reciprocal_rank_fusion(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    top: int | None = None,
+    round_dp: int | None = 9,
+) -> DataFrame:
+    """Fuse ranked lists by RRF: ``score(d) = sum over lists of
+    1/(k + rank_d)`` (absent-from-list contributes nothing) ->
+    ``(id, rrf, rank)`` ordered by fused score (tie-break: smallest
+    id).  ``k=60`` is the original paper's constant.  One union + one
+    map-side-combined groupBy — no joins, no per-list shuffles."""
+    if not rankings:
+        raise ValueError("reciprocal_rank_fusion: no rankings")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "part"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    s = F.sum("part")
+    if round_dp is not None:
+        s = F.round(s, round_dp)
+    fused = u.groupBy("id").agg(s.alias("rrf"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    out = fused.select(
+        "id", "rrf", F.row_number().over(w).cast("int").alias("rank")
+    )
+    if top is not None:
+        out = out.filter(F.col("rank") <= top)
+    return out
