@@ -1373,6 +1373,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mm(d)
 
+    def zorder_contract(spark, sf):  # Z-order clustered writes (round 11)
+        # pins sources/io.write_zordered: per-file min/max spans shrink on
+        # BOTH clustered columns simultaneously (the multi-column
+        # data-skipping property a single-column sort cannot give), rows
+        # survive exactly, files stay balanced under the quantile buckets.
+        import os
+        import shutil
+
+        import numpy as np
+
+        from vectordb_watermark_spark.sources.io import write_zordered
+
+        scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch")
+        os.makedirs(scratch, exist_ok=True)
+        zpath = os.path.join(scratch, f"oracle_zorder_{os.path.basename(str(sf))}")
+        li = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_extendedprice").alias("x"),
+            F.col("l_quantity").alias("y"),
+        )
+        n = li.count()
+        ksum = li.agg(F.sum("k")).collect()[0][0]
+        # unclustered baseline spans: random layout covers ~the full range
+        rx = li.agg((F.max("x") - F.min("x"))).collect()[0][0]
+        ry = li.agg((F.max("y") - F.min("y"))).collect()[0][0]
+        try:
+            write_zordered(li.repartition(8), zpath, ["x", "y"], bits=8, n_files=16)
+            z = spark.read.parquet(zpath).withColumn("f", F.input_file_name())
+            agg = z.groupBy("f").agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+                F.count(F.lit(1)).alias("nn"),
+            ).collect()
+            sx = float(np.mean([r["sx"] for r in agg]))
+            sy = float(np.mean([r["sy"] for r in agg]))
+            counts = [int(r["nn"]) for r in agg]
+            zn = z.count()
+            zsum = z.agg(F.sum("k")).collect()[0][0]
+        finally:
+            shutil.rmtree(zpath, ignore_errors=True)
+        return spark.createDataFrame(
+            [(
+                int(n),
+                bool(zn == n and zsum == ksum),
+                bool(sx < 0.6 * rx),
+                bool(sy < 0.6 * ry),
+                bool(max(counts) < 4 * min(counts)),
+            )],
+            "n_rows long, rows_preserved boolean, x_span_narrowed boolean, "
+            "y_span_narrowed boolean, files_balanced boolean",
+        )
+
     def bm25_docs(spark, sf):  # keyword retrieval (round 11)
         # Okapi BM25 (Lucene +1-smoothed idf) over documents for a fixed
         # term bag; the DuckDB twin recomputes the formula declaratively
@@ -2547,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pagerank": knn_pagerank,
         "audio_spectral_contract": audio_spectral_contract,
         "embedding_binarize": embedding_binarize,
+        "zorder_contract": zorder_contract,
         "bm25_docs": bm25_docs,
         "hybrid_rag_fusion": hybrid_rag_fusion,
         "fuzzy_token_join": fuzzy_token_join,
@@ -2840,6 +2893,13 @@ p3 AS (
 )
 SELECT node, ROUND(pr, 9) AS pr FROM p3
 """,
+        "zorder_contract": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS rows_preserved,
+                   CAST(TRUE AS BOOLEAN) AS x_span_narrowed,
+                   CAST(TRUE AS BOOLEAN) AS y_span_narrowed,
+                   CAST(TRUE AS BOOLEAN) AS files_balanced
+            FROM lineitem""",
         "bm25_docs": f"""
             WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
             docs AS (SELECT id, len(ts) AS dl FROM d),

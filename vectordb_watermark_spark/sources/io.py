@@ -308,3 +308,96 @@ def merge_from_staging_sql(
         f"UPDATE {target} t SET {sets} "
         f"FROM {staging} s WHERE t.{key_col} = s.{key_col}"
     )
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Append a Morton (Z-order) key column interleaving ``bits``
+    quantile-bucket bits per column -> ``(df_with_key, key_col_name)``.
+
+    Each column is first mapped to a ``2^bits``-level rank bucket via
+    its exact quantile boundaries (one bounded ``percentile`` aggregate
+    per call — ``2^bits + 1`` doubles to the driver, independent of row
+    count), so skewed and differently-scaled columns interleave fairly;
+    then the bucket bits interleave ``x0 y0 x1 y1 ...`` into one long.
+    Everything after the one aggregate is per-row codegen expressions.
+    """
+    if not cols:
+        raise ValueError("zorder_value: no columns")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in 1..16, got {bits}")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits exceeds a 63-bit z-value"
+        )
+    n_b = 1 << bits
+    qs = [i / n_b for i in range(n_b + 1)]
+    row = df.agg(*[
+        F.percentile(F.col(c).cast("double"), F.array(*[F.lit(q) for q in qs])).alias(c)
+        for c in cols
+    ]).collect()[0]
+    bucketed = []
+    for c in cols:
+        # strictly increasing boundary subsequence (duplicate quantiles on
+        # skewed data would make width_bucket ill-defined); buckets 0..n_b-1
+        bounds = sorted(set(row[c]))
+        if len(bounds) < 2:
+            bucketed.append(F.lit(0))  # constant column: one bucket
+            continue
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # rank bucket = count of boundaries <= x, clamped — exact quantile
+        # buckets (uniform-width width_bucket would misgrade skewed data)
+        b_col = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, bd: acc + F.when(F.col(c).cast("double") >= bd, 1).otherwise(0),
+        )
+        b_col = F.least(
+            F.greatest(b_col - 1, F.lit(0)), F.lit(len(bounds) - 2)
+        )
+        # rescale sparse bucket ids onto the bits-wide grid
+        scale = (n_b - 1) / max(len(bounds) - 2, 1)
+        bucketed.append(F.round(b_col * F.lit(scale), 0).cast("long"))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, b_col in enumerate(bucketed):
+            pos = bit * len(cols) + ci
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b_col.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    pos,
+                )
+            )
+    key = "__zorder"
+    return df.withColumn(key, z), key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet write — the MULTI-column data-skipping
+    lever (the layout Delta/Iceberg `OPTIMIZE ZORDER BY` produces):
+    rows are range-partitioned and sorted by a Morton key interleaving
+    the rank bits of ``cols``, so every output file covers a small
+    hyper-rectangle of the value space and parquet min/max (and any
+    bloom) stats prune files for predicates on ANY of the columns —
+    unlike a single-column sort, which only prunes its leading column.
+    One bounded quantile aggregate + one range shuffle; scale-safe at
+    any corpus size.
+
+    No reference analogue (the reference has no storage layout layer);
+    cited pattern: Morton curves as shipped by Delta Lake / Iceberg.
+    """
+    keyed, key = zorder_value(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode(mode)
+        .parquet(path)
+    )
