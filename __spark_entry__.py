@@ -1526,6 +1526,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
         return hamming_topk(df, qv, k=10)
 
+    def hamming_topk_batch_q(spark, sf):  # batched binary search (round 11)
+        # three queries, one corpus scan; integer arithmetic end to end,
+        # hash-exact vs the per-query DuckDB twin (QUALIFY top-10 each)
+        from vectordb_watermark_spark.operators.similarity import (
+            hamming_topk_batch,
+        )
+
+        df = _vectors(spark, sf)
+        qdf = df.filter(F.col("id") < 3).select(
+            F.col("id").alias("qid"),
+            F.col("emb").cast("array<double>").alias("qvec"),
+        )
+        return hamming_topk_batch(df, qdf, k=10)
+
     def audio_spectral_contract(spark, sf):  # FFT audio features (round 11)
         # pins multimodal.audio_spectral_features as real DSP through the
         # distributed kernel: pure tones (deterministic WAVs, frequencies
@@ -2604,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rag_fusion": hybrid_rag_fusion,
         "fuzzy_token_join": fuzzy_token_join,
         "hamming_topk_q": hamming_topk_q,
+        "hamming_topk_batch_q": hamming_topk_batch_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -3020,6 +3035,30 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
             SELECT id, hamming,
                    CAST(row_number() OVER (ORDER BY hamming, id) AS INT) AS rank
             FROM scored ORDER BY hamming, id LIMIT 10""",
+        "hamming_topk_batch_q": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            words AS (
+              SELECT id, list_transform(range(CAST(ceil(len(e)/32.0) AS BIGINT)),
+                   w -> CAST(list_reduce(
+                          list_transform(e[CAST(w*32+1 AS BIGINT) : CAST(w*32+32 AS BIGINT)], x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                          (a, b) -> a * 2 + b) AS BIGINT)) AS ws
+              FROM v
+            ),
+            q AS (SELECT id AS qid, ws AS qws FROM words WHERE id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.qid, w.id,
+                     CAST(list_sum(list_transform(range(len(w.ws)),
+                          i -> bit_count(xor(w.ws[i+1], q.qws[i+1])))) AS BIGINT) AS hamming
+              FROM words w CROSS JOIN q
+            )
+            SELECT qid, id, hamming,
+                   CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 10""",
         "audio_spectral_contract": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(TRUE AS BOOLEAN) AS centroid_on_tone,

@@ -104,3 +104,65 @@ def test_hamming_filter_keeps_cluster_structure(spark):
     q = [float(v) for v in base_a]
     top = hamming_topk(df, q, k=20).collect()
     assert all(r["id"] < 1000 for r in top)
+
+
+def test_hamming_topk_batch_equals_single(spark, vecs):
+    """Batched Hamming search: per-query results equal the single-query
+    path exactly, one corpus scan, duplicate/mixed-dim guards."""
+    from vectordb_watermark_spark.operators.similarity import (
+        hamming_topk_batch,
+    )
+
+    df, X = vecs
+    qids = [3, 9, 42]
+    qdf = spark.createDataFrame(
+        [(int(i), X[i].astype(np.float64).tolist()) for i in qids],
+        "qid long, qvec array<double>",
+    )
+    got = hamming_topk_batch(df, qdf, k=6).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["id"], r["hamming"])
+        )
+    for qi in qids:
+        single = hamming_topk(
+            df, X[qi].astype(np.float64).tolist(), k=6
+        ).collect()
+        assert sorted(by_q[qi]) == [
+            (r["rank"], r["id"], r["hamming"]) for r in single
+        ], qi
+
+    dup = spark.createDataFrame(
+        [(1, X[0].tolist()), (1, X[1].tolist())], "qid long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="duplicate qids"):
+        hamming_topk_batch(df, dup, k=3)
+    empty = spark.createDataFrame([], "qid long, qvec array<double>")
+    with pytest.raises(ValueError, match="empty query block"):
+        hamming_topk_batch(df, empty, k=3)
+    mixed = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [1.0] * 5)], "qid long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="mixed query dims"):
+        hamming_topk_batch(df, mixed, k=3)
+
+
+def test_hamming_topk_batch_string_ids(spark):
+    from vectordb_watermark_spark.operators.similarity import (
+        hamming_topk,
+        hamming_topk_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(80, 32))
+    rows = [(f"doc-{i:03d}", X[i].tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "id string, emb array<double>")
+    q = X[7].tolist()
+    qdf = spark.createDataFrame([("q0", q)], "qid string, qvec array<double>")
+    b = hamming_topk_batch(df, qdf, k=5).collect()
+    s = hamming_topk(df, q, k=5).collect()
+    assert [(r["id"], r["hamming"]) for r in b] == [
+        (r["id"], r["hamming"]) for r in s
+    ]
+    assert b[0]["id"] == "doc-007" and b[0]["hamming"] == 0

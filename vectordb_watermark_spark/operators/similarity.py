@@ -1761,3 +1761,129 @@ def hamming_topk(
     return top.select(
         "id", "hamming", F.row_number().over(w).cast("int").alias("rank")
     )
+
+
+import numpy as _np
+
+_POPCOUNT8 = _np.array(
+    [bin(i).count("1") for i in range(256)], dtype=_np.int64
+)
+
+
+def hamming_topk_batch(
+    df: DataFrame,
+    queries,
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "id",
+    vec_col: str = "emb",
+    word_bits: int = 32,
+) -> DataFrame:
+    """``(qid, id, hamming, rank)`` — Hamming top-k for EVERY query in
+    ONE corpus scan (the batched twin of :func:`hamming_topk`; same
+    amortization argument as the IVF/PQ batch kernels: a retrieval
+    workload must not re-scan the corpus per query).
+
+    The corpus rows pack to sign words once per scan (the same codegen
+    expressions as the single-query path); the packed query block rides
+    along as a broadcast ``array<array<long>>`` literal and an Arrow
+    kernel XOR-popcounts all queries per batch in numpy (vectorized
+    ``bitwise_xor`` over a (rows, queries, words) broadcast — no Python
+    per-row work).  A per-qid window takes the global top-k.  Per-query
+    results equal the single-query path exactly (pinned by test and by
+    the oracle's multi-query twin)."""
+    from vectordb_watermark_spark.functions.vector import pack_sign_words
+
+    qrows = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if not qrows:
+        raise ValueError("hamming_topk_batch: empty query block")
+    qids = [r["qid"] for r in qrows]
+    if len(set(qids)) != len(qids):
+        raise ValueError("hamming_topk_batch: duplicate qids in the query block")
+    dims = {len(r["qv"]) for r in qrows}
+    if len(dims) != 1:
+        raise ValueError(f"hamming_topk_batch: mixed query dims {sorted(dims)}")
+    dim = dims.pop()
+    import numpy as np
+
+    Q = np.asarray(
+        [_sign_words_py(list(r["qv"]), word_bits) for r in qrows],
+        dtype=np.int64,
+    )  # (nq, n_words)
+
+    from vectordb_watermark_spark.functions.arrowmat import arrow_type_of
+
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    qid_arrow = arrow_type_of(queries.schema[qid_col].dataType)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    packed = df.select(
+        F.col(id_col).alias("id"),
+        pack_sign_words(F.col(vec_col), dim, word_bits).alias("w"),
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            names = rb.schema.names
+            idc = rb.column(names.index("id"))
+            W = list_array_to_matrix(
+                rb.column(names.index("w")), dtype=np.int64
+            )  # (n, n_words)
+            if W.shape[1] != Q.shape[1]:
+                raise ValueError(
+                    f"corpus packs to {W.shape[1]} words but queries to "
+                    f"{Q.shape[1]} — vector dim mismatch"
+                )
+            # (n, nq, words) XOR; popcount via a uint8-view LUT (numpy<2
+            # has no bitwise_count) — still fully vectorized
+            x = np.ascontiguousarray(
+                np.bitwise_xor(W[:, None, :], Q[None, :, :])
+            )
+            lut = _POPCOUNT8
+            ham = lut[x.view(np.uint8)].reshape(
+                x.shape[0], x.shape[1], -1
+            ).sum(axis=2, dtype=np.int64)  # (n, nq)
+            n = W.shape[0]
+            out_qid, out_id, out_h = [], [], []
+            ids_py = idc.to_pylist()
+            top = min(k, n)
+            for qi in range(Q.shape[0]):
+                hq = ham[:, qi]
+                order = np.lexsort((np.asarray(ids_py, dtype=object), hq))[:top]
+                out_qid.extend([qids[qi]] * len(order))
+                out_id.extend(ids_py[int(j)] for j in order)
+                out_h.extend(int(hq[j]) for j in order)
+            if out_qid:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_qid, type=qid_arrow),
+                        pa.array(out_id, type=idc.type),
+                        pa.array(out_h, type=pa.int64()),
+                    ],
+                    names=["qid", "id", "hamming"],
+                )
+
+    cand = packed.mapInArrow(
+        kernel, schema=f"qid {qid_type}, id {id_type}, hamming long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
