@@ -1763,11 +1763,13 @@ def hamming_topk(
     )
 
 
-import numpy as _np
+def _popcount8():
+    import numpy as np
 
-_POPCOUNT8 = _np.array(
-    [bin(i).count("1") for i in range(256)], dtype=_np.int64
-)
+    return np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+_POPCOUNT8 = _popcount8()
 
 
 def hamming_topk_batch(
