@@ -1042,6 +1042,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup clustering: minhash candidates -> connected components
         return D.connected_components(D.minhash_candidate_pairs(_docs(spark, sf)))
 
+    def neardup_safe_split(spark, sf):  # dedup-aware split (round 11)
+        # every member of a discovered near-dup cluster lands on ONE side
+        # of the train/val boundary (Lee et al. 2022 leakage guard):
+        # minhash candidates -> components -> keyed-hash group split
+        from vectordb_watermark_spark.operators.quality import (
+            split_by_components,
+        )
+
+        d = _docs(spark, sf)
+        pairs = D.minhash_candidate_pairs(d)
+        return split_by_components(
+            d, pairs, val_frac=0.25, key="nds-11"
+        ).select("doc_id", "split")
+
+    def group_kfold_docs(spark, sf):  # leakage-guarded k-fold (round 11)
+        from vectordb_watermark_spark.operators.quality import group_kfold
+
+        return group_kfold(
+            _docs(spark, sf), "source", n_folds=5, key="kf-11"
+        ).select("doc_id", "fold")
+
     def dedup_simhash(spark, sf):
         return D.simhash(_docs(spark, sf))
 
@@ -2614,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_contract": audio_spectral_contract,
         "embedding_binarize": embedding_binarize,
         "zorder_contract": zorder_contract,
+        "neardup_safe_split": neardup_safe_split,
+        "group_kfold_docs": group_kfold_docs,
         "bm25_docs": bm25_docs,
         "hybrid_rag_fusion": hybrid_rag_fusion,
         "fuzzy_token_join": fuzzy_token_join,
@@ -3892,6 +3915,35 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
               SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
             )
             SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY id""",
+        "neardup_safe_split": f"""
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cpairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            ),
+            edges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+            reach(id, comp) AS (
+              SELECT a AS id, a AS comp FROM edges
+              UNION
+              SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            ),
+            labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   CASE WHEN {sql_keyed_uniform("'nds-11'", "'grpsplit'", "CAST(COALESCE(l.comp, d.doc_id) AS VARCHAR)")} < 0.25
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents d LEFT JOIN labels l ON l.id = d.doc_id""",
+        "group_kfold_docs": f"""
+            SELECT doc_id,
+                   CAST(LEAST(FLOOR({sql_keyed_uniform("'kf-11'", "'grpkfold'", "source")} * 5.0), 4) AS INT) AS fold
+            FROM documents""",
         # end-to-end curation: same component derivation, then keep only
         # canonical (min-id) documents passing the language + quality gates
         "corpus_curation": f"""

@@ -2680,3 +2680,58 @@ def test_index_info_describe(spark, tmp_path):
     assert pinfo["kind"] == "ivf_pq" and pinfo["layout"] == "flat"
     assert pinfo["batch_tags"] == {None: 40}
     assert pinfo["n_rows_live"] == 40 and pinfo["has_drift_baseline"]
+
+
+def test_split_by_components_atomic_and_deterministic(spark):
+    """Near-dup-aware split: every member of a pair-graph component lands
+    on one side; singletons split independently; deterministic and
+    partition-invariant; fraction sane on many singleton groups."""
+    from vectordb_watermark_spark.operators.quality import split_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    # clusters: {0,1,2}, {5,6}, {10,11,12,13} via chains
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11), (11, 12), (12, 13)],
+        "a long, b long",
+    )
+    out = split_by_components(docs, pairs, val_frac=0.3, key="t-nds")
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 400
+    for cluster in ([0, 1, 2], [5, 6], [10, 11, 12, 13]):
+        assert len({rows[i] for i in cluster}) == 1, cluster
+    # deterministic + partition-invariant
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_by_components(
+            docs.repartition(7), pairs.repartition(3), val_frac=0.3, key="t-nds"
+        ).collect()
+    }
+    assert again == rows
+    # fraction in expectation over ~395 groups
+    v = sum(1 for s in rows.values() if s == "val") / 400
+    assert 0.2 < v < 0.4, v
+    import pytest as _pt
+    with _pt.raises(ValueError, match="val_frac"):
+        split_by_components(docs, pairs, val_frac=1.5)
+
+
+def test_group_kfold_atomicity_and_balance(spark):
+    from vectordb_watermark_spark.operators.quality import group_kfold
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 50}") for i in range(1000)], "id long, grp string"
+    )
+    out = group_kfold(df, "grp", n_folds=5, key="t-kf")
+    rows = out.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], set()).add(r["fold"])
+    assert all(len(v) == 1 for v in by_grp.values())  # atomic per group
+    folds = {r["fold"] for r in rows}
+    assert folds <= set(range(5))
+    assert len(folds) >= 4  # 50 groups over 5 folds: all-but-degenerate
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_folds"):
+        group_kfold(df, "grp", n_folds=1)

@@ -456,3 +456,79 @@ def group_split(
             F.lit("train")
         ),
     )
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    n_folds: int = 5,
+    key: str = "kfold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold counterpart of :func:`group_split`: every row of a group
+    lands in the SAME fold (``0 .. n_folds-1``), so cross-validation
+    rotations carry the same leakage guarantee as the single split.
+    Keyed-hash on the group value — deterministic, partition-order
+    free, map-only; folds are equal-probability in expectation over
+    groups.  NULL groups hash as one atomic group (same in the twin)."""
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2; got {n_folds!r}")
+    from vectordb_watermark_spark.functions.hashing import keyed_uniform
+
+    u = keyed_uniform(key, "grpkfold", F.col(group_col).cast("string"))
+    fold = F.least(
+        F.floor(u * F.lit(float(n_folds))), F.lit(n_folds - 1)
+    ).cast("int")
+    return df.withColumn(fold_col, fold)
+
+
+def split_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    key: str = "split",
+    split_col: str = "split",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Near-dup-leakage-guarded train/validation split: every member of
+    a near-duplicate CLUSTER (connected component of the ``pairs``
+    graph) lands on the same side of the boundary.  :func:`group_split`
+    guards groups you can NAME (domain, conversation); this guards the
+    groups you have to DISCOVER — near-duplicates found by
+    MinHash/SimHash/embedding dedup.  Splitting rows instead lets a
+    training near-copy of an eval document leak its content across the
+    boundary — the measured train/test contamination that motivates
+    dedup-before-split (Lee et al. 2022, "Deduplicating training data
+    makes language models better").
+
+    Composition: ``dedup.connected_components`` labels each paired row
+    with its cluster's canonical min-id; unpaired rows are their own
+    singleton group; the split is then the keyed-hash group decision on
+    the cluster label (same determinism/map-only properties as
+    ``group_split`` once the labels exist; the only shuffles are the
+    component rounds and one left join, both bounded by the PAIR graph,
+    not the corpus).  Re-runnable: same key + same pairs -> same split.
+    """
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError(f"val_frac must be in [0, 1]; got {val_frac!r}")
+    from vectordb_watermark_spark.functions.hashing import keyed_uniform
+    from vectordb_watermark_spark.operators.dedup import connected_components
+
+    comps = connected_components(
+        pairs, a_col, b_col, checkpoint_dir=checkpoint_dir
+    ).select(F.col("id").alias("__cc_id"), F.col("comp").alias("__cc_comp"))
+    joined = df.join(comps, df[id_col] == F.col("__cc_id"), "left")
+    group = F.coalesce(F.col("__cc_comp"), df[id_col])
+    u = keyed_uniform(key, "grpsplit", group.cast("string"))
+    return (
+        joined.withColumn(
+            split_col,
+            F.when(u < F.lit(float(val_frac)), F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("__cc_id", "__cc_comp")
+    )
