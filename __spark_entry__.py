@@ -2484,77 +2484,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 121 oracles
+    # recomposed so the LEAST-recently-verified oracles lead — with 139 oracles
     # and a 50-slot window every oracle has a driver-green row within a 3-round
     # period (the full local tools/check_oracle.py run covers every oracle every
-    # round regardless of window position).  Round-11 window: the r8 remainder
-    # that was deferred out of the round-10 window leads (17 rows), then
-    # pq_drift_contract (the one round-10 oracle, never driver-verified), then
-    # the first 32 rows of the round-9-verified block (CORRECTNESS_r09.json
-    # order).  Below the line: the r9 remainder (18 rows, deferred to round
-    # 12), then the round-10 window (CORRECTNESS_r10.json).  Zero overlap with
-    # r10's 50.  The 5 rows-only entries stay at the very bottom permanently:
-    # in-window they record only a weak rows-only check, and their contracts
-    # are pinned by the hash-verified contract rows (knn_lsh_recall,
-    # ivf_recall, lsh_recall, pca_invariants, lsh_edges_exactness; BPE by
-    # tests/test_tokenizer.py).
+    # round regardless of window position).  Round-12 window: the 16 hash-exact
+    # round-11 additions lead (never driver-gated; judge-green in the r11
+    # check_oracle re-run), then the r9 remainder deferred out of the round-11
+    # window (18 rows), then the first 16 rows of the round-10-verified block
+    # (CORRECTNESS_r10.json order).  Below the line: the r10 remainder, then
+    # the round-11 window (most recently driver-verified,
+    # CORRECTNESS_r11.json), then oracles new in round 12 (lead the r13
+    # rotation).  Zero overlap with r11's 50.  The 5 rows-only entries stay at
+    # the very bottom permanently: in-window they record only a weak rows-only
+    # check, and their contracts are pinned by the hash-verified contract rows
+    # (knn_lsh_recall, ivf_recall, lsh_recall, pca_invariants,
+    # lsh_edges_exactness; BPE by tests/test_tokenizer.py) — standing
+    # rationale recorded in COVERAGE.md.
     return {
-        # -- r11 window head: r8 remainder deferred out of the round-10 window --
-        "events_cube": events_cube,
-        "set_ops_users": set_ops_users,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
-        "events_running_window": events_running_window,
-        "events_pivot": events_pivot,
-        "events_value_quantiles": events_value_quantiles,
-        "events_json_extract": events_json_extract,
-        "events_user_rollup": events_user_rollup,
-        "watermark_roundtrip": watermark_roundtrip,
-        "ivf_recall": ivf_recall,
-        "lsh_recall": lsh_recall,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_counts": q16_parts_supplier_counts,
-        "q20_excess_inventory": q20_excess_inventory,
-        # -- r11 window: the round-10 oracle, never driver-verified --
-        "pq_drift_contract": pq_drift_contract,
-        # -- r11 window body: first 32 rows last driver-verified in round 9 --
-        "q21_suppliers_waiting": q21_suppliers_waiting,
-        "doc_length_percentiles": doc_length_percentiles,
-        "embedding_dim_stats": embedding_dim_stats,
-        "lexical_diversity": lexical_diversity,
-        "gopher_quality_flags": gopher_quality_flags,
-        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
-        "ann_batch_exactness": ann_batch_exactness,
-        "semdedup_contract": semdedup_contract,
-        "text_normalize": text_normalize,
-        "lm_quality_buckets": lm_quality_buckets,
-        "doc_chunks": doc_chunks,
-        "url_curation": url_curation,
-        "embedding_outliers": embedding_outliers,
-        "quality_repetition": quality_repetition,
-        "pii_redaction": pii_redaction,
-        "decontaminate_docs": decontaminate_docs,
-        "sequence_packing": sequence_packing,
-        "corpus_logfreq_score": corpus_logfreq_score,
-        "quality_resample": quality_resample,
-        "codec_eval": codec_eval,
-        "source_mix": source_mix,
-        "source_capped_sample": source_capped_sample,
-        "corpus_curation": corpus_curation,
-        "dedup_components": dedup_components,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_quantize": embedding_quantize,
-        "knn_join_tables": knn_join_tables,
-        "paraphrase_candidates": paraphrase_candidates,
-        "sketch_distinct_tokens": sketch_distinct_tokens,
-        "top_tokens": top_tokens,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "crawl_dedup_join": crawl_dedup_join,
-        # ---- 50-query window line ------------------------------------------
-        # -- r9 remainder deferred to the round-12 window (stay green in the
-        # -- full local check_oracle run every round) --
+        # -- r12 window head: round-11 additions, never driver-gated --
+        "pq_tagged_contract": pq_tagged_contract,
+        "ann_delete_contract": ann_delete_contract,
+        "group_split_docs": group_split_docs,
+        "opq_contract": opq_contract,
+        "whitening_contract": whitening_contract,
+        "knn_pagerank": knn_pagerank,
+        "audio_spectral_contract": audio_spectral_contract,
+        "embedding_binarize": embedding_binarize,
+        "zorder_contract": zorder_contract,
+        "neardup_safe_split": neardup_safe_split,
+        "group_kfold_docs": group_kfold_docs,
+        "bm25_docs": bm25_docs,
+        "hybrid_rag_fusion": hybrid_rag_fusion,
+        "fuzzy_token_join": fuzzy_token_join,
+        "hamming_topk_q": hamming_topk_q,
+        "hamming_topk_batch_q": hamming_topk_batch_q,
+        # -- r12 window: r9 remainder deferred out of the round-11 window --
         "doc_embeddings": doc_embeddings,
         "curation_keep_best": curation_keep_best,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
@@ -2573,7 +2537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": point_lookup,
         "vector_scan": vector_scan,
         "vector_stats": vector_stats,
-        # -- r10 window (driver-green in round 10, CORRECTNESS_r10.json) --
+        # -- r12 window tail: first 16 of the round-10-verified block --
         "vector_mean": vector_mean,
         "knn_degrees": knn_degrees,
         "gated_degrees": gated_degrees,
@@ -2590,6 +2554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_agree": dedup_minhash_agree,
         "rag_pipeline": rag_pipeline,
         "ivf_drift_contract": ivf_drift_contract,
+        # ---- 50-query window line ------------------------------------------
+        # -- r10 remainder (deferred to the round-13 window; stay green in the
+        # -- full local check_oracle run every round) --
         "token_heavy_hitters": token_heavy_hitters,
         "dup_ngram_spans": dup_ngram_spans,
         "span_scrubbed_docs": span_scrubbed_docs,
@@ -2624,24 +2591,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
-        # -- new in round 11 (below the driver window; full-green locally via
-        # -- tools/check_oracle.py, leads the round-12 rotation) --
-        "pq_tagged_contract": pq_tagged_contract,
-        "ann_delete_contract": ann_delete_contract,
-        "group_split_docs": group_split_docs,
-        "opq_contract": opq_contract,
-        "whitening_contract": whitening_contract,
-        "knn_pagerank": knn_pagerank,
-        "audio_spectral_contract": audio_spectral_contract,
-        "embedding_binarize": embedding_binarize,
-        "zorder_contract": zorder_contract,
-        "neardup_safe_split": neardup_safe_split,
-        "group_kfold_docs": group_kfold_docs,
-        "bm25_docs": bm25_docs,
-        "hybrid_rag_fusion": hybrid_rag_fusion,
-        "fuzzy_token_join": fuzzy_token_join,
-        "hamming_topk_q": hamming_topk_q,
-        "hamming_topk_batch_q": hamming_topk_batch_q,
+        # -- r11 window (driver-green in round 11, CORRECTNESS_r11.json) --
+        "events_cube": events_cube,
+        "set_ops_users": set_ops_users,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_running_window": events_running_window,
+        "events_pivot": events_pivot,
+        "events_value_quantiles": events_value_quantiles,
+        "events_json_extract": events_json_extract,
+        "events_user_rollup": events_user_rollup,
+        "watermark_roundtrip": watermark_roundtrip,
+        "ivf_recall": ivf_recall,
+        "lsh_recall": lsh_recall,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q20_excess_inventory": q20_excess_inventory,
+        "pq_drift_contract": pq_drift_contract,
+        "q21_suppliers_waiting": q21_suppliers_waiting,
+        "doc_length_percentiles": doc_length_percentiles,
+        "embedding_dim_stats": embedding_dim_stats,
+        "lexical_diversity": lexical_diversity,
+        "gopher_quality_flags": gopher_quality_flags,
+        "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
+        "ann_batch_exactness": ann_batch_exactness,
+        "semdedup_contract": semdedup_contract,
+        "text_normalize": text_normalize,
+        "lm_quality_buckets": lm_quality_buckets,
+        "doc_chunks": doc_chunks,
+        "url_curation": url_curation,
+        "embedding_outliers": embedding_outliers,
+        "quality_repetition": quality_repetition,
+        "pii_redaction": pii_redaction,
+        "decontaminate_docs": decontaminate_docs,
+        "sequence_packing": sequence_packing,
+        "corpus_logfreq_score": corpus_logfreq_score,
+        "quality_resample": quality_resample,
+        "codec_eval": codec_eval,
+        "source_mix": source_mix,
+        "source_capped_sample": source_capped_sample,
+        "corpus_curation": corpus_curation,
+        "dedup_components": dedup_components,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_quantize": embedding_quantize,
+        "knn_join_tables": knn_join_tables,
+        "paraphrase_candidates": paraphrase_candidates,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
+        "top_tokens": top_tokens,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "crawl_dedup_join": crawl_dedup_join,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
