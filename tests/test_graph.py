@@ -115,3 +115,42 @@ def test_pagerank_validation(spark, toy):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty node set"):
         pagerank(empty)
+
+
+def test_pagerank_tol_early_stop(spark, toy):
+    """tol early-stop: a loose tolerance exits before the n_iter bound
+    (scores match a SHORTER fixed run, proving the loop actually
+    stopped), a zero tolerance runs to the bound and matches the
+    fixed-n_iter path bit for bit, and a negative tolerance is refused."""
+    edges, nodes, edge_list = toy
+
+    def run(**kw):
+        return {r["node"]: r["pr"] for r in pagerank(edges, nodes=nodes, **kw).collect()}
+
+    # delta after iteration k of the numpy twin tells us where a given
+    # tol must stop; a tol STRICTLY between two consecutive deltas is
+    # robust to the last-ulp float differences between engines
+    deltas = [float("inf")]
+    prev = _numpy_pagerank(6, edge_list, iters=0)
+    for k in range(1, 9):
+        cur = _numpy_pagerank(6, edge_list, iters=k)
+        deltas.append(float(np.abs(cur - prev).sum()))
+        prev = cur
+    ks = sorted(range(1, 9), key=lambda k: -deltas[k])
+    # pick the midpoint of the widest gap between consecutive sorted
+    # deltas so the stop iteration is unambiguous
+    gap = max(range(len(ks) - 1), key=lambda i: deltas[ks[i]] - deltas[ks[i + 1]])
+    tol = (deltas[ks[gap]] + deltas[ks[gap + 1]]) / 2
+    stop_at = next(k for k in range(1, 9) if deltas[k] <= tol)
+    assert stop_at < 8  # the early stop actually engages
+    got = run(n_iter=8, tol=tol)
+    ref = _numpy_pagerank(6, edge_list, iters=stop_at)
+    for i in range(6):
+        assert got[i] == pytest.approx(ref[i], abs=1e-12)
+
+    # tol=0 on a converging chain: still bounded by n_iter, identical to
+    # the fixed path (bit-identical trajectory contract)
+    assert run(n_iter=3, tol=0.0) == run(n_iter=3)
+
+    with pytest.raises(ValueError, match="tol"):
+        pagerank(edges, nodes=nodes, tol=-1.0)

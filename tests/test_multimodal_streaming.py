@@ -2155,3 +2155,164 @@ def test_audio_spectral_short_and_silent_clips(spark):
     assert got[0][:4] == [0.0, 0.0, 0.0, 0.0]
     assert got[1][:4] == [0.0, 0.0, 0.0, 0.0]
     assert len(got[0]) == 9
+
+
+def test_replay_fence_incremental_index(spark, tmp_path):
+    """Tombstone-fold replay fence (IVF sink): after a delete is FOLDED by
+    a compaction, a fresh-checkpoint replay of the victim batch must fail
+    loudly instead of silently resurrecting the deleted rows; batches
+    beyond the fence (same-checkpoint continuation) still land, and
+    on_fenced_replay='warn' opts back into the replay explicitly."""
+    import shutil
+
+    import numpy as np
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_fold_fence,
+        _resolve_index_root,
+        ivf_compact_index,
+        ivf_delete_ids,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_index
+
+    rng = np.random.default_rng(83)
+    src = tmp_path / "fence_src"
+    src.mkdir()
+
+    def add_file(name, rows):
+        stage = tmp_path / f"fence_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def vecs(n, start_id):
+        return [
+            (start_id + i, [float(round(x, 4)) for x in rng.standard_normal(8)])
+            for i in range(n)
+        ]
+
+    idx = str(tmp_path / "ivf_fence")
+
+    def run(ckpt, **kw):
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_index(
+            stream, idx, str(tmp_path / ckpt), n_centroids=2, key="fen", **kw
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    add_file("a", vecs(30, 0))
+    run("ck1")  # batch 0 bootstraps
+
+    assert ivf_delete_ids(spark, idx, [3, 7]) == 2
+    ivf_compact_index(spark, idx, key="fen", gc_keep_last=None)
+    root = _resolve_index_root(spark, idx)
+    assert _load_fold_fence(spark, root) == 0  # victims came from batch 0
+    assert spark.read.parquet(f"{root}/vectors").count() == 28
+
+    # same-checkpoint continuation: batch 1 > fence, lands normally
+    add_file("b", vecs(20, 100))
+    run("ck1")
+    root = _resolve_index_root(spark, idx)
+    assert spark.read.parquet(f"{root}/vectors").count() == 48
+
+    # fresh-checkpoint replay: batch 0 replays at or below the fence -> loud
+    with pytest.raises(StreamingQueryException, match="tombstone-fold fence"):
+        run("ck2")
+    root = _resolve_index_root(spark, idx)
+    got = spark.read.parquet(f"{root}/vectors")
+    assert got.filter(F.col("id").isin(3, 7)).count() == 0  # no resurrection
+
+    # explicit operator decision: warn-and-proceed replays (and, this being
+    # a tombstone-over-replay design, re-inserts the folded victims)
+    with pytest.warns(UserWarning, match="tombstone-fold fence"):
+        run("ck3", on_fenced_replay="warn")
+    # invalid mode fails at the driver, before any batch work
+    with pytest.raises(StreamingQueryException, match="on_fenced_replay"):
+        run("ck4", on_fenced_replay="bogus")
+
+
+def test_replay_fence_incremental_pq_index(spark, tmp_path):
+    """Tombstone-fold replay fence (IVF-PQ sink): the in-stream
+    drift-triggered recompaction folds a between-runs delete, commits the
+    victim watermark through _fence_floor atomically with the version,
+    and a fresh-checkpoint replay of the victim batch then fails loudly."""
+    import shutil
+
+    import numpy as np
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from vectordb_watermark_spark.operators.similarity import (
+        _load_fold_fence,
+        _resolve_index_root,
+        ivf_delete_ids,
+    )
+    from vectordb_watermark_spark.streaming.curation import incremental_pq_index
+
+    rng = np.random.default_rng(89)
+    src = tmp_path / "pq_fence_src"
+    src.mkdir()
+
+    def add_file(name, rows):
+        stage = tmp_path / f"pq_fence_stage_{name}"
+        spark.createDataFrame(rows, "id long, emb array<float>").coalesce(1)\
+            .write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def blob(center, n, start_id):
+        return [
+            (
+                start_id + i,
+                [
+                    float(round(x, 4))
+                    for x in np.asarray(center) + 0.05 * rng.standard_normal(8)
+                ],
+            )
+            for i in range(n)
+        ]
+
+    idx = str(tmp_path / "ivfpq_fence")
+    arc = str(tmp_path / "ivfpq_fence_raw")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, emb array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_pq_index(
+            stream, idx, arc, str(tmp_path / ckpt),
+            n_centroids=4, m=4, n_codes=8, key="pqf",
+            compact_code_tv_threshold=0.2,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    add_file("a", blob([1.0] + [0.0] * 7, 40, 0))
+    run("ck1")  # batch 0 bootstraps
+
+    assert ivf_delete_ids(spark, idx, [1, 2]) == 2
+    # far cluster drifts the codes (batch 1 writes it, batch 2's
+    # entry-check sees the drift): the trigger batch folds + records fence
+    add_file("b", blob([0.0] * 7 + [20.0], 40, 1000))
+    add_file("c", blob([1.0] + [0.0] * 7, 10, 5000))
+    run("ck1")
+    root = _resolve_index_root(spark, idx)
+    assert root != idx  # the recompaction committed a version
+    assert _load_fold_fence(spark, root) == 0
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == 88
+    assert codes.filter(F.col("id").isin(1, 2)).count() == 0
+
+    # fresh-checkpoint replay trips the fence before any write
+    with pytest.raises(StreamingQueryException, match="tombstone-fold fence"):
+        run("ck2")
+    root = _resolve_index_root(spark, idx)
+    assert spark.read.parquet(f"{root}/codes")\
+        .filter(F.col("id").isin(1, 2)).count() == 0
+    assert spark.read.parquet(arc).filter(F.col("id").isin(1, 2)).count() == 0

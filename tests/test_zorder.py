@@ -33,7 +33,11 @@ def test_morton_interleaving_bit_exact(spark):
     # 4 quantile buckets per column over uniform ids 0..15
     rows = [(i, float(i), float(15 - i)) for i in range(16)]
     df = spark.createDataFrame(rows, "id long, x double, y double")
-    keyed, key = zorder_value(df, ["x", "y"], bits=2)
+    # exact=True: the pin here is the Morton bit interleave given KNOWN
+    # interpolated quantile buckets; the default bounded-state sketch picks
+    # element boundaries (±ε bucket shifts) and is covered by the
+    # span-narrowing / balance contracts below
+    keyed, key = zorder_value(df, ["x", "y"], bits=2, exact=True)
     got = {r["id"]: r[key] for r in keyed.collect()}
 
     def morton(bx, by):

@@ -2065,16 +2065,13 @@ def audio_spectral_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[bytes_col])
-                rate, x = _decode_audio_payload(raw)
+            for rid, raw in zip(pdf[id_col].to_numpy(), pdf[bytes_col]):
+                rate, x = _decode_audio_payload(bytes(raw))
                 feats = _spectral_frame_feats(
                     x, rate, n_fft=n_fft, n_bands=n_bands
                 )
                 feats = feats[:4] + [float(rate)] + feats[4:]
-                rows.append(
-                    (r[id_col], [np.float32(v) for v in feats])
-                )
+                rows.append((rid, [np.float32(v) for v in feats]))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "features"])
 

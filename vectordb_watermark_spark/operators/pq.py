@@ -646,6 +646,7 @@ def ivf_pq_compact_index(
     gc_keep_last: int | None = 1,
     batch_col: str | None = None,
     opq: bool = False,
+    _fence_floor: int | None = None,
 ) -> tuple[list[list[float]], np.ndarray]:
     """Rebuild a persisted IVF-PQ index from SOURCE vectors, keeping the
     stored geometry by default — the maintenance pass after heavy
@@ -755,9 +756,31 @@ def ivf_pq_compact_index(
         base = rotate_vectors(base, R, vec_col="v")
     # FOLD tombstones (ivf_delete_ids): deleted ids are dropped even if
     # the caller-provided source still contains them, and the tombstone
-    # set is not carried into the new version
+    # set is not carried into the new version.  With a tagged source the
+    # replay fence advances to the highest victim-containing stream batch
+    # (see similarity._write_fold_fence) so a fresh-checkpoint replay of
+    # those batches cannot silently resurrect the deleted rows.
+    from vectordb_watermark_spark.operators.similarity import (
+        _folded_stream_fence,
+        _load_fold_fence,
+        _write_fold_fence,
+    )
+
     tomb = _load_tombstones(spark, cur_root)
+    fence = _load_fold_fence(spark, cur_root)
+    if _fence_floor is not None:
+        # the streaming sink pre-folds its raw archive (so this source no
+        # longer CONTAINS the victims) and passes the victim watermark it
+        # computed doing so — committed here, atomically with the version
+        fence = max(fence, _fence_floor) if fence is not None else _fence_floor
     if tomb is not None:
+        if batch_col is not None:
+            victim_tags = [
+                r["batch"]
+                for r in base.join(tomb, "id", "semi")
+                .select("batch").distinct().collect()
+            ]
+            fence = _folded_stream_fence(fence, victim_tags)
         base = base.join(tomb, "id", "left_anti")
     base = base.persist()
     try:
@@ -826,6 +849,8 @@ def ivf_pq_compact_index(
         spark, vdir, _decoded_residual_energy(written, books), written.count(),
         _code_histogram(written),
     )
+    if fence is not None:
+        _write_fold_fence(spark, vdir, fence)
     # every piece is staged — atomic rename onto _v{N}, THE commit, then
     # GC (skipped entirely under gc_keep_last=None)
     _publish_index_version(spark, path, next_seq, vdir)

@@ -1151,6 +1151,52 @@ def _load_index_meta(spark, path: str) -> dict | None:
     return row[0].asDict()
 
 
+def _write_fold_fence(spark, path: str, last_fold_batch_id: int) -> None:
+    """Persist the replay fence sidecar ``{path}/fold_fence`` (single-row
+    parquet: the highest ``stream-N`` micro-batch id whose rows were ever
+    TOMBSTONE-FOLDED by a compaction).
+
+    A delete is an index operation, not a source rewrite — after a fold
+    clears the tombstones, a fresh-checkpoint replay of a pre-delete
+    micro-batch would re-insert the deleted rows from source with nothing
+    left to mask them.  The fence turns that silent resurrection into an
+    operator decision: the streaming sinks refuse (or warn on, per
+    ``on_fenced_replay``) any micro-batch whose ``batch_id`` is at or
+    below this watermark.  Only victim-CONTAINING batches advance the
+    fence, so ordinary checkpoint retries of newer batches pass."""
+    tmp = f"{path}/fold_fence__tmp"
+    spark.createDataFrame(
+        [(int(last_fold_batch_id),)], "last_fold_batch_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_dir_atomic(spark, tmp, f"{path}/fold_fence")
+
+
+def _load_fold_fence(spark, path: str) -> int | None:
+    """Read the replay fence sidecar, or ``None`` when no tombstone fold
+    has ever touched a streamed batch of this index."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path(f"{path}/fold_fence")):
+        return None
+    row = spark.read.parquet(f"{path}/fold_fence").collect()
+    if len(row) != 1:
+        raise ValueError(f"corrupt fold fence sidecar at {path}/fold_fence")
+    return int(row[0]["last_fold_batch_id"])
+
+
+def _folded_stream_fence(prior: int | None, victim_tags) -> int | None:
+    """Next fence value: max of the carried-forward fence and the
+    ``stream-N`` ids among the victim-containing batch tags."""
+    ids = [
+        int(str(t).split("-", 1)[1])
+        for t in victim_tags
+        if str(t).startswith("stream-")
+    ]
+    if prior is not None:
+        ids.append(int(prior))
+    return max(ids) if ids else None
+
+
 def ivf_append_index(
     df: DataFrame,
     path: str,
@@ -1476,9 +1522,20 @@ def ivf_compact_index(
         "id", "v", F.col("batch").cast("string").alias("batch")
     )
     # FOLD tombstones: deleted rows are dropped from the rebuilt version
-    # and the tombstone set is not carried forward (ivf_delete_ids)
+    # and the tombstone set is not carried forward (ivf_delete_ids).  The
+    # replay fence advances to the highest victim-containing stream batch
+    # (bounded collect: distinct tags of victim rows only) so a
+    # fresh-checkpoint replay of those batches cannot silently resurrect
+    # the deleted rows; the prior fence carries forward regardless.
     tomb = _load_tombstones(spark, cur_root)
+    fence = _load_fold_fence(spark, cur_root)
     if tomb is not None:
+        victim_tags = [
+            r["batch"]
+            for r in src.join(tomb, "id", "semi")
+            .select("batch").distinct().collect()
+        ]
+        fence = _folded_stream_fence(fence, victim_tags)
         src = src.join(tomb, "id", "left_anti")
     id_type = (
         meta["id_type"] if meta is not None
@@ -1513,6 +1570,8 @@ def ivf_compact_index(
             fs.mkdirs(jvm_path(f"{vdir}/append_claims"))
             for n in appends:
                 fs.createNewFile(jvm_path(f"{vdir}/append_claims/append-{n}.claim"))
+        if fence is not None:
+            _write_fold_fence(spark, vdir, fence)
         # every piece is staged — atomic rename onto _v{N}, THE commit,
         # then GC (skipped entirely under gc_keep_last=None)
         _publish_index_version(spark, path, next_seq, vdir)

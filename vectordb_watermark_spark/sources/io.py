@@ -311,17 +311,26 @@ def merge_from_staging_sql(
 
 
 def zorder_value(
-    df: DataFrame, cols: list[str], bits: int = 8
+    df: DataFrame, cols: list[str], bits: int = 8, exact: bool = False
 ) -> tuple[DataFrame, str]:
     """Append a Morton (Z-order) key column interleaving ``bits``
     quantile-bucket bits per column -> ``(df_with_key, key_col_name)``.
 
     Each column is first mapped to a ``2^bits``-level rank bucket via
-    its exact quantile boundaries (one bounded ``percentile`` aggregate
-    per call — ``2^bits + 1`` doubles to the driver, independent of row
-    count), so skewed and differently-scaled columns interleave fairly;
-    then the bucket bits interleave ``x0 y0 x1 y1 ...`` into one long.
-    Everything after the one aggregate is per-row codegen expressions.
+    its quantile boundaries (one ``approx_percentile`` aggregate per
+    call — bounded-state Greenwald-Khanna summaries on the executors,
+    ``2^bits + 1`` doubles to the driver, independent of row count AND
+    of column cardinality), so skewed and differently-scaled columns
+    interleave fairly; then the bucket bits interleave
+    ``x0 y0 x1 y1 ...`` into one long.  Everything after the one
+    aggregate is per-row codegen expressions.
+
+    Bucket boundaries do not need exactness — file-span narrowing is
+    unchanged by an ±ε boundary shift — so the default is the
+    bounded-state sketch (the exact ``percentile`` aggregate buffers
+    every distinct value per column in executor memory, an OOM on a
+    high-cardinality double column at 100 TB).  ``exact=True`` keeps
+    the old exact path for small deterministic twins.
     """
     if not cols:
         raise ValueError("zorder_value: no columns")
@@ -333,10 +342,26 @@ def zorder_value(
         )
     n_b = 1 << bits
     qs = [i / n_b for i in range(n_b + 1)]
-    row = df.agg(*[
-        F.percentile(F.col(c).cast("double"), F.array(*[F.lit(q) for q in qs])).alias(c)
-        for c in cols
-    ]).collect()[0]
+    if exact:
+        q_agg = [
+            F.percentile(
+                F.col(c).cast("double"), F.array(*[F.lit(q) for q in qs])
+            ).alias(c)
+            for c in cols
+        ]
+    else:
+        # GK sketch: state is O(accuracy) per column regardless of
+        # cardinality; 1e-4 relative rank error is far below bucket width
+        # for any bits <= 12
+        q_agg = [
+            F.percentile_approx(
+                F.col(c).cast("double"),
+                F.array(*[F.lit(q) for q in qs]),
+                F.lit(10000),
+            ).alias(c)
+            for c in cols
+        ]
+    row = df.agg(*q_agg).collect()[0]
     bucketed = []
     for c in cols:
         # strictly increasing boundary subsequence (duplicate quantiles on
@@ -387,8 +412,8 @@ def write_zordered(
     hyper-rectangle of the value space and parquet min/max (and any
     bloom) stats prune files for predicates on ANY of the columns —
     unlike a single-column sort, which only prunes its leading column.
-    One bounded quantile aggregate + one range shuffle; scale-safe at
-    any corpus size.
+    One bounded-state quantile sketch + one range shuffle; scale-safe
+    at any corpus size and any column cardinality.
 
     No reference analogue (the reference has no storage layout layer);
     cited pattern: Morton curves as shipped by Delta Lake / Iceberg.

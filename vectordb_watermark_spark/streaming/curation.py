@@ -117,6 +117,43 @@ def _check_batch_dim(base, expected: int, sink: str) -> None:
         )
 
 
+def _check_replay_fence(
+    spark, root: str, batch_id: int, on_fenced_replay: str, sink: str
+) -> None:
+    """Refuse (or loudly warn on) a micro-batch at or below the index's
+    tombstone-fold fence (``similarity._write_fold_fence``): those
+    batches' rows were deleted and then FOLDED — the tombstones that
+    would mask a re-insert are gone, so replaying them from a fresh
+    checkpoint silently resurrects deleted rows.  ``error`` (default)
+    fails the batch and makes the replay an operator decision (reset the
+    checkpoint FORWARD of the fence, or re-issue the deletes after the
+    backfill); ``warn`` logs and proceeds for deployments that re-issue
+    deletes downstream."""
+    if on_fenced_replay not in ("error", "warn"):
+        raise ValueError(
+            f"on_fenced_replay must be 'error' or 'warn', got "
+            f"{on_fenced_replay!r}"
+        )
+    from vectordb_watermark_spark.operators.similarity import _load_fold_fence
+
+    fence = _load_fold_fence(spark, root)
+    if fence is None or int(batch_id) > fence:
+        return
+    msg = (
+        f"{sink}: micro-batch {int(batch_id)} is at or below the index's "
+        f"tombstone-fold fence ({fence}): rows deleted from batches "
+        f"<= {fence} were already folded away, so replaying those batches "
+        f"re-inserts them with no tombstone left to mask them.  Start the "
+        f"backfill from a checkpoint beyond the fence, or re-issue the "
+        f"deletes after it (on_fenced_replay='warn' proceeds anyway)."
+    )
+    if on_fenced_replay == "error":
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=2)
+
+
 def incremental_index(
     stream: DataFrame,
     index_path: str,
@@ -129,6 +166,7 @@ def incremental_index(
     compact_drift_threshold: float | None = None,
     drift_sample_fraction: float | None = None,
     compact_gc_keep_last: int | None = 2,
+    on_fenced_replay: str = "error",
 ):
     """Streaming ANN-index maintenance sink: keep a persisted IVF index
     (operators/similarity layout, queried by ``ivf_query_index``)
@@ -181,9 +219,13 @@ def incremental_index(
     Deletes (``similarity.ivf_delete_ids``, issued between stream runs)
     compose: queries mask immediately, the drift-triggered compaction
     folds them (this index stores raw vectors, so no separate archive
-    fold is needed).  Tombstone-over-replay caveat as everywhere: a
-    full fresh-checkpoint replay of pre-delete batches re-inserts those
-    rows from source — fence checkpoint resets behind the last fold.
+    fold is needed).  Tombstone-over-replay is FENCED, not just
+    documented: each fold records the highest victim-containing
+    ``stream-N`` id in the index's ``fold_fence`` sidecar, and this sink
+    refuses (``on_fenced_replay='error'``, default) or warns on
+    (``'warn'``) any micro-batch at or below it — a fresh-checkpoint
+    replay that would silently resurrect folded-away deletes becomes an
+    operator decision instead.
     """
     from vectordb_watermark_spark.operators.similarity import (
         _ivf_assign_pass,
@@ -208,6 +250,9 @@ def incremental_index(
         # dir PER BATCH, so a batch-layer compaction between micro-batches
         # redirects the stream into the new version automatically
         root = _resolve_index_root(spark, index_path)
+        _check_replay_fence(
+            spark, root, batch_id, on_fenced_replay, "incremental_index"
+        )
         if compact_drift_threshold is not None:
             jp = spark._jvm.org.apache.hadoop.fs.Path
             f0 = jp(root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -311,6 +356,7 @@ def incremental_pq_index(
     drift_sample_fraction: float | None = None,
     compact_gc_keep_last: int | None = 2,
     opq: bool = False,
+    on_fenced_replay: str = "error",
 ):
     """Streaming IVF-PQ index maintenance sink — the compressed twin of
     :func:`incremental_index`, completing the maintenance symmetry the
@@ -361,11 +407,13 @@ def incremental_pq_index(
     the codes and the raw archive (only archive batch dirs that contain
     victims are rewritten, via staged atomic swaps; a crash mid-fold
     self-heals because the tombstones stay in place until the compaction
-    commits).  One caveat is inherent to tombstone-over-replay designs:
-    a FULL fresh-checkpoint replay of batches ingested before the delete
-    re-inserts those rows from the source — a delete is an index
-    operation, not a source rewrite; fence checkpoint resets behind the
-    last fold the way any log-compacted system fences replays.
+    commits).  The inherent tombstone-over-replay hazard — a FULL
+    fresh-checkpoint replay of pre-delete batches re-inserting rows the
+    fold already dropped (a delete is an index operation, not a source
+    rewrite) — is FENCED: each fold records the highest
+    victim-containing ``stream-N`` id in the ``fold_fence`` sidecar and
+    this sink refuses (``on_fenced_replay='error'``, default) or warns
+    on (``'warn'``) any micro-batch at or below it.
     """
     from vectordb_watermark_spark.operators.opq import (
         opq_train_rotation,
@@ -402,6 +450,9 @@ def incremental_pq_index(
         spark = batch_df.sparkSession
         tag = f"stream-{int(batch_id)}"
         root = _resolve_index_root(spark, index_path)
+        _check_replay_fence(
+            spark, root, batch_id, on_fenced_replay, "incremental_pq_index"
+        )
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path
         fs = jvm_path(root).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -429,7 +480,12 @@ def incremental_pq_index(
                     _load_tombstones,
                 )
 
+                from vectordb_watermark_spark.operators.similarity import (
+                    _folded_stream_fence,
+                )
+
                 tomb = _load_tombstones(spark, root)
+                fence_floor = None
                 if tomb is not None:
                     arc = spark.read.parquet(archive_path)
                     affected = [
@@ -437,6 +493,11 @@ def incremental_pq_index(
                         for r in arc.join(tomb, "id", "semi")
                         .select("batch").distinct().collect()
                     ]
+                    # the archive fold below removes the victims, so the
+                    # compactor cannot re-derive which stream batches they
+                    # came from — compute the replay-fence watermark here
+                    # and pass it down to be committed with the version
+                    fence_floor = _folded_stream_fence(None, affected)
                     for tag_ in affected:
                         kept = spark.read.parquet(
                             f"{archive_path}/batch={tag_}"
@@ -452,6 +513,7 @@ def incremental_pq_index(
                     coarse_iters=coarse_iters, pq_iters=pq_iters, key=key,
                     id_col="id", vec_col="v", batch_col="batch",
                     gc_keep_last=compact_gc_keep_last,
+                    _fence_floor=fence_floor,
                 )
                 root = _resolve_index_root(spark, index_path)
                 fs = jvm_path(root).getFileSystem(
