@@ -1457,6 +1457,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), ["batch", "data", "fast"]
         ).select(F.col("id").alias("doc_id"), "score")
 
+    def bm25_index_docs(spark, sf):  # persisted-postings BM25 (round 12)
+        # the many-query production path: build the postings index once
+        # (term-range-sorted parquet, file pruning on t IN (...)), score
+        # from the index only — arithmetic-identical to bm25_scores, so
+        # the SAME DuckDB twin pins it hash-exact end to end.
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.operators.retrieval import (
+            bm25_build_index,
+            bm25_query_index,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        idx = os.path.join(
+            scratch, f"oracle_bm25_{os.path.basename(str(sf))}"
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        bm25_build_index(_docs(spark, sf), idx)
+        return bm25_query_index(spark, idx, ["batch", "data", "fast"]).select(
+            F.col("id").alias("doc_id"), "score"
+        )
+
     def hybrid_rag_fusion(spark, sf):  # hybrid retrieval + RRF (round 11)
         # the production RAG retrieval shape, end to end: BM25 top-20
         # (lexical) + hash-embedding dot-product top-20 vs doc 0's vector
@@ -2642,6 +2668,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": top_tokens,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "crawl_dedup_join": crawl_dedup_join,
+        # -- new in round 12 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, leads the round-13 rotation) --
+        "bm25_index_docs": bm25_index_docs,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2939,6 +2968,31 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
                    CAST(TRUE AS BOOLEAN) AS files_balanced
             FROM lineitem""",
         "bm25_docs": f"""
+            WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
+            docs AS (SELECT id, len(ts) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+            hits AS (
+              SELECT dd.id, dd.dl, t
+              FROM (SELECT id, len(ts) AS dl, ts FROM d) dd
+              CROSS JOIN UNNEST(dd.ts) AS u(t)
+              WHERE t IN ('batch', 'data', 'fast')
+            ),
+            tf AS (SELECT id, dl, t, count(*) AS tf FROM hits GROUP BY id, dl, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            idf AS (
+              SELECT t, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+              FROM dfreq CROSS JOIN stats
+            ),
+            bm AS (
+              SELECT tf.id AS doc_id,
+                     ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+              FROM tf JOIN idf USING (t) GROUP BY tf.id
+            )
+            SELECT doc_id, score FROM bm""",
+        # identical formula to bm25_docs — the persisted-postings path must
+        # reproduce the one-shot scores bit for bit
+        "bm25_index_docs": f"""
             WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
             docs AS (SELECT id, len(ts) AS dl FROM d),
             stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),

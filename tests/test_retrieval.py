@@ -123,3 +123,65 @@ def test_rrf_matches_formula_and_handles_absence(spark):
         reciprocal_rank_fusion([])
     with pytest.raises(ValueError, match="k must be"):
         reciprocal_rank_fusion([a], k=0)
+
+
+def test_bm25_index_parity_with_oneshot(spark, docs, tmp_path):
+    """The persisted-postings path returns EXACTLY the one-shot scores
+    (same expression shapes -> bit-identical doubles at the shared
+    rounding), across multiple queries against one build."""
+    from vectordb_watermark_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_query_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx")
+    bm25_build_index(docs, idx, n_files=4)
+    for terms in (["data", "model"], ["pipeline"], ["data", "zzz_absent"]):
+        got = {
+            r["id"]: r["score"]
+            for r in bm25_query_index(spark, idx, terms).collect()
+        }
+        want = {
+            r["id"]: r["score"]
+            for r in bm25_scores(docs, terms).collect()
+        }
+        assert got == want, terms
+
+    # layout invariants: postings term-sorted per file, sidecars bounded
+    post = spark.read.parquet(f"{idx}/postings")
+    assert post.columns == ["t", "id", "dl", "tf"]
+    stats = spark.read.parquet(f"{idx}/corpus_stats").collect()
+    assert len(stats) == 1 and stats[0]["n_docs"] == 5
+    tstats = spark.read.parquet(f"{idx}/term_stats")
+    assert tstats.count() == post.select("t").distinct().count()
+
+    with pytest.raises(ValueError, match="empty query_terms"):
+        bm25_query_index(spark, idx, [])
+
+
+def test_bm25_index_query_prunes_scan(spark, docs, tmp_path):
+    """Query-time plan contract: the term predicate is PUSHED to the
+    postings parquet scan (file pruning via the build-time term-range
+    sort) and the original documents table is not in the plan at all."""
+    from vectordb_watermark_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_query_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx_plan")
+    bm25_build_index(docs, idx, n_files=4)
+    q = bm25_query_index(spark, idx, ["data", "model"])
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    # the only file scans are the index sidecars + postings
+    assert "postings" in plan
+    assert "documents" not in plan and "text" not in plan
+    # pushed term filter on the postings scan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(t" in p for p in pushed), plan

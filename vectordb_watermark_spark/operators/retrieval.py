@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from vectordb_watermark_spark.functions.text import tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "reciprocal_rank_fusion"]
+__all__ = [
+    "bm25_build_index",
+    "bm25_query_index",
+    "bm25_scores",
+    "bm25_topk",
+    "reciprocal_rank_fusion",
+]
 
 
 def bm25_scores(
@@ -80,6 +86,126 @@ def bm25_scores(
         "avgdl",
     )
     contrib = tf.join(F.broadcast(idf), "t").select(
+        "id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        ).alias("c"),
+    )
+    score = F.sum("c")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    return contrib.groupBy("id").agg(score.alias("score"))
+
+
+def bm25_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Build a persisted BM25 postings index — the production shape for
+    the MANY-QUERY workload (:func:`bm25_scores` re-tokenizes the corpus
+    per call; this tokenizes ONCE and each query then touches only its
+    own terms' postings).
+
+    Layout under ``path``:
+
+    - ``postings/`` — ``(t, id, dl, tf)``, one row per (term, document)
+      pair, range-partitioned AND sorted by term: every parquet file
+      covers a narrow contiguous term range, so the ``t IN (...)``
+      predicate of a query prunes to the handful of files containing its
+      terms via min/max stats (the inverted-index seek, gotten from
+      parquet statistics instead of a custom file format);
+    - ``term_stats/`` — ``(t, df)``, one row per vocabulary term
+      (bounded by vocabulary size, not corpus size);
+    - ``corpus_stats/`` — one row ``(n_docs, avgdl)``.
+
+    Build cost is one corpus scan + one shuffle of the exploded tokens —
+    the same work ONE ad-hoc :func:`bm25_scores` call does, amortized
+    over every query that follows.  At 100 TB the postings table is
+    O(total distinct (term, doc) pairs); the range partitioning keeps
+    per-query IO proportional to the queried terms' document frequency,
+    never the corpus.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
+    ).select("id", F.size("__ts").alias("dl"), "__ts")
+    docs = docs.persist()
+    try:
+        (
+            docs.agg(
+                F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+            )
+            .coalesce(1)
+            .write.mode(mode)
+            .parquet(f"{path}/corpus_stats")
+        )
+        tf = (
+            docs.select("id", "dl", F.explode("__ts").alias("t"))
+            .groupBy("t", "id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        (
+            tf.repartitionByRange(n_files, "t")
+            .sortWithinPartitions("t", "id")
+            .write.mode(mode)
+            .parquet(f"{path}/postings")
+        )
+        # df per term from the WRITTEN postings (one narrow re-read, no
+        # second tokenize pass; map-side combine before the term shuffle)
+        spark = df.sparkSession
+        (
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartitionByRange(max(1, n_files // 4), "t")
+            .sortWithinPartitions("t")
+            .write.mode(mode)
+            .parquet(f"{path}/term_stats")
+        )
+    finally:
+        docs.unpersist()
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Score a query against a :func:`bm25_build_index` postings index ->
+    ``(id, score)``, arithmetic-identical to :func:`bm25_scores` on the
+    same corpus (same expression shapes, so the doubles match bit for
+    bit at the shared rounding).
+
+    NO full-corpus scan: the ``t IN (...)`` filter reaches the postings
+    parquet scan as a pushed predicate and the build-time term-range
+    sort turns it into file-level pruning — per-query IO is the queried
+    terms' postings lists plus two tiny sidecar reads."""
+    if not query_terms:
+        raise ValueError("bm25_query_index: empty query_terms")
+    terms = sorted(set(query_terms))
+    stats = spark.read.parquet(f"{path}/corpus_stats")
+    dfreq = spark.read.parquet(f"{path}/term_stats").filter(
+        F.col("t").isin(terms)
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("t").isin(terms)
+    )
+    contrib = post.join(F.broadcast(idf), "t").select(
         "id",
         (
             F.col("idf")
