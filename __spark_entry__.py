@@ -1647,6 +1647,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tones_not_flat boolean, fingerprint_separates boolean",
         )
 
+    def audio_neardup_pipeline(spark, sf):  # audio fingerprint dedup (round 12)
+        # END-TO-END audio twin of rag_pipeline: WAV bytes -> FFT log-band
+        # fingerprint (audio_spectral_features) -> the SAME embedding
+        # near-dup operator the text stack uses (cosine_neardup_pairs).
+        # Planted corpus: 6 near-identical tone pairs (+3 Hz twins, each
+        # pair in its own log band -> cos > 0.999) and 5 singleton tones
+        # in distinct bands (max cross-clip cos ~= 0.71, measured), so at
+        # threshold 0.95 the recovered pair set IS the planted set — an
+        # integer result the DuckDB twin pins as a constant, tied to the
+        # corpus via the documents row count.
+        import struct
+
+        import numpy as np
+
+        from vectordb_watermark_spark.operators.multimodal import (
+            audio_spectral_features,
+        )
+        from vectordb_watermark_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        rate = 16000
+
+        def tone_wav(freq):
+            t = np.arange(4096) / rate
+            x = (0.6 * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            data = x.tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return (
+                b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+            )
+
+        rows = []
+        for g, f in enumerate([230, 480, 1000, 2100, 4500, 6500]):
+            rows.append((2 * g, bytearray(tone_wav(f))))
+            rows.append((2 * g + 1, bytearray(tone_wav(f + 3))))
+        for s, f in enumerate([155, 330, 700, 1500, 3100]):
+            rows.append((12 + s, bytearray(tone_wav(f))))
+        clips = spark.createDataFrame(rows, "id long, media binary")
+        emb = audio_spectral_features(clips, n_bands=16).select(
+            "id", F.slice("features", 6, 16).alias("emb")
+        )
+        n_docs = _docs(spark, sf).count()
+        return (
+            cosine_neardup_pairs(emb, threshold=0.95, method="exact")
+            .select(
+                F.col("a").cast("long").alias("a"),
+                F.col("b").cast("long").alias("b"),
+                F.lit(int(n_docs)).cast("long").alias("n_docs"),
+            )
+        )
+
     # ---- non-SQL-expressible (rows-only checks) ----
 
     def knn_lsh_edges(spark, sf):  # approximate: contract-tested, not oracled
@@ -2671,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 12 (below the driver window; full-green locally via
         # -- tools/check_oracle.py, leads the round-13 rotation) --
         "bm25_index_docs": bm25_index_docs,
+        "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -2990,6 +3047,15 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
               FROM tf JOIN idf USING (t) GROUP BY tf.id
             )
             SELECT doc_id, score FROM bm""",
+        # planted ground truth: the audio pipeline's wide margins (planted
+        # cos > 0.999, cross < 0.71 at threshold 0.95) make the recovered
+        # pair set the exact planted constant; tied to the tables via the
+        # documents row count
+        "audio_neardup_pipeline": """
+            SELECT CAST(v.a AS BIGINT) AS a, CAST(v.b AS BIGINT) AS b,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+            FROM (VALUES (0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11))
+                 v(a, b)""",
         # identical formula to bm25_docs — the persisted-postings path must
         # reproduce the one-shot scores bit for bit
         "bm25_index_docs": f"""

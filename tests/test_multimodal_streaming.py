@@ -2316,3 +2316,57 @@ def test_replay_fence_incremental_pq_index(spark, tmp_path):
     assert spark.read.parquet(f"{root}/codes")\
         .filter(F.col("id").isin(1, 2)).count() == 0
     assert spark.read.parquet(arc).filter(F.col("id").isin(1, 2)).count() == 0
+
+
+def test_audio_fingerprint_drives_neardup_stack(spark):
+    """End-to-end: WAV bytes -> spectral log-band fingerprint -> the SAME
+    cosine near-dup operator the text stack uses.  Planted +3 Hz tone
+    twins are recovered exactly; singleton tones in other log bands stay
+    unmatched; a noise clip (flat spectrum) matches nothing tonal."""
+    import struct
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+    from vectordb_watermark_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rate = 16000
+
+    def wav_of(x):
+        xi = (32767 * np.clip(x, -1, 1)).astype(np.int16)
+        data = xi.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    t = np.arange(4096) / rate
+
+    def tone(freq):
+        return 0.6 * np.sin(2 * np.pi * freq * t)
+
+    rows = []
+    for g, f in enumerate([230, 1000, 4500]):
+        rows.append((2 * g, bytearray(wav_of(tone(f)))))
+        rows.append((2 * g + 1, bytearray(wav_of(tone(f + 3)))))
+    rows.append((6, bytearray(wav_of(tone(700)))))  # singleton band
+    g = np.random.default_rng(17)
+    rows.append((7, bytearray(wav_of(0.3 * g.standard_normal(4096)))))
+    clips = spark.createDataFrame(rows, "id long, media binary")
+
+    emb = audio_spectral_features(clips, n_bands=16).select(
+        "id", F.slice("features", 6, 16).alias("emb")
+    )
+    pairs = sorted(
+        (int(r["a"]), int(r["b"]))
+        for r in cosine_neardup_pairs(
+            emb, threshold=0.95, method="exact"
+        ).collect()
+    )
+    assert pairs == [(0, 1), (2, 3), (4, 5)]

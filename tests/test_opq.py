@@ -304,3 +304,73 @@ def test_affine_transform_validates_and_passes_columns(spark, aniso):
     import pytest as _pt
     with _pt.raises(ValueError, match="mean dim"):
         affine_transform_vectors(base, A, mean=np.zeros(5), vec_col="v")
+
+
+def test_opq_refine_improves_or_matches_parametric(spark, aniso):
+    """Non-parametric Ge-§5 alternation: the refined rotation stays
+    orthonormal, is deterministic for a fixed partitioning, and does not
+    LOSE reconstruction quality vs the parametric start at the same code
+    budget (on strongly non-Gaussian data it should win; Gaussian-ish
+    data may already be rotation-saturated, so the contract is <=)."""
+    from vectordb_watermark_spark.operators.opq import opq_refine_rotation
+
+    df, _ = aniso
+    base = P._pq_base(df, "id", "emb")
+    R0 = opq_train_rotation(base, m=M, vec_col="v")
+    R = opq_refine_rotation(
+        base, m=M, R0=R0, n_codes=16, n_iter=3, kmeans_iters=4, key="t"
+    )
+    assert R.shape == (D, D)
+    assert np.allclose(R @ R.T, np.eye(D), atol=1e-8)
+    # determinism on a fixed partitioning
+    R_b = opq_refine_rotation(
+        base, m=M, R0=R0, n_codes=16, n_iter=3, kmeans_iters=4, key="t"
+    )
+    assert np.array_equal(R, R_b)
+
+    def mse_of(rot_mat):
+        rot = rotate_vectors(base, rot_mat, vec_col="v")
+        books = P.pq_train(rot, m=M, n_codes=16, n_iters=4,
+                           id_col="id", vec_col="v")
+        return P.pq_reconstruction_mse(rot, books, id_col="id", vec_col="v")
+
+    mse0, mse = mse_of(R0), mse_of(R)
+    assert mse <= mse0 * 1.02, (mse, mse0)
+
+    with pytest.raises(ValueError, match="n_iter"):
+        opq_refine_rotation(base, m=M, n_iter=0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        opq_refine_rotation(base, m=M, sample_fraction=1.5)
+
+
+def test_opq_refine_sampled_and_write_index_wiring(spark, aniso, tmp_path):
+    """sample_fraction bounds the refinement's scans but still returns a
+    valid orthonormal rotation; ivf_pq_write_index(opq=True, opq_iters>0)
+    persists the refined sidecar and queries keep masking/scoring."""
+    from vectordb_watermark_spark.operators.opq import opq_refine_rotation
+    from vectordb_watermark_spark.operators.pq import (
+        _load_rotation,
+        ivf_pq_query_index,
+        ivf_pq_write_index,
+    )
+
+    df, X = aniso
+    base = P._pq_base(df, "id", "emb")
+    Rs = opq_refine_rotation(
+        base, m=M, n_codes=16, n_iter=1, key="t", sample_fraction=0.5
+    )
+    assert np.allclose(Rs @ Rs.T, np.eye(D), atol=1e-8)
+
+    idx = str(tmp_path / "opq_iter_idx")
+    ivf_pq_write_index(
+        df, idx, n_centroids=8, m=M, n_codes=16, key="oi",
+        opq=True, opq_iters=2,
+    )
+    R_stored = _load_rotation(spark, idx)
+    assert R_stored is not None
+    assert np.allclose(R_stored @ R_stored.T, np.eye(D), atol=1e-8)
+    # a refined-sidecar index still retrieves its own vectors sanely
+    q = [float(v) for v in X[7]]
+    top = [r["id"] for r in
+           ivf_pq_query_index(spark, idx, q, k=5, n_probe=8).collect()]
+    assert 7 in top

@@ -1,4 +1,4 @@
-"""Scale probe: OPQ vs plain IVF-PQ at 500k x 64-d anisotropic vectors.
+"""Scale probe: plain vs parametric-OPQ vs iterative-OPQ IVF-PQ at 500k x 64-d.
 
 Measures what the parametric-OPQ rotation actually buys at scale on the
 kind of data it targets (correlated, variance-concentrated — the shape
@@ -97,13 +97,23 @@ def main() -> None:
            "n_queries": N_QUERIES, "gen_s": round(t_gen, 1),
            "truth_s": round(t_truth, 1)}
 
-    for label, opq in (("plain", False), ("opq", True)):
+    variants = (
+        ("plain", {}),
+        ("opq", {"opq": True}),
+        # non-parametric Ge-§5 refinement: 3 alternations on a 20% keyed
+        # sample (each alternation = bounded codebook train + one d^2
+        # cross-moment pass)
+        ("opq_iter", {"opq": True, "opq_iters": 3,
+                      "opq_sample_fraction": 0.2}),
+    )
+    for label, kw in variants:
+        opq = bool(kw.get("opq"))
         path = f"{SCRATCH}/idx_{label}"
         shutil.rmtree(path, ignore_errors=True)
         t0 = time.time()
         _cents, books = ivf_pq_write_index(
-            df, path, n_centroids=N_CENT, m=M, n_codes=N_CODES, opq=opq,
-            key=f"sc-{label}",
+            df, path, n_centroids=N_CENT, m=M, n_codes=N_CODES,
+            key=f"sc-{label}", **kw,
         )
         t_build = time.time() - t0
         # reconstruction MSE in the index's own space (rotation is

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "opq_train_rotation",
+    "opq_refine_rotation",
     "rotate_vectors",
     "eigenvalue_allocation",
     "whitening_transform",
@@ -183,6 +184,144 @@ def opq_train_rotation(
     buckets = eigenvalue_allocation(vals, m)
     rows = [vecs[:, i] for bucket in buckets for i in bucket]
     return np.asarray(rows, dtype=np.float64)
+
+
+def _pq_cross_moment_pass(
+    df: DataFrame, R: np.ndarray, books: np.ndarray, vec_col: str
+) -> np.ndarray:
+    """One bounded pass for the Procrustes step of non-parametric OPQ:
+    per Arrow batch, rotate ``Y = X R^T``, PQ-encode ``Y`` against the
+    broadcast ``books`` and reconstruct ``Yhat``, then emit the flattened
+    ``d x d`` partial ``X^T Yhat``.  Cross-partial reduction is the same
+    exact ``decimal(38,18)`` posexplode-groupBy as ``_corpus_moments`` —
+    ``d^2`` cells shuffle regardless of corpus size."""
+    R64 = np.ascontiguousarray(np.asarray(R, dtype=np.float64))
+    B = np.ascontiguousarray(np.asarray(books, dtype=np.float64))
+    m, _n_codes, dsub = B.shape
+    d = R64.shape[0]
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            X = list_array_to_matrix(rb.column(0), dtype=np.float64)
+            Y = X @ R64.T
+            Yhat = np.empty_like(Y)
+            for s in range(m):
+                cb = B[s]
+                Ys = Y[:, s * dsub:(s + 1) * dsub]
+                d2 = (
+                    (Ys * Ys).sum(axis=1)[:, None]
+                    - 2.0 * (Ys @ cb.T)
+                    + (cb * cb).sum(axis=1)[None, :]
+                )
+                Yhat[:, s * dsub:(s + 1) * dsub] = cb[d2.argmin(axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([(X.T @ Yhat).reshape(-1).tolist()],
+                          type=pa.list_(pa.float64()))],
+                names=["mm"],
+            )
+
+    partials = df.select(vec_col).mapInArrow(
+        kernel, schema="mm array<double>"
+    )
+    rows = (
+        partials.select(F.posexplode("mm").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(38,18)")).alias("sx"))
+        .collect()
+    )
+    M = np.zeros(d * d, dtype=np.float64)
+    for r in rows:
+        M[int(r["i"])] = float(r["sx"])
+    return M.reshape(d, d)
+
+
+def opq_refine_rotation(
+    df: DataFrame,
+    m: int,
+    R0: np.ndarray | None = None,
+    n_codes: int = 256,
+    n_iter: int = 4,
+    kmeans_iters: int = 3,
+    key: str = "opq",
+    id_col: str = "id",
+    vec_col: str = "v",
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Non-parametric OPQ (Ge et al. 2013, §5): refine a rotation by
+    alternating (a) PQ codebook training in the current rotated space and
+    (b) the orthogonal-Procrustes rotation update against the PQ
+    reconstructions — the iteration FAISS runs inside ``OPQMatrix::train``.
+    Starts from ``R0`` (default: the parametric eigenvalue-allocation
+    rotation, one moment pass) and returns the refined ``R`` (orthonormal
+    rows, same convention as :func:`opq_train_rotation`).
+
+    Each of the ``n_iter`` alternations costs: one :func:`pq_train` in
+    rotated space (``kmeans_iters`` bounded assign passes, ``m*n_codes``
+    rows to the driver each) + ONE cross-moment pass reducing exactly
+    ``d^2`` decimal cells + a driver-side ``d x d`` SVD — every stage's
+    shuffled/collected state is independent of corpus size, so the
+    alternation is 100-TB-shaped; ``sample_fraction`` (keyed-hash on
+    ``id_col`` — deterministic, partition-invariant) bounds the SCAN cost
+    of the training passes when even linear passes are too dear.
+
+    Determinism: seeded k-means + exact decimal reduces + SVD sign
+    stabilization (largest-|coef| row positive per left singular vector)
+    make the result reproducible for a fixed partitioning; as everywhere
+    in the index stack, bit-exactness across build/append/query comes
+    from the STORED rotation sidecar, never retraining.
+    """
+    from vectordb_watermark_spark.functions.hashing import keyed_uniform
+    from vectordb_watermark_spark.operators.pq import pq_train
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    train = df
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        train = df.filter(
+            keyed_uniform(F.lit(key), F.lit("opqsample"), F.col(id_col))
+            < sample_fraction
+        )
+    train = train.persist()
+    try:
+        R = (
+            np.asarray(R0, dtype=np.float64)
+            if R0 is not None
+            else opq_train_rotation(train, m, vec_col=vec_col)
+        )
+        for _ in range(n_iter):
+            rotated = rotate_vectors(train, R, vec_col=vec_col)
+            books = pq_train(
+                rotated, m, n_codes, kmeans_iters, key,
+                id_col=id_col, vec_col=vec_col,
+            )
+            M = _pq_cross_moment_pass(train, R, books, vec_col)
+            # min_R ||X R^T - Yhat||_F over orthogonal R: with
+            # M = X^T Yhat = U S V^T the optimum is R = V U^T
+            U, _S, Vt = np.linalg.svd(M)
+            # deterministic sign: flip (U col, V row) pairs together so
+            # the product is unchanged but each U column's largest-|coef|
+            # entry is positive
+            for c in range(U.shape[1]):
+                j = int(np.argmax(np.abs(U[:, c])))
+                if U[j, c] < 0:
+                    U[:, c] = -U[:, c]
+                    Vt[c, :] = -Vt[c, :]
+            R = Vt.T @ U.T
+    finally:
+        train.unpersist()
+    return np.ascontiguousarray(R)
 
 
 def rotate_vectors(

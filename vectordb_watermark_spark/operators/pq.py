@@ -525,6 +525,8 @@ def ivf_pq_write_index(
     id_col: str = "id",
     vec_col: str = "emb",
     opq: bool = False,
+    opq_iters: int = 0,
+    opq_sample_fraction: float | None = None,
 ) -> tuple[list[list[float]], np.ndarray]:
     """Persist an IVF-PQ index: coarse centroids partition the corpus
     (plan-time pruning, same layout rule as similarity.ivf_write_index), PQ
@@ -540,7 +542,13 @@ def ivf_pq_write_index(
     sidecar is persisted, and every query/append/compact path applies it
     automatically.  Rotation is orthonormal, so returned cosine scores
     stay in the original space's units — only the quantization error
-    shrinks.
+    shrinks.  ``opq_iters > 0`` additionally refines the parametric
+    rotation with that many non-parametric Ge-§5 alternations
+    (:func:`~vectordb_watermark_spark.operators.opq.opq_refine_rotation`
+    — codebook retrain + Procrustes update, each a bounded pass;
+    ``opq_sample_fraction`` bounds the refinement's scan cost on huge
+    corpora).  The default ``0`` keeps the deterministic one-pass
+    parametric build.
 
     Layout::
 
@@ -583,11 +591,18 @@ def ivf_pq_write_index(
     R = None
     if opq:
         from vectordb_watermark_spark.operators.opq import (
+            opq_refine_rotation,
             opq_train_rotation,
             rotate_vectors,
         )
 
         R = opq_train_rotation(base, m, vec_col="v")
+        if opq_iters > 0:
+            R = opq_refine_rotation(
+                base, m, R0=R, n_codes=n_codes, n_iter=opq_iters,
+                kmeans_iters=pq_iters, key=key, id_col="id", vec_col="v",
+                sample_fraction=opq_sample_fraction,
+            )
         base = rotate_vectors(base, R, vec_col="v")
     base = base.persist()
     try:
