@@ -1483,6 +1483,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), "score"
         )
 
+    def bm25_stream_docs(spark, sf):  # streaming postings maintenance (round 12)
+        # the maintenance path: documents STREAMED through the
+        # incremental_postings sink in 3 micro-batches must score
+        # bit-identically to a one-shot build (integer sidecar partials
+        # merge exactly) — pinned by the SAME DuckDB twin as bm25_docs.
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.operators.retrieval import (
+            bm25_query_index,
+        )
+        from vectordb_watermark_spark.streaming.curation import (
+            incremental_postings,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        srcdir = os.path.join(scratch, f"oracle_bm25s_src_{tag}")
+        idx = os.path.join(scratch, f"oracle_bm25s_idx_{tag}")
+        ckpt = os.path.join(scratch, f"oracle_bm25s_ckpt_{tag}")
+        for p in (srcdir, idx, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        _docs(spark, sf).repartition(3).write.parquet(srcdir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(srcdir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        q = incremental_postings(stream, idx, ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(300)
+        return bm25_query_index(spark, idx, ["batch", "data", "fast"]).select(
+            F.col("id").alias("doc_id"), "score"
+        )
+
     def hybrid_rag_fusion(spark, sf):  # hybrid retrieval + RRF (round 11)
         # the production RAG retrieval shape, end to end: BM25 top-20
         # (lexical) + hash-embedding dot-product top-20 vs doc 0's vector
@@ -2727,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 12 (below the driver window; full-green locally via
         # -- tools/check_oracle.py, leads the round-13 rotation) --
         "bm25_index_docs": bm25_index_docs,
+        "bm25_stream_docs": bm25_stream_docs,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -3058,6 +3098,30 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
                  v(a, b)""",
         # identical formula to bm25_docs — the persisted-postings path must
         # reproduce the one-shot scores bit for bit
+        "bm25_stream_docs": f"""
+            WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
+            docs AS (SELECT id, len(ts) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+            hits AS (
+              SELECT dd.id, dd.dl, t
+              FROM (SELECT id, len(ts) AS dl, ts FROM d) dd
+              CROSS JOIN UNNEST(dd.ts) AS u(t)
+              WHERE t IN ('batch', 'data', 'fast')
+            ),
+            tf AS (SELECT id, dl, t, count(*) AS tf FROM hits GROUP BY id, dl, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            idf AS (
+              SELECT t, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+              FROM dfreq CROSS JOIN stats
+            ),
+            bm AS (
+              SELECT tf.id AS doc_id,
+                     ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+              FROM tf JOIN idf USING (t) GROUP BY tf.id
+            )
+            SELECT doc_id, score FROM bm""",
+        # identical formula again: streamed postings must not drift
         "bm25_index_docs": f"""
             WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
             docs AS (SELECT id, len(ts) AS dl FROM d),

@@ -147,9 +147,11 @@ def test_bm25_index_parity_with_oneshot(spark, docs, tmp_path):
         }
         assert got == want, terms
 
-    # layout invariants: postings term-sorted per file, sidecars bounded
+    # layout invariants: postings term-sorted per file, sidecars bounded,
+    # everything under a batch=full tag (shared with append/stream)
     post = spark.read.parquet(f"{idx}/postings")
-    assert post.columns == ["t", "id", "dl", "tf"]
+    assert sorted(post.columns) == ["batch", "dl", "id", "t", "tf"]
+    assert post.select("batch").distinct().collect()[0]["batch"] == "full"
     stats = spark.read.parquet(f"{idx}/corpus_stats").collect()
     assert len(stats) == 1 and stats[0]["n_docs"] == 5
     tstats = spark.read.parquet(f"{idx}/term_stats")
@@ -185,3 +187,88 @@ def test_bm25_index_query_prunes_scan(spark, docs, tmp_path):
     # pushed term filter on the postings scan
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("In(t" in p for p in pushed), plan
+
+
+def test_bm25_append_and_stream_equal_oneshot(spark, docs, tmp_path):
+    """Append and streaming maintenance both produce BIT-IDENTICAL
+    scores to a one-shot build over the union (integer sidecar partials
+    merge exactly); a replayed batch tag overwrites, never
+    double-counts."""
+    import shutil
+
+    from vectordb_watermark_spark.operators.retrieval import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_query_index,
+    )
+    from vectordb_watermark_spark.streaming.curation import (
+        incremental_postings,
+    )
+
+    extra = [
+        (6, "data shard streaming data"),
+        (7, "pipeline model data batch"),
+    ]
+    all_rows = CORPUS + extra
+    terms = ["data", "model", "pipeline"]
+
+    # ground truth: one-shot build over the union
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+    ref_idx = str(tmp_path / "bm25_full")
+    bm25_build_index(full, ref_idx, n_files=4)
+    want = {
+        r["id"]: r["score"]
+        for r in bm25_query_index(spark, ref_idx, terms).collect()
+    }
+
+    # batch build + append path
+    idx = str(tmp_path / "bm25_appended")
+    bm25_build_index(docs, idx, n_files=4)
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string")
+    bm25_append_index(extra_df, idx, "append-1", n_files=2)
+    got = {
+        r["id"]: r["score"]
+        for r in bm25_query_index(spark, idx, terms).collect()
+    }
+    assert got == want
+    # tag replay overwrites its own batch — no double count
+    bm25_append_index(extra_df, idx, "append-1", n_files=2)
+    got2 = {
+        r["id"]: r["score"]
+        for r in bm25_query_index(spark, idx, terms).collect()
+    }
+    assert got2 == want
+    with pytest.raises(ValueError, match="invalid batch tag"):
+        bm25_append_index(extra_df, idx, "bad=tag")
+
+    # streaming path: one file per micro-batch
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for name, rows in (("a", all_rows[:3]), ("b", all_rows[3:5]),
+                       ("c", all_rows[5:])):
+        stage = tmp_path / f"docs_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{name}.parquet")
+    sidx = str(tmp_path / "bm25_streamed")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_postings(
+        stream, sidx, str(tmp_path / "bm25_ckpt"), n_files=2
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    tags = {
+        r["batch"]
+        for r in spark.read.parquet(f"{sidx}/postings")
+        .select("batch").distinct().collect()
+    }
+    assert len(tags) == 3 and all(t.startswith("stream-") for t in tags)
+    got_s = {
+        r["id"]: r["score"]
+        for r in bm25_query_index(spark, sidx, terms).collect()
+    }
+    assert got_s == want

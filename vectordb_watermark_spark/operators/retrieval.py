@@ -99,6 +99,57 @@ def bm25_scores(
     return contrib.groupBy("id").agg(score.alias("score"))
 
 
+def _bm25_write_batch(
+    docs: DataFrame, path: str, tag: str, n_files: int
+) -> None:
+    """Write one document batch's postings + sidecar PARTIALS under
+    ``batch=<tag>`` subdirectories.  All three pieces are scoped to the
+    tag and written with overwrite, so a retried streaming micro-batch
+    replaces exactly its own contribution — idempotence WITHOUT any
+    cross-batch read-modify-write (the merge happens at query time as
+    exact integer sums)."""
+    docs = docs.persist()
+    try:
+        (
+            docs.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/corpus_stats/batch={tag}")
+        )
+        tf = (
+            docs.select("id", "dl", F.explode("__ts").alias("t"))
+            .groupBy("t", "id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        (
+            tf.repartitionByRange(n_files, "t")
+            .sortWithinPartitions("t", "id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings/batch={tag}")
+        )
+        spark = docs.sparkSession
+        (
+            spark.read.parquet(f"{path}/postings/batch={tag}")
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartitionByRange(max(1, n_files // 4), "t")
+            .sortWithinPartitions("t")
+            .write.mode("overwrite")
+            .parquet(f"{path}/term_stats/batch={tag}")
+        )
+    finally:
+        docs.unpersist()
+
+
+def _bm25_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
+    ).select("id", F.size("__ts").alias("dl"), "__ts")
+
+
 def bm25_build_index(
     df: DataFrame,
     path: str,
@@ -112,63 +163,59 @@ def bm25_build_index(
     per call; this tokenizes ONCE and each query then touches only its
     own terms' postings).
 
-    Layout under ``path``:
+    Layout under ``path`` (every piece partitioned by a ``batch`` tag so
+    batch builds, :func:`bm25_append_index` appends and the streaming
+    :func:`~vectordb_watermark_spark.streaming.curation.incremental_postings`
+    sink share ONE directory contract):
 
-    - ``postings/`` — ``(t, id, dl, tf)``, one row per (term, document)
-      pair, range-partitioned AND sorted by term: every parquet file
-      covers a narrow contiguous term range, so the ``t IN (...)``
-      predicate of a query prunes to the handful of files containing its
-      terms via min/max stats (the inverted-index seek, gotten from
-      parquet statistics instead of a custom file format);
-    - ``term_stats/`` — ``(t, df)``, one row per vocabulary term
-      (bounded by vocabulary size, not corpus size);
-    - ``corpus_stats/`` — one row ``(n_docs, avgdl)``.
+    - ``postings/batch=<tag>/`` — ``(t, id, dl, tf)``, one row per
+      (term, document) pair, range-partitioned AND sorted by term:
+      every parquet file covers a narrow contiguous term range, so the
+      ``t IN (...)`` predicate of a query prunes to the handful of
+      files containing its terms via min/max stats (the inverted-index
+      seek, gotten from parquet statistics instead of a custom format);
+    - ``term_stats/batch=<tag>/`` — ``(t, df)`` document-frequency
+      PARTIALS (bounded by the batch's vocabulary);
+    - ``corpus_stats/batch=<tag>/`` — one row ``(n_docs, sum_dl)``.
 
-    Build cost is one corpus scan + one shuffle of the exploded tokens —
-    the same work ONE ad-hoc :func:`bm25_scores` call does, amortized
-    over every query that follows.  At 100 TB the postings table is
-    O(total distinct (term, doc) pairs); the range partitioning keeps
-    per-query IO proportional to the queried terms' document frequency,
-    never the corpus.
+    Sidecars hold exact INTEGER partials, so query-time merging across
+    any batch split is associative and bit-identical to a single-shot
+    build — appends and streams never drift the scores.  Build cost is
+    one corpus scan + one shuffle of the exploded tokens; at 100 TB the
+    postings table is O(total distinct (term, doc) pairs) and the range
+    partitioning keeps per-query IO proportional to the queried terms'
+    document frequency, never the corpus.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
-    ).select("id", F.size("__ts").alias("dl"), "__ts")
-    docs = docs.persist()
-    try:
-        (
-            docs.agg(
-                F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-            )
-            .coalesce(1)
-            .write.mode(mode)
-            .parquet(f"{path}/corpus_stats")
-        )
-        tf = (
-            docs.select("id", "dl", F.explode("__ts").alias("t"))
-            .groupBy("t", "id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        (
-            tf.repartitionByRange(n_files, "t")
-            .sortWithinPartitions("t", "id")
-            .write.mode(mode)
-            .parquet(f"{path}/postings")
-        )
-        # df per term from the WRITTEN postings (one narrow re-read, no
-        # second tokenize pass; map-side combine before the term shuffle)
+    if mode == "overwrite":
         spark = df.sparkSession
-        (
-            spark.read.parquet(f"{path}/postings")
-            .groupBy("t")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .repartitionByRange(max(1, n_files // 4), "t")
-            .sortWithinPartitions("t")
-            .write.mode(mode)
-            .parquet(f"{path}/term_stats")
-        )
-    finally:
-        docs.unpersist()
+        jp = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jp(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jp(path)):
+            fs.delete(jp(path), True)
+    elif mode != "error":
+        raise ValueError(f"mode must be 'overwrite' or 'error', got {mode!r}")
+    _bm25_write_batch(
+        _bm25_docs(df, id_col, text_col), path, "full", n_files
+    )
+
+
+def bm25_append_index(
+    df: DataFrame,
+    path: str,
+    tag: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 8,
+) -> None:
+    """Append a document batch to a postings index under its own
+    ``batch=<tag>`` subdirectories (tag must be unique per append —
+    reusing one overwrites that batch, which is exactly the retry
+    semantics the streaming sink wants).  Scores after an append are
+    bit-identical to a fresh build over the union: postings rows are the
+    same set and the sidecar partials merge as exact integers."""
+    if "=" in tag or "/" in tag:
+        raise ValueError(f"invalid batch tag {tag!r}")
+    _bm25_write_batch(_bm25_docs(df, id_col, text_col), path, tag, n_files)
 
 
 def bm25_query_index(
@@ -187,13 +234,28 @@ def bm25_query_index(
     NO full-corpus scan: the ``t IN (...)`` filter reaches the postings
     parquet scan as a pushed predicate and the build-time term-range
     sort turns it into file-level pruning — per-query IO is the queried
-    terms' postings lists plus two tiny sidecar reads."""
+    terms' postings lists plus two tiny sidecar reads.  The sidecars
+    hold per-batch integer PARTIALS (build/append/stream all write the
+    same layout); merging them here is exact integer addition, so the
+    scores are bit-identical however the corpus arrived."""
     if not query_terms:
         raise ValueError("bm25_query_index: empty query_terms")
     terms = sorted(set(query_terms))
-    stats = spark.read.parquet(f"{path}/corpus_stats")
-    dfreq = spark.read.parquet(f"{path}/term_stats").filter(
-        F.col("t").isin(terms)
+    stats = (
+        spark.read.parquet(f"{path}/corpus_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (
+                F.sum("sum_dl").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/term_stats")
+        .filter(F.col("t").isin(terms))
+        .groupBy("t")
+        .agg(F.sum("df").cast("long").alias("df"))
     )
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "t",

@@ -611,3 +611,55 @@ def incremental_pq_index(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(handle)
     )
+
+
+def incremental_postings(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_files: int = 8,
+):
+    """Streaming BM25 postings maintenance sink: keep a persisted
+    :func:`~vectordb_watermark_spark.operators.retrieval.bm25_build_index`
+    postings index continuously fresh as documents ARRIVE.  Returns the
+    DataStreamWriter (call ``.start()``).
+
+    Each micro-batch writes its postings + sidecar PARTIALS under its own
+    ``batch=stream-N`` subdirectories (the layout batch builds and
+    :func:`~vectordb_watermark_spark.operators.retrieval.bm25_append_index`
+    share), so:
+
+    - **idempotence**: a checkpoint-retried micro-batch overwrites
+      exactly its own three subdirectories — no read-modify-write of any
+      shared sidecar, hence no double counting;
+    - **exactness**: the sidecars are integer partials merged at query
+      time by exact addition, so
+      :func:`~...retrieval.bm25_query_index` scores are BIT-IDENTICAL to
+      a one-shot build over everything streamed so far, at every point
+      in the stream's life;
+    - **no compaction obligation**: queries prune postings files by the
+      term-range sort within every batch dir; many tiny batches degrade
+      pruning granularity, not correctness — rebuild with
+      ``bm25_build_index`` on the usual maintenance cadence if batch
+      count grows large.
+
+    Documents are assumed NEW (append-only corpus — the BM25 freshness
+    model); re-ingesting an id double-counts it, the same contract as
+    the one-shot builder."""
+    from vectordb_watermark_spark.operators.retrieval import bm25_append_index
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        bm25_append_index(
+            batch_df, index_path, f"stream-{int(batch_id)}",
+            id_col=id_col, text_col=text_col, n_files=n_files,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
