@@ -1686,6 +1686,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tones_not_flat boolean, fingerprint_separates boolean",
         )
 
+    def semantic_decontam(spark, sf):  # embedding-level decontamination (round 12)
+        # semantic twin of decontaminate_docs: per corpus vector, max
+        # cosine vs a broadcast benchmark slice (ids % 101 == 0) via ONE
+        # map-only Arrow GEMM pass; DuckDB recomputes the full cross
+        # product declaratively.  bench_id (argmax) is dropped from the
+        # gate row: exact-tie argmax is not decidable cross-engine at
+        # rounded precision, max_cos is.
+        from vectordb_watermark_spark.operators.dedup import (
+            semantic_contamination,
+        )
+
+        v = _vectors(spark, sf)
+        return semantic_contamination(
+            v.filter(F.col("id") % 101 != 0), v.filter(F.col("id") % 101 == 0)
+        ).select("id", "max_cos")
+
     def audio_neardup_pipeline(spark, sf):  # audio fingerprint dedup (round 12)
         # END-TO-END audio twin of rag_pipeline: WAV bytes -> FFT log-band
         # fingerprint (audio_spectral_features) -> the SAME embedding
@@ -2767,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tools/check_oracle.py, leads the round-13 rotation) --
         "bm25_index_docs": bm25_index_docs,
         "bm25_stream_docs": bm25_stream_docs,
+        "semantic_decontam": semantic_decontam,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -3087,6 +3104,22 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
               FROM tf JOIN idf USING (t) GROUP BY tf.id
             )
             SELECT doc_id, score FROM bm""",
+        "semantic_decontam": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            b AS (SELECT * FROM v WHERE id % 101 = 0),
+            d AS (SELECT * FROM v WHERE id % 101 <> 0),
+            pair AS (
+              SELECT d.id,
+                     list_sum(list_transform(list_zip(d.e, b.e), p -> p[1] * p[2]))
+                     / (greatest(sqrt(list_sum(list_transform(d.e, x -> x * x))), 1e-12)
+                        * greatest(sqrt(list_sum(list_transform(b.e, x -> x * x))), 1e-12)) AS cos
+              FROM d CROSS JOIN b
+            )
+            SELECT id, round(max(cos), 6) AS max_cos FROM pair GROUP BY id""",
         # planted ground truth: the audio pipeline's wide margins (planted
         # cos > 0.999, cross < 0.71 at threshold 0.95) make the recovered
         # pair set the exact planted constant; tied to the tables via the

@@ -2735,3 +2735,60 @@ def test_group_kfold_atomicity_and_balance(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_folds"):
         group_kfold(df, "grp", n_folds=1)
+
+
+def test_semantic_contamination_matches_numpy(spark):
+    """Embedding-level decontamination: max_cos/argmax agree with a dense
+    numpy model, exact ties pick the smallest bench id, threshold keeps
+    only the drop list, and the bench-side guards fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.dedup import semantic_contamination
+
+    rng = np.random.default_rng(23)
+    D = 8
+    B = rng.standard_normal((5, D))
+    X = np.vstack([
+        B[2] * 3.0,                 # colinear with bench 2 -> cos 1
+        rng.standard_normal(D),
+        -B[0],                      # anti-parallel -> cos -1 vs 0
+        rng.standard_normal(D),
+    ])
+    docs = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(len(X))], "id long, emb array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, B[i].tolist()) for i in range(len(B))],
+        "id long, emb array<double>",
+    )
+    got = {
+        int(r["id"]): (int(r["bench_id"]), r["max_cos"])
+        for r in semantic_contamination(docs, bench, round_dp=9).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    C = Xn @ Bn.T
+    for i in range(len(X)):
+        j = int(C[i].argmax())
+        assert got[i][0] == 100 + j
+        assert got[i][1] == _pytest.approx(round(float(C[i, j]), 9), abs=1e-9)
+    assert got[0] == (102, 1.0)
+
+    # exact tie -> smallest bench id: duplicate bench vector under two ids
+    bench2 = spark.createDataFrame(
+        [(7, B[2].tolist()), (3, B[2].tolist())], "id long, emb array<double>"
+    )
+    tied = semantic_contamination(
+        docs.filter(F.col("id") == 0), bench2
+    ).collect()[0]
+    assert tied["bench_id"] == 3
+
+    # threshold = the drop list
+    hits = semantic_contamination(docs, bench, threshold=0.999).collect()
+    assert [int(r["id"]) for r in hits] == [0]
+
+    with _pytest.raises(ValueError, match="empty benchmark"):
+        semantic_contamination(docs, bench.filter(F.col("id") < 0))
+    with _pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contamination(docs, bench, max_bench_rows=2)

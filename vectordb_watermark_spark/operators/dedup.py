@@ -1097,6 +1097,99 @@ def benchmark_overlap(
     )
 
 
+def semantic_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "emb",
+    threshold: float | None = None,
+    round_dp: int | None = 6,
+    max_bench_rows: int = 200_000,
+) -> DataFrame:
+    """EMBEDDING-level training-set decontamination — the semantic twin
+    of :func:`benchmark_overlap` (which catches verbatim/near-verbatim
+    text; this catches paraphrases and translations that share no
+    shingles): for every corpus document, its maximum cosine similarity
+    against ANY benchmark/eval document -> ``(id, bench_id, max_cos)``
+    (``bench_id`` = the argmax, smallest id on exact ties).
+    ``threshold`` keeps only rows at or above it (the drop list).
+
+    Plan shape for 100 TB: eval suites are tiny relative to the corpus,
+    so the benchmark side is collected ONCE (guarded by
+    ``max_bench_rows`` — a loud error, never a silent driver OOM),
+    L2-normalized, and broadcast; the corpus side is one map-only Arrow
+    GEMM pass (rows x bench matrix per batch, no shuffle, no join).
+    Cost is one corpus scan regardless of corpus size — the same
+    broadcast-probe shape as ``knn.knn_edges_broadcast``.
+
+    No reference analogue (the reference has no curation layer); cited
+    practice: semantic dedup/decontamination per SemDeDup (Abbas 2023)
+    applied train-vs-eval.
+    """
+    import numpy as np
+
+    n_bench = benchmark.count()
+    if n_bench == 0:
+        raise ValueError("semantic_contamination: empty benchmark table")
+    if n_bench > max_bench_rows:
+        raise ValueError(
+            f"semantic_contamination: benchmark has {n_bench} rows > "
+            f"max_bench_rows={max_bench_rows}; eval suites are expected "
+            f"to be small — raise the cap explicitly if this is intended"
+        )
+    brows = (
+        benchmark.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    bids = np.asarray([int(r["id"]) for r in brows], dtype=np.int64)
+    B = np.asarray([list(map(float, r["v"])) for r in brows])
+    Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+    spark = docs.sparkSession
+    bids_b = spark.sparkContext.broadcast(bids)
+    Bn_b = spark.sparkContext.broadcast(Bn)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from vectordb_watermark_spark.functions.arrowmat import (
+            list_array_to_matrix,
+        )
+
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            X = list_array_to_matrix(rb.column(1), dtype=np.float64)
+            Xn = X / np.maximum(
+                np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+            )
+            C = Xn @ Bn_b.value.T
+            j = C.argmax(axis=1)  # first (= smallest bench id) on ties
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.tolist(), type=pa.int64()),
+                    pa.array(bids_b.value[j].tolist(), type=pa.int64()),
+                    pa.array(C[np.arange(len(j)), j].tolist(),
+                             type=pa.float64()),
+                ],
+                names=["id", "bench_id", "max_cos"],
+            )
+
+    out = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("__v"),
+    ).mapInArrow(kernel, schema="id long, bench_id long, max_cos double")
+    if round_dp is not None:
+        out = out.withColumn("max_cos", F.round("max_cos", round_dp))
+    if threshold is not None:
+        out = out.filter(F.col("max_cos") >= threshold)
+    return out
+
+
 def minhash_join(
     left: DataFrame,
     right: DataFrame,
