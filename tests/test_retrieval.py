@@ -272,3 +272,35 @@ def test_bm25_append_and_stream_equal_oneshot(spark, docs, tmp_path):
         for r in bm25_query_index(spark, sidx, terms).collect()
     }
     assert got_s == want
+
+
+def test_bm25_batch_query_equals_single(spark, docs, tmp_path):
+    """The one-scan batch path is per-query EQUAL to the single path
+    (same expression shapes, same merged idf) and validates its input."""
+    from vectordb_watermark_spark.operators.retrieval import (
+        bm25_build_index,
+        bm25_query_index,
+        bm25_query_index_batch,
+    )
+
+    idx = str(tmp_path / "bm25_batch_idx")
+    bm25_build_index(docs, idx, n_files=4)
+    queries = {
+        0: ["data", "model"],
+        1: ["pipeline"],
+        2: ["data", "pipeline", "zzz_absent"],
+    }
+    got = {}
+    for r in bm25_query_index_batch(spark, idx, queries).collect():
+        got.setdefault(int(r["qid"]), {})[int(r["id"])] = r["score"]
+    for qid, terms in queries.items():
+        want = {
+            int(r["id"]): r["score"]
+            for r in bm25_query_index(spark, idx, terms).collect()
+        }
+        assert got.get(qid, {}) == want, qid
+
+    with pytest.raises(ValueError, match="empty query block"):
+        bm25_query_index_batch(spark, idx, {})
+    with pytest.raises(ValueError, match="empty query_terms"):
+        bm25_query_index_batch(spark, idx, {0: []})

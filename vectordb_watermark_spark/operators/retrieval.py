@@ -38,8 +38,10 @@ from pyspark.sql import functions as F
 from vectordb_watermark_spark.functions.text import tokens
 
 __all__ = [
+    "bm25_append_index",
     "bm25_build_index",
     "bm25_query_index",
+    "bm25_query_index_batch",
     "bm25_scores",
     "bm25_topk",
     "reciprocal_rank_fusion",
@@ -279,6 +281,84 @@ def bm25_query_index(
     if round_dp is not None:
         score = F.round(score, round_dp)
     return contrib.groupBy("id").agg(score.alias("score"))
+
+
+def bm25_query_index_batch(
+    spark,
+    path: str,
+    queries: dict[int, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Score a BLOCK of queries against a postings index in ONE pruned
+    scan -> ``(qid, id, score)``, per-query equal to
+    :func:`bm25_query_index` (asserted in tests).
+
+    The postings are read once filtered to the UNION of all queries'
+    terms (still a pushed ``t IN (...)`` predicate); a tiny broadcast
+    ``(qid, t)`` membership table then fans each posting out to exactly
+    the queries containing its term.  Per-query cost amortizes the way
+    the batched ANN paths do: N queries pay one scan of the union's
+    postings, not N scans."""
+    if not queries:
+        raise ValueError("bm25_query_index_batch: empty query block")
+    qt_rows = []
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(
+                f"bm25_query_index_batch: empty query_terms for qid {qid!r}"
+            )
+        for t in sorted(set(terms)):
+            qt_rows.append((int(qid), t))
+    union_terms = sorted({t for _, t in qt_rows})
+    qt = spark.createDataFrame(qt_rows, "qid long, t string")
+    stats = (
+        spark.read.parquet(f"{path}/corpus_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            (
+                F.sum("sum_dl").cast("double")
+                / F.sum("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/term_stats")
+        .filter(F.col("t").isin(union_terms))
+        .groupBy("t")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("t").isin(union_terms)
+    )
+    contrib = (
+        post.join(F.broadcast(idf), "t")
+        .join(F.broadcast(qt), "t")
+        .select(
+            "qid",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    score = F.sum("c")
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    return contrib.groupBy("qid", "id").agg(score.alias("score"))
 
 
 def bm25_topk(
