@@ -1686,6 +1686,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tones_not_flat boolean, fingerprint_separates boolean",
         )
 
+    def profile_docs(spark, sf):  # per-column table profile (round 12)
+        # table-health sweep: ONE aggregate job profiles every column
+        # (nulls, exact distincts for the oracle twin, min/max as
+        # strings); DuckDB recomputes per column declaratively.
+        from vectordb_watermark_spark.operators.quality import profile_columns
+
+        return profile_columns(_docs(spark, sf), exact_distinct=True)
+
     def semantic_decontam(spark, sf):  # embedding-level decontamination (round 12)
         # semantic twin of decontaminate_docs: per corpus vector, max
         # cosine vs a broadcast benchmark slice (ids % 101 == 0) via ONE
@@ -2784,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_docs": bm25_index_docs,
         "bm25_stream_docs": bm25_stream_docs,
         "semantic_decontam": semantic_decontam,
+        "profile_docs": profile_docs,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -3104,6 +3113,41 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
               FROM tf JOIN idf USING (t) GROUP BY tf.id
             )
             SELECT doc_id, score FROM bm""",
+        "profile_docs": """
+              SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                     CAST(min(doc_id) AS VARCHAR) AS min_val,
+                     CAST(max(doc_id) AS VARCHAR) AS max_val
+              FROM documents
+              UNION ALL
+              SELECT 'text' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+                     CAST(min(text) AS VARCHAR) AS min_val,
+                     CAST(max(text) AS VARCHAR) AS max_val
+              FROM documents
+              UNION ALL
+              SELECT 'lang' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct,
+                     CAST(min(lang) AS VARCHAR) AS min_val,
+                     CAST(max(lang) AS VARCHAR) AS max_val
+              FROM documents
+              UNION ALL
+              SELECT 'source' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT source) AS BIGINT) AS n_distinct,
+                     CAST(min(source) AS VARCHAR) AS min_val,
+                     CAST(max(source) AS VARCHAR) AS max_val
+              FROM documents
+              UNION ALL
+              SELECT 'n_chars' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                     CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct,
+                     CAST(min(n_chars) AS VARCHAR) AS min_val,
+                     CAST(max(n_chars) AS VARCHAR) AS max_val
+              FROM documents""",
         "semantic_decontam": """
             WITH v AS (
               SELECT vec_id AS id,

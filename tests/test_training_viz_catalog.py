@@ -429,3 +429,46 @@ def test_group_split_atomic_deterministic_partition_invariant(spark):
     assert c != val_domains
     with pytest.raises(ValueError, match="val_frac"):
         group_split(df, "domain", val_frac=1.5)
+
+
+def test_profile_columns_contracts(spark):
+    """Column profiling: nulls / exact distincts / min-max strings match
+    hand counts, complex columns degrade to null min/max but still count
+    distincts, approx mode stays within its rsd on a known cardinality,
+    and unknown columns fail loudly."""
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.operators.quality import profile_columns
+
+    rows = [
+        (1, "a", [1.0, 2.0]),
+        (2, "b", [1.0, 2.0]),
+        (2, None, [3.0]),
+        (None, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v array<double>")
+    got = {
+        r["column"]: r.asDict()
+        for r in profile_columns(df, exact_distinct=True).collect()
+    }
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["n_null"] == 1 and got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == ("1", "2")
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_val"], got["s"]["max_val"]) == ("a", "b")
+    # complex column: distinct via canonical json, no ordering
+    assert got["v"]["n_distinct"] == 2 and got["v"]["n_null"] == 1
+    assert got["v"]["min_val"] is None and got["v"]["max_val"] is None
+
+    # approx mode: HLL++ within rsd at a known cardinality
+    big = spark.range(5000).select(F.col("id").alias("k"))
+    est = {
+        r["column"]: r["n_distinct"]
+        for r in profile_columns(big, rsd=0.02).collect()
+    }["k"]
+    assert abs(est - 5000) <= 5000 * 0.06
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, columns=["nope"])
+    with _pytest.raises(ValueError, match="no columns"):
+        profile_columns(df, columns=[])

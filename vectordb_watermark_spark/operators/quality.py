@@ -532,3 +532,83 @@ def split_by_components(
         )
         .drop("__cc_id", "__cc_comp")
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-column data profile -> one row per column: ``(column, n_rows,
+    n_null, n_distinct, min_val, max_val)`` — the table-health sweep a
+    pipeline runs before trusting a new corpus drop (null bursts, id
+    collisions, truncated columns, out-of-range values).
+
+    Scale shape: ONE aggregate job.  Default ``n_distinct`` is
+    ``approx_count_distinct`` (HyperLogLog++, bounded state per column,
+    relative error ``rsd``) so the whole profile is a single pass with
+    map-side partial aggregation and no per-column shuffle;
+    ``exact_distinct=True`` opts into Spark's exact distinct expansion
+    (one grouping-set shuffle per column — fine at audit scale, dear at
+    100 TB, hence not the default).  ``min_val``/``max_val`` are cast to
+    strings so heterogeneous column types share one result schema;
+    complex columns (arrays/structs/maps/binary) report null min/max
+    (no total order) but still count nulls and distincts via their
+    canonical string form.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile_columns: no columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    complex_kinds = ("array", "map", "struct", "binary")
+    for i, c in enumerate(cols):
+        dt = df.schema[c].dataType.simpleString()
+        is_complex = any(dt.startswith(k) for k in complex_kinds)
+        # null-guarded: to_json(struct(NULL)) is "{}", which would count
+        # null rows as one more distinct value
+        probe = (
+            F.when(F.col(c).isNotNull(), F.to_json(F.struct(F.col(c))))
+            if dt.startswith(("array", "map", "struct"))
+            else F.hex(F.col(c)) if dt.startswith("binary")
+            else F.col(c)
+        )
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{i}")
+        )
+        aggs.append(
+            (
+                F.count_distinct(probe) if exact_distinct
+                else F.approx_count_distinct(probe, rsd)
+            ).alias(f"__dist_{i}")
+        )
+        if is_complex:
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{i}"))
+        else:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
+    row = df.agg(*aggs)
+    # pivot the single wide row into one row per column with a stack —
+    # driver never materializes data, it's all one plan
+    parts = ", ".join(
+        f"'{c}', __null_{i}, __dist_{i}, __min_{i}, __max_{i}"
+        for i, c in enumerate(cols)
+    )
+    return row.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS "
+            "(column, n_null, n_distinct, min_val, max_val)"
+        ),
+    ).select(
+        "column",
+        F.col("n_rows").cast("long"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
