@@ -2557,6 +2557,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pr.select("node", F.round("pr", 9).alias("pr"))
 
+    def knn_pagerank_weighted(spark, sf):  # weighted propagation (round 12)
+        # similarity-WEIGHTED PageRank over the same exact kNN graph:
+        # edge weight w = round(1/(1+dist2), 9) (identical 9-dp pin in
+        # both engines), share = pr * w / sum_w(src); the DuckDB twin
+        # unrolls the 3 weighted iterations with 10-dp trajectory
+        # rounding (division by wsum is noisier than the unweighted /k,
+        # hence the slightly coarser pin; output at 8 dp).
+        from vectordb_watermark_spark.operators import knn as K
+        from vectordb_watermark_spark.operators.graph import pagerank
+
+        df = _vectors(spark, sf)
+        edges = K.knn_edges_exact(df, k=KNN_K).withColumn(
+            "w", F.round(1.0 / (1.0 + F.col("dist2")), 9)
+        )
+        pr = pagerank(
+            edges, damping=0.85, n_iter=3,
+            nodes=df.select("id"), round_dp=10, weight_col="w",
+        )
+        return pr.select("node", F.round("pr", 8).alias("pr"))
+
     def whitening_contract(spark, sf):  # retrieval whitening (round 11)
         # pins opq.whitening_transform / whiten_embeddings (Su et al. 2021):
         # the whitened corpus has ~zero mean and ~identity covariance,
@@ -2793,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stream_docs": bm25_stream_docs,
         "semantic_decontam": semantic_decontam,
         "profile_docs": profile_docs,
+        "knn_pagerank_weighted": knn_pagerank_weighted,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -3148,6 +3169,60 @@ SELECT node, ROUND(pr, 9) AS pr FROM p3
                      CAST(min(n_chars) AS VARCHAR) AS min_val,
                      CAST(max(n_chars) AS VARCHAR) AS max_val
               FROM documents""",
+        "knn_pagerank_weighted": """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.id AS src, b.id AS dst,
+         list_sum(list_transform(list_zip(a.e, b.e), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+  FROM v a JOIN v b ON a.id <> b.id
+),
+ranked AS (
+  SELECT src, dst, dist2,
+         row_number() OVER (PARTITION BY src ORDER BY dist2, dst) AS rk
+  FROM pairs
+),
+kedges AS (
+  SELECT src, dst, ROUND(1.0 / (1.0 + dist2), 9) AS w
+  FROM ranked WHERE rk <= 16
+),
+wedges AS (
+  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS wsum FROM kedges
+),
+p0 AS (
+  SELECT id AS node, ROUND(1.0 / (SELECT count(*) FROM v), 10) AS pr FROM v
+),
+p1 AS (
+  SELECT v.id AS node,
+         ROUND((1 - 0.85) * (1.0 / (SELECT count(*) FROM v))
+               + 0.85 * COALESCE(c.s, 0), 10) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.pr * e.w / e.wsum) AS s
+    FROM wedges e JOIN p0 p ON e.src = p.node GROUP BY e.dst
+  ) c ON v.id = c.dst
+),
+p2 AS (
+  SELECT v.id AS node,
+         ROUND((1 - 0.85) * (1.0 / (SELECT count(*) FROM v))
+               + 0.85 * COALESCE(c.s, 0), 10) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.pr * e.w / e.wsum) AS s
+    FROM wedges e JOIN p1 p ON e.src = p.node GROUP BY e.dst
+  ) c ON v.id = c.dst
+),
+p3 AS (
+  SELECT v.id AS node,
+         ROUND((1 - 0.85) * (1.0 / (SELECT count(*) FROM v))
+               + 0.85 * COALESCE(c.s, 0), 10) AS pr
+  FROM v LEFT JOIN (
+    SELECT e.dst AS dst, SUM(p.pr * e.w / e.wsum) AS s
+    FROM wedges e JOIN p2 p ON e.src = p.node GROUP BY e.dst
+  ) c ON v.id = c.dst
+)
+SELECT node, ROUND(pr, 8) AS pr FROM p3""",
         "semantic_decontam": """
             WITH v AS (
               SELECT vec_id AS id,

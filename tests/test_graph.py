@@ -154,3 +154,74 @@ def test_pagerank_tol_early_stop(spark, toy):
 
     with pytest.raises(ValueError, match="tol"):
         pagerank(edges, nodes=nodes, tol=-1.0)
+
+
+def test_pagerank_weighted_matches_numpy(spark, toy):
+    """Edge-weighted propagation: mass splits proportionally to weights
+    (dense numpy twin), zero-total-weight sources go dangling, the
+    unweighted path is untouched, and negative weights are refused."""
+    edges, nodes, edge_list = toy
+    rng = np.random.default_rng(7)
+    ws = {(s, v): float(round(rng.uniform(0.1, 1.0), 3)) for s, v in edge_list}
+    wedges = spark.createDataFrame(
+        [(s, v, ws[(s, v)]) for s, v in edge_list],
+        "src long, dst long, w double",
+    )
+
+    def numpy_weighted(iters):
+        n, d, t = 6, 0.85, np.full(6, 1 / 6)
+        wsum = np.zeros(n)
+        for (s, v), w in ws.items():
+            wsum[s] += w
+        pr = t.copy()
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for (s, v), w in ws.items():
+                contrib[v] += pr[s] * w / wsum[s]
+            dm = pr[wsum == 0].sum()
+            pr = (1 - d) * t + d * (contrib + dm * t)
+        return pr
+
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(wedges, n_iter=4, nodes=nodes, weight_col="w").collect()
+    }
+    ref = numpy_weighted(4)
+    for i in range(6):
+        assert got[i] == pytest.approx(ref[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # zero-weight source == dangling: all of node 3's weights zeroed
+    z = spark.createDataFrame(
+        [(s, v, 0.0 if s == 3 else ws[(s, v)]) for s, v in edge_list],
+        "src long, dst long, w double",
+    )
+    got_z = {
+        r["node"]: r["pr"]
+        for r in pagerank(z, n_iter=3, nodes=nodes, weight_col="w").collect()
+    }
+    no3 = spark.createDataFrame(
+        [(s, v, ws[(s, v)]) for s, v in edge_list if s != 3],
+        "src long, dst long, w double",
+    )
+    got_no3 = {
+        r["node"]: r["pr"]
+        for r in pagerank(no3, n_iter=3, nodes=nodes, weight_col="w").collect()
+    }
+    for i in range(6):
+        assert got_z[i] == pytest.approx(got_no3[i], abs=1e-12)
+
+    # uniform weights == unweighted path exactly at shared rounding
+    u = spark.createDataFrame(
+        [(s, v, 2.5) for s, v in edge_list], "src long, dst long, w double"
+    )
+    assert (
+        {r["node"]: r["pr"] for r in pagerank(u, n_iter=3, nodes=nodes,
+                                              weight_col="w", round_dp=12).collect()}
+        == {r["node"]: r["pr"] for r in pagerank(edges, n_iter=3, nodes=nodes,
+                                                 round_dp=12).collect()}
+    )
+
+    bad = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="nonnegative"):
+        pagerank(bad, nodes=nodes, weight_col="w")

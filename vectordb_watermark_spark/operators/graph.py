@@ -54,6 +54,7 @@ def pagerank(
     reset_col: str | None = None,
     round_dp: int | None = None,
     tol: float | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge table -> ``(node, pr)``.
 
@@ -64,6 +65,15 @@ def pagerank(
     to sum 1 — negative weights are a ValueError).  ``round_dp`` rounds
     the score after every iteration (cross-engine determinism; see
     module docstring).  Scores sum to 1 over the node set.
+
+    ``weight_col``: optional edge-weight column — mass flows along each
+    edge proportionally to its weight (``share = pr * w / sum_w(src)``
+    instead of ``pr / outdeg``), the similarity-weighted propagation a
+    near-dup/kNN graph wants (a 0.99-cosine neighbor should inherit more
+    quality signal than a 0.60 one).  Weights must be nonnegative
+    (ValueError); a source whose weights sum to 0 is DANGLING, exactly
+    like a node with no out-edges.  ``None`` keeps the unweighted path
+    bit-identical to previous rounds.
 
     ``tol``: optional early-stop — after each iteration the L1 delta vs
     the previous scores (one extra aggregate over the two checkpointed
@@ -78,9 +88,24 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if tol is not None and tol < 0:
         raise ValueError(f"tol must be >= 0, got {tol}")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("ew"),
+        )
+        bad = e.filter(
+            F.col("ew").isNull() | (F.col("ew") < 0)
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                "pagerank: weight_col has null/negative weights — edge "
+                "weights must be nonnegative"
+            )
     if nodes is None:
         node_df = (
             e.select(F.col("src").alias("node"))
@@ -121,7 +146,18 @@ def pagerank(
     tele = tele.persist()
     tele.count()
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    if weight_col is None:
+        outdeg = (
+            e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+        )
+    else:
+        # zero-total-weight sources drop out (dangling, like no-edge nodes)
+        outdeg = (
+            e.groupBy("src")
+            .agg(F.sum("ew").alias("wsum"))
+            .filter(F.col("wsum") > 0)
+            .persist()
+        )
     outdeg.count()
 
     def _rounded(col):
@@ -138,16 +174,37 @@ def pagerank(
         # mass each node pushes per out-edge (keys renamed per step: the
         # node set / out-degrees / edges share lineage, and fresh names
         # keep every self-join unambiguous)
-        push = pr.join(outdeg, pr["node"] == outdeg["src"], "inner").select(
-            pr["node"].alias("psrc"),
-            (F.col("pr") / F.col("outdeg")).alias("share"),
-        )
-        contrib = (
-            e.join(push, e["src"] == push["psrc"], "inner")
-            .select(e["dst"].alias("cnode"), "share")
-            .groupBy("cnode")
-            .agg(F.sum("share").alias("c"))
-        )
+        if weight_col is None:
+            push = pr.join(
+                outdeg, pr["node"] == outdeg["src"], "inner"
+            ).select(
+                pr["node"].alias("psrc"),
+                (F.col("pr") / F.col("outdeg")).alias("share"),
+            )
+            contrib = (
+                e.join(push, e["src"] == push["psrc"], "inner")
+                .select(e["dst"].alias("cnode"), "share")
+                .groupBy("cnode")
+                .agg(F.sum("share").alias("c"))
+            )
+        else:
+            # per-edge share = pr * w / wsum(src); same join + groupBy
+            # shuffle count as the unweighted path
+            push = pr.join(
+                outdeg, pr["node"] == outdeg["src"], "inner"
+            ).select(
+                pr["node"].alias("psrc"),
+                (F.col("pr") / F.col("wsum")).alias("unit"),
+            )
+            contrib = (
+                e.join(push, e["src"] == push["psrc"], "inner")
+                .select(
+                    e["dst"].alias("cnode"),
+                    (F.col("ew") * F.col("unit")).alias("share"),
+                )
+                .groupBy("cnode")
+                .agg(F.sum("share").alias("c"))
+            )
         # dangling mass: pr that sits on nodes without out-edges — it
         # teleports like the reset mass (standard PageRank completion)
         dang = pr.join(outdeg, pr["node"] == outdeg["src"], "left_anti").agg(
