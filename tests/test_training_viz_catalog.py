@@ -472,3 +472,26 @@ def test_profile_columns_contracts(spark):
         profile_columns(df, columns=["nope"])
     with _pytest.raises(ValueError, match="no columns"):
         profile_columns(df, columns=[])
+
+
+def test_snapshot_backup_roundtrip(spark, tmp_path):
+    """S10 backup sink: snapshot -> read back preserves rows, schema and
+    vector payloads exactly (the reference's .npz carrier backup as a
+    columnar snapshot); overwrite replaces, error mode refuses."""
+    import pytest as _pytest
+
+    from vectordb_watermark_spark.sources.io import snapshot
+
+    rows = [(i, [float(i), float(-i)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, emb array<float>")
+    path = str(tmp_path / "backup")
+    snapshot(df, path)
+    back = spark.read.parquet(path)
+    assert back.schema == df.schema
+    got = sorted((r["id"], list(r["emb"])) for r in back.collect())
+    assert got == [(i, [float(i), float(-i)]) for i in range(50)]
+
+    snapshot(df.filter(F.col("id") < 10), path)  # overwrite replaces
+    assert spark.read.parquet(path).count() == 10
+    with _pytest.raises(Exception):
+        snapshot(df, path, mode="error")
