@@ -2560,10 +2560,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def knn_pagerank_weighted(spark, sf):  # weighted propagation (round 12)
         # similarity-WEIGHTED PageRank over the same exact kNN graph:
         # edge weight w = round(1/(1+dist2), 9) (identical 9-dp pin in
-        # both engines), share = pr * w / sum_w(src); the DuckDB twin
-        # unrolls the 3 weighted iterations with 10-dp trajectory
-        # rounding (division by wsum is noisier than the unweighted /k,
-        # hence the slightly coarser pin; output at 8 dp).
+        # both engines — verified edge-set- and weight-identical at
+        # sf0.1), share = pr * w / sum_w(src); the DuckDB twin unrolls
+        # the 3 weighted iterations with 10-dp trajectory rounding.  The
+        # trajectory value is emitted AS IS: a second, coarser rounding
+        # would re-expose exact-.5 ties to the engines' differing
+        # half-rounding rules (observed once at sf0.1).
         from vectordb_watermark_spark.operators import knn as K
         from vectordb_watermark_spark.operators.graph import pagerank
 
@@ -2575,7 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             edges, damping=0.85, n_iter=3,
             nodes=df.select("id"), round_dp=10, weight_col="w",
         )
-        return pr.select("node", F.round("pr", 8).alias("pr"))
+        return pr.select("node", (F.col("pr") + F.lit(0.0)).alias("pr"))
 
     def whitening_contract(spark, sf):  # retrieval whitening (round 11)
         # pins opq.whitening_transform / whiten_embeddings (Su et al. 2021):
@@ -3222,7 +3224,7 @@ p3 AS (
     FROM wedges e JOIN p2 p ON e.src = p.node GROUP BY e.dst
   ) c ON v.id = c.dst
 )
-SELECT node, ROUND(pr, 8) AS pr FROM p3""",
+SELECT node, pr FROM p3""",
         "semantic_decontam": """
             WITH v AS (
               SELECT vec_id AS id,
