@@ -1042,6 +1042,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup clustering: minhash candidates -> connected components
         return D.connected_components(D.minhash_candidate_pairs(_docs(spark, sf)))
 
+    def stream_components_docs(spark, sf):  # streaming clusters (round 12)
+        # the documents table STREAMED through incremental_components in
+        # 3 micro-batches must resolve to exactly the batch
+        # connected_components(minhash_candidate_pairs(docs)) — merges
+        # across batches land through the alias log, resolution folds it
+        # — pinned by the SAME DuckDB twin as dedup_components.
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.streaming.curation import (
+            incremental_components,
+            resolve_components,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        srcdir = os.path.join(scratch, f"oracle_cc_src_{tag}")
+        store = os.path.join(scratch, f"oracle_cc_store_{tag}")
+        ckpt = os.path.join(scratch, f"oracle_cc_ckpt_{tag}")
+        for p in (srcdir, store, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+        _docs(spark, sf).repartition(3).write.parquet(srcdir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(srcdir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(srcdir)
+        )
+        q = incremental_components(stream, store, ckpt).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(300)
+        return resolve_components(spark, store)
+
     def neardup_safe_split(spark, sf):  # dedup-aware split (round 11)
         # every member of a discovered near-dup cluster lands on ONE side
         # of the train/val boundary (Lee et al. 2022 leakage guard):
@@ -2816,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": semantic_decontam,
         "profile_docs": profile_docs,
         "knn_pagerank_weighted": knn_pagerank_weighted,
+        "stream_components_docs": stream_components_docs,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -4232,6 +4269,28 @@ SELECT node, pr FROM p3""",
         # connected components of the minhash candidate graph via recursive
         # label reachability: comp(id) = min id reachable from id — identical
         # definition to operators/dedup.connected_components' fixpoint
+        "stream_components_docs": f"""
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id, {mh_cols} FROM
+                (SELECT doc_id, {_mh_words} AS hs FROM documents)
+            ),
+            bands AS (
+              SELECT doc_id, unnest([{', '.join(band_exprs)}]) AS bb FROM sigs
+            ),
+            keys AS (SELECT doc_id, bb[1] AS band, bb[2] AS band_hash FROM bands),
+            cpairs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM keys x JOIN keys y ON x.band = y.band AND x.band_hash = y.band_hash
+              WHERE x.doc_id < y.doc_id
+            ),
+            edges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+            reach(id, comp) AS (
+              SELECT a AS id, a AS comp FROM edges
+              UNION
+              SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+            )
+            SELECT id, CAST(min(comp) AS BIGINT) AS comp FROM reach GROUP BY id""",
+        # identical twin: streamed clusters must equal batch clusters
         "dedup_components": f"""
             WITH RECURSIVE sigs AS (
               SELECT doc_id, {mh_cols} FROM

@@ -2370,3 +2370,187 @@ def test_audio_fingerprint_drives_neardup_stack(spark):
         ).collect()
     )
     assert pairs == [(0, 1), (2, 3), (4, 5)]
+
+
+def test_incremental_components_matches_batch(spark, tmp_path):
+    """Streaming near-dup cluster maintenance: at every point in the
+    stream, resolve_components equals the batch
+    connected_components(minhash_candidate_pairs(ingested docs)) —
+    including CROSS-batch merges of two established clusters (the alias
+    path) and history singletons pulled into clusters late; compaction
+    folds the alias log without changing the assignment; a replayed
+    batch recomputes identically."""
+    import shutil
+
+    from vectordb_watermark_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from vectordb_watermark_spark.streaming.curation import (
+        compact_components,
+        incremental_components,
+        resolve_components,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about data pipelines and vector engines at scale"
+    )
+    variant = base.replace("lazy", "sleepy")
+    other = (
+        "completely different subject matter entirely unrelated to the "
+        "previous text about foxes discussing streaming joins and windows "
+        "for event analytics dashboards under heavy production load"
+    )
+    other_v = other.replace("heavy", "massive")
+    lone = "short unique snippet with its own vocabulary zebra quartz"
+    # batch 0: cluster A seed + singleton-to-be; batch 1: cluster B;
+    # batch 2: bridges A's seed via another variant AND merges into B? no —
+    # bridges cluster A and pulls the batch-0 singleton's twin
+    batches = [
+        [(10, base), (50, lone), (70, other)],
+        [(20, variant), (80, other_v)],
+        [(30, base.replace("quick", "rapid")), (55, lone + " twin")],
+    ]
+
+    src = tmp_path / "cc_src"
+    src.mkdir()
+    store = str(tmp_path / "cc_store")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_components(
+            stream, store, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    def batch_truth(rows):
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            (int(r["id"]), int(r["comp"]))
+            for r in connected_components(minhash_candidate_pairs(d)).collect()
+        }
+
+    seen = []
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"cc_stage_{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i}.parquet")
+        seen += rows
+        run("cc_ck")
+        got = {
+            (int(r["id"]), int(r["comp"]))
+            for r in resolve_components(spark, store).collect()
+        }
+        assert got == batch_truth(seen), f"after batch {i}"
+
+    final = batch_truth(seen)
+    # the cross-batch cluster really formed: 10/20/30 share a component
+    comps = dict(final)
+    assert comps[10] == comps[20] == comps[30] == 10
+
+    # compaction folds aliases, assignment unchanged
+    compact_components(spark, store)
+    import os
+
+    assert not os.path.exists(f"{store}/aliases")
+    got_c = {
+        (int(r["id"]), int(r["comp"]))
+        for r in resolve_components(spark, store).collect()
+    }
+    assert got_c == final
+
+    # replay: fresh checkpoint over the same files recomputes the same
+    # assignment (per-batch overwrites, history excludes own tag)
+    run("cc_ck2")
+    got_r = {
+        (int(r["id"]), int(r["comp"]))
+        for r in resolve_components(spark, store).collect()
+    }
+    assert got_r == final
+
+
+def test_incremental_components_cross_cluster_merge(spark, tmp_path):
+    """The ALIAS path: two clusters established in different batches are
+    bridged by a later concatenation doc (deterministic construction —
+    the bridge band-collides with both sides, the sides not with each
+    other); the merge lands as O(1) alias rows, resolution equals the
+    batch op, and compaction folds the log."""
+    import os
+    import shutil
+
+    from vectordb_watermark_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from vectordb_watermark_spark.streaming.curation import (
+        compact_components,
+        incremental_components,
+        resolve_components,
+    )
+
+    # seed-50 construction (verified: pairs are exactly (A,D) and (B,D))
+    A = " ".join(f"alpha50w{i}" for i in range(60))
+    B = " ".join(f"beta50w{i}" for i in range(60))
+    D = A + " " + B
+    A2 = A.replace("alpha50w0", "alpha50x0")  # near-identical twin of A
+    B2 = B.replace("beta50w0", "beta50x0")
+
+    batches = [
+        [(100, A), (101, A2)],      # cluster comp=100
+        [(200, B), (201, B2)],      # cluster comp=200
+        [(300, D)],                 # bridges both -> one component
+    ]
+    src = tmp_path / "ccm_src"
+    src.mkdir()
+    store = str(tmp_path / "ccm_store")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_components(
+            stream, store, str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+
+    seen = []
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"ccm_stage_{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)\
+            .write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i}.parquet")
+        seen += rows
+    run("ccm_ck")
+
+    # the merge was recorded through the alias log, not a label rewrite
+    assert os.path.exists(f"{store}/aliases")
+    got = {
+        (int(r["id"]), int(r["comp"]))
+        for r in resolve_components(spark, store).collect()
+    }
+    d = spark.createDataFrame(seen, "doc_id long, text string")
+    truth = {
+        (int(r["id"]), int(r["comp"]))
+        for r in connected_components(minhash_candidate_pairs(d)).collect()
+    }
+    assert got == truth
+    comps = dict(got)
+    assert comps[100] == comps[200] == comps[300] == 100
+
+    compact_components(spark, store)
+    assert not os.path.exists(f"{store}/aliases")
+    got_c = {
+        (int(r["id"]), int(r["comp"]))
+        for r in resolve_components(spark, store).collect()
+    }
+    assert got_c == truth

@@ -663,3 +663,308 @@ def incremental_postings(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(handle)
     )
+
+
+def _component_alias_roots(spark, path: str) -> dict[int, int]:
+    """Collect the alias (merge) log and union-find it driver-side into a
+    ``label -> canonical-root`` map.  Alias rows always point a current
+    root at a smaller-or-equal canonical, so the root of every chain is
+    the MINIMUM id its component has ever seen — the same canonical rule
+    as batch ``connected_components``.  The log is bounded by the number
+    of MERGE EVENTS (two established clusters colliding), not by corpus
+    size; :func:`compact_components` folds it away when it grows."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{path}/aliases")):
+        return {}
+    # merge-free batches write no alias dir at all (an empty parquet dir
+    # has no schema to read), so list what exists
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(jp(f"{path}/aliases"))
+        if st.getPath().getName().startswith("batch=")
+    ]
+    if not dirs:
+        return {}
+    rows = spark.read.parquet(*dirs).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(int(r["from_comp"])), find(int(r["to_comp"]))
+        if a == b:
+            continue
+        lo, hi = (a, b) if a < b else (b, a)
+        parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def resolve_components(spark, path: str) -> DataFrame:
+    """Current cluster assignment of an :func:`incremental_components`
+    store -> ``(id, comp)`` with ``comp`` the minimum id reachable in the
+    near-dup graph streamed so far — the SAME contract as batch
+    ``dedup.connected_components(minhash_candidate_pairs(docs))`` over
+    everything ingested (docs with no near-dup partner are absent, as in
+    the batch op).  One labels scan + a broadcast alias-root join."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{path}/labels")):
+        # nothing near-dup'd yet — same empty result as the batch op on a
+        # pair-free corpus
+        return spark.createDataFrame([], "id long, comp long")
+    labels = spark.read.parquet(f"{path}/labels")
+    roots = _component_alias_roots(spark, path)
+    if not roots:
+        return labels.select("id", "comp")
+    rdf = spark.createDataFrame(
+        list(roots.items()), "comp long, root long"
+    )
+    return (
+        labels.join(F.broadcast(rdf), "comp", "left")
+        .select(
+            "id", F.coalesce(F.col("root"), F.col("comp")).alias("comp")
+        )
+    )
+
+
+def compact_components(spark, path: str) -> None:
+    """Fold the alias log into the labels (rewrite every label to its
+    canonical root) and clear it — run on the usual maintenance cadence
+    when merge events accumulate.  Staged-swap both pieces; the store
+    keeps serving either the old (labels+aliases) or the new
+    (labels-only) view, never a half state."""
+    from vectordb_watermark_spark.operators.similarity import _swap_dir_atomic
+
+    roots = _component_alias_roots(spark, path)
+    resolved = resolve_components(spark, path)
+    staged = f"{path}/labels__compact"
+    resolved.withColumn("batch", F.lit("compacted")).write.mode(
+        "overwrite"
+    ).partitionBy("batch").parquet(staged)
+    _swap_dir_atomic(spark, staged, f"{path}/labels")
+    if roots:
+        jp = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jp(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jp(f"{path}/aliases"), True)
+
+
+def incremental_components(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming near-dup CLUSTER maintenance — the connected-components
+    upgrade of :func:`incremental_dedup` (which acceptss/rejects on exact
+    signature identity; this maintains the full near-dup component
+    structure as documents arrive).  Returns the DataStreamWriter.
+
+    Per micro-batch (foreachBatch serialization is the consistency
+    fence), against everything already ingested:
+
+    1. MinHash signatures + LSH bands for the batch (Arrow kernel, no
+       shuffle); band rows land under ``bands/batch=stream-N`` — the
+       equi-join probe surface for every FUTURE batch;
+    2. batch-internal candidate pairs (``minhash_candidate_pairs``) plus
+       CROSS pairs from one band equi-join against the stored history
+       bands;
+    3. ``connected_components`` over this SMALL local graph (bounded by
+       batch size + its matches, never the corpus);
+    4. each local cluster adopts the minimum of its member ids and the
+       CURRENT canonical labels of every matched history doc; history
+       clusters that got bridged emit ``(from_comp, to_comp)`` rows into
+       the append-only alias log — a MERGE is O(1) rows, no relabeling
+       scan of the corpus (the log folds away at
+       :func:`compact_components` time);
+    5. labels for newly labeled docs (batch docs in pairs + history
+       singletons just pulled in) land under ``labels/batch=stream-N``.
+
+    All three pieces are per-batch overwrites computed against history
+    EXCLUDING the batch's own prior attempt, so a checkpoint-retried
+    micro-batch is idempotent.  :func:`resolve_components` reads the
+    current assignment; it equals the batch
+    ``connected_components(minhash_candidate_pairs(all docs))`` at every
+    point in the stream's life (oracle-pinned).
+
+    At 100 TB: per-batch cost is the batch's own kernel work + ONE
+    band equi-join whose right side is prunable parquet; driver state is
+    the alias log's union-find (bounded by merge events).  No corpus
+    rescan, no label rewriting storm on merge."""
+    from vectordb_watermark_spark.operators.dedup import (
+        connected_components,
+        minhash_bands,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        tag = f"stream-{int(batch_id)}"
+        jp = spark._jvm.org.apache.hadoop.fs.Path
+        fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+        def prior_dirs(sub: str) -> list[str]:
+            root = jp(f"{store_path}/{sub}")
+            if not fs.exists(root):
+                return []
+            return [
+                st.getPath().toString()
+                for st in fs.listStatus(root)
+                if st.getPath().getName().startswith("batch=")
+                and st.getPath().getName() != f"batch={tag}"
+            ]
+
+        batch = batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        ).persist()
+        try:
+            sigs = minhash_signatures(batch)
+            bands = minhash_bands(sigs).persist()
+            try:
+                # 1) persist this batch's probe surface FIRST (overwrite =
+                # retry-idempotent; history excludes own tag below)
+                bands.write.mode("overwrite").parquet(
+                    f"{store_path}/bands/batch={tag}"
+                )
+
+                # 2) pair graph: internal + cross vs history bands
+                p_int = minhash_candidate_pairs(batch)
+                hist_dirs = prior_dirs("bands")
+                if hist_dirs:
+                    hist = spark.read.parquet(*hist_dirs)
+                    p_x = (
+                        bands.select("band", "band_hash",
+                                     F.col("id").alias("a"))
+                        .join(
+                            hist.select("band", "band_hash",
+                                        F.col("id").alias("b")),
+                            ["band", "band_hash"],
+                        )
+                        .select("a", "b")
+                        .distinct()
+                    )
+                else:
+                    p_x = None
+
+                edges = p_int.select("a", "b")
+                if p_x is not None:
+                    edges = edges.unionByName(p_x)
+                if not edges.take(1):
+                    return
+
+                # 3) local components over the bounded batch-plus-matches
+                # graph
+                local = connected_components(edges).persist()
+                try:
+                    # 4) current canonical labels of matched history docs
+                    label_dirs = prior_dirs("labels")
+                    batch_ids = batch.select(
+                        F.col("doc_id").alias("id")
+                    )
+                    if label_dirs:
+                        hl = (
+                            spark.read.parquet(*label_dirs)
+                            .join(
+                                local.select("id"), "id", "left_semi"
+                            )
+                            .select("id", F.col("comp").alias("hcomp"))
+                        )
+                        roots = _component_alias_roots(spark, store_path)
+                        if roots:
+                            rdf = spark.createDataFrame(
+                                list(roots.items()), "hcomp long, root long"
+                            )
+                            hl = hl.join(
+                                F.broadcast(rdf), "hcomp", "left"
+                            ).select(
+                                "id",
+                                F.coalesce("root", "hcomp").alias("hcomp"),
+                            )
+                    else:
+                        hl = None
+
+                    lab = local.select("id", F.col("comp").alias("lcomp"))
+                    if hl is not None:
+                        lab = lab.join(hl, "id", "left")
+                    else:
+                        lab = lab.withColumn("hcomp", F.lit(None).cast("long"))
+                    # canonical per local cluster = min(member ids,
+                    # matched history canonicals)
+                    canon = (
+                        lab.groupBy("lcomp")
+                        .agg(
+                            F.least(
+                                F.min("id"),
+                                F.coalesce(F.min("hcomp"), F.min("id")),
+                            ).alias("canon")
+                        )
+                    )
+                    labeled = lab.join(F.broadcast(canon), "lcomp")
+
+                    # alias rows: every distinct matched history canonical
+                    # above the cluster canonical got merged
+                    aliases = (
+                        labeled.filter(
+                            F.col("hcomp").isNotNull()
+                            & (F.col("hcomp") != F.col("canon"))
+                        )
+                        .select(
+                            F.col("hcomp").alias("from_comp"),
+                            F.col("canon").alias("to_comp"),
+                        )
+                        .distinct()
+                    )
+                    # write only when merges happened: an empty parquet
+                    # dir is unreadable (no schema), and the recompute is
+                    # deterministic so a retry never needs to CLEAR a
+                    # previous non-empty attempt — but delete the stale
+                    # dir anyway as cheap retry hygiene
+                    adir = f"{store_path}/aliases/batch={tag}"
+                    if aliases.take(1):
+                        aliases.write.mode("overwrite").parquet(adir)
+                    elif fs.exists(jp(adir)):
+                        fs.delete(jp(adir), True)
+
+                    # labels: batch docs in the graph + history docs that
+                    # were UNLABELED until now (singletons pulled in)
+                    new_rows = labeled.join(
+                        batch_ids, "id", "left_semi"
+                    ).select("id", F.col("canon").alias("comp"))
+                    if hl is not None:
+                        pulled = (
+                            labeled.join(batch_ids, "id", "left_anti")
+                            .filter(F.col("hcomp").isNull())
+                            .select("id", F.col("canon").alias("comp"))
+                        )
+                        new_rows = new_rows.unionByName(pulled)
+                    else:
+                        pulled = (
+                            labeled.join(batch_ids, "id", "left_anti")
+                            .select("id", F.col("canon").alias("comp"))
+                        )
+                        new_rows = new_rows.unionByName(pulled)
+                    new_rows.write.mode("overwrite").parquet(
+                        f"{store_path}/labels/batch={tag}"
+                    )
+                finally:
+                    local.unpersist()
+            finally:
+                bands.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
