@@ -739,7 +739,14 @@ def compact_components(spark, path: str) -> None:
     canonical root) and clear it — run on the usual maintenance cadence
     when merge events accumulate.  Staged-swap both pieces; the store
     keeps serving either the old (labels+aliases) or the new
-    (labels-only) view, never a half state."""
+    (labels-only) view, never a half state.
+
+    Run BETWEEN stream runs (the same fence as every maintenance
+    operation in this module): compacting while a micro-batch retry is
+    pending would fold that batch's labels away and let the retry
+    re-write them beside the compacted copy — duplicate (id, comp) rows
+    until the next compaction.  foreachBatch serialization makes
+    between-runs compaction race-free."""
     from vectordb_watermark_spark.operators.similarity import _swap_dir_atomic
 
     roots = _component_alias_roots(spark, path)
