@@ -1042,6 +1042,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup clustering: minhash candidates -> connected components
         return D.connected_components(D.minhash_candidate_pairs(_docs(spark, sf)))
 
+    def line_scrub_docs(spark, sf):  # C4-style line dedup (round 12)
+        # boilerplate lines planted deterministically on the documents
+        # table in BOTH engines (doc_id % 3 == 0 gets a subscribe
+        # banner, % 5 == 0 a cookie banner); the scrub removes exactly
+        # the planted lines (each original text is corpus-unique) and
+        # rebuilds the remaining lines in order.
+        from vectordb_watermark_spark.operators.dedup import (
+            scrub_repeated_lines,
+        )
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("\nplease subscribe to our newsletter"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit("\nthis site uses cookies"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return scrub_repeated_lines(d)
+
     def stream_components_docs(spark, sf):  # streaming clusters (round 12)
         # the documents table STREAMED through incremental_components in
         # 3 micro-batches must resolve to exactly the batch
@@ -2853,6 +2879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_docs": profile_docs,
         "knn_pagerank_weighted": knn_pagerank_weighted,
         "stream_components_docs": stream_components_docs,
+        "line_scrub_docs": line_scrub_docs,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
@@ -3262,6 +3289,39 @@ p3 AS (
   ) c ON v.id = c.dst
 )
 SELECT node, pr FROM p3""",
+        "line_scrub_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'please subscribe to our newsletter'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'this site uses cookies'
+                             ELSE '' END AS t
+              FROM documents
+            ),
+            split AS (
+              SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+            ),
+            lines AS (
+              SELECT doc_id, ls[i] AS l, i
+              FROM split, LATERAL unnest(generate_series(1, len(ls))) AS g(i)
+            ),
+            rep AS (
+              SELECT l FROM lines WHERE length(l) > 0
+              GROUP BY l HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+              SELECT doc_id, l, i FROM lines
+              WHERE l NOT IN (SELECT l FROM rep)
+            )
+            SELECT d.doc_id,
+                   COALESCE(k.text, '') AS text
+            FROM d LEFT JOIN (
+              SELECT doc_id, string_agg(l, chr(10) ORDER BY i) AS text
+              FROM kept GROUP BY doc_id
+            ) k USING (doc_id)""",
         "semantic_decontam": """
             WITH v AS (
               SELECT vec_id AS id,

@@ -2792,3 +2792,52 @@ def test_semantic_contamination_matches_numpy(spark):
         semantic_contamination(docs, bench.filter(F.col("id") < 0))
     with _pytest.raises(ValueError, match="max_bench_rows"):
         semantic_contamination(docs, bench, max_bench_rows=2)
+
+
+def test_scrub_repeated_lines_semantics(spark):
+    """C4-style line dedup: lines repeating across >= min_df docs vanish,
+    unique lines keep their original order, empty lines never count
+    toward df, fully-boilerplate docs survive as empty strings, and a
+    precomputed corpus table scrubs shards identically."""
+    from vectordb_watermark_spark.operators.dedup import (
+        line_frequencies,
+        scrub_repeated_lines,
+    )
+
+    bp = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha body one\n{bp}\nalpha body two"),
+        (2, f"{bp}\nbeta body"),
+        (3, "gamma body only"),
+        (4, bp),                       # boilerplate-only doc
+        (5, f"delta start\n\ndelta end"),  # empty line preserved? removed? —
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    freq = {r["line"]: r["df"] for r in line_frequencies(docs).collect()}
+    assert freq == {bp: 3}
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in scrub_repeated_lines(docs).collect()
+    }
+    assert got[1] == "alpha body one\nalpha body two"
+    assert got[2] == "beta body"
+    assert got[3] == "gamma body only"
+    assert got[4] == ""          # row survives, text scrubbed away
+    assert got[5] == "delta start\n\ndelta end"  # empties ride through
+
+    # shard reuse: scrubbing half the corpus against the CORPUS table
+    # equals the full-scrub rows for those docs
+    corpus_tbl = line_frequencies(docs)
+    shard = docs.filter(F.col("doc_id") <= 2)
+    got_shard = {
+        r["doc_id"]: r["text"]
+        for r in scrub_repeated_lines(shard, line_df=corpus_tbl).collect()
+    }
+    assert got_shard == {1: got[1], 2: got[2]}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_df"):
+        line_frequencies(docs, min_df=0)

@@ -1608,3 +1608,92 @@ def fuzzy_join(
     return cand.select(
         "lid", "rid", F.levenshtein("ls", "rs").alias("distance")
     ).filter(F.col("distance") <= k)
+
+
+def line_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-repeated lines -> ``(line, df)`` with ``df`` = number of
+    DISTINCT documents containing the exact line and ``df >= min_df`` —
+    the boilerplate table of C4-style line-level dedup (navbars, cookie
+    banners, subscribe prompts repeat verbatim across a domain; body
+    prose does not).  One explode + one map-side-combined groupBy; the
+    output is bounded by the repeated-line vocabulary, tiny relative to
+    the corpus (Zipf again).  Precompute once and pass to
+    :func:`scrub_repeated_lines` to scrub shards against CORPUS-level
+    frequencies."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), F.lit(sep), -1)).alias("line"),
+    ).filter(F.length("line") > 0)
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def scrub_repeated_lines(
+    df: DataFrame,
+    line_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """C4-style line-level boilerplate scrub -> ``(id_col, text_col)``
+    with every line that repeats across ``min_df`` or more documents
+    removed and the remaining lines re-joined in their original order
+    (docs reduced to nothing keep an empty string — the row survives for
+    downstream joins).
+
+    ``line_df``: a precomputed :func:`line_frequencies` table, so shards
+    scrub against corpus-level counts (the same reuse contract as
+    ``scrub_duplicate_spans``); ``None`` computes it from ``df``.
+
+    Plan shape: posexplode (line order rides along) -> broadcast-friendly
+    anti-join against the bounded repeated-line table -> one
+    ``groupBy(id)`` rebuilding the text via position-sorted
+    ``array_join`` — two shuffles total, both keyed by doc id or line.
+    """
+    if line_df is None:
+        line_df = line_frequencies(
+            df, id_col=id_col, text_col=text_col, sep=sep, min_df=min_df
+        )
+    parts = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    kept = parts.join(
+        line_df.select("line"), "line", "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("__t")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__t"), F.lit("")).alias(text_col),
+        )
+    )
