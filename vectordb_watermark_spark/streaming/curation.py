@@ -849,9 +849,14 @@ def incremental_components(
                 hist_dirs = prior_dirs("bands")
                 if hist_dirs:
                     hist = spark.read.parquet(*hist_dirs)
+                    # broadcast the (small) batch side: history — the side
+                    # that grows with the corpus — is then only SCANNED
+                    # map-side, never shuffled, every micro-batch
                     p_x = (
-                        bands.select("band", "band_hash",
-                                     F.col("id").alias("a"))
+                        F.broadcast(
+                            bands.select("band", "band_hash",
+                                         F.col("id").alias("a"))
+                        )
                         .join(
                             hist.select("band", "band_hash",
                                         F.col("id").alias("b")),
