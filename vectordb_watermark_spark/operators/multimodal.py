@@ -1672,14 +1672,14 @@ def mp4_metadata(df: DataFrame, id_col: str = "id", bytes_col: str = "media") ->
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                info = _parse_mp4(bytes(r[bytes_col]))
+            for rid, raw in zip(pdf[id_col].values, pdf[bytes_col].values):
+                info = _parse_mp4(bytes(raw))
                 vid = next(
                     (t for t in info["tracks"] if t["type"] == "vide"),
                     info["tracks"][0] if info["tracks"] else None,
                 )
                 rows.append((
-                    r[id_col],
+                    rid,
                     info["brand"],
                     float(info.get("duration_ms", 0.0)),
                     len(info["tracks"]),
@@ -1735,8 +1735,8 @@ def mp4_sample_bytes(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[bytes_col])
+            for rid, payload in zip(pdf[id_col].values, pdf[bytes_col].values):
+                raw = bytes(payload)
                 info = _parse_mp4(raw)
                 vid = next((t for t in info["tracks"] if t["type"] == "vide"), None)
                 if vid is None:
@@ -1744,7 +1744,7 @@ def mp4_sample_bytes(
                 for si, (off, size, sync) in enumerate(vid["samples"]):
                     if si % every_k or (sync_only and not sync):
                         continue
-                    rows.append((r[id_col], si, bool(sync), size, raw[off : off + size]))
+                    rows.append((rid, si, bool(sync), size, raw[off : off + size]))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["id", "sample_idx", "is_sync", "byte_len", "data"]
@@ -1795,8 +1795,8 @@ def decode_mp4_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[bytes_col])
+            for rid, payload in zip(pdf[id_col].values, pdf[bytes_col].values):
+                raw = bytes(payload)
                 info = _parse_mp4(raw)
                 vid = next((t for t in info["tracks"] if t["type"] == "vide"), None)
                 if vid is None:
@@ -1814,7 +1814,7 @@ def decode_mp4_frames(
                     if si % every_k or (sync_only and not sync):
                         continue
                     w, h, c, px = _decode_jpeg(raw[off : off + size])
-                    rows.append((r[id_col], si, bool(sync), w, h, c, px))
+                    rows.append((rid, si, bool(sync), w, h, c, px))
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -1837,8 +1837,8 @@ def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[bytes_col])
+            for rid, payload in zip(pdf[id_col].values, pdf[bytes_col].values):
+                raw = bytes(payload)
                 _require_decodable(raw)
                 if raw.startswith(MAGIC_FAKEIMG):
                     w, h, c, px = _decode_fake_image(raw)
@@ -1852,7 +1852,7 @@ def decode_images(df: DataFrame, id_col: str = "id", bytes_col: str = "media") -
                     w, h, c, px = _decode_jpeg(raw)
                 else:
                     raise ValueError("not a decodable image payload")
-                rows.append((r[id_col], w, h, c, px))
+                rows.append((rid, w, h, c, px))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "width", "height", "channels", "pixels"])
 
@@ -1868,13 +1868,16 @@ def resize_images(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
-                arr = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, c)
+            for rid, w, h, c, px in zip(
+                pdf["id"].values, pdf["width"].values, pdf["height"].values,
+                pdf["channels"].values, pdf["pixels"].values,
+            ):
+                w, h, c = int(w), int(h), int(c)
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 out = arr[yi][:, xi]
-                rows.append((r["id"], out_w, out_h, c, out.tobytes()))
+                rows.append((rid, out_w, out_h, c, out.tobytes()))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "width", "height", "channels", "pixels"])
 
@@ -1888,13 +1891,16 @@ def image_features(decoded: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
-                arr = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, c)
+            for rid, w, h, c, px in zip(
+                pdf["id"].values, pdf["width"].values, pdf["height"].values,
+                pdf["channels"].values, pdf["pixels"].values,
+            ):
+                w, h, c = int(w), int(h), int(c)
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
                 feats = np.concatenate(
                     [arr.mean(axis=(0, 1)) / 255.0, arr.std(axis=(0, 1)) / 255.0]
                 ).astype(np.float32)
-                rows.append((r["id"], feats.tolist()))
+                rows.append((rid, feats.tolist()))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "features"])
 
@@ -1913,8 +1919,8 @@ def sample_video_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[bytes_col])
+            for rid, payload in zip(pdf[id_col].values, pdf[bytes_col].values):
+                raw = bytes(payload)
                 _require_decodable(raw)
                 if not raw.startswith(MAGIC_FAKEVID):
                     raise ValueError("not a video payload")
@@ -1924,7 +1930,7 @@ def sample_video_frames(
                 body = raw[off + 6 :]
                 for i in range(0, n, every_k):
                     px = body[i * frame_bytes : (i + 1) * frame_bytes]
-                    rows.append((r[id_col], i, w, h, 1, px))
+                    rows.append((rid, i, w, h, 1, px))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["id", "frame_idx", "width", "height", "channels", "pixels"]
@@ -1941,12 +1947,11 @@ def audio_features(df: DataFrame, id_col: str = "id", bytes_col: str = "media") 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[bytes_col])
-                rate, x = _decode_audio_payload(raw)
+            for rid, payload in zip(pdf[id_col].values, pdf[bytes_col].values):
+                rate, x = _decode_audio_payload(bytes(payload))
                 rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
                 zcr = float((np.diff(np.signbit(x)) != 0).mean()) if len(x) > 1 else 0.0
-                rows.append((r[id_col], [np.float32(rms), np.float32(zcr), np.float32(rate)]))
+                rows.append((rid, [np.float32(rms), np.float32(zcr), np.float32(rate)]))
             if rows:
                 yield pd.DataFrame(rows, columns=["id", "features"])
 
