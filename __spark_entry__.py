@@ -2711,6 +2711,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = [float(x) for x in df.filter(F.col("id") == 0).first()["emb"]]
         return S.lsh_topk_cosine(df.filter(F.col("id") != 0), qv, k=10, n_tables=12, n_bits=4)
 
+    def funnel_events(spark, sf):  # ordered funnel over events (round 12)
+        # analytics.funnel: one collect_list shuffle + sequential HOF
+        # step folds; the oracle unrolls the same strict-ordering chain
+        # as per-step min-ts CTEs
+        from vectordb_watermark_spark.operators.analytics import funnel
+
+        return funnel(_t(spark, sf, "events"), ["view", "click", "purchase"])
+
+    def retention_cohorts_events(spark, sf):  # weekly cohorts (round 12)
+        # counts only: n_active/n_cohort pin the whole computation; the
+        # retention ratio is a trivial derived division left out of the
+        # hash (cross-engine half-rounding on exact .5e-6 ties)
+        from vectordb_watermark_spark.operators.analytics import retention_cohorts
+
+        out = retention_cohorts(_t(spark, sf, "events"), granularity="week")
+        # cohort as ISO string: DuckDB DATEs surface as pandas Timestamps,
+        # so the raw date cell would hash differently despite equal values
+        return out.select(
+            F.col("cohort").cast("string").alias("cohort"),
+            "offset", "n_active", "n_cohort",
+        )
+
+    def event_transitions_q(spark, sf):  # Markov transitions (round 12)
+        # counts only (see retention note): n pins prob = n / sum(n)
+        from vectordb_watermark_spark.operators.analytics import event_transitions
+
+        return event_transitions(_t(spark, sf, "events")).drop("prob")
+
+    def ndcg_eval_q(spark, sf):  # ranking-metric evaluation (round 12)
+        # deterministic derived run + labels over documents: qid = doc_id%5,
+        # score = (doc_id * 2654435761) % 1000 (Knuth-hash-ish, exact int64
+        # in both engines), graded rel from doc_id divisibility — pins
+        # ndcg_at_k's rank windows, gain sum, ideal ranking, and MRR term
+        from vectordb_watermark_spark.operators.analytics import ndcg_at_k
+
+        docs = _docs(spark, sf)
+        results = docs.select(
+            (F.col("doc_id") % 5).alias("qid"),
+            "doc_id",
+            ((F.col("doc_id") * F.lit(2654435761).cast("long")) % 1000)
+            .cast("double").alias("score"),
+        )
+        qrels = docs.select(
+            (F.col("doc_id") % 5).alias("qid"),
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, 2)
+            .when(F.col("doc_id") % 3 == 0, 1)
+            .otherwise(0).alias("rel"),
+        )
+        return ndcg_at_k(results, qrels, k=10)
+
+    def roc_auc_events(spark, sf):  # exact tie-aware AUC (round 12)
+        # label = purchase, score = value quantized to integer deci-units
+        # via floor(v*10 + 0.5) (identical IEEE ops in both engines —
+        # round(v, 1) would hit the engines' differing half-rounding on
+        # two-decimal inputs); the quantization forces tie groups through
+        # the midrank path, and every sum in the rank-sum identity is an
+        # exact multiple of 0.5, so 9-dp rounding is deterministic
+        from vectordb_watermark_spark.operators.analytics import roc_auc
+
+        scored = _t(spark, sf, "events").select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+            F.floor(F.col("value") * 10 + 0.5).cast("long").alias("score"),
+        )
+        return roc_auc(scored)
+
+    def psi_drift_embeddings(spark, sf):  # distribution drift (round 12)
+        # base = even vec_ids, cand = odd vec_ids with label%3 != 0 (a real
+        # covariate shift); the operator's single 6-dp rounding is emitted
+        # AS IS (+0.0 only normalizes -0.0) — no second rounding
+        from vectordb_watermark_spark.operators.analytics import psi_per_dim
+
+        emb = _vectors(spark, sf).join(
+            _t(spark, sf, "embeddings").select(
+                F.col("vec_id").alias("id"), "label"
+            ),
+            "id",
+        )
+        base = emb.filter(F.col("id") % 2 == 0)
+        cand = emb.filter((F.col("id") % 2 == 1) & (F.col("label") % 3 != 0))
+        out = psi_per_dim(base, cand, vec_col="emb")
+        return out.select("dim", (F.col("psi") + F.lit(0.0)).alias("psi"))
+
+    def triangle_count_knn(spark, sf):  # graph triangles (round 12)
+        # per-node triangle participation over the exact kNN graph —
+        # degree-ordered wedge join in Spark, id-canonical two-join twin
+        # in DuckDB (the count is orientation-invariant)
+        from vectordb_watermark_spark.operators import knn as K
+        from vectordb_watermark_spark.operators.graph import triangle_count
+
+        df = _vectors(spark, sf)
+        edges = K.knn_edges_exact(df, k=KNN_K)
+        return triangle_count(edges, per_node=True)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 147 gate
@@ -2882,6 +2976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_components_docs": stream_components_docs,
         "line_scrub_docs": line_scrub_docs,
         "audio_neardup_pipeline": audio_neardup_pipeline,
+        "funnel_events": funnel_events,
+        "retention_cohorts_events": retention_cohorts_events,
+        "event_transitions_q": event_transitions_q,
+        "ndcg_eval_q": ndcg_eval_q,
+        "roc_auc_events": roc_auc_events,
+        "psi_drift_embeddings": psi_drift_embeddings,
+        "triangle_count_knn": triangle_count_knn,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -4912,4 +5013,224 @@ SELECT node, pr FROM p3""",
             WHERE round(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
                         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
                            * sqrt(list_sum(list_transform(b.e, x -> x * x))) + 1e-12), 6) >= 0.35""",
+        "funnel_events": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t0
+              GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS step, 'view' AS step_type,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s2)""",
+        "retention_cohorts_events": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+              FROM events GROUP BY user_id
+            ),
+            a AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS period
+              FROM events
+            ),
+            j AS (
+              SELECT f.cohort,
+                     CAST(date_diff('day', f.cohort, a.period) / 7 AS INT)
+                       AS "offset",
+                     a.user_id AS u
+              FROM a JOIN f ON a.user_id = f.user_id
+            ),
+            s AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY cohort)
+            SELECT CAST(j.cohort AS VARCHAR) AS cohort, j."offset",
+                   count(DISTINCT j.u) AS n_active, s.n_cohort
+            FROM j JOIN s ON j.cohort = s.cohort
+            GROUP BY j.cohort, j."offset", s.n_cohort""",
+        "event_transitions_q": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type""",
+        "ndcg_eval_q": """
+            WITH results AS (
+              SELECT doc_id % 5 AS qid, doc_id,
+                     CAST((doc_id * 2654435761) % 1000 AS DOUBLE) AS score
+              FROM documents
+            ),
+            qrels AS (
+              SELECT doc_id % 5 AS qid, doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 2
+                          WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+              FROM documents
+            ),
+            ranked AS (
+              SELECT qid, doc_id,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY score DESC, doc_id ASC
+                     ) AS rank
+              FROM results
+            ),
+            topk AS (
+              SELECT r.qid, r.rank, COALESCE(q.rel, 0) AS rel0
+              FROM ranked r LEFT JOIN qrels q
+                ON r.qid = q.qid AND r.doc_id = q.doc_id
+              WHERE r.rank <= 10
+            ),
+            d AS (
+              SELECT qid,
+                     SUM((POWER(2.0, rel0) - 1.0)
+                         / (ln(rank + 1.0) / ln(2.0))) AS dcg,
+                     MIN(CASE WHEN rel0 > 0 THEN rank END) AS first_rel
+              FROM topk GROUP BY qid
+            ),
+            ideal AS (
+              SELECT qid,
+                     SUM((POWER(2.0, rel) - 1.0)
+                         / (ln(irank + 1.0) / ln(2.0))) AS idcg
+              FROM (
+                SELECT qid, rel,
+                       row_number() OVER (
+                         PARTITION BY qid ORDER BY rel DESC, doc_id ASC
+                       ) AS irank
+                FROM qrels WHERE rel > 0
+              ) WHERE irank <= 10 GROUP BY qid
+            )
+            SELECT d.qid, round(d.dcg, 9) AS dcg, round(i.idcg, 9) AS idcg,
+                   round(d.dcg / i.idcg, 9) AS ndcg,
+                   round(COALESCE(1.0 / first_rel, 0.0), 9) AS rr
+            FROM d JOIN ideal i ON d.qid = i.qid""",
+        "roc_auc_events": """
+            WITH scored AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     CAST(floor(value * 10 + 0.5) AS BIGINT) AS score
+              FROM events
+            ),
+            g AS (
+              SELECT score AS s,
+                     SUM(CAST(label AS DOUBLE)) AS pos,
+                     SUM(1 - CAST(label AS DOUBLE)) AS neg
+              FROM scored GROUP BY score
+            ),
+            per AS (
+              SELECT pos, neg,
+                     COALESCE(SUM(neg) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0.0) AS neg_below
+              FROM g
+            )
+            SELECT round(SUM(pos * (neg_below + neg / 2.0))
+                         / (SUM(pos) * SUM(neg)), 9) AS auc,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg
+            FROM per""",
+        "psi_drift_embeddings": """
+            WITH base AS (
+              SELECT embedding FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            cand AS (
+              SELECT embedding FROM embeddings
+              WHERE vec_id % 2 = 1 AND label % 3 <> 0
+            ),
+            edges AS (
+              SELECT list_transform(
+                [-0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4],
+                e -> CAST(e AS DOUBLE)) AS el
+            ),
+            bx AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS x
+              FROM base
+            ),
+            cx AS (
+              SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(embedding) AS x
+              FROM cand
+            ),
+            bt AS (
+              SELECT dim,
+                     len(list_filter(el, e -> CAST(x AS DOUBLE) >= e)) AS bin,
+                     count(*) AS nb
+              FROM bx CROSS JOIN edges GROUP BY 1, 2
+            ),
+            ct AS (
+              SELECT dim,
+                     len(list_filter(el, e -> CAST(x AS DOUBLE) >= e)) AS bin,
+                     count(*) AS nc
+              FROM cx CROSS JOIN edges GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT COALESCE(bt.dim, ct.dim) AS dim,
+                     COALESCE(bt.bin, ct.bin) AS bin,
+                     COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+              FROM bt FULL JOIN ct ON bt.dim = ct.dim AND bt.bin = ct.bin
+            ),
+            sm AS (
+              SELECT dim,
+                     (nb + 0.5) / (SUM(nb) OVER (PARTITION BY dim) + 0.5 * 10)
+                       AS p,
+                     (nc + 0.5) / (SUM(nc) OVER (PARTITION BY dim) + 0.5 * 10)
+                       AS q
+              FROM grid
+            )
+            SELECT CAST(dim AS INT) AS dim,
+                   round(SUM((p - q) * ln(p / q)), 6) + 0.0 AS psi
+            FROM sm GROUP BY dim""",
+        "triangle_count_knn": f"""
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.id AS src, b.id AS dst,
+                     list_sum(list_transform(list_zip(a.e, b.e),
+                              p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist2
+              FROM v a JOIN v b ON a.id <> b.id
+            ),
+            ranked AS (
+              SELECT src, dst,
+                     row_number() OVER (
+                       PARTITION BY src ORDER BY dist2, dst
+                     ) AS rk
+              FROM pairs
+            ),
+            knn_edges AS (SELECT src, dst FROM ranked WHERE rk <= {KNN_K}),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM knn_edges
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            corners AS (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            )
+            SELECT node, count(*) AS n_triangles
+            FROM corners GROUP BY node""",
     }

@@ -1,0 +1,312 @@
+"""Contracts for operators/analytics.py and graph.triangle_count:
+hand-computed funnels (strict ordering, repeat events), pandas
+brute-force retention cohorts, transition tie-breaks, numpy-reference
+NDCG/MRR, tie-aware AUC vs a rank-based reference, PSI identity/shift
+behavior, and triangle counts vs an itertools brute force."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_watermark_spark.operators.analytics import (
+    event_transitions,
+    funnel,
+    ndcg_at_k,
+    psi_per_dim,
+    retention_cohorts,
+    roc_auc,
+)
+from vectordb_watermark_spark.operators.graph import triangle_count
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def toy_events(spark):
+    # user 1: full ordered funnel; user 2: click before view (step 2 only
+    # after the later view? no - no click after view); user 3: view+click
+    # same ts (strict > excludes); user 4: view only; user 5: two funnels
+    # worth of events (first-qualifying wins, still one user)
+    rows = [
+        (0, _ts(1), 1, "view"), (1, _ts(2), 1, "click"), (2, _ts(3), 1, "purchase"),
+        (3, _ts(1), 2, "click"), (4, _ts(2), 2, "view"), (5, _ts(3), 2, "purchase"),
+        (6, _ts(5), 3, "view"), (7, _ts(5), 3, "click"),
+        (8, _ts(1), 4, "view"),
+        (9, _ts(1), 5, "view"), (10, _ts(2), 5, "click"), (11, _ts(3), 5, "view"),
+        (12, _ts(4), 5, "click"), (13, _ts(5), 5, "purchase"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_strict_ordering(toy_events):
+    out = {
+        (r["step"], r["step_type"]): r["n_users"]
+        for r in funnel(toy_events, ["view", "click", "purchase"]).collect()
+    }
+    # view: users 1,2,3,4,5; click after view: 1,5 (2 clicked before view,
+    # 3 clicked at the same instant); purchase after that click: 1,5
+    assert out == {(1, "view"): 5, (2, "click"): 2, (3, "purchase"): 2}
+
+
+def test_funnel_user2_no_requalify(toy_events):
+    # user 2 purchases at t3 but never clicked after viewing -> 0 at step 3
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel(toy_events, ["view", "click"]).collect()
+    }
+    assert out[2] == 2
+
+
+def test_funnel_single_step(toy_events):
+    [row] = funnel(toy_events, ["purchase"]).collect()
+    assert (row["step"], row["step_type"], row["n_users"]) == (1, "purchase", 3)
+
+
+def test_funnel_validation(toy_events):
+    with pytest.raises(ValueError, match="at least one"):
+        funnel(toy_events, [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(toy_events, ["view", "view"])
+
+
+@pytest.fixture(scope="module")
+def cohort_events(spark):
+    # two weekly cohorts (w0 starts Mon 2024-01-01, w1 Mon 2024-01-08);
+    # user 1,2 cohort w0; user 3 cohort w1; activity spread over 3 weeks
+    rows = [
+        (0, _ts(2), 1, "view"), (1, _ts(9), 1, "view"), (2, _ts(16), 1, "view"),
+        (3, _ts(3), 2, "view"), (4, _ts(17), 2, "view"),
+        (5, _ts(10), 3, "view"), (6, _ts(16), 3, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_retention_weekly(cohort_events):
+    out = {
+        (str(r["cohort"]), r["offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in retention_cohorts(cohort_events).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 2)] == (2, 2, 1.0)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1, 1.0)
+    assert len(out) == 5
+
+
+def test_retention_daily(cohort_events):
+    out = {
+        (str(r["cohort"]), r["offset"]): r["n_active"]
+        for r in retention_cohorts(cohort_events, granularity="day").collect()
+    }
+    assert out[("2024-01-02", 0)] == 1
+    assert out[("2024-01-02", 7)] == 1
+    assert out[("2024-01-02", 14)] == 1
+
+
+def test_retention_validation(cohort_events):
+    with pytest.raises(ValueError, match="granularity"):
+        retention_cohorts(cohort_events, granularity="hour")
+
+
+def test_transitions_counts_and_prob(spark):
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; tie at t1 broken by id
+        (0, _ts(1), 1, "a"), (1, _ts(2), 1, "b"), (2, _ts(3), 1, "a"),
+        (3, _ts(1, 1), 2, "a"), (4, _ts(1, 1), 2, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("a", "b")] == (2, 1.0)
+    assert out[("b", "a")] == (1, 1.0)
+    assert len(out) == 2
+
+
+def _ndcg_ref(run, qrels, k):
+    # run: {qid: [(doc, score)]}, qrels: {(qid, doc): rel}
+    out = {}
+    for qid, docs in run.items():
+        ranked = sorted(docs, key=lambda p: (-p[1], p[0]))[:k]
+        dcg = sum(
+            (2 ** qrels.get((qid, d), 0) - 1) / np.log2(i + 2)
+            for i, (d, _) in enumerate(ranked)
+        )
+        rels = sorted(
+            (r for (q, _), r in qrels.items() if q == qid and r > 0), reverse=True
+        )[:k]
+        idcg = sum((2 ** r - 1) / np.log2(i + 2) for i, r in enumerate(rels))
+        rr = 0.0
+        for i, (d, _) in enumerate(ranked):
+            if qrels.get((qid, d), 0) > 0:
+                rr = 1.0 / (i + 1)
+                break
+        if idcg > 0:
+            out[qid] = (dcg, idcg, dcg / idcg, rr)
+    return out
+
+
+def test_ndcg_against_numpy(spark):
+    rng = np.random.default_rng(7)
+    run = {
+        q: [(d, float(rng.integers(0, 50))) for d in range(30)] for q in range(4)
+    }
+    qrels = {
+        (q, d): int(rng.integers(0, 3)) for q in range(4) for d in range(0, 30, 3)
+    }
+    results = spark.createDataFrame(
+        [(q, d, s) for q, docs in run.items() for d, s in docs],
+        "qid long, doc_id long, score double",
+    )
+    labels = spark.createDataFrame(
+        [(q, d, r) for (q, d), r in qrels.items()], "qid long, doc_id long, rel int"
+    )
+    got = {r["qid"]: r for r in ndcg_at_k(results, labels, k=10).collect()}
+    ref = _ndcg_ref(run, qrels, 10)
+    assert set(got) == set(ref)
+    for q, (dcg, idcg, ndcg, rr) in ref.items():
+        assert got[q]["dcg"] == pytest.approx(dcg, abs=1e-6)
+        assert got[q]["idcg"] == pytest.approx(idcg, abs=1e-6)
+        assert got[q]["ndcg"] == pytest.approx(ndcg, abs=1e-6)
+        assert got[q]["rr"] == pytest.approx(rr, abs=1e-9)
+
+
+def test_ndcg_no_positive_labels_dropped(spark):
+    results = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 1, 5.0)], "qid long, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 1), (1, 1, 0)], "qid long, doc_id long, rel int"
+    )
+    rows = ndcg_at_k(results, qrels, k=5).collect()
+    assert [r["qid"] for r in rows] == [0]
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(results, qrels, k=0)
+
+
+def _auc_ref(labels, scores):
+    # midrank Mann-Whitney
+    order = np.argsort(scores, kind="stable")
+    s, l = np.asarray(scores)[order], np.asarray(labels)[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0
+        i = j
+    pos = l == 1
+    return (ranks[pos].sum() - pos.sum() * (pos.sum() + 1) / 2) / (
+        pos.sum() * (~pos).sum()
+    )
+
+
+def test_roc_auc_with_ties(spark):
+    rng = np.random.default_rng(11)
+    labels = rng.integers(0, 2, 400).tolist()
+    scores = (rng.integers(0, 20, 400) / 2.0).tolist()  # heavy ties
+    df = spark.createDataFrame(
+        list(zip(labels, scores)), "label int, score double"
+    )
+    [row] = roc_auc(df).collect()
+    assert row["auc"] == pytest.approx(_auc_ref(labels, scores), abs=1e-9)
+    assert row["n_pos"] == sum(labels)
+    assert row["n_neg"] == len(labels) - sum(labels)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 9.0), (0, 2.0), (0, 1.0)], "label int, score double"
+    )
+    assert roc_auc(df).collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(0, 10.0), (0, 9.0), (1, 2.0), (1, 1.0)], "label int, score double"
+    )
+    assert roc_auc(inv).collect()[0]["auc"] == 0.0
+
+
+def _psi_ref(base, cand, edges):
+    nb = np.histogram(base, bins=[-np.inf] + edges + [np.inf])[0]
+    nc = np.histogram(cand, bins=[-np.inf] + edges + [np.inf])[0]
+    k = len(edges) + 1
+    p = (nb + 0.5) / (nb.sum() + 0.5 * k)
+    q = (nc + 0.5) / (nc.sum() + 0.5 * k)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+def test_psi_identity_and_shift(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 0.15, (300, 2)).astype(np.float32)
+    shifted = base.copy()
+    shifted[:, 1] += 0.25  # dim 1 drifts, dim 0 identical
+    b = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)], "id long, emb array<float>"
+    )
+    c = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(shifted)], "id long, emb array<float>"
+    )
+    out = {r["dim"]: r["psi"] for r in psi_per_dim(b, c, vec_col="emb").collect()}
+    edges = [-0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4]
+    for d in (0, 1):
+        ref = _psi_ref(
+            base[:, d].astype(np.float64), shifted[:, d].astype(np.float64), edges
+        )
+        assert out[d] == pytest.approx(ref, abs=1e-5)
+    assert out[0] == pytest.approx(0.0, abs=1e-9)
+    assert out[1] > 0.2  # conventional drift-action threshold
+
+
+def _tri_ref(edges):
+    nodes = sorted({x for e in edges for x in e})
+    eset = {frozenset(e) for e in edges if e[0] != e[1]}
+    per = {n: 0 for n in nodes}
+    total = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in eset
+            and frozenset((b, c)) in eset
+            and frozenset((a, c)) in eset
+        ):
+            total += 1
+            per[a] += 1
+            per[b] += 1
+            per[c] += 1
+    return total, {n: k for n, k in per.items() if k}
+
+
+def test_triangles_k4(spark):
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]  # directed K4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+    per = {r["node"]: r["n_triangles"] for r in triangle_count(df, per_node=True).collect()}
+    assert per == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_random_vs_bruteforce(spark):
+    rng = np.random.default_rng(5)
+    edges = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 30, (200, 2))
+        if a != b
+    }
+    total, per_ref = _tri_ref(list(edges))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == total
+    per = {r["node"]: r["n_triangles"] for r in triangle_count(df, per_node=True).collect()}
+    assert per == per_ref

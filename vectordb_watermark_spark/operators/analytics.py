@@ -1,0 +1,384 @@
+"""Event-stream and evaluation analytics — funnels, retention cohorts,
+transition matrices, ranking metrics, score AUC, and distribution drift.
+
+A training-data engine is also a measurement engine: the same event
+tables that drive curation (crawl fetches, annotation actions, pipeline
+stage completions) need the classic product-analytics shapes, and the
+retrieval/quality operators need their evaluation counterparts (NDCG /
+MRR over ranked results, ROC-AUC over classifier scores, PSI drift
+between two embedding corpora).  Everything here is pure Catalyst —
+no Python UDFs — and every operator has a hash-exact DuckDB twin in
+``__spark_entry__.oracle_sql``.
+
+Spark-first shapes, and why they hold at 100 TB:
+
+- :func:`funnel` folds each user's step timestamps with sequential
+  ``array_min(filter(...))`` higher-order expressions over ONE
+  ``collect_list`` aggregation — one shuffle keyed by user, per-user
+  state bounded by that user's step-type events (funnels are only
+  meaningful when per-entity event counts are bounded; the pre-filter
+  to the step types enforces the working set).
+- :func:`retention_cohorts` is two aggregations sharing the user key —
+  first-activity cohort assignment, then (cohort, offset) distinct
+  actives.  No window without a partition key anywhere.
+- :func:`event_transitions` uses ``lead`` partitioned by user — the
+  window state is per-user, never global.
+- :func:`ndcg_at_k` windows partition by query id; ideal gains come
+  from the label table itself, so the metric is self-contained.
+- :func:`roc_auc` uses the rank-sum identity on a per-DISTINCT-SCORE
+  aggregate: the unpartitioned running-total window runs over score
+  groups, not rows.  For continuous scores quantize first (``round``)
+  — the docstring spells out the contract.
+- :func:`psi_per_dim` bins with a broadcast literal edge array via a
+  ``size(filter(...))`` expression — map-side bin assignment, one
+  groupBy(dim, bin) aggregate, one tiny join on the (dim, bin) grid.
+
+No reference analogue (the reference is a vector-watermark pipeline,
+not an analytics warehouse); these extend the engine the way Spark's
+own examples and the product-analytics literature (funnel / cohort /
+Markov-chain attribution) standardize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "funnel",
+    "retention_cohorts",
+    "event_transitions",
+    "ndcg_at_k",
+    "roc_auc",
+    "psi_per_dim",
+]
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion -> ``(step, step_type, n_users)``.
+
+    A user converts step *i* when an event of type ``steps[i]`` occurs
+    STRICTLY AFTER their step *i-1* conversion time (first qualifying
+    event wins).  ``n_users`` is the number of users that reached each
+    step; step numbering is 1-based.
+
+    One shuffle: events are pre-filtered to the step types, collected
+    per user as a sorted ``(ts, type)`` array, and the per-step
+    first-qualifying timestamps are sequential ``array_min(filter(...))``
+    higher-order expressions — all JVM-side, no UDF.  The final tally is
+    a single aggregate emitting one count per step.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+            ).alias("evs")
+        )
+    )
+    for i, s in enumerate(steps):
+        if i == 0:
+            expr = f"array_min(transform(filter(evs, e -> e.y = '{s}'), e -> e.t))"
+        else:
+            expr = (
+                f"CASE WHEN t{i - 1} IS NULL THEN NULL ELSE "
+                f"array_min(transform(filter(evs, e -> e.y = '{s}' AND e.t > t{i - 1}), "
+                f"e -> e.t)) END"
+            )
+        per_user = per_user.withColumn(f"t{i}", F.expr(expr))
+
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step, step_type, n_users)"
+        )
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "step_type",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention -> ``(cohort, offset, n_active, n_cohort,
+    retention)``.
+
+    Cohort = ``date_trunc(granularity, min(ts))`` per user; a user is
+    active at offset *k* when they have any event in the period *k*
+    granules after their cohort period.  ``retention`` is
+    ``round(n_active / n_cohort, 6)``; the offset-0 row is the cohort
+    size itself (retention 1.0).
+
+    Two aggregations on the user key plus one distinct on
+    (user, period); the cohort-size join is on the (small) cohort
+    dimension and broadcasts.
+    """
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(f"granularity must be day|week|month, got {granularity!r}")
+    days = {"day": 1, "week": 7}.get(granularity)
+
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc(granularity, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("period"),
+    ).distinct()
+    joined = activity.join(first, "u")
+    if days is not None:
+        offset = (F.datediff("period", "cohort") / days).cast("int")
+    else:
+        offset = (
+            (F.year("period") - F.year("cohort")) * 12
+            + (F.month("period") - F.month("cohort"))
+        ).cast("int")
+    active = joined.groupBy("cohort", offset.alias("offset")).agg(
+        F.count_distinct("u").alias("n_active")
+    )
+    sizes = first.groupBy("cohort").agg(F.count_distinct("u").alias("n_cohort"))
+    return (
+        active.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences -> ``(from_type, to_type, n, prob)``.
+
+    ``lead`` over (user, ts, id) — the id tie-break makes same-timestamp
+    sequences deterministic in both engines.  ``prob`` is the row-
+    normalized transition probability, rounded to 9 dp.  Window state is
+    per-user; the tally is one groupBy.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(totals), 9).alias("prob"),
+    )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranking evaluation -> per-query ``(qid, dcg, idcg, ndcg, rr)``.
+
+    ``results`` carries system scores, ``qrels`` graded relevance
+    labels.  Rank = row_number over (score DESC, doc_id ASC) within the
+    query (the doc-id tie-break pins cross-engine order); gain is the
+    standard ``(2^rel - 1) / log2(rank + 1)`` truncated at ``k``; the
+    ideal ranking comes from the label table itself (rel DESC, doc_id
+    ASC).  ``rr`` is the reciprocal rank of the first relevant result
+    (MRR's per-query term; 0.0 when nothing relevant is retrieved).
+    All windows partition by query id.  Queries with an empty ideal
+    (no positive labels) are dropped — NDCG is undefined there.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rw = Window.partitionBy(qid_col).orderBy(F.col(score_col).desc(), F.col(doc_col))
+    ranked = (
+        results.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .join(
+            qrels.select(qid_col, doc_col, rel_col),
+            [qid_col, doc_col],
+            "left",
+        )
+        .withColumn("rel0", F.coalesce(F.col(rel_col), F.lit(0)))
+    )
+    # log2 spelled as ln(x)/ln(2): Spark's log2 and DuckDB's log2 take
+    # different libm paths, while both engines' natural logs agree — the
+    # oracle twin uses the identical ln-ratio expression
+    log2_rank = F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))
+    dcg = ranked.groupBy(qid_col).agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel0")) - 1.0) / log2_rank
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel0") > 0, F.col("rank"))).alias("first_rel"),
+    )
+    iw = Window.partitionBy(qid_col).orderBy(F.col(rel_col).desc(), F.col(doc_col))
+    idcg = (
+        qrels.filter(F.col(rel_col) > 0)
+        .withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= k)
+        .groupBy(qid_col)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(rel_col)) - 1.0)
+                / (F.log(F.col("irank") + 1.0) / F.log(F.lit(2.0)))
+            ).alias("idcg")
+        )
+    )
+    return dcg.join(idcg, qid_col).select(
+        qid_col,
+        F.round("dcg", 9).alias("dcg"),
+        F.round("idcg", 9).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+        F.round(
+            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 9
+        ).alias("rr"),
+    )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact ROC-AUC with tie handling -> one row
+    ``(auc, n_pos, n_neg)``.
+
+    Rank-sum (Mann-Whitney) identity computed on the per-DISTINCT-SCORE
+    aggregate: for each score group, positives there beat every
+    negative strictly below and half the negatives tied with them —
+    ``AUC = Σ_g pos_g · (neg_below_g + neg_g / 2) / (P · N)``.
+
+    The running ``neg_below`` window is unpartitioned BY CONSTRUCTION —
+    but it runs over one row per distinct score, not per input row, so
+    the single-partition stage is bounded by score cardinality.  For a
+    continuous score column round/quantize first (AUC is then exact for
+    the quantized scores); classifier scores in pipelines are almost
+    always already bucketed or safely roundable.  ``label`` must be
+    0/1.
+    """
+    g = scored.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.col(label_col).cast("double")).alias("pos"),
+        F.sum(1 - F.col(label_col).cast("double")).alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    per = g.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0.0)).alias("neg_below"),
+    )
+    return per.agg(
+        F.round(
+            F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0))
+            / (F.sum("pos") * F.sum("neg")),
+            9,
+        ).alias("auc"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+    )
+
+
+def psi_per_dim(
+    base: DataFrame,
+    cand: DataFrame,
+    vec_col: str = "emb",
+    bin_edges: list[float] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Population-stability-index drift per embedding dimension ->
+    ``(dim, psi)``.
+
+    Bins are pinned literal edges shared by both corpora (default: a
+    symmetric grid suited to L2-normalized coordinates); bin assignment
+    is ``size(filter(edges, e -> x >= e))`` — map-side, no shuffle until
+    the (dim, bin) tally.  Proportions are Laplace-smoothed
+    ``(n + 0.5) / (N + 0.5 · B)`` so empty bins stay finite and the
+    result is hash-exactly reproducible; ``psi = Σ (p - q) · ln(p / q)``
+    rounded to 6 dp.  PSI > 0.2 is the conventional action threshold.
+
+    The (dim, bin) grid is tiny (d · B rows) — the final join is a
+    broadcast; everything upstream is one posexplode + one aggregate
+    per corpus.
+    """
+    if bin_edges is None:
+        bin_edges = [-0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4]
+    edges = sorted(float(e) for e in bin_edges)
+    n_bins = len(edges) + 1
+    edge_lit = "array(" + ", ".join(f"CAST({e!r} AS DOUBLE)" for e in edges) + ")"
+
+    def tally(df: DataFrame, out: str) -> DataFrame:
+        exploded = df.select(
+            F.posexplode(vec_col).alias("dim", "x")
+        ).select(
+            "dim",
+            F.expr(
+                f"size(filter({edge_lit}, e -> CAST(x AS DOUBLE) >= e))"
+            ).alias("bin"),
+        )
+        return exploded.groupBy("dim", "bin").agg(F.count("*").alias(out))
+
+    b = tally(base, "nb")
+    c = tally(cand, "nc")
+    grid = b.join(c, ["dim", "bin"], "full").select(
+        "dim",
+        "bin",
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    tot = Window.partitionBy("dim")
+    smoothed = grid.select(
+        "dim",
+        (
+            (F.col("nb") + 0.5)
+            / (F.sum("nb").over(tot) + 0.5 * n_bins)
+        ).alias("p"),
+        (
+            (F.col("nc") + 0.5)
+            / (F.sum("nc").over(tot) + 0.5 * n_bins)
+        ).alias("q"),
+    )
+    # 6-dp rounding, applied ONCE: the bin-term sum is a ~B-term double
+    # sum whose partition order Spark does not pin, and a coarser
+    # re-round downstream would re-expose exact-.5 ties to the engines'
+    # differing half-rounding rules (PLANS.md round-12 lesson)
+    return (
+        smoothed.groupBy("dim")
+        .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"))
+        .select(F.col("dim").cast("int").alias("dim"), "psi")
+    )

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -243,3 +243,75 @@ def pagerank(
     for cached in (node_df, tele, outdeg):
         cached.unpersist()
     return pr
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    per_node: bool = False,
+) -> DataFrame:
+    """Exact triangle counting over an (undirected) edge table.
+
+    Returns one row ``(n_triangles)``, or per-node participation counts
+    ``(node, n_triangles)`` with ``per_node=True`` (each triangle
+    credits all three corners).  Triangle density separates organic
+    similarity neighborhoods from template/crawl-farm cliques in the
+    engine's kNN and near-dup graphs — a cluster whose triangle count
+    approaches the clique bound is machinery, not content.
+
+    Spark-first shape (the degree-ordered wedge algorithm — the
+    standard two-join formulation, e.g. Suri & Vassilvitskii 2011):
+
+    1. canonicalize to one undirected edge per pair (least/greatest,
+       self-loops dropped, distinct);
+    2. orient every edge from the (degree, id)-smaller endpoint to the
+       larger — an acyclic orientation whose max out-degree is
+       O(sqrt(m)) regardless of input skew, so the wedge join below
+       cannot blow up on hub nodes;
+    3. wedges = oriented ⋈ oriented on the common source; each
+       triangle forms EXACTLY one wedge at its order-minimal corner,
+       closed by exactly one oriented edge — one more equi-join and a
+       count, no dedup pass needed.
+
+    Three shuffles total (degree tally + the two joins); every join is
+    an equi-join on node keys.  The count is orientation-invariant, so
+    the DuckDB twin can use the simpler id-canonical (a<b) form.
+    """
+    canon = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    annotated = canon.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = annotated.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") != F.col("y"))
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tris = wedges.join(closing, ["x", "y"])
+    if not per_node:
+        return tris.agg(F.count("*").cast("long").alias("n_triangles"))
+    corners = tris.select(
+        F.explode(F.array("u", "x", "y")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
