@@ -2805,6 +2805,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = K.knn_edges_exact(df, k=KNN_K)
         return triangle_count(edges, per_node=True)
 
+    def expectations_docs(spark, sf):  # declarative data-quality gate (round 12)
+        # quality.check_expectations: 7 rules of every type compiled into
+        # ONE aggregate scan; the rule mix is chosen to exercise both the
+        # pass and the violation paths on real data (es docs violate
+        # in_set, long docs violate in_range, non-src1* violate matches)
+        from vectordb_watermark_spark.operators.quality import check_expectations
+
+        return check_expectations(_docs(spark, sf), [
+            {"type": "not_null", "col": "text"},
+            {"type": "unique", "col": "doc_id"},
+            {"type": "in_range", "col": "n_chars", "min": 0, "max": 500},
+            {"type": "in_set", "col": "lang", "values": ["en", "de", "fr", "zh"]},
+            {"type": "matches", "col": "source", "pattern": "^src1"},
+            {"type": "min_rows", "n": 100},
+            {"type": "expr", "name": "n_chars_consistent",
+             "expr": "n_chars = length(text)"},
+        ])
+
+    def calibration_events(spark, sf):  # reliability diagram (round 12)
+        # score = exact rational (floor-quantized deci-units mod 20)/20 in
+        # [0, 0.95]; label = purchase; per-bin means single-rounded at 6dp
+        from vectordb_watermark_spark.operators.analytics import calibration_curve
+
+        scored = _t(spark, sf, "events").select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+            (F.floor(F.col("value") * 10 + 0.5) % 20 / 20.0).alias("score"),
+        )
+        return calibration_curve(scored, n_bins=10)
+
+    def ece_events(spark, sf):  # expected calibration error (round 12)
+        from vectordb_watermark_spark.operators.analytics import (
+            expected_calibration_error,
+        )
+
+        scored = _t(spark, sf, "events").select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+            (F.floor(F.col("value") * 10 + 0.5) % 20 / 20.0).alias("score"),
+        )
+        return expected_calibration_error(scored, n_bins=10)
+
+    def key_skew_lineitem(spark, sf):  # join-key skew pre-flight (round 12)
+        from vectordb_watermark_spark.operators.partitioning import key_skew_stats
+
+        return key_skew_stats(_t(spark, sf, "lineitem"), "l_suppkey")
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 147 gate
@@ -2983,6 +3028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_events": roc_auc_events,
         "psi_drift_embeddings": psi_drift_embeddings,
         "triangle_count_knn": triangle_count_knn,
+        "expectations_docs": expectations_docs,
+        "calibration_events": calibration_events,
+        "ece_events": ece_events,
+        "key_skew_lineitem": key_skew_lineitem,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5233,4 +5282,83 @@ SELECT node, pr FROM p3""",
             )
             SELECT node, count(*) AS n_triangles
             FROM corners GROUP BY node""",
+        "expectations_docs": """
+            WITH nr AS (SELECT count(*) AS n FROM documents),
+            v AS (
+              SELECT 'r0' AS rule_id, 'not_null' AS rule_type, 'text' AS col,
+                     (SELECT count(*) FROM documents WHERE text IS NULL)
+                       AS n_violations
+              UNION ALL
+              SELECT 'r1', 'unique', 'doc_id',
+                     (SELECT count(doc_id) - count(DISTINCT doc_id)
+                      FROM documents)
+              UNION ALL
+              SELECT 'r2', 'in_range', 'n_chars',
+                     (SELECT count(*) FROM documents
+                      WHERE n_chars IS NOT NULL
+                        AND n_chars NOT BETWEEN 0 AND 500)
+              UNION ALL
+              SELECT 'r3', 'in_set', 'lang',
+                     (SELECT count(*) FROM documents
+                      WHERE lang IS NOT NULL
+                        AND lang NOT IN ('en', 'de', 'fr', 'zh'))
+              UNION ALL
+              SELECT 'r4', 'matches', 'source',
+                     (SELECT count(*) FROM documents
+                      WHERE source IS NOT NULL
+                        AND NOT regexp_matches(source, '^src1'))
+              UNION ALL
+              SELECT 'r5', 'min_rows', '',
+                     (SELECT greatest(100 - count(*), 0) FROM documents)
+              UNION ALL
+              SELECT 'r6', 'expr', 'n_chars_consistent',
+                     (SELECT count(*) FROM documents
+                      WHERE NOT COALESCE(n_chars = length(text), false))
+            )
+            SELECT v.rule_id, v.rule_type, v.col, v.n_violations,
+                   nr.n AS n_rows, v.n_violations = 0 AS passed
+            FROM v CROSS JOIN nr""",
+        "calibration_events": """
+            WITH scored AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     (CAST(floor(value * 10 + 0.5) AS BIGINT) % 20) / 20.0
+                       AS score
+              FROM events
+            )
+            SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+                   count(*) AS n,
+                   round(avg(score), 6) AS mean_score,
+                   round(avg(CAST(label AS DOUBLE)), 6) AS frac_pos
+            FROM scored GROUP BY 1""",
+        "ece_events": """
+            WITH scored AS (
+              SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     (CAST(floor(value * 10 + 0.5) AS BIGINT) % 20) / 20.0
+                       AS score
+              FROM events
+            ),
+            per AS (
+              SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     avg(score) AS ms,
+                     avg(CAST(label AS DOUBLE)) AS fp
+              FROM scored GROUP BY 1
+            )
+            SELECT round(SUM(n * abs(fp - ms)) / SUM(n), 6) AS ece,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM per""",
+        "key_skew_lineitem": """
+            WITH per_key AS (
+              SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_key_n,
+                   CAST(floor(MAX(n) * 1000000.0 / SUM(n) + 0.5) AS BIGINT)
+                     AS top1_share_ppm,
+                   CAST(floor(MAX(n) * count(*) * 1000000.0 / SUM(n) + 0.5)
+                        AS BIGINT) AS skew_ratio_ppm
+            FROM per_key""",
     }

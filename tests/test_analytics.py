@@ -310,3 +310,74 @@ def test_triangles_random_vs_bruteforce(spark):
     assert triangle_count(df).collect()[0]["n_triangles"] == total
     per = {r["node"]: r["n_triangles"] for r in triangle_count(df, per_node=True).collect()}
     assert per == per_ref
+
+
+def test_calibration_curve_and_ece(spark):
+    from vectordb_watermark_spark.operators.analytics import (
+        calibration_curve,
+        expected_calibration_error,
+    )
+
+    # scores 0.05 (bin 0) with 1/4 pos, 0.95 (bin 9) with 3/4 pos, 1.0 folds
+    # into bin 9
+    rows = [(1, 0.05), (0, 0.05), (0, 0.05), (0, 0.05),
+            (1, 0.95), (1, 0.95), (1, 0.95), (0, 0.95), (1, 1.0)]
+    df = spark.createDataFrame(rows, "label int, score double")
+    out = {r["bin"]: r for r in calibration_curve(df, n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["n"] == 4 and out[0]["frac_pos"] == 0.25
+    assert out[9]["n"] == 5 and out[9]["frac_pos"] == 0.8
+    assert out[9]["mean_score"] == pytest.approx((0.95 * 4 + 1.0) / 5, abs=1e-6)
+    [e] = expected_calibration_error(df, n_bins=10).collect()
+    ms0, fp0 = 0.05, 0.25
+    ms9, fp9 = (0.95 * 4 + 1.0) / 5, 0.8
+    ref = (4 * abs(fp0 - ms0) + 5 * abs(fp9 - ms9)) / 9
+    assert e["ece"] == pytest.approx(ref, abs=1e-6)
+    assert e["n_rows"] == 9
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_curve(df, n_bins=0)
+
+
+def test_key_skew_stats(spark):
+    from vectordb_watermark_spark.operators.partitioning import key_skew_stats
+
+    # key 0 has 6 rows, keys 1..4 one each -> 10 rows, 5 keys, max 6
+    rows = [(0,)] * 6 + [(1,), (2,), (3,), (4,)]
+    df = spark.createDataFrame(rows, "k long")
+    [r] = key_skew_stats(df, "k").collect()
+    assert (r["n_rows"], r["n_keys"], r["max_key_n"]) == (10, 5, 6)
+    assert r["top1_share_ppm"] == 600000
+    assert r["skew_ratio_ppm"] == 3000000  # 6 / (10/5) = 3x
+
+
+def test_check_expectations(spark):
+    from vectordb_watermark_spark.operators.quality import check_expectations
+
+    rows = [
+        (1, "aa", 5.0), (2, "ab", 15.0), (2, None, 5.0), (4, "zz", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    out = {
+        r["rule_id"]: r
+        for r in check_expectations(df, [
+            {"type": "not_null", "col": "s"},
+            {"type": "unique", "col": "id"},
+            {"type": "in_range", "col": "v", "min": 0, "max": 10},
+            {"type": "in_set", "col": "s", "values": ["aa", "ab"]},
+            {"type": "matches", "col": "s", "pattern": "^a"},
+            {"type": "min_rows", "n": 10},
+            {"type": "expr", "name": "v_pos", "expr": "v > 0"},
+        ]).collect()
+    }
+    assert out["r0"]["n_violations"] == 1 and not out["r0"]["passed"]
+    assert out["r1"]["n_violations"] == 1  # id=2 twice -> 1 surplus copy
+    assert out["r2"]["n_violations"] == 2  # 15.0 and -1.0
+    assert out["r3"]["n_violations"] == 1  # zz (null doesn't count)
+    assert out["r4"]["n_violations"] == 1  # zz
+    assert out["r5"]["n_violations"] == 6  # shortfall to 10
+    assert out["r6"]["n_violations"] == 1  # v=-1
+    assert all(r["n_rows"] == 4 for r in out.values())
+    with pytest.raises(ValueError, match="at least one"):
+        check_expectations(df, [])
+    with pytest.raises(ValueError, match="unknown expectation"):
+        check_expectations(df, [{"type": "nope"}])

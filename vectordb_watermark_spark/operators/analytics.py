@@ -52,6 +52,8 @@ __all__ = [
     "ndcg_at_k",
     "roc_auc",
     "psi_per_dim",
+    "calibration_curve",
+    "expected_calibration_error",
 ]
 
 
@@ -381,4 +383,65 @@ def psi_per_dim(
         smoothed.groupBy("dim")
         .agg(F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"))
         .select(F.col("dim").cast("int").alias("dim"), "psi")
+    )
+
+
+def calibration_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a [0, 1] score -> per-bin
+    ``(bin, n, mean_score, frac_pos)``.
+
+    ``bin = min(floor(score · n_bins), n_bins - 1)`` (the 1.0 edge folds
+    into the top bin); means are 6-dp rounded once (the float-sum
+    discipline the module uses everywhere).  One groupBy on a derived
+    int — map-side combine, n_bins output rows.  Read with
+    :func:`expected_calibration_error` or straight into a plot.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg(score_col), 6).alias("mean_score"),
+            F.round(F.avg(F.col(label_col).cast("double")), 6).alias("frac_pos"),
+        )
+    )
+
+
+def expected_calibration_error(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """ECE (Naeini et al. 2015) -> one row ``(ece, n_rows)``:
+    ``Σ_b (n_b / N) · |frac_pos_b - mean_score_b|`` over the same bins
+    as :func:`calibration_curve`, computed from the UNROUNDED bin means
+    and rounded once at 6 dp.  A quality/retrieval score that ranks well
+    (high AUC) can still be badly calibrated — ECE is the number that
+    says whether 0.9 means 90%.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    per = scored.groupBy(b.alias("bin")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(score_col).alias("ms"),
+        F.avg(F.col(label_col).cast("double")).alias("fp"),
+    )
+    return per.agg(
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("fp") - F.col("ms"))) / F.sum("n"), 6
+        ).alias("ece"),
+        F.sum("n").cast("long").alias("n_rows"),
     )

@@ -77,3 +77,38 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return lsalted.join(rsalted, [*key_cols, "__salt"], how).drop("__salt")
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
+    """Pre-flight skew diagnosis for a prospective join/groupBy key ->
+    one row ``(n_rows, n_keys, max_key_n, top1_share_ppm,
+    skew_ratio_ppm)``.
+
+    ``skew_ratio_ppm`` is ``max_key_n / (n_rows / n_keys)`` — how many
+    times bigger the hottest key is than the mean key — in parts per
+    million (``floor(x * 1e6 + 0.5)``: identical IEEE ops in Spark and
+    DuckDB, immune to the engines' differing half-rounding).  Rule of
+    thumb: ratio over ~20x at production scale wants :func:`salted_join`
+    or AQE skew-join; ``top1_share_ppm`` near 1e6 means one key IS the
+    table and no partitioning trick saves a shuffle on it.
+
+    Two aggregates (per-key tally, then the summary) — the same work the
+    skewed shuffle itself would do, paid once up front at a sample or at
+    full scale.  The per-key tally is one row per distinct key, the same
+    state any groupBy on that key needs.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    per_key = df.groupBy(*cols).agg(F.count("*").alias("n"))
+    return per_key.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_n"),
+        F.floor(
+            F.max("n") * 1000000.0 / F.sum("n") + 0.5
+        ).cast("long").alias("top1_share_ppm"),
+        F.floor(
+            F.max("n") * F.count("*") * 1000000.0 / F.sum("n") + 0.5
+        ).cast("long").alias("skew_ratio_ppm"),
+    )

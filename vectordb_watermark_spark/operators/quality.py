@@ -612,3 +612,82 @@ def profile_columns(
         "min_val",
         "max_val",
     )
+
+
+def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/expectations pattern) ->
+    one row per rule: ``(rule_id, rule_type, col, n_violations, n_rows,
+    passed)``.
+
+    Rule dicts (``col`` where applicable):
+
+    - ``{"type": "not_null", "col": c}`` — null cells violate.
+    - ``{"type": "unique", "col": c}`` — violations = surplus copies
+      (``count(c) - count_distinct(c)``; nulls don't participate).
+    - ``{"type": "in_range", "col": c, "min": lo, "max": hi}`` — non-null
+      cells outside ``[lo, hi]`` violate.
+    - ``{"type": "in_set", "col": c, "values": [...]}`` — non-null cells
+      outside the set violate.
+    - ``{"type": "matches", "col": c, "pattern": regex}`` — non-null
+      cells NOT containing the regex violate (``rlike`` semantics).
+    - ``{"type": "min_rows", "n": k}`` — violations = shortfall.
+    - ``{"type": "expr", "name": label, "expr": sql_bool}`` — rows where
+      the SQL predicate is not true violate (escape hatch; any Catalyst
+      boolean expression).
+
+    Scale shape: every rule compiles to a conditional-count aggregate
+    expression and ALL rules run in ONE ``agg()`` over the table — one
+    scan, map-side partial aggregation, no matter how many rules (the
+    exception is ``unique``'s exact ``count_distinct``, which Spark
+    plans as an expand — still the same single job).  The wide one-row
+    result is unpivoted to the per-rule table with ``stack`` — no second
+    scan.  Checks across tables (referential integrity) are joins, not
+    expectations — use an anti-join count directly.
+    """
+    if not rules:
+        raise ValueError("check_expectations needs at least one rule")
+    aggs = []
+    meta = []  # (rule_id, rule_type, col)
+    for i, r in enumerate(rules):
+        t = r.get("type")
+        c = r.get("col", "")
+        if t == "not_null":
+            v = F.count_if(F.col(c).isNull())
+        elif t == "unique":
+            v = F.count(F.col(c)) - F.count_distinct(F.col(c))
+        elif t == "in_range":
+            v = F.count_if(
+                F.col(c).isNotNull()
+                & ~F.col(c).between(F.lit(r["min"]), F.lit(r["max"]))
+            )
+        elif t == "in_set":
+            v = F.count_if(
+                F.col(c).isNotNull() & ~F.col(c).isin(list(r["values"]))
+            )
+        elif t == "matches":
+            v = F.count_if(
+                F.col(c).isNotNull() & ~F.col(c).rlike(r["pattern"])
+            )
+        elif t == "min_rows":
+            v = F.greatest(F.lit(int(r["n"])) - F.count("*"), F.lit(0))
+            c = ""
+        elif t == "expr":
+            v = F.count_if(~F.coalesce(F.expr(r["expr"]), F.lit(False)))
+            c = r.get("name", r["expr"])
+        else:
+            raise ValueError(f"unknown expectation type {t!r} (rule {i})")
+        aggs.append(v.cast("long").alias(f"v{i}"))
+        meta.append((f"r{i}", t, c))
+    wide = df.agg(F.count("*").cast("long").alias("nr"), *aggs)
+    cells = ", ".join(
+        f"'{rid}', '{rt}', '{col}', v{i}" for i, (rid, rt, col) in enumerate(meta)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(meta)}, {cells}) AS (rule_id, rule_type, col, n_violations)"
+        ),
+        F.col("nr").alias("n_rows"),
+    ).select(
+        "rule_id", "rule_type", "col", "n_violations", "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
