@@ -2850,6 +2850,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return key_skew_stats(_t(spark, sf, "lineitem"), "l_suppkey")
 
+    def rm3_docs(spark, sf):  # pseudo-relevance-feedback expansion (round 12)
+        # retrieval.rm3_expansion over the same ('batch','data','fast')
+        # query the bm25 oracles use: top-10 feedback docs (6-dp-rounded
+        # BM25, id tie-break), tf/dl pooling, 0.5 interpolation, top 15
+        # expansion terms ranked on the single 9-dp-rounded weight
+        from vectordb_watermark_spark.operators.retrieval import rm3_expansion
+
+        return rm3_expansion(
+            _docs(spark, sf), ["batch", "data", "fast"], k_docs=10, n_terms=15
+        )
+
+    def mmr_contract(spark, sf):  # MMR diversification contract (round 12)
+        # candidates derived from embeddings (qid = id%4, rel = keyed-hash
+        # rational); invariants: ranks are 1..k per query, picks are a
+        # candidate subset, rank-1 = max-rel (id tie-break), and the WHOLE
+        # selection equals a driver-side numpy greedy recompute (bounded
+        # collect: the candidate table itself)
+        from vectordb_watermark_spark.operators.retrieval import mmr_rerank
+        import numpy as np
+
+        K, LAM = 8, 0.7
+        cand = _vectors(spark, sf).select(
+            (F.col("id") % 4).alias("qid"),
+            F.col("id").alias("doc_id"),
+            (((F.col("id") * F.lit(2654435761).cast("long")) % 1000) / 1000.0)
+            .alias("rel"),
+            F.col("emb"),
+        ).persist()
+        out = mmr_rerank(cand, k=K, lam=LAM).persist()
+
+        rows = out.collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append(r)
+        ranks_valid = all(
+            sorted(x["mmr_rank"] for x in g) == list(range(1, len(g) + 1))
+            for g in by_q.values()
+        )
+        cand_rows = cand.collect()
+        cset = {(r["qid"], r["doc_id"]) for r in cand_rows}
+        subset_ok = all((r["qid"], r["doc_id"]) in cset for r in rows)
+        # numpy greedy recompute
+        greedy_matches = True
+        first_pick_ok = True
+        for q in by_q:
+            grp = sorted(
+                (r for r in cand_rows if r["qid"] == q), key=lambda r: r["doc_id"]
+            )
+            ids = np.array([r["doc_id"] for r in grp])
+            rel = np.array([r["rel"] for r in grp], dtype=np.float64)
+            V = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in grp])
+            V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+            S = V @ V.T
+            max_sim = np.zeros(len(ids))
+            alive = np.ones(len(ids), dtype=bool)
+            picks = []
+            for step in range(min(K, len(ids))):
+                obj = LAM * rel - (1 - LAM) * (max_sim if picks else 0.0)
+                obj = np.where(alive, obj, -np.inf)
+                i = int(np.argmax(obj))
+                picks.append(int(ids[i]))
+                alive[i] = False
+                max_sim = np.maximum(max_sim, S[:, i])
+            got = [r["doc_id"] for r in sorted(by_q[q], key=lambda r: r["mmr_rank"])]
+            if got != picks:
+                greedy_matches = False
+            top_rel = rel.max()
+            best_ids = ids[rel == top_rel]
+            if got[0] != int(best_ids.min()):
+                first_pick_ok = False
+        cand.unpersist()
+        out.unpersist()
+        return spark.createDataFrame(
+            [(len(rows), bool(ranks_valid), bool(subset_ok),
+              bool(first_pick_ok), bool(greedy_matches))],
+            "n_rows long, ranks_valid boolean, subset_ok boolean, "
+            "first_pick_ok boolean, greedy_matches boolean",
+        )
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 147 gate
@@ -3032,6 +3111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_events": calibration_events,
         "ece_events": ece_events,
         "key_skew_lineitem": key_skew_lineitem,
+        "rm3_docs": rm3_docs,
+        "mmr_contract": mmr_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5361,4 +5442,63 @@ SELECT node, pr FROM p3""",
                    CAST(floor(MAX(n) * count(*) * 1000000.0 / SUM(n) + 0.5)
                         AS BIGINT) AS skew_ratio_ppm
             FROM per_key""",
+        "rm3_docs": f"""
+            WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
+            docs AS (SELECT id, len(ts) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+            hits AS (
+              SELECT dd.id, dd.dl, t
+              FROM (SELECT id, len(ts) AS dl, ts FROM d) dd
+              CROSS JOIN UNNEST(dd.ts) AS u(t)
+              WHERE t IN ('batch', 'data', 'fast')
+            ),
+            tf AS (SELECT id, dl, t, count(*) AS tf FROM hits GROUP BY id, dl, t),
+            dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            idf AS (
+              SELECT t, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+              FROM dfreq CROSS JOIN stats
+            ),
+            bm AS (
+              SELECT tf.id AS id,
+                     ROUND(SUM(idf.idf * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / idf.avgdl))), 6) AS score
+              FROM tf JOIN idf USING (t) GROUP BY tf.id
+            ),
+            fb AS (SELECT id, score FROM bm ORDER BY score DESC, id ASC LIMIT 10),
+            fbw AS (
+              SELECT id, score / (SELECT SUM(score) FROM fb) AS w_d FROM fb
+            ),
+            ftoks AS (
+              SELECT dd.id, w.w_d, dd.dl, t
+              FROM (SELECT id, len(ts) AS dl, ts FROM d) dd
+              JOIN fbw w ON dd.id = w.id
+              CROSS JOIN UNNEST(dd.ts) AS u(t)
+            ),
+            ftf AS (
+              SELECT t, id, w_d, dl, count(*) AS tf
+              FROM ftoks GROUP BY t, id, w_d, dl
+            ),
+            rm AS (SELECT t, SUM(tf / dl * w_d) AS rm FROM ftf GROUP BY t),
+            rmn AS (
+              SELECT t, rm / (SELECT SUM(rm) FROM rm) AS rm_n FROM rm
+            ),
+            wt AS (
+              SELECT t,
+                     ROUND(0.5 * (CASE WHEN t IN ('batch', 'data', 'fast')
+                                       THEN 1.0 / 3 ELSE 0.0 END)
+                           + 0.5 * rm_n, 9) AS weight
+              FROM rmn
+            )
+            SELECT t AS term, weight,
+                   t IN ('batch', 'data', 'fast') AS is_original
+            FROM wt ORDER BY weight DESC, t ASC LIMIT 15""",
+        "mmr_contract": """
+            SELECT CAST(SUM(LEAST(cnt, 8)) AS BIGINT) AS n_rows,
+                   CAST(TRUE AS BOOLEAN) AS ranks_valid,
+                   CAST(TRUE AS BOOLEAN) AS subset_ok,
+                   CAST(TRUE AS BOOLEAN) AS first_pick_ok,
+                   CAST(TRUE AS BOOLEAN) AS greedy_matches
+            FROM (
+              SELECT count(*) AS cnt FROM embeddings GROUP BY vec_id % 4
+            )""",
     }

@@ -304,3 +304,119 @@ def test_bm25_batch_query_equals_single(spark, docs, tmp_path):
         bm25_query_index_batch(spark, idx, {})
     with pytest.raises(ValueError, match="empty query_terms"):
         bm25_query_index_batch(spark, idx, {0: []})
+
+
+def _rm3_ref(corpus, terms, k_docs, n_terms, ow=0.5):
+    # python reference of the full RM3 chain on rounded bm25 scores
+    scores = _bm25_ref(corpus, terms)
+    scores = {i: round(s, 6) for i, s in scores.items()}
+    fb = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k_docs]
+    s_tot = sum(s for _, s in fb)
+    toks = {i: t.split() for i, t in corpus}
+    rm = {}
+    for i, s in fb:
+        w = s / s_tot
+        dl = len(toks[i])
+        for t in set(toks[i]):
+            rm[t] = rm.get(t, 0.0) + toks[i].count(t) / dl * w
+    rm_tot = sum(rm.values())
+    q = 1.0 / len(set(terms))
+    wt = {
+        t: round(ow * (q if t in terms else 0.0) + (1 - ow) * rm[t] / rm_tot, 9)
+        for t in rm
+    }
+    return sorted(wt.items(), key=lambda kv: (-kv[1], kv[0]))[:n_terms]
+
+
+def test_rm3_matches_reference(spark):
+    from vectordb_watermark_spark.operators.retrieval import rm3_expansion
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    got = rm3_expansion(df, ["data", "model"], k_docs=3, n_terms=6).collect()
+    ref = _rm3_ref(CORPUS, ["data", "model"], 3, 6)
+    assert [(r["term"], r["weight"]) for r in got] == [
+        (t, pytest.approx(w, abs=1e-9)) for t, w in ref
+    ]
+    # original terms flagged; expansion terms come from feedback docs only
+    flags = {r["term"]: r["is_original"] for r in got}
+    assert flags["data"] and flags["model"]
+    assert not flags.get("pipeline", False)
+    assert "unrelated" not in flags  # doc 4 never makes the feedback set
+
+
+def test_rm3_validation(spark):
+    from vectordb_watermark_spark.operators.retrieval import rm3_expansion
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="k_docs"):
+        rm3_expansion(df, ["data"], k_docs=0)
+    with pytest.raises(ValueError, match="orig_weight"):
+        rm3_expansion(df, ["data"], orig_weight=1.5)
+
+
+def _mmr_ref(rows, k, lam):
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows])
+    rel = np.array([r[1] for r in rows], dtype=np.float64)
+    V = np.stack([np.asarray(r[2], dtype=np.float64) for r in rows])
+    V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+    S = V @ V.T
+    picks, max_sim = [], np.zeros(len(ids))
+    alive = np.ones(len(ids), dtype=bool)
+    for _ in range(min(k, len(ids))):
+        obj = lam * rel - (1 - lam) * (max_sim if picks else 0.0)
+        obj = np.where(alive, obj, -np.inf)
+        i = int(np.argmax(obj))
+        picks.append(int(ids[i]))
+        alive[i] = False
+        max_sim = np.maximum(max_sim, S[:, i])
+    return picks
+
+
+def test_mmr_diversifies_and_matches_bruteforce(spark):
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.retrieval import mmr_rerank
+
+    rng = np.random.default_rng(13)
+    # two queries; query 0 has a clone pair (docs 0/1 identical vectors,
+    # both high-rel): MMR must NOT pick both in the top ranks
+    base = rng.normal(0, 1, (12, 8))
+    base[1] = base[0]
+    groups = {0: [], 1: []}
+    for q in (0, 1):
+        for d in range(12):
+            rel = 0.95 if (q == 0 and d in (0, 1)) else float(rng.uniform(0.1, 0.8))
+            groups[q].append((d + 100 * q, rel, (base[d] if q == 0 else rng.normal(0, 1, 8)).tolist()))
+    cand = spark.createDataFrame(
+        [(q, i, r, v) for q, rows in groups.items() for i, r, v in rows],
+        "qid long, doc_id long, rel double, emb array<double>",
+    )
+    out = mmr_rerank(cand, k=5, lam=0.5)
+    got = {
+        q: [r["doc_id"] for r in sorted(
+            [x for x in out.collect() if x["qid"] == q], key=lambda r: r["mmr_rank"]
+        )]
+        for q in (0, 1)
+    }
+    for q in (0, 1):
+        assert got[q] == _mmr_ref(groups[q], 5, 0.5)
+    # the clone (doc 1) is NOT adjacent to doc 0 despite equal relevance
+    assert got[0][0] == 0 and got[0][1] != 1
+
+
+def test_mmr_validation_and_small_group(spark):
+    from vectordb_watermark_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(0, 1, 0.9, [1.0, 0.0]), (0, 2, 0.5, [0.0, 1.0])],
+        "qid long, doc_id long, rel double, emb array<double>",
+    )
+    rows = mmr_rerank(cand, k=10, lam=0.7).collect()  # k > group size
+    assert sorted(r["mmr_rank"] for r in rows) == [1, 2]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cand, lam=-0.1)
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(cand, k=0)

@@ -45,6 +45,8 @@ __all__ = [
     "bm25_scores",
     "bm25_topk",
     "reciprocal_rank_fusion",
+    "rm3_expansion",
+    "mmr_rerank",
 ]
 
 
@@ -420,3 +422,154 @@ def reciprocal_rank_fusion(
     if top is not None:
         out = out.filter(F.col("rank") <= top)
     return out
+
+
+def rm3_expansion(
+    df: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    n_terms: int = 10,
+    orig_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    Croft 2001 relevance model, interpolated per Abdul-Jaleel 2004)
+    -> ``(term, weight, is_original)`` — the expanded query, ready to
+    feed back into :func:`bm25_scores` / the postings index.
+
+    Practical RM3 as run in Anserini/Galago: BM25-score the original
+    terms, keep the top ``k_docs`` feedback documents (tie-broken by
+    id: BM25 scores are 6-dp rounded so ties are real), weight each by
+    its normalized score, pool term probabilities ``P(t|d) = tf/dl``
+    weighted by those doc weights, keep the ``n_terms`` heaviest
+    expansion terms, and interpolate with the uniform original-query
+    model at ``orig_weight``.
+
+    Everything is relational: the feedback set is a TakeOrdered of
+    ``k_docs`` rows (broadcast from there on), the pooled vocabulary is
+    bounded by the feedback docs' tokens, and the final top-``n_terms``
+    is a TakeOrdered over that small pool — no global sorts over the
+    corpus.  At 100 TB the only corpus-wide work is the BM25 pass
+    itself (or none, with the postings index).  Weights are 9-dp
+    rounded ONCE, and ranking uses the rounded value, so tie-breaks
+    (weight DESC, term ASC) bind identically cross-engine.
+    """
+    if k_docs < 1 or n_terms < 1:
+        raise ValueError("k_docs and n_terms must be >= 1")
+    if not 0.0 <= orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in [0, 1], got {orig_weight}")
+    terms = sorted(set(query_terms))
+
+    scores = bm25_scores(
+        df, terms, k1=k1, b=b, id_col=id_col, text_col=text_col, round_dp=6
+    )
+    fb = scores.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k_docs)
+    fb_tot = fb.agg(F.sum("score").alias("s_tot"))
+    fb_w = fb.crossJoin(F.broadcast(fb_tot)).select(
+        "id", (F.col("score") / F.col("s_tot")).alias("w_d")
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__ts")
+    ).join(F.broadcast(fb_w), "id").select(
+        "id", "w_d", F.size("__ts").alias("dl"), F.explode("__ts").alias("t")
+    )
+    rm = (
+        toks.groupBy("t", "id", "w_d", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("t")
+        .agg(F.sum(F.col("tf") / F.col("dl") * F.col("w_d")).alias("rm"))
+    )
+    rm_tot = rm.agg(F.sum("rm").alias("rm_tot"))
+    rm_n = rm.crossJoin(F.broadcast(rm_tot)).select(
+        "t", (F.col("rm") / F.col("rm_tot")).alias("rm_n")
+    )
+    q_model = 1.0 / len(terms)
+    weighted = rm_n.withColumn(
+        "weight",
+        F.round(
+            F.lit(orig_weight)
+            * F.when(F.col("t").isin(terms), F.lit(q_model)).otherwise(F.lit(0.0))
+            + F.lit(1.0 - orig_weight) * F.col("rm_n"),
+            9,
+        ),
+    )
+    return (
+        weighted.orderBy(F.col("weight").desc(), F.col("t").asc())
+        .limit(n_terms)
+        .select(
+            F.col("t").alias("term"),
+            "weight",
+            F.col("t").isin(terms).alias("is_original"),
+        )
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification (Carbonell &
+    Goldstein 1998) -> ``(qid, doc_id, mmr_rank, mmr_score)``.
+
+    Greedy per query: pick the candidate maximizing
+    ``lam * rel - (1 - lam) * max_cosine(candidate, already_picked)``
+    (first pick is pure relevance), ``k`` times.  Ties break on the
+    smaller doc id — fully deterministic.
+
+    Scale shape: the greedy loop is inherently sequential PER QUERY but
+    embarrassingly parallel ACROSS queries, and its input is the
+    (bounded) candidate set a first-stage retriever already produced —
+    so this is one ``applyInPandas`` over qid groups, with an N×N
+    cosine matrix per group where N is the per-query candidate count
+    (hundreds, by construction).  Nothing here ever touches the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    import numpy as np
+    import pandas as pd
+
+    qt = candidates.schema[qid_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{qid_col} {qt}, {id_col} {it}, mmr_rank int, mmr_score double"
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        V = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+        S = V @ V.T
+        n = len(ids)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)
+        alive = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            obj = lam * rel - (1.0 - lam) * (max_sim if picked else 0.0)
+            obj = np.where(alive, obj, -np.inf)
+            i = int(np.argmax(obj))  # first occurrence = smallest id (sorted)
+            picked.append(i)
+            scores.append(float(obj[i]))
+            alive[i] = False
+            max_sim = np.maximum(max_sim, S[:, i])
+        return pd.DataFrame({
+            qid_col: pdf[qid_col].iloc[picked].to_numpy(),
+            id_col: ids[picked],
+            "mmr_rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            "mmr_score": np.round(np.asarray(scores), 9),
+        })
+
+    return candidates.groupBy(qid_col).applyInPandas(kernel, schema=schema)
