@@ -2929,6 +2929,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "first_pick_ok boolean, greedy_matches boolean",
         )
 
+    def stream_transitions_events(spark, sf):  # streaming twin (round 12)
+        # the events table replayed through the incremental_transitions
+        # store as 3 TIME-ORDERED batches (the sink's in-order-per-user
+        # contract) must resolve to exactly the batch event_transitions —
+        # pinned by the SAME DuckDB twin; counts are integer-exact
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.streaming.curation import (
+            ingest_transitions_batch,
+            resolve_transitions,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        store = os.path.join(scratch, f"oracle_tr_store_{tag}")
+        shutil.rmtree(store, ignore_errors=True)
+        ev = _t(spark, sf, "events")
+        cuts = ["2024-01-11", "2024-01-21"]
+        slices = [
+            ev.filter(F.col("ts") < cuts[0]),
+            ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+            ev.filter(F.col("ts") >= cuts[1]),
+        ]
+        for k, s in enumerate(slices):
+            ingest_transitions_batch(s, store, k)
+        return resolve_transitions(spark, store).drop("prob")
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 147 gate
@@ -3113,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_lineitem": key_skew_lineitem,
         "rm3_docs": rm3_docs,
         "mmr_contract": mmr_contract,
+        "stream_transitions_events": stream_transitions_events,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5501,4 +5533,15 @@ SELECT node, pr FROM p3""",
             FROM (
               SELECT count(*) AS cnt FROM embeddings GROUP BY vec_id % 4
             )""",
+        "stream_transitions_events": """
+            WITH seq AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_type
+              FROM events
+            )
+            SELECT from_type, to_type, count(*) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type""",
     }

@@ -381,3 +381,83 @@ def test_check_expectations(spark):
         check_expectations(df, [])
     with pytest.raises(ValueError, match="unknown expectation"):
         check_expectations(df, [{"type": "nope"}])
+
+
+def test_incremental_transitions_matches_batch(spark, tmp_path):
+    """Streaming transition-matrix maintenance: after every micro-batch,
+    resolve_transitions equals batch event_transitions over everything
+    streamed so far (cross-batch boundary pairs included); a replayed
+    batch (checkpoint retry) rewrites its own contribution idempotently;
+    an empty store resolves empty."""
+    import shutil
+
+    from vectordb_watermark_spark.operators.analytics import event_transitions
+    from vectordb_watermark_spark.streaming.curation import (
+        incremental_transitions,
+        ingest_transitions_batch,
+        resolve_transitions,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batches = [
+        # user 1: a b | user 2: a
+        [(0, _ts(1), 1, "a"), (1, _ts(2), 1, "b"), (2, _ts(2), 2, "a")],
+        # boundary pairs: u1 b->c, u2 a->a; new user 3
+        [(3, _ts(3), 1, "c"), (4, _ts(4), 2, "a"), (5, _ts(3), 3, "b")],
+        # u3 b->a, u1 c->a
+        [(6, _ts(5), 3, "a"), (7, _ts(6), 1, "a")],
+    ]
+
+    store = str(tmp_path / "tr_store")
+    src = tmp_path / "tr_src"
+    src.mkdir()
+
+    def batch_truth(rows):
+        df = spark.createDataFrame(rows, schema)
+        return {
+            (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+            for r in event_transitions(df).collect()
+        }
+
+    assert resolve_transitions(spark, store).count() == 0
+
+    seen = []
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"tr_stage_{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.glob("part-*.parquet"))
+        shutil.copy(part, src / f"{i}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_transitions(
+            stream, store, str(tmp_path / "tr_ck")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+        seen += rows
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+            for r in resolve_transitions(spark, store).collect()
+        }
+        assert got == batch_truth(seen), f"after batch {i}"
+
+    # checkpoint-retry simulation: re-ingest batch 1 under its batch id —
+    # it must overwrite exactly its own contribution, changing nothing
+    ingest_transitions_batch(
+        spark.createDataFrame(batches[1], schema), store, 1
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert got == batch_truth(seen)
+
+    # empty batch is a no-op (no pairs/state dirs written for its id)
+    ingest_transitions_batch(spark.createDataFrame([], schema), store, 9)
+    got2 = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert got2 == got

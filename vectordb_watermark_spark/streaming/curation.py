@@ -980,3 +980,177 @@ def incremental_components(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(handle)
     )
+
+
+def _latest_state_dir(spark, path: str, below_batch: int) -> str | None:
+    """Newest ``state/batch=stream-K`` dir with K < below_batch — the
+    deterministic read point for (possibly retried) micro-batch
+    ``below_batch``: a replayed batch re-reads exactly the state it saw
+    the first time, because its own state dir (and any later one) is
+    excluded."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{path}/state")):
+        return None
+    best, best_k = None, -1
+    for st in fs.listStatus(jp(f"{path}/state")):
+        name = st.getPath().getName()
+        if not name.startswith("batch=stream-"):
+            continue
+        k = int(name.rsplit("-", 1)[1])
+        if best_k < k < below_batch:
+            best, best_k = st.getPath().toString(), k
+    return best
+
+
+def incremental_transitions(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Streaming first-order transition-matrix maintenance: the exact
+    streaming twin of
+    :func:`~vectordb_watermark_spark.operators.analytics.event_transitions`.
+    Returns the DataStreamWriter (call ``.start()``);
+    :func:`resolve_transitions` reads the live matrix.
+
+    Per micro-batch, ONE small state join instead of a full recompute:
+
+    - the per-user LAST EVENT so far (``state/batch=stream-K`` — one row
+      per user seen, the only cross-batch memory a first-order chain
+      needs) is unioned with the batch's events;
+    - ``lag`` over (user; ts, id) yields each event's predecessor; only
+      pairs whose *successor* is a NEW event are counted, so the
+      batch-boundary transition (state row -> first new event) is
+      captured exactly once and nothing is recounted;
+    - the batch's pair counts land in ``pairs/batch=stream-N`` and the
+      refreshed last-event table in ``state/batch=stream-N`` — both
+      overwrite-scoped to the batch id, so a checkpoint-retried batch
+      replaces exactly its own contribution (idempotent), and it re-reads
+      the PREVIOUS state dir, never its own half-written one.
+
+    Exactness contract: equal to the batch operator over everything
+    streamed so far PROVIDED each user's events arrive in event-time
+    order ACROSS batches (within a batch any order is fine — the lag
+    window sorts).  That is the natural shape for availableNow/append
+    event feeds; a cross-batch straggler older than its user's state row
+    would have been counted against a different predecessor by the batch
+    twin.  State size is one row per DISTINCT USER — entity cardinality,
+    not event volume; pairs grow one (small) matrix per batch and
+    resolve sums them (compact by rewriting ``pairs/`` on the usual
+    maintenance cadence if batch count grows large).
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_transitions_batch(
+            batch_df, store_path, batch_id,
+            user_col=user_col, type_col=type_col, ts_col=ts_col, id_col=id_col,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
+
+
+def ingest_transitions_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """One :func:`incremental_transitions` micro-batch, callable directly
+    — the sink's ``foreachBatch`` body.  Exposed so deterministic batch
+    replays (oracles, backfills) can drive the store without a streaming
+    query; the in-order-per-user contract is the caller's to honor, same
+    as the stream's."""
+    from pyspark.sql.window import Window
+
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    k = int(batch_id)
+    new = batch_df.select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+        F.col(id_col).alias("eid"), F.col(type_col).alias("y"),
+        F.lit(True).alias("is_new"),
+    ).persist()
+    prev_dir = _latest_state_dir(spark, store_path, k)
+    if prev_dir is not None:
+        state = spark.read.parquet(prev_dir).withColumn(
+            "is_new", F.lit(False)
+        )
+        merged = state.unionByName(new)
+    else:
+        merged = new
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    pairs = (
+        merged.select(
+            "u", "y", "is_new", F.lag("y").over(w).alias("prev_y")
+        )
+        .filter(F.col("is_new") & F.col("prev_y").isNotNull())
+        .groupBy(F.col("prev_y").alias("from_type"), F.col("y").alias("to_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    pairs.write.mode("overwrite").parquet(
+        f"{store_path}/pairs/batch=stream-{k}"
+    )
+    last = (
+        merged.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(
+                    F.col("t").desc(), F.col("eid").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("u", "t", "eid", "y")
+    )
+    last.write.mode("overwrite").parquet(
+        f"{store_path}/state/batch=stream-{k}"
+    )
+    new.unpersist()
+
+
+def resolve_transitions(spark, store_path: str) -> DataFrame:
+    """Current transition matrix of an :func:`incremental_transitions`
+    store -> ``(from_type, to_type, n, prob)`` — the same columns and
+    values as batch
+    :func:`~vectordb_watermark_spark.operators.analytics.event_transitions`
+    over everything streamed so far (integer-exact: per-batch counts are
+    summed, probabilities derived once at read time)."""
+    from pyspark.sql.window import Window
+
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{store_path}/pairs")):
+        return spark.createDataFrame(
+            [], "from_type string, to_type string, n long, prob double"
+        )
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(jp(f"{store_path}/pairs"))
+        if st.getPath().getName().startswith("batch=")
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "from_type string, to_type string, n long, prob double"
+        )
+    counts = (
+        spark.read.parquet(*dirs)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 9).alias("prob"),
+    )
