@@ -2962,9 +2962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 147 gate
-    # entries (142 oracled) and a 50-slot window every oracle has a
-    # driver-green row within a 3-round
+    # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
+    # entries (156 oracled) and a 50-slot window every oracle has a
+    # driver-green row within a 3-4 round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-12 window: the 16 hash-exact
     # round-11 additions lead (never driver-gated; judge-green in the r11
