@@ -2960,6 +2960,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ingest_transitions_batch(s, store, k)
         return resolve_transitions(spark, store).drop("prob")
 
+    def ann_ndcg_eval(spark, sf):  # metric ops drive the ANN stack (round 12)
+        # composite: hamming_topk_batch results evaluated by ndcg_at_k
+        # against graded exact-cosine ground truth (rel = 11 - cos_rank,
+        # 6-dp cosine + id tie-break — deterministic in both engines);
+        # proves the evaluation operators plug into the search stack the
+        # way rag_pipeline proves ingest->index->query
+        from pyspark.sql.window import Window
+
+        from vectordb_watermark_spark.operators.analytics import ndcg_at_k
+        from vectordb_watermark_spark.operators.similarity import (
+            hamming_topk_batch,
+        )
+
+        df = _vectors(spark, sf)
+        qdf = df.filter(F.col("id") < 3).select(
+            F.col("id").alias("qid"),
+            F.col("emb").cast("array<double>").alias("qvec"),
+        )
+        results = hamming_topk_batch(df, qdf, k=10).select(
+            "qid",
+            F.col("id").alias("doc_id"),
+            (-F.col("hamming")).cast("double").alias("score"),
+        )
+        cos = df.crossJoin(F.broadcast(qdf)).select(
+            "qid",
+            F.col("id").alias("doc_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(cast(emb as array<double>), qvec, "
+                    "(a, b) -> a * b), 0D, (acc, x) -> acc + x)"
+                ),
+                6,
+            ).alias("c"),
+        )
+        cw = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("doc_id"))
+        qrels = (
+            cos.withColumn("crank", F.row_number().over(cw))
+            .filter(F.col("crank") <= 10)
+            .select("qid", "doc_id", (11 - F.col("crank")).cast("int").alias("rel"))
+        )
+        return ndcg_at_k(results, qrels, k=10)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
@@ -3145,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_docs": rm3_docs,
         "mmr_contract": mmr_contract,
         "stream_transitions_events": stream_transitions_events,
+        "ann_ndcg_eval": ann_ndcg_eval,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5544,4 +5587,74 @@ SELECT node, pr FROM p3""",
             SELECT from_type, to_type, count(*) AS n
             FROM seq WHERE to_type IS NOT NULL
             GROUP BY from_type, to_type""",
+        "ann_ndcg_eval": """
+            WITH v AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            words AS (
+              SELECT id, list_transform(range(CAST(ceil(len(e)/32.0) AS BIGINT)),
+                   w -> CAST(list_reduce(
+                          list_transform(e[CAST(w*32+1 AS BIGINT) : CAST(w*32+32 AS BIGINT)], x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                          (a, b) -> a * 2 + b) AS BIGINT)) AS ws
+              FROM v
+            ),
+            q AS (SELECT id AS qid, ws AS qws FROM words WHERE id IN (0, 1, 2)),
+            scored AS (
+              SELECT q.qid, w.id,
+                     CAST(list_sum(list_transform(range(len(w.ws)),
+                          i -> bit_count(xor(w.ws[i+1], q.qws[i+1])))) AS BIGINT) AS hamming
+              FROM words w CROSS JOIN q
+            ),
+            res AS (
+              SELECT qid, id AS doc_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY hamming, id)
+                       AS rank
+              FROM scored
+              QUALIFY rank <= 10
+            ),
+            qe AS (SELECT id AS qid, e AS qe FROM v WHERE id IN (0, 1, 2)),
+            cos AS (
+              SELECT qe.qid, v.id AS doc_id,
+                     round(list_sum(list_transform(list_zip(v.e, qe.qe),
+                           p -> p[1] * p[2])), 6) AS c
+              FROM v CROSS JOIN qe
+            ),
+            qrels AS (
+              SELECT qid, doc_id,
+                     11 - row_number() OVER (
+                       PARTITION BY qid ORDER BY c DESC, doc_id
+                     ) AS rel
+              FROM cos
+              QUALIFY rel >= 1
+            ),
+            topk AS (
+              SELECT r.qid, r.rank, COALESCE(q2.rel, 0) AS rel0
+              FROM res r LEFT JOIN qrels q2
+                ON r.qid = q2.qid AND r.doc_id = q2.doc_id
+            ),
+            d AS (
+              SELECT qid,
+                     SUM((POWER(2.0, rel0) - 1.0)
+                         / (ln(rank + 1.0) / ln(2.0))) AS dcg,
+                     MIN(CASE WHEN rel0 > 0 THEN rank END) AS first_rel
+              FROM topk GROUP BY qid
+            ),
+            ideal AS (
+              SELECT qid,
+                     SUM((POWER(2.0, rel) - 1.0)
+                         / (ln(irank + 1.0) / ln(2.0))) AS idcg
+              FROM (
+                SELECT qid, rel,
+                       row_number() OVER (
+                         PARTITION BY qid ORDER BY rel DESC, doc_id
+                       ) AS irank
+                FROM qrels WHERE rel > 0
+              ) WHERE irank <= 10 GROUP BY qid
+            )
+            SELECT d.qid, round(d.dcg, 9) AS dcg, round(i.idcg, 9) AS idcg,
+                   round(d.dcg / i.idcg, 9) AS ndcg,
+                   round(COALESCE(1.0 / first_rel, 0.0), 9) AS rr
+            FROM d JOIN ideal i ON d.qid = i.qid""",
     }
