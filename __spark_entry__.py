@@ -3002,6 +3002,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ndcg_at_k(results, qrels, k=10)
 
+    def compact_contract(spark, sf):  # small-file compaction (round 12)
+        # a 37-file fragmented copy of documents compacted in place: the
+        # gate hashes the FULL post-compaction content against the source
+        # table (data preservation through the staged swap), plus a
+        # compacted flag pinning that the file count actually dropped
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.sources.io import compact_parquet
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        tbl = os.path.join(scratch, f"compact_tbl_{tag}")
+        shutil.rmtree(tbl, ignore_errors=True)
+        _docs(spark, sf).repartition(37).write.parquet(tbl)
+        stats = compact_parquet(spark, tbl, target_mb=128)
+        return spark.read.parquet(tbl).select(
+            "doc_id", "lang", "n_chars",
+            F.lit(stats["files_after"] < stats["files_before"]).alias("compacted"),
+        )
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
@@ -3188,6 +3212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_contract": mmr_contract,
         "stream_transitions_events": stream_transitions_events,
         "ann_ndcg_eval": ann_ndcg_eval,
+        "compact_contract": compact_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5657,4 +5682,7 @@ SELECT node, pr FROM p3""",
                    round(d.dcg / i.idcg, 9) AS ndcg,
                    round(COALESCE(1.0 / first_rel, 0.0), 9) AS rr
             FROM d JOIN ideal i ON d.qid = i.qid""",
+        "compact_contract": """
+            SELECT doc_id, lang, n_chars, CAST(TRUE AS BOOLEAN) AS compacted
+            FROM documents""",
     }

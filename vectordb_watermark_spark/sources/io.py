@@ -426,3 +426,96 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for a parquet table (the Delta/Iceberg
+    ``OPTIMIZE`` / bin-packing shape): rewrite ``path`` into
+    ``ceil(total_bytes / target_mb)`` files and return a stats dict
+    ``{files_before, files_after, rows, bytes_before}``.
+
+    Streaming sinks and incremental appends accrete tiny files; at scan
+    time each costs a task schedule and a footer read, and at 100 TB the
+    footer metadata alone dominates small-file scans.  Compaction is one
+    read + one write:
+
+    - ``sort_cols`` None -> round-robin ``repartition(n)`` (skew-proof,
+      no shuffle key to hotspot);
+    - ``sort_cols`` given -> ``repartitionByRange`` + in-partition sort,
+      restoring min/max-statistics clustering on those columns (the
+      cheap cousin of :func:`write_zordered` for single-axis locality).
+
+    Safety: the rewrite lands in a private staging dir first, its row
+    count is verified against the source, and only then is the original
+    swapped out (rename, then delete).  NOT safe under concurrent
+    readers/writers of ``path`` — run it as table maintenance between
+    jobs, like the ANN store's ``compact_index`` fence documents.
+    """
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path(path)):
+        raise ValueError(f"compact_parquet: no table at {path!r}")
+
+    def _data_files(p):
+        out = []
+        for st in fs.listStatus(jvm_path(p)):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                out += _data_files(st.getPath().toString())
+            elif not name.startswith(("_", ".")):
+                out.append((st.getPath().toString(), st.getLen()))
+        return out
+
+    files = _data_files(path)
+    files_before = len(files)
+    bytes_before = sum(sz for _, sz in files)
+    n_out = max(1, -(-bytes_before // (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+
+    import uuid
+
+    parent = path.rstrip("/").rsplit("/", 1)[0]
+    staging = f"{parent}/.compact_{uuid.uuid4().hex[:12]}"
+    out.write.mode("overwrite").parquet(staging)
+    got = spark.read.parquet(staging).count()
+    if got != n_rows:
+        fs.delete(jvm_path(staging), True)
+        raise RuntimeError(
+            f"compact_parquet: staging row count {got} != source {n_rows}; "
+            f"source left untouched"
+        )
+    old = f"{parent}/.compact_old_{uuid.uuid4().hex[:12]}"
+    if not fs.rename(jvm_path(path), jvm_path(old)):
+        fs.delete(jvm_path(staging), True)
+        raise RuntimeError(f"compact_parquet: could not move {path!r} aside")
+    if not fs.rename(jvm_path(staging), jvm_path(path)):
+        # put the original back; nothing is lost
+        fs.rename(jvm_path(old), jvm_path(path))
+        fs.delete(jvm_path(staging), True)
+        raise RuntimeError(
+            f"compact_parquet: could not move staging into place; original "
+            f"restored at {path!r}"
+        )
+    fs.delete(jvm_path(old), True)
+    files_after = len(_data_files(path))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": int(n_rows),
+        "bytes_before": int(bytes_before),
+    }
