@@ -3026,6 +3026,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(stats["files_after"] < stats["files_before"]).alias("compacted"),
         )
 
+    def session_funnel_events(spark, sf):  # within-session funnel (round 12)
+        # gap-sessionize inline (lag + cumsum per user on floored epoch
+        # seconds — the raw-epoch-ns reader both engines agree on, same
+        # as the sessionize twins), then the SAME funnel operator on the
+        # composite (user, session) entity — one parameter change
+        from pyspark.sql.window import Window
+
+        from vectordb_watermark_spark.operators.analytics import funnel
+
+        ev = _events(spark, sf).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts_ns").alias("ts"),
+            F.expr("ts_ns DIV 1000000000").alias("sec"),
+        )
+        w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        lab = (
+            ev.withColumn("prev", F.lag("sec").over(w))
+            .withColumn(
+                "new_s",
+                F.when(
+                    F.col("prev").isNull()
+                    | ((F.col("sec") - F.col("prev")) > 172800),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("session_id", F.sum("new_s").over(w))
+        )
+        return funnel(lab, ["view", "click"], user_col=["user_id", "session_id"])
+
+    def rate_anomalies_events(spark, sf):  # burst detection (round 12)
+        # hourly buckets, exact median/MAD over the BUCKET-COUNT table
+        # (time-range-bounded), modified z in ppm (floor(x*1e6+0.5) —
+        # deterministic cross-engine), flag derived from the ppm value
+        from vectordb_watermark_spark.operators.analytics import rate_anomalies
+
+        return rate_anomalies(_t(spark, sf, "events"), granularity="hour")
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
@@ -3213,6 +3250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_transitions_events": stream_transitions_events,
         "ann_ndcg_eval": ann_ndcg_eval,
         "compact_contract": compact_contract,
+        "session_funnel_events": session_funnel_events,
+        "rate_anomalies_events": rate_anomalies_events,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5685,4 +5724,61 @@ SELECT node, pr FROM p3""",
         "compact_contract": """
             SELECT doc_id, lang, n_chars, CAST(TRUE AS BOOLEAN) AS compacted
             FROM documents""",
+        "session_funnel_events": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts,
+                     epoch_ns(ts) // 1000000000 AS sec
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, event_type, ts, sec, event_id,
+                     CASE WHEN lag(sec) OVER w IS NULL
+                               OR sec - lag(sec) OVER w > 172800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ),
+            lab AS (
+              SELECT user_id, event_type, ts,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_id
+              FROM marked
+            ),
+            s0 AS (
+              SELECT user_id, session_id, min(ts) AS t0 FROM lab
+              WHERE event_type = 'view' GROUP BY user_id, session_id
+            ),
+            s1 AS (
+              SELECT l.user_id, l.session_id, min(l.ts) AS t1
+              FROM lab l JOIN s0
+                ON l.user_id = s0.user_id AND l.session_id = s0.session_id
+              WHERE l.event_type = 'click' AND l.ts > s0.t0
+              GROUP BY l.user_id, l.session_id
+            )
+            SELECT CAST(1 AS INT) AS step, 'view' AS step_type,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s1)""",
+        "rate_anomalies_events": """
+            WITH counts AS (
+              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+              FROM events GROUP BY 1
+            ),
+            m AS (SELECT median(n) AS med FROM counts),
+            d AS (
+              SELECT median(abs(n - med)) AS mad FROM counts CROSS JOIN m
+            ),
+            scored AS (
+              SELECT CAST(bucket AS VARCHAR) AS bucket, CAST(n AS BIGINT) AS n,
+                     CASE WHEN mad > 0 THEN
+                       CAST(floor(0.6745 * (n - med) / mad * 1000000.0 + 0.5)
+                            AS BIGINT)
+                     END AS mz_ppm
+              FROM counts CROSS JOIN m CROSS JOIN d
+            )
+            SELECT bucket, n, mz_ppm,
+                   COALESCE(abs(mz_ppm) > 3500000, FALSE) AS is_anomaly
+            FROM scored""",
     }

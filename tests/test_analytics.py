@@ -461,3 +461,72 @@ def test_incremental_transitions_matches_batch(spark, tmp_path):
         for r in resolve_transitions(spark, store).collect()
     }
     assert got2 == got
+
+
+def test_funnel_composite_entity(spark):
+    from vectordb_watermark_spark.operators.analytics import funnel
+
+    # same user, two sessions: session 1 converts view->click, session 2
+    # has click BEFORE view (no conversion).  Per-user funnel would count
+    # the user once; per-(user, session) counts exactly one converting
+    # session.
+    rows = [
+        (0, _ts(1), 1, 1, "view"), (1, _ts(2), 1, 1, "click"),
+        (2, _ts(3), 1, 2, "click"), (3, _ts(4), 1, 2, "view"),
+        (4, _ts(1), 2, 1, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, session_id long, "
+        "event_type string",
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel(
+            ev, ["view", "click"], user_col=["user_id", "session_id"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1}  # 3 sessions saw a view; only (u1, s1) converts
+
+
+def test_rate_anomalies(spark):
+    from vectordb_watermark_spark.operators.analytics import rate_anomalies
+
+    # 10 calm hours of 3-5 events (varied so MAD > 0) + a 40-event burst
+    rows = []
+    eid = 0
+    for h in range(10):
+        for i in range(3 + h % 3):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, i), 1, "view"))
+            eid += 1
+    for i in range(40):
+        rows.append((eid, dt.datetime(2024, 1, 1, 12, i % 60), 1, "view"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["bucket"]: r for r in rate_anomalies(ev, granularity="hour").collect()}
+    assert len(out) == 11
+    flagged = [b for b, r in out.items() if r["is_anomaly"]]
+    assert flagged == ["2024-01-01 12:00:00"]
+    # counts: 3,4,5 x3 + 3 + burst 40 -> median 4, MAD 1
+    # burst mz = 0.6745 * 36 = 24.282; calm |mz| <= 0.6745
+    burst = out["2024-01-01 12:00:00"]
+    calm = out["2024-01-01 03:00:00"]
+    assert burst["mz_ppm"] == 24282000
+    assert abs(calm["mz_ppm"]) <= 674500
+
+
+def test_rate_anomalies_mad_zero_and_validation(spark):
+    from vectordb_watermark_spark.operators.analytics import rate_anomalies
+
+    rows = [(i, dt.datetime(2024, 1, 1, i), 1, "view") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = rate_anomalies(ev).collect()  # every bucket count 1 -> MAD 0
+    assert all(r["mz_ppm"] is None and not r["is_anomaly"] for r in out)
+    with pytest.raises(ValueError, match="granularity"):
+        rate_anomalies(ev, granularity="year")
+    with pytest.raises(ValueError, match="threshold"):
+        rate_anomalies(ev, threshold=0)

@@ -54,25 +54,29 @@ __all__ = [
     "psi_per_dim",
     "calibration_curve",
     "expected_calibration_error",
+    "rate_anomalies",
 ]
 
 
 def funnel(
     events: DataFrame,
     steps: list[str],
-    user_col: str = "user_id",
+    user_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
     """Ordered-funnel conversion -> ``(step, step_type, n_users)``.
 
-    A user converts step *i* when an event of type ``steps[i]`` occurs
+    An entity converts step *i* when an event of type ``steps[i]`` occurs
     STRICTLY AFTER their step *i-1* conversion time (first qualifying
-    event wins).  ``n_users`` is the number of users that reached each
-    step; step numbering is 1-based.
+    event wins).  ``n_users`` is the number of entities that reached each
+    step; step numbering is 1-based.  ``user_col`` may be a list of
+    columns — e.g. ``["user_id", "session_id"]`` turns the user funnel
+    into a WITHIN-SESSION funnel with no other change (the entity is
+    whatever the key tuple identifies).
 
     One shuffle: events are pre-filtered to the step types, collected
-    per user as a sorted ``(ts, type)`` array, and the per-step
+    per entity as a sorted ``(ts, type)`` array, and the per-step
     first-qualifying timestamps are sequential ``array_min(filter(...))``
     higher-order expressions — all JVM-side, no UDF.  The final tally is
     a single aggregate emitting one count per step.
@@ -81,10 +85,11 @@ def funnel(
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    user_cols = [user_col] if isinstance(user_col, str) else list(user_col)
 
     per_user = (
         events.filter(F.col(type_col).isin(list(steps)))
-        .groupBy(F.col(user_col).alias("u"))
+        .groupBy(*[F.col(c) for c in user_cols])
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
@@ -444,4 +449,66 @@ def expected_calibration_error(
             F.sum(F.col("n") * F.abs(F.col("fp") - F.col("ms"))) / F.sum("n"), 6
         ).alias("ece"),
         F.sum("n").cast("long").alias("n_rows"),
+    )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Event-rate anomaly detection -> per time bucket
+    ``(bucket, n, mz_ppm, is_anomaly)``.
+
+    Buckets events by ``date_trunc(granularity, ts)`` and scores each
+    bucket's count with the Iglewicz-Hoaglin modified z-score
+    ``0.6745 · (n - median) / MAD`` — median/MAD instead of mean/stddev
+    so a burst can't mask itself by inflating its own baseline.
+    ``|mz| > threshold`` (3.5 is the standard cut) flags the bucket; an
+    all-equal series (MAD 0) flags nothing.  The score is emitted in
+    parts-per-million (``floor(mz·1e6 + 0.5)`` — identical IEEE ops in
+    both engines) and the flag is derived FROM the ppm value, so the
+    decision is deterministic cross-engine.
+
+    Scale shape: one map-side-combined groupBy over the events, then
+    exact median/MAD on the BUCKET-COUNT table — whose row count is the
+    time range over the granule (720 rows for a month of hours), never
+    the event volume.  The pipeline-health check you run on crawl /
+    ingest / annotation event streams before trusting their downstream
+    counts.
+    """
+    if granularity not in ("minute", "hour", "day", "week"):
+        raise ValueError(
+            f"granularity must be minute|hour|day|week, got {granularity!r}"
+        )
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    counts = events.groupBy(
+        F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    med = counts.agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    with_med = counts.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(n - med), 0.5)").alias("mad")
+    )
+    scored = with_med.crossJoin(F.broadcast(mad)).select(
+        F.col("bucket").cast("string").alias("bucket"),
+        "n",
+        F.when(
+            F.col("mad") > 0,
+            F.floor(
+                0.6745 * (F.col("n") - F.col("med")) / F.col("mad") * 1000000.0
+                + 0.5
+            ).cast("long"),
+        ).alias("mz_ppm"),
+    )
+    return scored.select(
+        "bucket", "n", "mz_ppm",
+        F.coalesce(
+            F.abs(F.col("mz_ppm")) > F.lit(int(threshold * 1000000)),
+            F.lit(False),
+        ).alias("is_anomaly"),
     )
