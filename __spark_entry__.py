@@ -3063,6 +3063,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return rate_anomalies(_t(spark, sf, "events"), granularity="hour")
 
+    def funnel_window_events(spark, sf):  # bounded-hop funnel (round 12)
+        # view -> click within 24h, click -> purchase within 24h: the
+        # conversion-window variant of funnel_events (make_interval hop
+        # bound in Spark, INTERVAL arithmetic in the twin)
+        from vectordb_watermark_spark.operators.analytics import funnel
+
+        return funnel(
+            _t(spark, sf, "events"), ["view", "click", "purchase"],
+            within_seconds=86400,
+        )
+
+    def join_cardinality_q(spark, sf):  # join pre-flight (round 12)
+        # exact orders x lineitem inner-join cardinality from per-key
+        # tallies — never materializing the join itself
+        from vectordb_watermark_spark.operators.partitioning import (
+            join_cardinality,
+        )
+
+        return join_cardinality(
+            _t(spark, sf, "orders").select(F.col("o_orderkey").alias("k")),
+            _t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k")),
+            "k",
+        )
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
@@ -3252,6 +3276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_contract": compact_contract,
         "session_funnel_events": session_funnel_events,
         "rate_anomalies_events": rate_anomalies_events,
+        "funnel_window_events": funnel_window_events,
+        "join_cardinality_q": join_cardinality_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5781,4 +5807,45 @@ SELECT node, pr FROM p3""",
             SELECT bucket, n, mz_ppm,
                    COALESCE(abs(mz_ppm) > 3500000, FALSE) AS is_anomaly
             FROM scored""",
+        "funnel_window_events": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click' AND e.ts > s0.t0
+                AND e.ts <= s0.t0 + INTERVAL 86400 SECOND
+              GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+              GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INT) AS step, 'view' AS step_type,
+                   (SELECT count(*) FROM s0) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', (SELECT count(*) FROM s2)""",
+        "join_cardinality_q": """
+            WITH lk AS (
+              SELECT o_orderkey AS k, count(*) AS nl FROM orders GROUP BY 1
+            ),
+            rk AS (
+              SELECT l_orderkey AS k, count(*) AS nr FROM lineitem GROUP BY 1
+            ),
+            per AS (
+              SELECT nl * nr AS m FROM lk JOIN rk ON lk.k = rk.k
+            )
+            SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_out,
+                   CAST(count(*) AS BIGINT) AS n_matching_keys,
+                   CAST(COALESCE(MAX(m), 0) AS BIGINT) AS max_key_out,
+                   CAST(COALESCE(floor(MAX(m) * 1000000.0 / SUM(m) + 0.5), 0)
+                        AS BIGINT) AS top_key_share_ppm
+            FROM per""",
     }

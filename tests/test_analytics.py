@@ -530,3 +530,55 @@ def test_rate_anomalies_mad_zero_and_validation(spark):
         rate_anomalies(ev, granularity="year")
     with pytest.raises(ValueError, match="threshold"):
         rate_anomalies(ev, threshold=0)
+
+
+def test_funnel_within_window(spark):
+    from vectordb_watermark_spark.operators.analytics import funnel
+
+    # user 1 clicks 30 min after view (in window), user 2 clicks 2 h after
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 10, 0), 1, "view"),
+        (1, dt.datetime(2024, 1, 1, 10, 30), 1, "click"),
+        (2, dt.datetime(2024, 1, 1, 10, 0), 2, "view"),
+        (3, dt.datetime(2024, 1, 1, 12, 0), 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["view", "click"], within_seconds=3600).collect()
+    }
+    assert out == {1: 2, 2: 1}
+    # boundary is inclusive: exactly 3600 s converts
+    out2 = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["view", "click"], within_seconds=7200).collect()
+    }
+    assert out2[2] == 2
+    # integer event time: bound is in the column's own units
+    evl = ev.select("event_id", "user_id", "event_type",
+                    F.unix_timestamp("ts").alias("ts"))
+    out3 = {
+        r["step"]: r["n_users"]
+        for r in funnel(evl, ["view", "click"], within_seconds=1800).collect()
+    }
+    assert out3[2] == 1
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel(ev, ["view"], within_seconds=0)
+
+
+def test_join_cardinality_exact(spark):
+    from vectordb_watermark_spark.operators.partitioning import join_cardinality
+
+    l = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    r = spark.createDataFrame([(1,), (1,), (1,), (3,), (4,)], "k long")
+    [row] = join_cardinality(l, r, "k").collect()
+    true_n = l.join(r, "k").count()
+    assert row["n_out"] == true_n == 7  # 2*3 + 1*1
+    assert row["n_matching_keys"] == 2
+    assert row["max_key_out"] == 6
+    assert row["top_key_share_ppm"] == 857143  # floor(6/7*1e6+0.5)
+    # disjoint keys -> all zeros
+    [z] = join_cardinality(l, spark.createDataFrame([(9,)], "k long"), "k").collect()
+    assert (z["n_out"], z["n_matching_keys"], z["max_key_out"]) == (0, 0, 0)

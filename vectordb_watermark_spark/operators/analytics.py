@@ -64,6 +64,7 @@ def funnel(
     user_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion -> ``(step, step_type, n_users)``.
 
@@ -73,7 +74,10 @@ def funnel(
     step; step numbering is 1-based.  ``user_col`` may be a list of
     columns — e.g. ``["user_id", "session_id"]`` turns the user funnel
     into a WITHIN-SESSION funnel with no other change (the entity is
-    whatever the key tuple identifies).
+    whatever the key tuple identifies).  ``within_seconds`` bounds each
+    hop: step *i* must land within that many seconds of the step *i-1*
+    conversion (the "converted within an hour" funnel) — works for both
+    TIMESTAMP and integer-epoch ``ts_col`` types.
 
     One shuffle: events are pre-filtered to the step types, collected
     per entity as a sorted ``(ts, type)`` array, and the per-step
@@ -85,7 +89,21 @@ def funnel(
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(f"within_seconds must be > 0, got {within_seconds}")
     user_cols = [user_col] if isinstance(user_col, str) else list(user_col)
+    ts_type = events.schema[ts_col].dataType.simpleString()
+    if within_seconds is None:
+        bound = ""
+    elif ts_type.startswith("timestamp"):
+        bound = (
+            f" AND e.t <= t{{prev}} + make_interval(0, 0, 0, 0, 0, 0, "
+            f"{int(within_seconds)})"
+        )
+    else:
+        # integer/double event time: the bound is in the COLUMN'S units
+        # (epoch-ns columns want within_seconds * 1e9 — caller's choice)
+        bound = f" AND e.t <= t{{prev}} + {int(within_seconds)}"
 
     per_user = (
         events.filter(F.col(type_col).isin(list(steps)))
@@ -100,10 +118,11 @@ def funnel(
         if i == 0:
             expr = f"array_min(transform(filter(evs, e -> e.y = '{s}'), e -> e.t))"
         else:
+            hop_bound = bound.format(prev=i - 1)
             expr = (
                 f"CASE WHEN t{i - 1} IS NULL THEN NULL ELSE "
-                f"array_min(transform(filter(evs, e -> e.y = '{s}' AND e.t > t{i - 1}), "
-                f"e -> e.t)) END"
+                f"array_min(transform(filter(evs, e -> e.y = '{s}' AND e.t > t{i - 1}"
+                f"{hop_bound}), e -> e.t)) END"
             )
         per_user = per_user.withColumn(f"t{i}", F.expr(expr))
 

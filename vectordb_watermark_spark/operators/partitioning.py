@@ -112,3 +112,37 @@ def key_skew_stats(df: DataFrame, key_cols: list[str] | str) -> DataFrame:
             F.max("n") * F.count("*") * 1000000.0 / F.sum("n") + 0.5
         ).cast("long").alias("skew_ratio_ppm"),
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | str,
+) -> DataFrame:
+    """EXACT inner-equi-join output cardinality WITHOUT running the join
+    -> one row ``(n_out, n_matching_keys, max_key_out, top_key_share_ppm)``.
+
+    ``n_out = Σ_k n_left(k) · n_right(k)`` over matching keys — computed
+    from the two per-key tallies joined on the key, which is two
+    aggregates plus a join of KEY-CARDINALITY-sized tables, never the
+    |L|·|R| output itself.  The question it answers at 100 TB: "is this
+    join about to explode?" — a many-to-many key pairing multiplies, and
+    ``max_key_out`` names the worst key's contribution before you pay
+    for it (``top_key_share_ppm`` = its share of the whole output).
+    Run it on a keyed-hash sample for a cheap estimate, or on the full
+    tables for the exact number — same shape either way.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    lk = left.groupBy(*cols).agg(F.count("*").alias("nl"))
+    rk = right.groupBy(*cols).agg(F.count("*").alias("nr"))
+    per = lk.join(rk, cols).select((F.col("nl") * F.col("nr")).alias("m"))
+    return per.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_out"),
+        F.count("*").cast("long").alias("n_matching_keys"),
+        F.coalesce(F.max("m"), F.lit(0)).cast("long").alias("max_key_out"),
+        F.coalesce(
+            F.floor(F.max("m") * 1000000.0 / F.sum("m") + 0.5), F.lit(0)
+        ).cast("long").alias("top_key_share_ppm"),
+    )
