@@ -3087,6 +3087,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "k",
         )
 
+    def ref_integrity_q(spark, sf):  # cross-table FK expectation (round 12)
+        from vectordb_watermark_spark.operators.quality import check_ref_integrity
+
+        return check_ref_integrity(
+            _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+            "l_orderkey", "o_orderkey",
+        )
+
+    def table_diff_q(spark, sf):  # migration acceptance diff (round 12)
+        # right = documents with doc_id%97 rows dropped, doc_id%10 n_chars
+        # bumped, and a doc_id%50 slice re-keyed as new rows — the twin
+        # derives all four counts from the same divisibility logic
+        from vectordb_watermark_spark.operators.quality import table_diff
+
+        d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        right = (
+            d.filter(F.col("doc_id") % 97 != 0)
+            .withColumn(
+                "n_chars",
+                F.when(
+                    F.col("doc_id") % 10 == 0, F.col("n_chars") + 1
+                ).otherwise(F.col("n_chars")),
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 50 == 0).withColumn(
+                    "doc_id", F.col("doc_id") + 1000000
+                )
+            )
+        )
+        return table_diff(d, right, "doc_id")
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
@@ -3278,6 +3309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomalies_events": rate_anomalies_events,
         "funnel_window_events": funnel_window_events,
         "join_cardinality_q": join_cardinality_q,
+        "ref_integrity_q": ref_integrity_q,
+        "table_diff_q": table_diff_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5848,4 +5881,28 @@ SELECT node, pr FROM p3""",
                    CAST(COALESCE(floor(MAX(m) * 1000000.0 / SUM(m) + 0.5), 0)
                         AS BIGINT) AS top_key_share_ppm
             FROM per""",
+        "ref_integrity_q": """
+            SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+                   CAST((SELECT count(*) FROM lineitem l
+                         WHERE l.l_orderkey IS NOT NULL
+                           AND NOT EXISTS (
+                             SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey
+                           )) AS BIGINT) AS n_orphans,
+                   (SELECT count(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL
+                      AND NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey
+                      )) = 0 AS passed""",
+        "table_diff_q": """
+            SELECT CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_only_left,
+                   CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_only_right,
+                   CAST(SUM(CASE WHEN doc_id % 97 <> 0 AND doc_id % 10 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(SUM(CASE WHEN doc_id % 97 <> 0 AND doc_id % 10 <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
+            FROM documents""",
     }

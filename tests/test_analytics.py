@@ -582,3 +582,41 @@ def test_join_cardinality_exact(spark):
     # disjoint keys -> all zeros
     [z] = join_cardinality(l, spark.createDataFrame([(9,)], "k long"), "k").collect()
     assert (z["n_out"], z["n_matching_keys"], z["max_key_out"]) == (0, 0, 0)
+
+
+def test_check_ref_integrity(spark):
+    from vectordb_watermark_spark.operators.quality import check_ref_integrity
+
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    [r] = check_ref_integrity(child, parent, "fk", "pk").collect()
+    # null keys don't count as orphans; 9 does
+    assert (r["n_child"], r["n_orphans"], r["passed"]) == (4, 1, False)
+    [ok] = check_ref_integrity(
+        child.filter(F.col("fk") != 9), parent, "fk", "pk"
+    ).collect()
+    assert ok["passed"]
+
+
+def test_table_diff(spark):
+    from vectordb_watermark_spark.operators.quality import table_diff
+
+    l = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, s string, v int",
+    )
+    r = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "id long, s string, v int",
+    )
+    [d] = table_diff(l, r, "id").collect()
+    # id 4 only left, id 5 only right, id 2 changed (s), ids 1+3 equal
+    # (3 equal because NULL <=> NULL)
+    assert (d["n_only_left"], d["n_only_right"], d["n_changed"], d["n_equal"]) \
+        == (1, 1, 1, 2)
+    # null vs value is a change
+    r2 = spark.createDataFrame([(3, "c", 30)], "id long, s string, v int")
+    [d2] = table_diff(l.filter(F.col("id") == 3), r2, "id").collect()
+    assert d2["n_changed"] == 1
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table_diff(l.unionByName(l), r, "id")

@@ -691,3 +691,92 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         "rule_id", "rule_type", "col", "n_violations", "n_rows",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def check_ref_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str | None = None,
+) -> DataFrame:
+    """Cross-table referential-integrity expectation -> one row
+    ``(n_child, n_orphans, passed)``: child rows whose (non-null) key has
+    no match in the parent.  The join :func:`check_expectations` can't
+    express single-table — one left-anti join on the key (broadcast when
+    the parent is dimension-sized, AQE decides), counts only."""
+    pk = parent_key or child_key
+    n_child = child.count()
+    orphans = (
+        child.select(F.col(child_key).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .join(
+            parent.select(F.col(pk).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+        .count()
+    )
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(int(n_child), int(orphans), orphans == 0)],
+        "n_child long, n_orphans long, passed boolean",
+    )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str] | str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-aligned table comparison -> one row ``(n_only_left,
+    n_only_right, n_changed, n_equal)`` — the migration/backfill
+    acceptance check ("the rewritten table equals the old one, except
+    these N rows").
+
+    One full outer join on the keys; ``compare_cols`` (default: all
+    shared non-key columns) are compared null-safely (``<=>``), so a
+    NULL-vs-NULL cell is equal and NULL-vs-value is a change.  Counts
+    only — no row materialization; run the same call with a filter to
+    drill into a specific partition.  Duplicate keys on either side are
+    a ValueError (a diff keyed on a non-key is meaningless).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in left.columns if c in set(right.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    for side, df in (("left", left), ("right", right)):
+        dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+        if dup.count():
+            raise ValueError(
+                f"table_diff: duplicate keys on the {side} side — keys must "
+                f"be unique for a row-level diff"
+            )
+    l = left.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        F.lit(True).alias("__in_l"),
+        *[F.col(c).alias(f"__l_{c}") for c in compare_cols],
+    )
+    r = right.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        F.lit(True).alias("__in_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    joined = l.join(r, [f"__k{i}" for i in range(len(keys))], "full_outer")
+    eq = F.lit(True)
+    for c in compare_cols:
+        eq = eq & F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    return joined.agg(
+        F.count_if(
+            F.col("__in_l").isNotNull() & F.col("__in_r").isNull()
+        ).cast("long").alias("n_only_left"),
+        F.count_if(
+            F.col("__in_l").isNull() & F.col("__in_r").isNotNull()
+        ).cast("long").alias("n_only_right"),
+        F.count_if(
+            F.col("__in_l").isNotNull() & F.col("__in_r").isNotNull() & ~eq
+        ).cast("long").alias("n_changed"),
+        F.count_if(
+            F.col("__in_l").isNotNull() & F.col("__in_r").isNotNull() & eq
+        ).cast("long").alias("n_equal"),
+    )
