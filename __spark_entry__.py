@@ -3118,6 +3118,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return table_diff(d, right, "doc_id")
 
+    def funnel_timing_events(spark, sf):  # hop-latency profile (round 12)
+        # epoch-ns event time (the raw reader both engines agree on);
+        # gaps floored to whole seconds by exact integer DIV, avg as a
+        # single floor(x*1000/n + 0.5) of the exact integer sum
+        from vectordb_watermark_spark.operators.analytics import funnel_timing
+
+        return funnel_timing(
+            _events(spark, sf), ["view", "click", "purchase"],
+            ts_col="ts_ns", ns_per_unit=1,
+        )
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
@@ -3311,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_q": join_cardinality_q,
         "ref_integrity_q": ref_integrity_q,
         "table_diff_q": table_diff_q,
+        "funnel_timing_events": funnel_timing_events,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5905,4 +5917,45 @@ SELECT node, pr FROM p3""",
                    CAST(SUM(CASE WHEN doc_id % 97 <> 0 AND doc_id % 10 <> 0
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_equal
             FROM documents""",
+        "funnel_timing_events": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS t FROM events
+            ),
+            s0 AS (
+              SELECT user_id, min(t) AS t0 FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.t) AS t1
+              FROM e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click' AND e.t > s0.t0
+              GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.t) AS t2
+              FROM e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.t > s1.t1
+              GROUP BY e.user_id
+            ),
+            g1 AS (
+              SELECT (s1.t1 - s0.t0) // 1000000000 AS g
+              FROM s1 JOIN s0 ON s1.user_id = s0.user_id
+            ),
+            g2 AS (
+              SELECT (s2.t2 - s1.t1) // 1000000000 AS g
+              FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+            )
+            SELECT CAST(2 AS INT) AS step, 'click' AS step_type,
+                   CAST(count(g) AS BIGINT) AS n_converted,
+                   CAST(floor(CAST(SUM(g) AS DOUBLE) * 1000.0 / count(g)
+                              + 0.5) AS BIGINT) AS avg_gap_ms,
+                   median(g) + 0.0 AS p50_gap_sec
+            FROM g1
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase',
+                   CAST(count(g) AS BIGINT),
+                   CAST(floor(CAST(SUM(g) AS DOUBLE) * 1000.0 / count(g)
+                              + 0.5) AS BIGINT),
+                   median(g) + 0.0
+            FROM g2""",
     }

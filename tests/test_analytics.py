@@ -620,3 +620,35 @@ def test_table_diff(spark):
     assert d2["n_changed"] == 1
     with pytest.raises(ValueError, match="duplicate keys"):
         table_diff(l.unionByName(l), r, "id")
+
+
+def test_funnel_timing(spark):
+    from vectordb_watermark_spark.operators.analytics import funnel_timing
+
+    NS = 1_000_000_000
+    # user 1: view@0, click@100s, purchase@400s; user 2: view@0, click@50s
+    rows = [
+        (0, 0 * NS, 1, "view"), (1, 100 * NS, 1, "click"),
+        (2, 400 * NS, 1, "purchase"),
+        (3, 0 * NS, 2, "view"), (4, 50 * NS, 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    out = {
+        r["step"]: r
+        for r in funnel_timing(
+            ev, ["view", "click", "purchase"], ts_col="ts"
+        ).collect()
+    }
+    assert out[2]["n_converted"] == 2
+    assert out[2]["avg_gap_ms"] == 75000  # (100 + 50) / 2 s
+    assert out[2]["p50_gap_sec"] == 75.0
+    assert out[3]["n_converted"] == 1
+    assert out[3]["avg_gap_ms"] == 300000
+    with pytest.raises(ValueError, match="two steps"):
+        funnel_timing(ev, ["view"], ts_col="ts")
+    tsev = ev.select("event_id", "user_id", "event_type",
+                     F.timestamp_seconds(F.col("ts") / NS).alias("ts"))
+    with pytest.raises(ValueError, match="integer event-time"):
+        funnel_timing(tsev, ["view", "click"])

@@ -55,6 +55,7 @@ __all__ = [
     "calibration_curve",
     "expected_calibration_error",
     "rate_anomalies",
+    "funnel_timing",
 ]
 
 
@@ -91,6 +92,37 @@ def funnel(
         raise ValueError(f"funnel steps must be distinct, got {steps}")
     if within_seconds is not None and within_seconds <= 0:
         raise ValueError(f"within_seconds must be > 0, got {within_seconds}")
+    per_user = _funnel_step_times(
+        events, steps, user_col, type_col, ts_col, within_seconds
+    )
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(steps))]
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', n{i}" for i, s in enumerate(steps)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {stack}) AS (step, step_type, n_users)"
+        )
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "step_type",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _funnel_step_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str | list[str],
+    type_col: str,
+    ts_col: str,
+    within_seconds: int | None,
+) -> DataFrame:
+    """Shared funnel core: per-entity frame with columns ``t0..t{k-1}`` —
+    the first-qualifying conversion time of each step (NULL = never
+    converted).  One user-keyed shuffle; see :func:`funnel`."""
     user_cols = [user_col] if isinstance(user_col, str) else list(user_col)
     ts_type = events.schema[ts_col].dataType.simpleString()
     if within_seconds is None:
@@ -125,21 +157,75 @@ def funnel(
                 f"{hop_bound}), e -> e.t)) END"
             )
         per_user = per_user.withColumn(f"t{i}", F.expr(expr))
+    return per_user
 
-    counts = per_user.agg(
-        *[F.count(f"t{i}").alias(f"n{i}") for i in range(len(steps))]
+
+def funnel_timing(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str | list[str] = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+    ns_per_unit: int = 1,
+) -> DataFrame:
+    """Hop-latency profile of an ordered funnel -> per hop
+    ``(step, step_type, n_converted, avg_gap_ms, p50_gap_sec)``:
+    how long converting entities took from step *i-1* to step *i*
+    (first-qualifying times, same semantics as :func:`funnel`; step 1
+    has no predecessor and is absent).
+
+    Cross-engine determinism by construction: ``ts_col`` must be an
+    INTEGER event time (e.g. the engine's epoch-ns reader;
+    ``ns_per_unit`` declares the column's unit — 1 for ns, 10**9 for
+    seconds).  Gaps are floored to whole seconds; ``avg_gap_ms =
+    floor(sum_gap_sec * 1000 / n + 0.5)`` divides the EXACT integer sum
+    once, and ``p50`` is the exact interpolated median of integer
+    seconds (halves are exactly representable).  Same single shuffle as
+    :func:`funnel` plus one tiny aggregate.
+    """
+    ts_type = events.schema[ts_col].dataType.simpleString()
+    if ts_type.startswith("timestamp"):
+        raise ValueError(
+            "funnel_timing needs an integer event-time column (epoch units) "
+            "— engine timestamp readers expose epoch-ns; pass that"
+        )
+    if len(steps) < 2:
+        raise ValueError("funnel_timing needs at least two steps")
+    if 1_000_000_000 % int(ns_per_unit):
+        raise ValueError(f"ns_per_unit must divide 1e9, got {ns_per_unit}")
+    per_sec = 1_000_000_000 // int(ns_per_unit)
+    per_user = _funnel_step_times(
+        events, steps, user_col, type_col, ts_col, within_seconds
     )
-    stack = ", ".join(
-        f"{i + 1}, '{s}', n{i}" for i, s in enumerate(steps)
+    # exact integer floor-division to whole seconds — no double rounding
+    gaps = per_user.select(*[
+        F.expr(f"(t{i} - t{i - 1}) DIV {per_sec}").alias(f"g{i}")
+        for i in range(1, len(steps))
+    ])
+    aggs = []
+    for i in range(1, len(steps)):
+        aggs += [
+            F.count(f"g{i}").cast("long").alias(f"n{i}"),
+            F.floor(
+                F.sum(f"g{i}").cast("double") * 1000.0 / F.count(f"g{i}") + 0.5
+            ).cast("long").alias(f"avg{i}"),
+            F.expr(f"percentile(g{i}, 0.5)").alias(f"p{i}"),
+        ]
+    wide = gaps.agg(*aggs)
+    cells = ", ".join(
+        f"{i + 1}, '{steps[i]}', n{i}, avg{i}, p{i}"
+        for i in range(1, len(steps))
     )
-    return counts.select(
+    return wide.select(
         F.expr(
-            f"stack({len(steps)}, {stack}) AS (step, step_type, n_users)"
+            f"stack({len(steps) - 1}, {cells}) AS "
+            f"(step, step_type, n_converted, avg_gap_ms, p50_gap_sec)"
         )
     ).select(
         F.col("step").cast("int").alias("step"),
-        "step_type",
-        F.col("n_users").cast("long").alias("n_users"),
+        "step_type", "n_converted", "avg_gap_ms",
+        (F.col("p50_gap_sec") + F.lit(0.0)).alias("p50_gap_sec"),
     )
 
 
