@@ -3129,10 +3129,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_col="ts_ns", ns_per_unit=1,
         )
 
+    def rebalance_classes_q(spark, sf):  # class rebalancing (round 12)
+        # embeddings undersampled to the smallest label's count — the
+        # surviving (vec_id, label) set is a pure keyed-hash function,
+        # hash-exact against the same sha256 ordering in DuckDB
+        from vectordb_watermark_spark.operators.quality import rebalance_classes
+
+        emb = _t(spark, sf, "embeddings").select("vec_id", "label")
+        return rebalance_classes(emb, "label", id_col="vec_id")
+
+    def stream_psi_embeddings(spark, sf):  # streaming drift monitor (round 12)
+        # the psi_drift_embeddings candidate corpus REPLAYED through the
+        # incremental_psi store in 3 batches must resolve to exactly the
+        # batch psi_per_dim — same DuckDB twin, shared tally/formula code
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.streaming.curation import (
+            ingest_psi_batch,
+            psi_baseline,
+            resolve_psi,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        store = os.path.join(scratch, f"oracle_psi_store_{tag}")
+        shutil.rmtree(store, ignore_errors=True)
+        emb = _vectors(spark, sf).join(
+            _t(spark, sf, "embeddings").select(
+                F.col("vec_id").alias("id"), "label"
+            ),
+            "id",
+        )
+        base = emb.filter(F.col("id") % 2 == 0)
+        cand = emb.filter((F.col("id") % 2 == 1) & (F.col("label") % 3 != 0))
+        psi_baseline(base, store, vec_col="emb")
+        for k in range(3):
+            ingest_psi_batch(
+                cand.filter(F.col("id") % 3 == k), store, k, vec_col="emb"
+            )
+        out = resolve_psi(spark, store)
+        return out.select("dim", (F.col("psi") + F.lit(0.0)).alias("psi"))
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 161 gate
-    # entries (156 oracled) and a 50-slot window every oracle has a
+    # recomposed so the LEAST-recently-verified oracles lead — with 170 gate
+    # entries (165 oracled) and a 50-slot window every oracle has a
     # driver-green row within a 3-4 round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-12 window: the 16 hash-exact
@@ -3323,6 +3368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_integrity_q": ref_integrity_q,
         "table_diff_q": table_diff_q,
         "funnel_timing_events": funnel_timing_events,
+        "rebalance_classes_q": rebalance_classes_q,
+        "stream_psi_embeddings": stream_psi_embeddings,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -3446,7 +3493,7 @@ def oracle_sql() -> dict[str, str]:
     viz_frac = "least(1.0, 200.0 / greatest((SELECT count(*) FROM embeddings), 1))"
     e_dbl = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
-    return {
+    out = {
         "carriers_by_threshold": f"""
             SELECT id, degree FROM ({_DEGREES_SQL}) WHERE degree <= 10""",
         "pairwise_viz_stats": f"""
@@ -5958,4 +6005,24 @@ SELECT node, pr FROM p3""",
                               + 0.5) AS BIGINT),
                    median(g) + 0.0
             FROM g2""",
+        "rebalance_classes_q": f"""
+            WITH t AS (
+              SELECT min(cnt) AS target FROM (
+                SELECT count(*) AS cnt FROM embeddings GROUP BY label
+              )
+            ),
+            rk AS (
+              SELECT vec_id, label,
+                     row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY {sql_keyed_hash_hex("'rebalance'", "vec_id")},
+                                vec_id
+                     ) AS rk
+              FROM embeddings
+            )
+            SELECT vec_id, label FROM rk CROSS JOIN t WHERE rk <= target""",
     }
+    # the streaming monitor resolves to EXACTLY the batch psi_per_dim —
+    # one twin serves both (shared tally/formula code on the Spark side)
+    out["stream_psi_embeddings"] = out["psi_drift_embeddings"]
+    return out

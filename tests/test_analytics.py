@@ -652,3 +652,97 @@ def test_funnel_timing(spark):
                      F.timestamp_seconds(F.col("ts") / NS).alias("ts"))
     with pytest.raises(ValueError, match="integer event-time"):
         funnel_timing(tsev, ["view", "click"])
+
+
+def test_rebalance_classes(spark):
+    from vectordb_watermark_spark.operators.quality import rebalance_classes
+
+    rows = [(i, i % 3 if i < 30 else 0) for i in range(60)]  # label 0: 40 rows
+    df = spark.createDataFrame(rows, "doc_id long, label int")
+    out = rebalance_classes(df, "label")
+    sizes = {r["label"]: r["n"] for r in out.groupBy("label").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes == {0: 10, 1: 10, 2: 10}  # min class (1 and 2 have 10)
+    # determinism + partition invariance
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in rebalance_classes(df.repartition(7), "label").collect()
+    )
+    assert a == b
+    # survivors are a subset of the input per class
+    fixed = rebalance_classes(df, "label", per_class=5)
+    assert fixed.count() == 15
+    with pytest.raises(ValueError, match="per_class"):
+        rebalance_classes(df, "label", per_class=0)
+
+
+def test_incremental_psi_matches_batch(spark, tmp_path):
+    """Streaming drift monitor: resolve_psi equals batch psi_per_dim over
+    everything streamed, at every micro-batch; a replayed batch is
+    idempotent; empty store resolves empty."""
+    import shutil
+
+    import numpy as np
+
+    from vectordb_watermark_spark.operators.analytics import psi_per_dim
+    from vectordb_watermark_spark.streaming.curation import (
+        incremental_psi,
+        ingest_psi_batch,
+        psi_baseline,
+        resolve_psi,
+    )
+
+    rng = np.random.default_rng(21)
+    base_np = rng.normal(0, 0.15, (200, 3)).astype(np.float32)
+    stream_np = rng.normal(0.1, 0.15, (90, 3)).astype(np.float32)
+    schema = "id long, emb array<float>"
+    base = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base_np)], schema
+    )
+    store = str(tmp_path / "psi_store")
+    assert resolve_psi(spark, store).count() == 0
+    psi_baseline(base, store, vec_col="emb")
+
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    seen = []
+    for k in range(3):
+        rows = [
+            (k * 30 + i, v.tolist())
+            for i, v in enumerate(stream_np[k * 30:(k + 1) * 30])
+        ]
+        stage = tmp_path / f"psi_stage_{k}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            next(stage.glob("part-*.parquet")), src / f"{k}.parquet"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_psi(
+            stream, store, str(tmp_path / "psi_ck"), vec_col="emb"
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+        seen += rows
+        got = {r["dim"]: r["psi"] for r in resolve_psi(spark, store).collect()}
+        want = {
+            r["dim"]: r["psi"]
+            for r in psi_per_dim(
+                base, spark.createDataFrame(seen, schema), vec_col="emb"
+            ).collect()
+        }
+        assert got == want, f"after batch {k}"
+
+    # retry replay of batch 1 changes nothing
+    ingest_psi_batch(
+        spark.createDataFrame(
+            [(30 + i, v.tolist()) for i, v in enumerate(stream_np[30:60])],
+            schema,
+        ),
+        store, 1, vec_col="emb",
+    )
+    got2 = {r["dim"]: r["psi"] for r in resolve_psi(spark, store).collect()}
+    assert got2 == got

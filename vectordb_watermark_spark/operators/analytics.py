@@ -451,22 +451,33 @@ def psi_per_dim(
     if bin_edges is None:
         bin_edges = [-0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4]
     edges = sorted(float(e) for e in bin_edges)
-    n_bins = len(edges) + 1
+    b = _psi_bin_tally(base, vec_col, edges, "nb")
+    c = _psi_bin_tally(cand, vec_col, edges, "nc")
+    return _psi_from_grids(b, c, len(edges) + 1)
+
+
+def _psi_bin_tally(
+    df: DataFrame, vec_col: str, edges: list[float], out: str
+) -> DataFrame:
+    """(dim, bin, count) tally of a vector corpus against pinned literal
+    edges — the map-side half of :func:`psi_per_dim`, shared with the
+    streaming drift monitor so batch and stream bin IDENTICALLY."""
     edge_lit = "array(" + ", ".join(f"CAST({e!r} AS DOUBLE)" for e in edges) + ")"
+    exploded = df.select(
+        F.posexplode(vec_col).alias("dim", "x")
+    ).select(
+        "dim",
+        F.expr(
+            f"size(filter({edge_lit}, e -> CAST(x AS DOUBLE) >= e))"
+        ).alias("bin"),
+    )
+    return exploded.groupBy("dim", "bin").agg(F.count("*").alias(out))
 
-    def tally(df: DataFrame, out: str) -> DataFrame:
-        exploded = df.select(
-            F.posexplode(vec_col).alias("dim", "x")
-        ).select(
-            "dim",
-            F.expr(
-                f"size(filter({edge_lit}, e -> CAST(x AS DOUBLE) >= e))"
-            ).alias("bin"),
-        )
-        return exploded.groupBy("dim", "bin").agg(F.count("*").alias(out))
 
-    b = tally(base, "nb")
-    c = tally(cand, "nc")
+def _psi_from_grids(b: DataFrame, c: DataFrame, n_bins: int) -> DataFrame:
+    """PSI per dim from two (dim, bin, count) tallies — the reduce half
+    of :func:`psi_per_dim`, shared with the streaming monitor so resolve
+    equals the batch operator arithmetic exactly."""
     grid = b.join(c, ["dim", "bin"], "full").select(
         "dim",
         "bin",

@@ -780,3 +780,49 @@ def table_diff(
             F.col("__in_l").isNotNull() & F.col("__in_r").isNotNull() & eq
         ).cast("long").alias("n_equal"),
     )
+
+
+def rebalance_classes(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    per_class: int | None = None,
+    salt: str = "rebalance",
+) -> DataFrame:
+    """Deterministic class rebalancing by keyed-hash undersampling:
+    every class is cut to ``per_class`` rows (default: the SMALLEST
+    class's count — exact balance), keeping each class's
+    lowest-keyed-hash rows.  Returns the input columns unchanged.
+
+    The pick is a pure function of (salt, id) — re-running, adding
+    executors, or repartitioning cannot change which rows survive, and
+    a grown corpus keeps its previous picks stable except where the
+    class floor moved (the same partition-invariant keyed-hash contract
+    as the engine's samplers).  One window per class (state bounded by
+    the class partition) after an optional one-row-per-class tally for
+    the floor.  The imbalanced-label fix for classifier training sets.
+    """
+    from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
+
+    if per_class is None:
+        floor = df.groupBy(label_col).agg(F.count("*").alias("n")).agg(
+            F.min("n").alias("target")
+        )
+        target_expr = F.col("target")
+        base = df.crossJoin(F.broadcast(floor))
+    else:
+        if per_class < 1:
+            raise ValueError(f"per_class must be >= 1, got {per_class}")
+        target_expr = F.lit(int(per_class))
+        base = df
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        keyed_hash_hex(salt, F.col(id_col)), F.col(id_col)
+    )
+    out = (
+        base.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= target_expr)
+        .drop("__rk")
+    )
+    return out.drop("target") if per_class is None else out

@@ -1154,3 +1154,112 @@ def resolve_transitions(spark, store_path: str) -> DataFrame:
         "from_type", "to_type", "n",
         F.round(F.col("n") / F.sum("n").over(totals), 9).alias("prob"),
     )
+
+
+def psi_baseline(
+    df: DataFrame,
+    store_path: str,
+    vec_col: str = "emb",
+    bin_edges: list[float] | None = None,
+) -> None:
+    """Freeze a PSI drift baseline: the reference corpus's (dim, bin)
+    tally plus the bin edges, persisted under ``store_path`` — the fixed
+    yardstick every streamed batch is compared against.  Edges live WITH
+    the store so ingest can never bin against a different grid than the
+    baseline (config drift is structurally impossible)."""
+    from vectordb_watermark_spark.operators.analytics import _psi_bin_tally
+
+    if bin_edges is None:
+        bin_edges = [-0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4]
+    edges = sorted(float(e) for e in bin_edges)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(i, e) for i, e in enumerate(edges)], "pos int, edge double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{store_path}/edges")
+    _psi_bin_tally(df, vec_col, edges, "nb").write.mode("overwrite").parquet(
+        f"{store_path}/baseline"
+    )
+
+
+def _psi_edges(spark, store_path: str) -> list[float]:
+    rows = spark.read.parquet(f"{store_path}/edges").collect()
+    return [r["edge"] for r in sorted(rows, key=lambda r: r["pos"])]
+
+
+def ingest_psi_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    vec_col: str = "emb",
+) -> None:
+    """One :func:`incremental_psi` micro-batch, callable directly: tally
+    the batch against the stored edges into
+    ``tallies/batch=stream-N`` (overwrite-scoped — checkpoint retries
+    replace exactly their own contribution)."""
+    from vectordb_watermark_spark.operators.analytics import _psi_bin_tally
+
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    edges = _psi_edges(spark, store_path)
+    _psi_bin_tally(batch_df, vec_col, edges, "nc").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/tallies/batch=stream-{int(batch_id)}")
+
+
+def incremental_psi(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    vec_col: str = "emb",
+):
+    """Streaming distribution-drift monitor: maintain per-batch (dim,
+    bin) tallies of an embedding stream against a frozen
+    :func:`psi_baseline`; :func:`resolve_psi` reads the live PSI.
+    Returns the DataStreamWriter (call ``.start()``).
+
+    The only state is the integer tally grid — (dims × bins) rows per
+    batch, summed exactly at read time, so resolve equals the batch
+    :func:`~vectordb_watermark_spark.operators.analytics.psi_per_dim`
+    over everything streamed so far (the tally and formula code is
+    SHARED, not duplicated).  The monitor a production embedding
+    pipeline runs continuously: when ``resolve_psi`` crosses the 0.2
+    action threshold on any dimension, the upstream encoder changed.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_psi_batch(batch_df, store_path, batch_id, vec_col=vec_col)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
+
+
+def resolve_psi(spark, store_path: str) -> DataFrame:
+    """Current drift of an :func:`incremental_psi` store -> ``(dim,
+    psi)`` — exactly the batch ``psi_per_dim(baseline_corpus,
+    everything_streamed)`` (shared tally + formula; per-batch integer
+    tallies summed exactly).  Empty store (no batches yet) -> empty."""
+    from vectordb_watermark_spark.operators.analytics import _psi_from_grids
+
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{store_path}/tallies")):
+        return spark.createDataFrame([], "dim int, psi double")
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(jp(f"{store_path}/tallies"))
+        if st.getPath().getName().startswith("batch=")
+    ]
+    if not dirs:
+        return spark.createDataFrame([], "dim int, psi double")
+    nc = (
+        spark.read.parquet(*dirs)
+        .groupBy("dim", "bin")
+        .agg(F.sum("nc").cast("long").alias("nc"))
+    )
+    nb = spark.read.parquet(f"{store_path}/baseline")
+    n_bins = len(_psi_edges(spark, store_path)) + 1
+    return _psi_from_grids(nb, nc, n_bins)
