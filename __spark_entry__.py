@@ -3174,6 +3174,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = resolve_psi(spark, store)
         return out.select("dim", (F.col("psi") + F.lit(0.0)).alias("psi"))
 
+    def roc_auc_by_events(spark, sf):  # sliced evaluation (round 12)
+        # the global AUC's per-slice variant: every window/aggregate
+        # partitioned by the slice — no single-partition stage at all
+        from vectordb_watermark_spark.operators.analytics import roc_auc_by
+
+        scored = _t(spark, sf, "events").select(
+            (F.col("user_id") % 4).alias("grp"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+            F.floor(F.col("value") * 10 + 0.5).cast("long").alias("score"),
+        )
+        return roc_auc_by(scored, "grp").withColumnRenamed("slice", "grp")
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 172 gate
@@ -3370,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_timing_events": funnel_timing_events,
         "rebalance_classes_q": rebalance_classes_q,
         "stream_psi_embeddings": stream_psi_embeddings,
+        "roc_auc_by_events": roc_auc_by_events,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -6021,6 +6034,35 @@ SELECT node, pr FROM p3""",
               FROM embeddings
             )
             SELECT vec_id, label FROM rk CROSS JOIN t WHERE rk <= target""",
+        "roc_auc_by_events": """
+            WITH scored AS (
+              SELECT user_id % 4 AS grp,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS label,
+                     CAST(floor(value * 10 + 0.5) AS BIGINT) AS score
+              FROM events
+            ),
+            g AS (
+              SELECT grp, score AS s,
+                     SUM(CAST(label AS DOUBLE)) AS pos,
+                     SUM(1 - CAST(label AS DOUBLE)) AS neg
+              FROM scored GROUP BY grp, score
+            ),
+            per AS (
+              SELECT grp, pos, neg,
+                     COALESCE(SUM(neg) OVER (
+                       PARTITION BY grp ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0.0) AS neg_below
+              FROM g
+            )
+            SELECT grp,
+                   round(SUM(pos * (neg_below + neg / 2.0))
+                         / (CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+                                 THEN SUM(pos) * SUM(neg) END), 9) AS auc,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg
+            FROM per GROUP BY grp""",
     }
     # the streaming monitor resolves to EXACTLY the batch psi_per_dim —
     # one twin serves both (shared tally/formula code on the Spark side)

@@ -746,3 +746,71 @@ def test_incremental_psi_matches_batch(spark, tmp_path):
     )
     got2 = {r["dim"]: r["psi"] for r in resolve_psi(spark, store).collect()}
     assert got2 == got
+
+
+def test_roc_auc_by_slices(spark):
+    from vectordb_watermark_spark.operators.analytics import roc_auc, roc_auc_by
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for s in range(3):
+        for _ in range(150):
+            rows.append((s, int(rng.integers(0, 2)), float(rng.integers(0, 15))))
+    # slice 9: all positive -> undefined auc
+    rows += [(9, 1, 1.0), (9, 1, 2.0)]
+    df = spark.createDataFrame(rows, "slc int, label int, score double")
+    out = {r["slice"]: r for r in roc_auc_by(df, "slc").collect()}
+    for s in range(3):
+        [ref] = roc_auc(df.filter(F.col("slc") == s)).collect()
+        assert out[s]["auc"] == ref["auc"], s
+        assert out[s]["n_pos"] == ref["n_pos"]
+    assert out[9]["auc"] is None and out[9]["n_neg"] == 0
+
+
+def test_compact_transition_pairs(spark, tmp_path):
+    from vectordb_watermark_spark.operators.analytics import event_transitions
+    from vectordb_watermark_spark.streaming.curation import (
+        compact_transition_pairs,
+        ingest_transitions_batch,
+        resolve_transitions,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batches = [
+        [(0, _ts(1), 1, "a"), (1, _ts(2), 1, "b")],
+        [(2, _ts(3), 1, "a"), (3, _ts(4), 2, "a")],
+        [(4, _ts(5), 2, "b"), (5, _ts(6), 1, "b")],
+    ]
+    store = str(tmp_path / "ctr")
+    all_rows = []
+    for k, rows in enumerate(batches):
+        ingest_transitions_batch(spark.createDataFrame(rows, schema), store, k)
+        all_rows += rows
+    before = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert compact_transition_pairs(spark, store) == 3
+    after = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert after == before
+    truth = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(
+            spark.createDataFrame(all_rows, schema)
+        ).collect()
+    }
+    assert after == truth
+    # idempotent second pass: single dir left, nothing to fold
+    assert compact_transition_pairs(spark, store) == 0
+    # ingest continues cleanly after compaction (higher batch id)
+    ingest_transitions_batch(
+        spark.createDataFrame([(6, _ts(7), 1, "a")], schema), store, 5
+    )
+    final = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert final[("b", "a")] == truth[("b", "a")][0] + 1

@@ -56,6 +56,7 @@ __all__ = [
     "expected_calibration_error",
     "rate_anomalies",
     "funnel_timing",
+    "roc_auc_by",
 ]
 
 
@@ -627,4 +628,50 @@ def rate_anomalies(
             F.abs(F.col("mz_ppm")) > F.lit(int(threshold * 1000000)),
             F.lit(False),
         ).alias("is_anomaly"),
+    )
+
+
+def roc_auc_by(
+    scored: DataFrame,
+    slice_col: str,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Sliced ROC-AUC -> one row per slice ``(slice, auc, n_pos,
+    n_neg)`` — the same exact tie-aware rank-sum as :func:`roc_auc`,
+    with every window and aggregate partitioned by the slice column.
+    The eval a quality classifier actually needs: a global AUC of 0.8
+    routinely hides a 0.55 on one language or source.  Slices with no
+    positives or no negatives return NULL auc (undefined there).
+    Unlike the global op, nothing here is single-partition: state is
+    per (slice, distinct score).
+    """
+    g = scored.groupBy(
+        F.col(slice_col).alias("slice"), F.col(score_col).alias("s")
+    ).agg(
+        F.sum(F.col(label_col).cast("double")).alias("pos"),
+        F.sum(1 - F.col(label_col).cast("double")).alias("neg"),
+    )
+    w = (
+        Window.partitionBy("slice")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = g.select(
+        "slice",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0.0)).alias("neg_below"),
+    )
+    return per.groupBy("slice").agg(
+        F.round(
+            F.sum(F.col("pos") * (F.col("neg_below") + F.col("neg") / 2.0))
+            / F.when(
+                (F.sum("pos") > 0) & (F.sum("neg") > 0),
+                F.sum("pos") * F.sum("neg"),
+            ),
+            9,
+        ).alias("auc"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
     )

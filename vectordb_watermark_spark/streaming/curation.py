@@ -1263,3 +1263,52 @@ def resolve_psi(spark, store_path: str) -> DataFrame:
     nb = spark.read.parquet(f"{store_path}/baseline")
     n_bins = len(_psi_edges(spark, store_path)) + 1
     return _psi_from_grids(nb, nc, n_bins)
+
+
+def compact_transition_pairs(spark, store_path: str) -> int:
+    """Fold an :func:`incremental_transitions` store's per-batch pair
+    dirs into one summed dir (named after the highest batch id seen, so
+    ``_latest_state_dir`` ordering and future ingests are unaffected) —
+    the maintenance the sink's docstring defers.  Integer-exact: the
+    folded counts are the same sums :func:`resolve_transitions` computes.
+    Returns the number of batch dirs folded (0 = nothing to do).
+
+    Run it BETWEEN stream runs, like the component-store compactor: a
+    concurrently ingesting sink could write a new pair dir after the
+    listing and lose it in the delete pass."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{store_path}/pairs")):
+        return 0
+    dirs = {}
+    for st in fs.listStatus(jp(f"{store_path}/pairs")):
+        name = st.getPath().getName()
+        if name.startswith("batch=stream-"):
+            dirs[int(name.rsplit("-", 1)[1])] = st.getPath().toString()
+    if len(dirs) < 2:
+        return 0
+    top = max(dirs)
+    summed = (
+        spark.read.parquet(*dirs.values())
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    import uuid
+
+    staging = f"{store_path}/pairs/.fold_{uuid.uuid4().hex[:12]}"
+    summed.coalesce(1).write.mode("overwrite").parquet(staging)
+    for k, d in dirs.items():
+        fs.delete(jp(d), True)
+    fs.rename(jp(staging), jp(f"{store_path}/pairs/batch=stream-{top}"))
+    # state: only the NEWEST dir is ever read again (each ingest takes the
+    # max id below its own) — drop the dead ones in the same pass
+    if fs.exists(jp(f"{store_path}/state")):
+        sdirs = {}
+        for st in fs.listStatus(jp(f"{store_path}/state")):
+            name = st.getPath().getName()
+            if name.startswith("batch=stream-"):
+                sdirs[int(name.rsplit("-", 1)[1])] = st.getPath().toString()
+        for k, d in sdirs.items():
+            if k != max(sdirs):
+                fs.delete(jp(d), True)
+    return len(dirs)
