@@ -3186,6 +3186,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return roc_auc_by(scored, "grp").withColumnRenamed("slice", "grp")
 
+    def class_margins_q(spark, sf):  # embedding-space health (round 12)
+        # per-label centroid + nearest-other-centroid cosine; centroid
+        # components 6-dp rounded ONCE before the trigonometry, arrays
+        # folded in identical order in both engines
+        from vectordb_watermark_spark.operators.analytics import class_margins
+
+        emb = _t(spark, sf, "embeddings").select(
+            "label", F.col("embedding").alias("emb")
+        )
+        return class_margins(emb)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 173 gate
@@ -3383,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_classes_q": rebalance_classes_q,
         "stream_psi_embeddings": stream_psi_embeddings,
         "roc_auc_by_events": roc_auc_by_events,
+        "class_margins_q": class_margins_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -6063,6 +6075,44 @@ SELECT node, pr FROM p3""",
                    CAST(SUM(pos) AS BIGINT) AS n_pos,
                    CAST(SUM(neg) AS BIGINT) AS n_neg
             FROM per GROUP BY grp""",
+        "class_margins_q": """
+            WITH x AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT label, pos,
+                     round(avg(CAST(v AS DOUBLE)), 6) AS m,
+                     count(*) AS cnt
+              FROM x GROUP BY label, pos
+            ),
+            vecs AS (
+              SELECT label, CAST(max(cnt) AS BIGINT) AS n,
+                     list(m ORDER BY pos) AS c
+              FROM cent GROUP BY label
+            ),
+            pairs AS (
+              SELECT a.label AS la, a.n,
+                     round(sqrt(list_sum(list_transform(a.c, v -> v * v))), 6)
+                       AS centroid_norm,
+                     b.label AS lb,
+                     round(list_sum(list_transform(list_zip(a.c, b.c),
+                                    p -> p[1] * p[2]))
+                           / (sqrt(list_sum(list_transform(a.c, v -> v * v)))
+                              * sqrt(list_sum(list_transform(b.c, v -> v * v)))
+                              + 1e-12), 6) AS cos
+              FROM vecs a JOIN vecs b ON a.label <> b.label
+            )
+            SELECT la AS label, n, centroid_norm,
+                   lb AS nearest_label, cos AS nearest_cos
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY la ORDER BY cos DESC, lb
+                     ) AS rk
+              FROM pairs
+            ) WHERE rk = 1""",
     }
     # the streaming monitor resolves to EXACTLY the batch psi_per_dim —
     # one twin serves both (shared tally/formula code on the Spark side)

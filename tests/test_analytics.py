@@ -814,3 +814,31 @@ def test_compact_transition_pairs(spark, tmp_path):
         for r in resolve_transitions(spark, store).collect()
     }
     assert final[("b", "a")] == truth[("b", "a")][0] + 1
+
+
+def test_class_margins(spark):
+    from vectordb_watermark_spark.operators.analytics import class_margins
+
+    rng = np.random.default_rng(23)
+    # classes 0/1 share a direction (near-duplicate classes); class 2 is
+    # orthogonal-ish
+    base = rng.normal(0, 1, 4)
+    rows = []
+    for i in range(40):
+        rows.append((0, (base + rng.normal(0, 0.01, 4)).tolist()))
+        rows.append((1, (base * 1.1 + rng.normal(0, 0.01, 4)).tolist()))
+        rows.append((2, (np.array([-base[1], base[0], -base[3], base[2]])
+                         + rng.normal(0, 0.01, 4)).tolist()))
+    df = spark.createDataFrame(rows, "label int, emb array<double>")
+    out = {r["label"]: r for r in class_margins(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(r["n"] == 40 for r in out.values())
+    # the blurred pair points at each other with cos ~ 1
+    assert out[0]["nearest_label"] == 1 and out[0]["nearest_cos"] > 0.99
+    assert out[1]["nearest_label"] == 0 and out[1]["nearest_cos"] > 0.99
+    assert out[2]["nearest_cos"] < 0.5  # orthogonal class is separated
+    # centroid agreement with numpy (6-dp centroid rounding)
+    cent0 = np.round(np.mean([r[1] for r in rows if r[0] == 0], axis=0), 6)
+    assert out[0]["centroid_norm"] == pytest.approx(
+        float(np.linalg.norm(cent0)), abs=1e-5
+    )

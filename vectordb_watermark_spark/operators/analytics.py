@@ -57,6 +57,7 @@ __all__ = [
     "rate_anomalies",
     "funnel_timing",
     "roc_auc_by",
+    "class_margins",
 ]
 
 
@@ -674,4 +675,73 @@ def roc_auc_by(
         ).alias("auc"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
+    )
+
+
+def class_margins(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Embedding-space health per class -> ``(label, n, centroid_norm,
+    nearest_label, nearest_cos)``: each class's centroid, and the other
+    class whose centroid it is MOST similar to (the first class you'd
+    expect label noise or near-duplicate leakage to blur into).
+    ``nearest_cos`` near 1.0 means two classes are not separated in this
+    embedding space — retrain the encoder or merge the labels before
+    trusting any classifier built on it.
+
+    Shapes: one posexplode + per-(label, pos) average (map-side combine,
+    L·d aggregate rows), centroids re-assembled in-plan and compared
+    pairwise at L² (classes, not rows — broadcast-sized by definition).
+    Centroid components are 6-dp rounded ONCE before the cosine, making
+    the downstream trigonometry deterministic cross-engine.
+    """
+    cent = (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("m"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    vecs = cent.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"),
+        (F.max("cnt")).cast("long").alias("n"),
+    ).select(
+        "label", "n",
+        F.transform(F.col("pairs"), lambda p: p.getField("m")).alias("c"),
+    )
+    a = vecs.select(
+        F.col("label").alias("la"), F.col("n"), F.col("c").alias("ca")
+    )
+    b = vecs.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    dot = F.expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda col: F.sqrt(
+        F.expr(f"aggregate({col}, 0D, (acc, v) -> acc + v * v)")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("la") != F.col("lb"))
+        .select(
+            "la", "n",
+            F.round(norm("ca"), 6).alias("centroid_norm"),
+            "lb",
+            F.round(dot / (norm("ca") * norm("cb") + 1e-12), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("la").orderBy(F.col("cos").desc(), F.col("lb"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("la").alias("label"), "n", "centroid_norm",
+            F.col("lb").alias("nearest_label"),
+            F.col("cos").alias("nearest_cos"),
+        )
     )
