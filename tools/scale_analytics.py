@@ -90,7 +90,55 @@ def main() -> None:
     ks = key_skew_stats(ev, "user_id").collect()[0]
     out["skew_sec"] = round(time.time() - t0, 2)
     out["skew_ratio_ppm"] = ks["skew_ratio_ppm"]
+
+    from vectordb_watermark_spark.operators.analytics import rate_anomalies
+    from vectordb_watermark_spark.operators.partitioning import join_cardinality
+
+    t0 = time.time()
+    ra = rate_anomalies(ev, granularity="hour").collect()
+    out["rate_anomaly_sec"] = round(time.time() - t0, 2)
+    out["rate_buckets"] = len(ra)
+
+    t0 = time.time()
+    jc = join_cardinality(
+        ev.select("user_id"), ev.select("user_id"), "user_id"
+    ).collect()[0]
+    out["join_card_sec"] = round(time.time() - t0, 2)
+    out["join_card_n_out"] = jc["n_out"]
     ev.unpersist()
+
+    # table_diff: 5M-row self-diff with planted drop/change/insert
+    from vectordb_watermark_spark.operators.quality import table_diff
+
+    tbl = spark.range(N_EVENTS).select(
+        "id", (F.xxhash64("id", F.lit(9)) % 1000).alias("v")
+    ).persist()
+    tbl.count()
+    right = (
+        tbl.filter(F.col("id") % 97 != 0)
+        .withColumn(
+            "v", F.when(F.col("id") % 10 == 0, F.col("v") + 1).otherwise(F.col("v"))
+        )
+    )
+    t0 = time.time()
+    td = table_diff(tbl, right, "id").collect()[0]
+    out["table_diff_sec"] = round(time.time() - t0, 2)
+    out["table_diff_changed"] = td["n_changed"]
+    tbl.unpersist()
+
+    # rebalance: 2M rows, 10 skewed classes
+    from vectordb_watermark_spark.operators.quality import rebalance_classes
+
+    cls = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.abs(F.xxhash64("id", F.lit(4))) % 100 % 10).alias("label"),
+    ).persist()
+    cls.count()
+    t0 = time.time()
+    n_bal = rebalance_classes(cls, "label").count()
+    out["rebalance_sec"] = round(time.time() - t0, 2)
+    out["rebalance_rows"] = int(n_bal)
+    cls.unpersist()
 
     # --- PSI drift: 500k x 64, candidate half gets a mean shift --------
     def vecs(shift: float):
@@ -108,6 +156,17 @@ def main() -> None:
     out["psi_sec"] = round(time.time() - t0, 2)
     out["psi_dims"] = len(psi)
     out["psi_min"] = min(r["psi"] for r in psi)
+
+    from vectordb_watermark_spark.operators.analytics import class_margins
+
+    lbl = base.select(
+        (F.abs(F.xxhash64("id", F.lit(5))) % 10).cast("int").alias("label"),
+        "emb",
+    )
+    t0 = time.time()
+    cm = class_margins(lbl).collect()
+    out["class_margins_sec"] = round(time.time() - t0, 2)
+    out["class_margins_rows"] = len(cm)
     base.unpersist(), cand.unpersist()
 
     # --- triangles on a 200k-node sparse graph (keyed-hash edges) ------
