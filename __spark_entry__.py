@@ -3197,6 +3197,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return class_margins(emb)
 
+    def k_core_q(spark, sf):  # dense-subgraph peeling (round 12)
+        # 24-core of the lineitem (partkey, suppkey) co-occurrence graph
+        # (mod 2000): converges in <= 2 peel rounds at both SFs; the
+        # DuckDB twin unrolls 4 rounds — once converged, extra rounds
+        # are exact no-ops, so the unroll margin is free
+        from vectordb_watermark_spark.operators.graph import k_core
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            (F.col("l_partkey") % 2000).alias("src"),
+            (F.col("l_suppkey") % 2000).alias("dst"),
+        )
+        return k_core(edges, k=24)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 174 gate
@@ -3395,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_psi_embeddings": stream_psi_embeddings,
         "roc_auc_by_events": roc_auc_by_events,
         "class_margins_q": class_margins_q,
+        "k_core_q": k_core_q,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -6113,6 +6128,61 @@ SELECT node, pr FROM p3""",
                      ) AS rk
               FROM pairs
             ) WHERE rk = 1""",
+        "k_core_q": """
+            WITH e0 AS (
+              SELECT DISTINCT
+                     least(l_partkey % 2000, l_suppkey % 2000) AS a,
+                     greatest(l_partkey % 2000, l_suppkey % 2000) AS b
+              FROM lineitem
+              WHERE l_partkey % 2000 <> l_suppkey % 2000
+            ),
+            d0 AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
+              ) GROUP BY n
+            ),
+            k0 AS (SELECT n FROM d0 WHERE d >= 24),
+            e1 AS (
+              SELECT e0.a, e0.b FROM e0
+              JOIN k0 x ON e0.a = x.n JOIN k0 y ON e0.b = y.n
+            ),
+            d1 AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1
+              ) GROUP BY n
+            ),
+            k1 AS (SELECT n FROM d1 WHERE d >= 24),
+            e2 AS (
+              SELECT e1.a, e1.b FROM e1
+              JOIN k1 x ON e1.a = x.n JOIN k1 y ON e1.b = y.n
+            ),
+            d2 AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2
+              ) GROUP BY n
+            ),
+            k2 AS (SELECT n FROM d2 WHERE d >= 24),
+            e3 AS (
+              SELECT e2.a, e2.b FROM e2
+              JOIN k2 x ON e2.a = x.n JOIN k2 y ON e2.b = y.n
+            ),
+            d3 AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3
+              ) GROUP BY n
+            ),
+            k3 AS (SELECT n FROM d3 WHERE d >= 24),
+            e4 AS (
+              SELECT e3.a, e3.b FROM e3
+              JOIN k3 x ON e3.a = x.n JOIN k3 y ON e3.b = y.n
+            ),
+            d4 AS (
+              SELECT n, count(*) AS d FROM (
+                SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4
+              ) GROUP BY n
+            )
+            SELECT n AS node, CAST(d AS BIGINT) AS deg
+            FROM d4 WHERE d >= 24""",
     }
     # the streaming monitor resolves to EXACTLY the batch psi_per_dim —
     # one twin serves both (shared tally/formula code on the Spark side)

@@ -225,3 +225,42 @@ def test_pagerank_weighted_matches_numpy(spark, toy):
     bad = spark.createDataFrame([(0, 1, -1.0)], "src long, dst long, w double")
     with pytest.raises(ValueError, match="nonnegative"):
         pagerank(bad, nodes=nodes, weight_col="w")
+
+
+def _kcore_ref(edges, k):
+    # brute-force iterative peeling
+    eset = {frozenset(e) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for e in eset:
+            for n in e:
+                deg[n] = deg.get(n, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {e for e in eset if all(n in keep for n in e)}
+        if nxt == eset:
+            break
+        eset = nxt
+    deg = {}
+    for e in eset:
+        for n in e:
+            deg[n] = deg.get(n, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+def test_k_core_vs_bruteforce(spark):
+    from vectordb_watermark_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(29)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, (260, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    for k in (3, 5, 8):
+        got = {r["node"]: r["deg"] for r in k_core(df, k).collect()}
+        assert got == _kcore_ref(edges, k), k
+    # a clique survives any k below its size; pendant nodes never do
+    clique = [(a, b) for a in range(5) for b in range(5) if a != b]
+    pend = clique + [(0, 100), (1, 101)]
+    out = {r["node"]: r["deg"] for r in k_core(
+        spark.createDataFrame(pend, "src long, dst long"), 4).collect()}
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(df, 0)

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "k_core"]
 
 
 def pagerank(
@@ -315,3 +315,65 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph -> ``(node, deg)``: the maximal
+    subgraph where every node keeps degree >= k, found by iterative
+    peeling (remove all sub-k nodes, recompute, repeat to fixed point).
+    The core a similarity graph retains at high k is machine-generated
+    density — template farms and mirror clusters survive peeling that
+    organic near-dup neighborhoods don't; ``deg`` is the within-core
+    degree.
+
+    Spark shape: canonical undirected edge set once, then per round ONE
+    degree aggregate + ONE semi-join filter of the edge table, with
+    ``localCheckpoint`` keeping lineage flat; the loop exits on the
+    first round that removes nothing (the fixed point — guaranteed
+    within |V| rounds, in practice a handful).  Work per round is
+    bounded by the CURRENT edge set, which only shrinks.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    cur = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        nxt = (
+            cur.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    deg = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return deg.filter(F.col("deg") >= k)
