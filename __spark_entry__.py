@@ -6129,54 +6129,54 @@ SELECT node, pr FROM p3""",
               FROM pairs
             ) WHERE rk = 1""",
         "k_core_q": """
-            WITH e0 AS (
+            WITH e0 AS MATERIALIZED (
               SELECT DISTINCT
                      least(l_partkey % 2000, l_suppkey % 2000) AS a,
                      greatest(l_partkey % 2000, l_suppkey % 2000) AS b
               FROM lineitem
               WHERE l_partkey % 2000 <> l_suppkey % 2000
             ),
-            d0 AS (
+            d0 AS MATERIALIZED (
               SELECT n, count(*) AS d FROM (
                 SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0
               ) GROUP BY n
             ),
-            k0 AS (SELECT n FROM d0 WHERE d >= 24),
-            e1 AS (
+            k0 AS MATERIALIZED (SELECT n FROM d0 WHERE d >= 24),
+            e1 AS MATERIALIZED (
               SELECT e0.a, e0.b FROM e0
               JOIN k0 x ON e0.a = x.n JOIN k0 y ON e0.b = y.n
             ),
-            d1 AS (
+            d1 AS MATERIALIZED (
               SELECT n, count(*) AS d FROM (
                 SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1
               ) GROUP BY n
             ),
-            k1 AS (SELECT n FROM d1 WHERE d >= 24),
-            e2 AS (
+            k1 AS MATERIALIZED (SELECT n FROM d1 WHERE d >= 24),
+            e2 AS MATERIALIZED (
               SELECT e1.a, e1.b FROM e1
               JOIN k1 x ON e1.a = x.n JOIN k1 y ON e1.b = y.n
             ),
-            d2 AS (
+            d2 AS MATERIALIZED (
               SELECT n, count(*) AS d FROM (
                 SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2
               ) GROUP BY n
             ),
-            k2 AS (SELECT n FROM d2 WHERE d >= 24),
-            e3 AS (
+            k2 AS MATERIALIZED (SELECT n FROM d2 WHERE d >= 24),
+            e3 AS MATERIALIZED (
               SELECT e2.a, e2.b FROM e2
               JOIN k2 x ON e2.a = x.n JOIN k2 y ON e2.b = y.n
             ),
-            d3 AS (
+            d3 AS MATERIALIZED (
               SELECT n, count(*) AS d FROM (
                 SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3
               ) GROUP BY n
             ),
-            k3 AS (SELECT n FROM d3 WHERE d >= 24),
-            e4 AS (
+            k3 AS MATERIALIZED (SELECT n FROM d3 WHERE d >= 24),
+            e4 AS MATERIALIZED (
               SELECT e3.a, e3.b FROM e3
               JOIN k3 x ON e3.a = x.n JOIN k3 y ON e3.b = y.n
             ),
-            d4 AS (
+            d4 AS MATERIALIZED (
               SELECT n, count(*) AS d FROM (
                 SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4
               ) GROUP BY n
