@@ -3211,6 +3211,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return k_core(edges, k=24)
 
+    def stream_kmv_docs(spark, sf):  # streaming distinct-count (round 12)
+        # the sketch_distinct_tokens corpus REPLAYED through the
+        # incremental_kmv store in 3 batches: KMV merges EXACTLY (the k
+        # smallest of a union are among the parts' k-smallest), so
+        # resolve is bit-identical to the one-shot sketch — same twin
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.streaming.curation import (
+            ingest_kmv_batch,
+            resolve_kmv,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        store = os.path.join(scratch, f"oracle_kmv_store_{tag}")
+        shutil.rmtree(store, ignore_errors=True)
+        d = _docs(spark, sf)
+        toks_of = lambda df: df.select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        for k in range(3):
+            ingest_kmv_batch(
+                toks_of(d.filter(F.col("doc_id") % 3 == k)), store, k,
+                col="tok", k=256,
+            )
+        est = resolve_kmv(spark, store, k=256)
+        truth = toks_of(d).agg(
+            F.countDistinct("tok").cast("long").alias("true_distinct")
+        )
+        return est.crossJoin(truth)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 175 gate
@@ -3410,6 +3445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_by_events": roc_auc_by_events,
         "class_margins_q": class_margins_q,
         "k_core_q": k_core_q,
+        "stream_kmv_docs": stream_kmv_docs,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -6187,4 +6223,7 @@ SELECT node, pr FROM p3""",
     # the streaming monitor resolves to EXACTLY the batch psi_per_dim —
     # one twin serves both (shared tally/formula code on the Spark side)
     out["stream_psi_embeddings"] = out["psi_drift_embeddings"]
+    # KMV merges exactly, so the streamed store resolves bit-identical to
+    # the one-shot sketch — the batch twin serves both
+    out["stream_kmv_docs"] = out["sketch_distinct_tokens"]
     return out

@@ -842,3 +842,56 @@ def test_class_margins(spark):
     assert out[0]["centroid_norm"] == pytest.approx(
         float(np.linalg.norm(cent0)), abs=1e-5
     )
+
+
+def test_incremental_kmv_exact_merge(spark, tmp_path):
+    """Streaming KMV: resolve is bit-identical to one-shot kmv_distinct
+    over everything streamed, at every batch; re-ingesting values is
+    harmless (distinct hashing); empty store estimates 0."""
+    from vectordb_watermark_spark.operators.sketch import kmv_distinct
+    from vectordb_watermark_spark.streaming.curation import (
+        incremental_kmv,
+        ingest_kmv_batch,
+        resolve_kmv,
+    )
+    import shutil
+
+    store = str(tmp_path / "kmv_store")
+    [empty] = resolve_kmv(spark, store, k=16).collect()
+    assert empty["estimate"] == 0
+
+    rng = np.random.default_rng(31)
+    batches = [
+        [(f"val{int(v)}",) for v in rng.integers(0, 400, 120)] for _ in range(3)
+    ]
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    seen = []
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"kmv_stage_{i}"
+        spark.createDataFrame(rows, "v string").coalesce(1).write.parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / f"{i}.parquet")
+        stream = (
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_kmv(
+            stream, store, str(tmp_path / "kmv_ck"), col="v", k=16
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+        seen += rows
+        [got] = resolve_kmv(spark, store, k=16).collect()
+        [want] = kmv_distinct(
+            spark.createDataFrame(seen, "v string"), "v", k=16
+        ).collect()
+        assert (got["estimate"], got["exact_k"], got["kth_hash"]) == (
+            want["estimate"], want["exact_k"], want["kth_hash"]
+        ), f"after batch {i}"
+
+    # retry replay of batch 1: identical store
+    ingest_kmv_batch(
+        spark.createDataFrame(batches[1], "v string"), store, 1, col="v", k=16
+    )
+    [again] = resolve_kmv(spark, store, k=16).collect()
+    assert again["estimate"] == got["estimate"]

@@ -43,7 +43,15 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     fewer than ``k`` distinct values the count is exact (kth_hash NULL).
     """
     hashes = df.select(hash60(F.col(col)).alias("h")).distinct()
-    smallest = hashes.orderBy("h").limit(k)
+    return kmv_from_hashes(hashes, k)
+
+
+def kmv_from_hashes(hashes: DataFrame, k: int = 256) -> DataFrame:
+    """KMV estimate from an (already-hashed) ``h BIGINT`` column — the
+    reduce half of :func:`kmv_distinct`, shared with the streaming
+    sketch store (KMV merges EXACTLY: the k smallest of a union equal
+    the k smallest of the parts' k-smallest sets)."""
+    smallest = hashes.distinct().orderBy("h").limit(k)
     agg = smallest.agg(
         F.count(F.lit(1)).alias("n"), F.max("h").alias("t")
     )

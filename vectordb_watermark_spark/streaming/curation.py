@@ -1312,3 +1312,81 @@ def compact_transition_pairs(spark, store_path: str) -> int:
             if k != max(sdirs):
                 fs.delete(jp(d), True)
     return len(dirs)
+
+
+def ingest_kmv_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    col: str,
+    k: int = 256,
+) -> None:
+    """One :func:`incremental_kmv` micro-batch: persist the batch's k
+    smallest distinct value hashes under ``sketch/batch=stream-N``
+    (overwrite-scoped — retry-idempotent).  At most k longs per batch."""
+    from vectordb_watermark_spark.operators.sketch import hash60
+
+    if not batch_df.take(1):
+        return
+    (
+        batch_df.select(hash60(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/sketch/batch=stream-{int(batch_id)}")
+    )
+
+
+def incremental_kmv(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    col: str,
+    k: int = 256,
+):
+    """Streaming distinct-count maintenance via KMV sketches: per batch,
+    keep only the k smallest distinct hashes; :func:`resolve_kmv` reads
+    the live estimate.  Returns the DataStreamWriter (call ``.start()``).
+
+    KMV merges EXACTLY — the k smallest hashes of a union are a subset
+    of the parts' k-smallest sets — so the resolved estimate is
+    BIT-IDENTICAL to a one-shot
+    :func:`~vectordb_watermark_spark.operators.sketch.kmv_distinct` over
+    everything streamed so far, at every stream point.  State: at most
+    k longs per batch, a few KB; the caveat is re-ingesting the same
+    VALUES is harmless (distinct hashing), unlike count-based sketches.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_kmv_batch(batch_df, store_path, batch_id, col=col, k=k)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
+
+
+def resolve_kmv(spark, store_path: str, k: int = 256) -> DataFrame:
+    """Current distinct-count estimate of an :func:`incremental_kmv`
+    store -> the same ``(estimate, exact_k, kth_hash)`` row as batch
+    ``kmv_distinct`` over everything streamed (exact merge; shared
+    reduce code).  Empty store -> estimate 0."""
+    from vectordb_watermark_spark.operators.sketch import kmv_from_hashes
+
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{store_path}/sketch")):
+        return kmv_from_hashes(
+            spark.createDataFrame([], "h long"), k
+        )
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(jp(f"{store_path}/sketch"))
+        if st.getPath().getName().startswith("batch=")
+    ]
+    if not dirs:
+        return kmv_from_hashes(spark.createDataFrame([], "h long"), k)
+    return kmv_from_hashes(spark.read.parquet(*dirs), k)
