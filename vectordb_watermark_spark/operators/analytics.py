@@ -94,6 +94,7 @@ def funnel(
         raise ValueError(f"funnel steps must be distinct, got {steps}")
     if within_seconds is not None and within_seconds <= 0:
         raise ValueError(f"within_seconds must be > 0, got {within_seconds}")
+    _check_step_names(steps)
     per_user = _funnel_step_times(
         events, steps, user_col, type_col, ts_col, within_seconds
     )
@@ -112,6 +113,17 @@ def funnel(
         "step_type",
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+def _check_step_names(steps: list[str]) -> None:
+    """Step names are embedded in generated HOF/stack SQL as single-quoted
+    literals — a quote or backslash would silently change the predicate.
+    Fail loudly instead."""
+    for s in steps:
+        if "'" in s or "\\" in s:
+            raise ValueError(
+                f"step names may not contain quotes/backslashes: {s!r}"
+            )
 
 
 def _funnel_step_times(
@@ -194,6 +206,7 @@ def funnel_timing(
         )
     if len(steps) < 2:
         raise ValueError("funnel_timing needs at least two steps")
+    _check_step_names(steps)
     if 1_000_000_000 % int(ns_per_unit):
         raise ValueError(f"ns_per_unit must divide 1e9, got {ns_per_unit}")
     per_sec = 1_000_000_000 // int(ns_per_unit)

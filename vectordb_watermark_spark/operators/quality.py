@@ -676,6 +676,11 @@ def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             c = r.get("name", r["expr"])
         else:
             raise ValueError(f"unknown expectation type {t!r} (rule {i})")
+        if "'" in str(c) or "\\" in str(c):
+            raise ValueError(
+                f"rule {i}: column/name may not contain quotes or "
+                f"backslashes (embedded in generated stack SQL): {c!r}"
+            )
         aggs.append(v.cast("long").alias(f"v{i}"))
         meta.append((f"r{i}", t, c))
     wide = df.agg(F.count("*").cast("long").alias("nr"), *aggs)
