@@ -3246,10 +3246,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return est.crossJoin(truth)
 
+    def stream_rates_events(spark, sf):  # streaming rate monitor (round 12)
+        # events split ARBITRARILY (id mod — counts are additive, no
+        # ordering contract) through the incremental_rates store must
+        # resolve to exactly the batch rate_anomalies — same twin
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.streaming.curation import (
+            ingest_rate_batch,
+            resolve_rate_anomalies,
+        )
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        tag = os.path.basename(str(sf))
+        store = os.path.join(scratch, f"oracle_rates_store_{tag}")
+        shutil.rmtree(store, ignore_errors=True)
+        ev = _t(spark, sf, "events")
+        for k in range(3):
+            ingest_rate_batch(
+                ev.filter(F.col("event_id") % 3 == k), store, k,
+                granularity="hour",
+            )
+        return resolve_rate_anomalies(spark, store)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 176 gate
-    # entries (171 oracled) and a 50-slot window every oracle has a
+    # recomposed so the LEAST-recently-verified oracles lead — with 177 gate
+    # entries (172 oracled) and a 50-slot window every oracle has a
     # driver-green row within a 3-4 round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-12 window: the 16 hash-exact
@@ -3446,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_margins_q": class_margins_q,
         "k_core_q": k_core_q,
         "stream_kmv_docs": stream_kmv_docs,
+        "stream_rates_events": stream_rates_events,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -6226,4 +6254,7 @@ SELECT node, pr FROM p3""",
     # KMV merges exactly, so the streamed store resolves bit-identical to
     # the one-shot sketch — the batch twin serves both
     out["stream_kmv_docs"] = out["sketch_distinct_tokens"]
+    # additive counts: the streamed rate store resolves to exactly the
+    # batch anomaly table — one twin for both
+    out["stream_rates_events"] = out["rate_anomalies_events"]
     return out

@@ -895,3 +895,62 @@ def test_incremental_kmv_exact_merge(spark, tmp_path):
     )
     [again] = resolve_kmv(spark, store, k=16).collect()
     assert again["estimate"] == got["estimate"]
+
+
+def test_incremental_rates_matches_batch(spark, tmp_path):
+    """Streaming rate monitor: resolve equals batch rate_anomalies over
+    everything streamed, under an ARBITRARY batch split; retry replay
+    idempotent; empty store empty."""
+    import shutil
+
+    from vectordb_watermark_spark.operators.analytics import rate_anomalies
+    from vectordb_watermark_spark.streaming.curation import (
+        incremental_rates,
+        ingest_rate_batch,
+        resolve_rate_anomalies,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    rows = []
+    eid = 0
+    for h in range(8):
+        for i in range(3 + h % 3):
+            rows.append((eid, dt.datetime(2024, 1, 1, h, i), 1, "view"))
+            eid += 1
+    for i in range(30):  # burst
+        rows.append((eid, dt.datetime(2024, 1, 1, 9, i % 60), 1, "view"))
+        eid += 1
+
+    store = str(tmp_path / "rates_store")
+    assert resolve_rate_anomalies(spark, store).count() == 0
+    # arbitrary split by id mod 3 — deliberately NOT time-ordered
+    src = tmp_path / "rates_src"
+    src.mkdir()
+    for k in range(3):
+        part = [r for r in rows if r[0] % 3 == k]
+        stage = tmp_path / f"rates_stage_{k}"
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), src / f"{k}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_rates(
+            stream, store, str(tmp_path / "rates_ck")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(240)
+    got = {r["bucket"]: (r["n"], r["mz_ppm"], r["is_anomaly"])
+           for r in resolve_rate_anomalies(spark, store).collect()}
+    want = {r["bucket"]: (r["n"], r["mz_ppm"], r["is_anomaly"])
+            for r in rate_anomalies(
+                spark.createDataFrame(rows, schema)
+            ).collect()}
+    assert got == want
+    assert any(v[2] for v in got.values())  # the burst is flagged
+    # retry replay of batch 1
+    part1 = [r for r in rows if r[0] % 3 == 1]
+    ingest_rate_batch(spark.createDataFrame(part1, schema), store, 1)
+    got2 = {r["bucket"]: (r["n"], r["mz_ppm"], r["is_anomaly"])
+            for r in resolve_rate_anomalies(spark, store).collect()}
+    assert got2 == got

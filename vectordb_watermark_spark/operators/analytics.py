@@ -55,6 +55,7 @@ __all__ = [
     "calibration_curve",
     "expected_calibration_error",
     "rate_anomalies",
+    "anomalies_from_counts",
     "funnel_timing",
     "roc_auc_by",
     "class_margins",
@@ -618,6 +619,17 @@ def rate_anomalies(
     counts = events.groupBy(
         F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
     ).agg(F.count("*").cast("long").alias("n"))
+    return anomalies_from_counts(counts, threshold=threshold)
+
+
+def anomalies_from_counts(
+    counts: DataFrame, threshold: float = 3.5
+) -> DataFrame:
+    """Modified-z scoring of a pre-built ``(bucket, n)`` tally — the
+    reduce half of :func:`rate_anomalies`, shared with the streaming
+    monitor so the streamed score equals the batch one exactly."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
     med = counts.agg(
         F.expr("percentile(n, 0.5)").alias("med")
     )

@@ -1390,3 +1390,91 @@ def resolve_kmv(spark, store_path: str, k: int = 256) -> DataFrame:
     if not dirs:
         return kmv_from_hashes(spark.createDataFrame([], "h long"), k)
     return kmv_from_hashes(spark.read.parquet(*dirs), k)
+
+
+def ingest_rate_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+) -> None:
+    """One :func:`incremental_rates` micro-batch: the batch's per-bucket
+    event counts land in ``counts/batch=stream-N`` (overwrite-scoped —
+    retry-idempotent).  Counts are ADDITIVE, so any batch split of the
+    event stream resolves identically."""
+    if not batch_df.take(1):
+        return
+    (
+        batch_df.groupBy(
+            F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/counts/batch=stream-{int(batch_id)}")
+    )
+
+
+def incremental_rates(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+):
+    """Streaming event-rate monitor: maintain per-bucket counts as
+    events arrive; :func:`resolve_rate_anomalies` reads the live
+    modified-z anomaly table.  Returns the DataStreamWriter.
+
+    State is one (bucket, n) tally per batch — time-range-sized, never
+    event-volume-sized — and counts are additive, so resolution equals
+    batch :func:`~vectordb_watermark_spark.operators.analytics.rate_anomalies`
+    over everything streamed REGARDLESS of how events were split into
+    batches (no ordering contract at all, unlike the transitions sink).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_rate_batch(
+            batch_df, store_path, batch_id,
+            ts_col=ts_col, granularity=granularity,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
+
+
+def resolve_rate_anomalies(
+    spark, store_path: str, threshold: float = 3.5
+) -> DataFrame:
+    """Current anomaly table of an :func:`incremental_rates` store —
+    identical to batch ``rate_anomalies`` over everything streamed
+    (exact integer sums + the shared scoring code)."""
+    from vectordb_watermark_spark.operators.analytics import (
+        anomalies_from_counts,
+    )
+
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jp(f"{store_path}/counts")):
+        return spark.createDataFrame(
+            [], "bucket string, n long, mz_ppm long, is_anomaly boolean"
+        )
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(jp(f"{store_path}/counts"))
+        if st.getPath().getName().startswith("batch=")
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "bucket string, n long, mz_ppm long, is_anomaly boolean"
+        )
+    counts = (
+        spark.read.parquet(*dirs)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    return anomalies_from_counts(counts, threshold=threshold)
