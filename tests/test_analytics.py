@@ -954,3 +954,24 @@ def test_incremental_rates_matches_batch(spark, tmp_path):
     got2 = {r["bucket"]: (r["n"], r["mz_ppm"], r["is_anomaly"])
             for r in resolve_rate_anomalies(spark, store).collect()}
     assert got2 == got
+
+
+def test_retention_monthly(spark):
+    rows = [
+        (0, dt.datetime(2024, 1, 15), 1, "view"),
+        (1, dt.datetime(2024, 2, 2), 1, "view"),
+        (2, dt.datetime(2024, 4, 28), 1, "view"),
+        (3, dt.datetime(2024, 2, 10), 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (str(r["cohort"]), r["offset"]): r["n_active"]
+        for r in retention_cohorts(ev, granularity="month").collect()
+    }
+    assert out[("2024-01-01", 0)] == 1
+    assert out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-01", 3)] == 1
+    assert out[("2024-02-01", 0)] == 1
+    assert len(out) == 4
