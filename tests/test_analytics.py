@@ -975,3 +975,15 @@ def test_retention_monthly(spark):
     assert out[("2024-01-01", 3)] == 1
     assert out[("2024-02-01", 0)] == 1
     assert len(out) == 4
+
+
+def test_incremental_rates_granularity_pinned(spark, tmp_path):
+    from vectordb_watermark_spark.streaming.curation import ingest_rate_batch
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    df = spark.createDataFrame([(0, _ts(1), 1, "view")], schema)
+    store = str(tmp_path / "gr_store")
+    ingest_rate_batch(df, store, 0, granularity="hour")
+    with pytest.raises(ValueError, match="granularity"):
+        ingest_rate_batch(df, store, 1, granularity="day")
+    ingest_rate_batch(df, store, 1, granularity="hour")  # matching is fine

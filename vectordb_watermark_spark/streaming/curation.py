@@ -1405,6 +1405,22 @@ def ingest_rate_batch(
     event stream resolves identically."""
     if not batch_df.take(1):
         return
+    spark = batch_df.sparkSession
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    gpath = f"{store_path}/granularity"
+    if fs.exists(jp(gpath)):
+        stored = spark.read.parquet(gpath).collect()[0]["granularity"]
+        if stored != granularity:
+            raise ValueError(
+                f"incremental_rates: store at {store_path!r} was built with "
+                f"granularity {stored!r}, batch offered {granularity!r} — "
+                f"mixed-granule tallies would silently corrupt the monitor"
+            )
+    else:
+        spark.createDataFrame(
+            [(granularity,)], "granularity string"
+        ).coalesce(1).write.mode("overwrite").parquet(gpath)
     (
         batch_df.groupBy(
             F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
