@@ -3273,6 +3273,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return resolve_rate_anomalies(spark, store)
 
+    def containment_docs(spark, sf):  # asymmetric partial-copy dup (round 12)
+        # planted excerpts (first 120 chars of every 10th doc, re-keyed)
+        # paired with their source: containment(excerpt in source) ~ 1
+        # while Jaccard is small — the duplication direction the
+        # resemblance stack structurally misses (Broder containment)
+        from vectordb_watermark_spark.operators.dedup import containment_pairs
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        exc = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.substring("text", 1, 120).alias("text"),
+        )
+        corpus = d.unionByName(exc)
+        prs = d.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + 1000000).alias("b"),
+        )
+        return containment_pairs(corpus, prs, threshold=0.5)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 177 gate
@@ -3474,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_q": k_core_q,
         "stream_kmv_docs": stream_kmv_docs,
         "stream_rates_events": stream_rates_events,
+        "containment_docs": containment_docs,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5803,6 +5823,36 @@ SELECT node, pr FROM p3""",
                    CAST(floor(MAX(n) * count(*) * 1000000.0 / SUM(n) + 0.5)
                         AS BIGINT) AS skew_ratio_ppm
             FROM per_key""",
+        "containment_docs": f"""
+            WITH exc AS (
+              SELECT doc_id + 1000000 AS doc_id, substr(text, 1, 120) AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM exc
+            ),
+            t AS (SELECT doc_id, {toks_set} AS toks FROM corpus),
+            p AS (
+              SELECT doc_id AS a, doc_id + 1000000 AS b
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            scored AS (
+              SELECT p.a, p.b,
+                     round(CASE WHEN len(x.toks) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(x.toks) ELSE 0.0 END, 6) AS cont_a_in_b,
+                     round(CASE WHEN len(y.toks) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(y.toks) ELSE 0.0 END, 6) AS cont_b_in_a,
+                     round(CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(list_distinct(x.toks || y.toks))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM p JOIN t x ON p.a = x.doc_id JOIN t y ON p.b = y.doc_id
+            )
+            SELECT a, b, cont_a_in_b, cont_b_in_a, jaccard FROM scored
+            WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5""",
         "rm3_docs": f"""
             WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
             docs AS (SELECT id, len(ts) AS dl FROM d),

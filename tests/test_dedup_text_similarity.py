@@ -2841,3 +2841,30 @@ def test_scrub_repeated_lines_semantics(spark):
 
     with _pytest.raises(ValueError, match="min_df"):
         line_frequencies(docs, min_df=0)
+
+
+def test_containment_pairs_asymmetric(spark):
+    from vectordb_watermark_spark.operators.dedup import containment_pairs
+
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, big),
+        (2, "alpha beta gamma"),          # fully contained in 1
+        (3, "alpha beta nothing shared"),  # partial
+        (4, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    prs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
+    out = {(r["a"], r["b"]): r for r in containment_pairs(
+        df, prs, threshold=0.5).collect()}
+    # excerpt: cont(2 in 1) would be b_in_a here (b=2 smaller set)
+    r = out[(1, 2)]
+    assert r["cont_b_in_a"] == 1.0       # all of 2's tokens inside 1
+    assert r["cont_a_in_b"] == 0.3       # 3 of 10
+    assert r["jaccard"] == 0.3           # Jaccard misses the excerpt
+    r3 = out[(1, 3)]
+    assert r3["cont_b_in_a"] == 0.5      # 2 of 4 tokens shared
+    assert (1, 4) not in out             # below threshold both ways
+    # unfiltered brute force agrees with a python reference
+    ref_inter = len(set(big.split()) & set(docs[2][1].split()))
+    assert r3["cont_b_in_a"] == ref_inter / len(set(docs[2][1].split()))

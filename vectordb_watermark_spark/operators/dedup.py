@@ -1697,3 +1697,72 @@ def scrub_repeated_lines(
             F.coalesce(F.col("__t"), F.lit("")).alias(text_col),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    auto_rows: int | None = JACCARD_AUTO_ROWS,
+    total: int | None = None,
+) -> DataFrame:
+    """Asymmetric token-set CONTAINMENT for candidate pairs ->
+    ``(a, b, cont_a_in_b, cont_b_in_a, jaccard)``, kept when EITHER
+    direction reaches ``threshold``.
+
+    ``cont(A in B) = |A ∩ B| / |A|`` — the excerpt/partial-copy measure
+    Jaccard structurally misses: a paragraph quoted inside a 100x longer
+    document has Jaccard ~0.01 but containment ~1.0, and in training
+    data that direction (small doc swallowed by a big one) is exactly
+    the duplication that leaks.  Broder's containment companion to the
+    resemblance the MinHash stack estimates.
+
+    Same shapes and candidate discipline as :func:`jaccard_pairs`
+    (``pairs=None`` auto-routes through the banded MinHash candidates
+    above ``auto_rows``; note MinHash bands recall JACCARD-similar
+    pairs — for strongly asymmetric sizes pass candidates from a
+    dedicated source, e.g. a shared-rare-shingle join, since a 0.01-
+    Jaccard containment pair rarely collides in a band).  All three
+    scores are 6-dp rounded once, like the shared Jaccard expression.
+    """
+    pairs = _auto_candidates(
+        df, pairs, id_col, text_col, auto_rows, total, threshold=0.0,
+        min_agree=None,
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), _token_set(F.col(text_col)).alias("toks")
+    )
+    if pairs is None:
+        a = toks.select(F.col("id").alias("a"), F.col("toks").alias("ta"))
+        b = toks.select(F.col("id").alias("b"), F.col("toks").alias("tb"))
+        joined = a.join(b, F.col("a") < F.col("b"))
+    else:
+        joined = (
+            pairs.join(
+                toks.withColumnRenamed("id", "a").withColumnRenamed("toks", "ta"), "a"
+            )
+            .join(
+                toks.withColumnRenamed("id", "b").withColumnRenamed("toks", "tb"), "b"
+            )
+        )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb"))).cast("double")
+    ca = F.round(
+        F.when(F.size("ta") > 0, inter / F.size("ta")).otherwise(F.lit(0.0)), 6
+    )
+    cb = F.round(
+        F.when(F.size("tb") > 0, inter / F.size("tb")).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        joined.select(
+            "a", "b",
+            ca.alias("cont_a_in_b"),
+            cb.alias("cont_b_in_a"),
+            _jaccard_expr(F.col("ta"), F.col("tb")).alias("jaccard"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
