@@ -3294,8 +3294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 177 gate
-    # entries (172 oracled) and a 50-slot window every oracle has a
+    # recomposed so the LEAST-recently-verified oracles lead — with 178 gate
+    # entries (173 oracled) and a 50-slot window every oracle has a
     # driver-green row within a 3-4 round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-12 window: the 16 hash-exact
