@@ -3292,10 +3292,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return containment_pairs(corpus, prs, threshold=0.5)
 
+    def trending_types_events(spark, sf):  # per-cycle change view (round 12)
+        from vectordb_watermark_spark.operators.analytics import trending_types
+
+        return trending_types(_t(spark, sf, "events"), granularity="day")
+
+    def stickiness_events(spark, sf):  # DAU/WAU engagement (round 12)
+        from vectordb_watermark_spark.operators.analytics import stickiness
+
+        return stickiness(_t(spark, sf, "events"), window_days=7)
+
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 178 gate
-    # entries (173 oracled) and a 50-slot window every oracle has a
+    # recomposed so the LEAST-recently-verified oracles lead — with 180 gate
+    # entries (175 oracled) and a 50-slot window every oracle has a
     # driver-green row within a 3-4 round
     # period (the full local tools/check_oracle.py run covers every oracle every
     # round regardless of window position).  Round-12 window: the 16 hash-exact
@@ -3494,6 +3504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_kmv_docs": stream_kmv_docs,
         "stream_rates_events": stream_rates_events,
         "containment_docs": containment_docs,
+        "trending_types_events": trending_types_events,
+        "stickiness_events": stickiness_events,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
@@ -5853,6 +5865,45 @@ SELECT node, pr FROM p3""",
             )
             SELECT a, b, cont_a_in_b, cont_b_in_a, jaccard FROM scored
             WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5""",
+        "trending_types_events": """
+            WITH counts AS (
+              SELECT date_trunc('day', ts) AS b, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            lagd AS (
+              SELECT CAST(CAST(b AS DATE) AS VARCHAR) AS bucket, event_type,
+                     CAST(n AS BIGINT) AS n,
+                     CAST(lag(n) OVER (
+                       PARTITION BY event_type ORDER BY b
+                     ) AS BIGINT) AS prev_n
+              FROM counts
+            )
+            SELECT bucket, event_type, n, prev_n,
+                   CASE WHEN prev_n > 0 THEN
+                     CAST(floor(CAST(n AS DOUBLE) / prev_n * 1000000.0 + 0.5)
+                          AS BIGINT)
+                   END AS growth_ppm
+            FROM lagd""",
+        "stickiness_events": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('day', ts) AS DATE) AS d
+              FROM events
+            ),
+            dau AS (SELECT d, count(DISTINCT u) AS dau FROM ud GROUP BY d),
+            days AS (SELECT DISTINCT d FROM ud),
+            trail AS (
+              SELECT x.d, count(DISTINCT y.u) AS wau
+              FROM days x JOIN ud y
+                ON y.d <= x.d AND date_diff('day', y.d, x.d) < 7
+              GROUP BY x.d
+            )
+            SELECT CAST(dau.d AS VARCHAR) AS day,
+                   CAST(dau.dau AS BIGINT) AS dau,
+                   CAST(t.wau AS BIGINT) AS wau,
+                   CAST(floor(CAST(dau.dau AS DOUBLE) / t.wau * 1000000.0
+                              + 0.5) AS BIGINT) AS stickiness_ppm
+            FROM dau JOIN trail t ON dau.d = t.d""",
         "rm3_docs": f"""
             WITH d AS (SELECT doc_id AS id, {T.sql_tokens('text')} AS ts FROM documents),
             docs AS (SELECT id, len(ts) AS dl FROM d),

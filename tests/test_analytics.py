@@ -987,3 +987,46 @@ def test_incremental_rates_granularity_pinned(spark, tmp_path):
     with pytest.raises(ValueError, match="granularity"):
         ingest_rate_batch(df, store, 1, granularity="day")
     ingest_rate_batch(df, store, 1, granularity="hour")  # matching is fine
+
+
+def test_trending_types(spark):
+    from vectordb_watermark_spark.operators.analytics import trending_types
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1), 1, "a"), (1, dt.datetime(2024, 1, 1), 1, "a"),
+        (2, dt.datetime(2024, 1, 2), 1, "a"), (3, dt.datetime(2024, 1, 2), 1, "a"),
+        (4, dt.datetime(2024, 1, 2), 1, "a"), (5, dt.datetime(2024, 1, 2), 1, "a"),
+        (6, dt.datetime(2024, 1, 2), 1, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {(r["bucket"], r["event_type"]): r for r in trending_types(ev).collect()}
+    assert out[("2024-01-01", "a")]["prev_n"] is None
+    r = out[("2024-01-02", "a")]
+    assert (r["n"], r["prev_n"], r["growth_ppm"]) == (4, 2, 2000000)
+    assert out[("2024-01-02", "b")]["growth_ppm"] is None
+
+
+def test_stickiness(spark):
+    from vectordb_watermark_spark.operators.analytics import stickiness
+
+    rows = []
+    eid = 0
+    # users 1..3 active day 1; only user 1 active days 2..3
+    for d, users in [(1, [1, 2, 3]), (2, [1]), (3, [1])]:
+        for u in users:
+            rows.append((eid, dt.datetime(2024, 1, d), u, "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["day"]: r for r in stickiness(ev, window_days=7).collect()}
+    assert (out["2024-01-01"]["dau"], out["2024-01-01"]["wau"]) == (3, 3)
+    assert (out["2024-01-03"]["dau"], out["2024-01-03"]["wau"]) == (1, 3)
+    assert out["2024-01-03"]["stickiness_ppm"] == 333333
+    # a 1-day window makes stickiness identically 1
+    one = stickiness(ev, window_days=1).collect()
+    assert all(r["stickiness_ppm"] == 1000000 for r in one)
+    with pytest.raises(ValueError, match="window_days"):
+        stickiness(ev, window_days=0)

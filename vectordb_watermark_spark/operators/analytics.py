@@ -59,6 +59,8 @@ __all__ = [
     "funnel_timing",
     "roc_auc_by",
     "class_margins",
+    "trending_types",
+    "stickiness",
 ]
 
 
@@ -768,5 +770,93 @@ def class_margins(
             F.col("la").alias("label"), "n", "centroid_norm",
             F.col("lb").alias("nearest_label"),
             F.col("cos").alias("nearest_cos"),
+        )
+    )
+
+
+def trending_types(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    granularity: str = "day",
+) -> DataFrame:
+    """Per-bucket type trend -> ``(bucket, event_type, n, prev_n,
+    growth_ppm)``: each event type's count per time bucket with its
+    previous-bucket count and growth ratio in ppm
+    (``floor(n / prev_n * 1e6 + 0.5)``; NULL when the type has no
+    previous bucket).  The "what changed in this crawl/ingest cycle"
+    view.  One event-volume groupBy; the lag window partitions by type
+    over bucket-scale rows.
+    """
+    counts = events.groupBy(
+        F.date_trunc(granularity, F.col(ts_col)).alias("b"),
+        F.col(type_col).alias("event_type"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("b")
+    # day-or-coarser buckets surface as ISO dates (cross-engine string
+    # parity); finer granules keep the full timestamp
+    bucket = (
+        F.col("b").cast("date").cast("string")
+        if granularity in ("day", "week", "month")
+        else F.col("b").cast("string")
+    )
+    return counts.select(
+        bucket.alias("bucket"),
+        "event_type",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+    ).select(
+        "bucket", "event_type", "n", "prev_n",
+        F.when(
+            F.col("prev_n") > 0,
+            F.floor(
+                F.col("n").cast("double") / F.col("prev_n") * 1000000.0 + 0.5
+            ).cast("long"),
+        ).alias("growth_ppm"),
+    )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Engagement stickiness -> per day ``(day, dau, wau,
+    stickiness_ppm)``: distinct daily actives over distinct actives in
+    the TRAILING ``window_days`` window (DAU/WAU for the default 7) —
+    the standard ratio separating habitual usage from drive-by traffic
+    (for a data pipeline: how concentrated contributor/source activity
+    is).
+
+    Shapes: events reduce to distinct (user, day) once; the trailing
+    union is a banded self-join of that DAY-GRANULAR table against the
+    day list (window_days fan-out on day-scale rows, never events).
+    The ratio is ppm-floored — deterministic cross-engine.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    ud = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("d"),
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count_distinct("u").alias("dau"))
+    days = ud.select("d").distinct()
+    trailing = days.alias("x").join(
+        ud.alias("y"),
+        (F.col("y.d") <= F.col("x.d"))
+        & (F.datediff(F.col("x.d"), F.col("y.d")) < window_days),
+    ).groupBy(F.col("x.d").alias("d")).agg(
+        F.count_distinct("y.u").alias("wau")
+    )
+    return (
+        dau.join(trailing, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.floor(
+                F.col("dau").cast("double") / F.col("wau") * 1000000.0 + 0.5
+            ).cast("long").alias("stickiness_ppm"),
         )
     )
