@@ -3305,79 +3305,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
     # recomposed so the LEAST-recently-verified oracles lead — with 180 gate
-    # entries (175 oracled) and a 50-slot window every oracle has a
-    # driver-green row within a 3-4 round
-    # period (the full local tools/check_oracle.py run covers every oracle every
-    # round regardless of window position).  Round-12 window: the 16 hash-exact
-    # round-11 additions lead (never driver-gated; judge-green in the r11
-    # check_oracle re-run), then the r9 remainder deferred out of the round-11
-    # window (18 rows), then the first 16 rows of the round-10-verified block
-    # (CORRECTNESS_r10.json order).  Below the line: the r10 remainder, then
-    # the round-11 window (most recently driver-verified,
-    # CORRECTNESS_r11.json), then oracles new in round 12 (lead the r13
-    # rotation).  Zero overlap with r11's 50.  The 5 rows-only entries stay at
-    # the very bottom permanently: in-window they record only a weak rows-only
-    # check, and their contracts are pinned by the hash-verified contract rows
+    # entries (175 oracled) and a 50-slot window the honest guarantee is a
+    # FOUR-round period (ceil(175/50) = 4; the full local
+    # tools/check_oracle.py run covers every oracle every round regardless of
+    # window position, so a regression is still caught same-round — the window
+    # only bounds how stale the INDEPENDENT driver evidence can get).
+    # Round-13 window: the r10 remainder (34 rows, token_heavy_hitters …
+    # events_type_rollup — driver-green in r10, never re-gated since) leads,
+    # followed by the first 16 round-12 additions (bm25_index_docs …
+    # expectations_docs — never driver-gated; judge-green in the r12
+    # check_oracle re-run).  Below the line, least-recently-verified first:
+    # the remaining 25 round-12 additions plus oracles new in round 13 (lead
+    # the r14 rotation), then the round-11 window block (driver-green r11),
+    # then the round-12 window block (driver-green r12, most recent).  Zero
+    # overlap with r12's 50.  The 5 rows-only entries stay at the very bottom
+    # permanently: in-window they record only a weak rows-only check, and
+    # their contracts are pinned by the hash-verified contract rows
     # (knn_lsh_recall, ivf_recall, lsh_recall, pca_invariants,
     # lsh_edges_exactness; BPE by tests/test_tokenizer.py) — standing
     # rationale recorded in COVERAGE.md.
     return {
-        # -- r12 window head: round-11 additions, never driver-gated --
-        "pq_tagged_contract": pq_tagged_contract,
-        "ann_delete_contract": ann_delete_contract,
-        "group_split_docs": group_split_docs,
-        "opq_contract": opq_contract,
-        "whitening_contract": whitening_contract,
-        "knn_pagerank": knn_pagerank,
-        "audio_spectral_contract": audio_spectral_contract,
-        "embedding_binarize": embedding_binarize,
-        "zorder_contract": zorder_contract,
-        "neardup_safe_split": neardup_safe_split,
-        "group_kfold_docs": group_kfold_docs,
-        "bm25_docs": bm25_docs,
-        "hybrid_rag_fusion": hybrid_rag_fusion,
-        "fuzzy_token_join": fuzzy_token_join,
-        "hamming_topk_q": hamming_topk_q,
-        "hamming_topk_batch_q": hamming_topk_batch_q,
-        # -- r12 window: r9 remainder deferred out of the round-11 window --
-        "doc_embeddings": doc_embeddings,
-        "curation_keep_best": curation_keep_best,
-        "dedup_jaccard_pairs": dedup_jaccard_pairs,
-        "dedup_simhash": dedup_simhash,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "text_stats": text_stats,
-        "lang_id": lang_id,
-        "doc_fingerprints": doc_fingerprints,
-        "ann_topk_cosine": ann_topk_cosine,
-        "cosine_neardup": cosine_neardup,
-        "events_sessionize": events_sessionize,
-        "media_metadata": media_metadata,
-        "carriers_by_threshold": carriers_by_threshold,
-        "pairwise_viz_stats": pairwise_viz_stats,
-        "knn_lsh_recall": knn_lsh_recall,
-        "point_lookup": point_lookup,
-        "vector_scan": vector_scan,
-        "vector_stats": vector_stats,
-        # -- r12 window tail: first 16 of the round-10-verified block --
-        "vector_mean": vector_mean,
-        "knn_degrees": knn_degrees,
-        "gated_degrees": gated_degrees,
-        "degree_histogram": degree_histogram,
-        "carrier_selection": carrier_selection,
-        "topk_degree_pool": topk_degree_pool,
-        "crc4_table": crc4_table,
-        "majority_vote_events": majority_vote_events,
-        "robust_vote_events": robust_vote_events,
-        "sample_keyed": sample_keyed,
-        "sample_stratified": sample_stratified,
-        "pca_invariants": pca_invariants,
-        "lsh_edges_exactness": lsh_edges_exactness,
-        "dedup_minhash_agree": dedup_minhash_agree,
-        "rag_pipeline": rag_pipeline,
-        "ivf_drift_contract": ivf_drift_contract,
-        # ---- 50-query window line ------------------------------------------
-        # -- r10 remainder (deferred to the round-13 window; stay green in the
-        # -- full local check_oracle run every round) --
+        # -- r13 window head: r10 remainder (driver-green r10, stalest) --
         "token_heavy_hitters": token_heavy_hitters,
         "dup_ngram_spans": dup_ngram_spans,
         "span_scrubbed_docs": span_scrubbed_docs,
@@ -3412,6 +3360,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hourly": events_hourly,
         "events_type_rollup": events_type_rollup,
+        # -- r13 window tail: first 16 round-12 additions (never driver-gated) --
+        "bm25_index_docs": bm25_index_docs,
+        "bm25_stream_docs": bm25_stream_docs,
+        "semantic_decontam": semantic_decontam,
+        "profile_docs": profile_docs,
+        "knn_pagerank_weighted": knn_pagerank_weighted,
+        "stream_components_docs": stream_components_docs,
+        "line_scrub_docs": line_scrub_docs,
+        "audio_neardup_pipeline": audio_neardup_pipeline,
+        "funnel_events": funnel_events,
+        "retention_cohorts_events": retention_cohorts_events,
+        "event_transitions_q": event_transitions_q,
+        "ndcg_eval_q": ndcg_eval_q,
+        "roc_auc_events": roc_auc_events,
+        "psi_drift_embeddings": psi_drift_embeddings,
+        "triangle_count_knn": triangle_count_knn,
+        "expectations_docs": expectations_docs,
+        # ---- 50-query window line ------------------------------------------
+        # -- remaining round-12 additions (never driver-gated; lead the r14
+        # -- rotation together with oracles new in round 13; stay green in the
+        # -- full local check_oracle run every round) --
+        "calibration_events": calibration_events,
+        "ece_events": ece_events,
+        "key_skew_lineitem": key_skew_lineitem,
+        "rm3_docs": rm3_docs,
+        "mmr_contract": mmr_contract,
+        "stream_transitions_events": stream_transitions_events,
+        "ann_ndcg_eval": ann_ndcg_eval,
+        "compact_contract": compact_contract,
+        "session_funnel_events": session_funnel_events,
+        "rate_anomalies_events": rate_anomalies_events,
+        "funnel_window_events": funnel_window_events,
+        "join_cardinality_q": join_cardinality_q,
+        "ref_integrity_q": ref_integrity_q,
+        "table_diff_q": table_diff_q,
+        "funnel_timing_events": funnel_timing_events,
+        "rebalance_classes_q": rebalance_classes_q,
+        "stream_psi_embeddings": stream_psi_embeddings,
+        "roc_auc_by_events": roc_auc_by_events,
+        "class_margins_q": class_margins_q,
+        "k_core_q": k_core_q,
+        "stream_kmv_docs": stream_kmv_docs,
+        "stream_rates_events": stream_rates_events,
+        "containment_docs": containment_docs,
+        "trending_types_events": trending_types_events,
+        "stickiness_events": stickiness_events,
         # -- r11 window (driver-green in round 11, CORRECTNESS_r11.json) --
         "events_cube": events_cube,
         "set_ops_users": set_ops_users,
@@ -3463,49 +3457,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": top_tokens,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "crawl_dedup_join": crawl_dedup_join,
-        # -- new in round 12 (below the driver window; full-green locally via
-        # -- tools/check_oracle.py, leads the round-13 rotation) --
-        "bm25_index_docs": bm25_index_docs,
-        "bm25_stream_docs": bm25_stream_docs,
-        "semantic_decontam": semantic_decontam,
-        "profile_docs": profile_docs,
-        "knn_pagerank_weighted": knn_pagerank_weighted,
-        "stream_components_docs": stream_components_docs,
-        "line_scrub_docs": line_scrub_docs,
-        "audio_neardup_pipeline": audio_neardup_pipeline,
-        "funnel_events": funnel_events,
-        "retention_cohorts_events": retention_cohorts_events,
-        "event_transitions_q": event_transitions_q,
-        "ndcg_eval_q": ndcg_eval_q,
-        "roc_auc_events": roc_auc_events,
-        "psi_drift_embeddings": psi_drift_embeddings,
-        "triangle_count_knn": triangle_count_knn,
-        "expectations_docs": expectations_docs,
-        "calibration_events": calibration_events,
-        "ece_events": ece_events,
-        "key_skew_lineitem": key_skew_lineitem,
-        "rm3_docs": rm3_docs,
-        "mmr_contract": mmr_contract,
-        "stream_transitions_events": stream_transitions_events,
-        "ann_ndcg_eval": ann_ndcg_eval,
-        "compact_contract": compact_contract,
-        "session_funnel_events": session_funnel_events,
-        "rate_anomalies_events": rate_anomalies_events,
-        "funnel_window_events": funnel_window_events,
-        "join_cardinality_q": join_cardinality_q,
-        "ref_integrity_q": ref_integrity_q,
-        "table_diff_q": table_diff_q,
-        "funnel_timing_events": funnel_timing_events,
-        "rebalance_classes_q": rebalance_classes_q,
-        "stream_psi_embeddings": stream_psi_embeddings,
-        "roc_auc_by_events": roc_auc_by_events,
-        "class_margins_q": class_margins_q,
-        "k_core_q": k_core_q,
-        "stream_kmv_docs": stream_kmv_docs,
-        "stream_rates_events": stream_rates_events,
-        "containment_docs": containment_docs,
-        "trending_types_events": trending_types_events,
-        "stickiness_events": stickiness_events,
+        # -- r12 window (driver-green in round 12, CORRECTNESS_r12.json —
+        # -- most recently independently verified, so rotates last) --
+        "pq_tagged_contract": pq_tagged_contract,
+        "ann_delete_contract": ann_delete_contract,
+        "group_split_docs": group_split_docs,
+        "opq_contract": opq_contract,
+        "whitening_contract": whitening_contract,
+        "knn_pagerank": knn_pagerank,
+        "audio_spectral_contract": audio_spectral_contract,
+        "embedding_binarize": embedding_binarize,
+        "zorder_contract": zorder_contract,
+        "neardup_safe_split": neardup_safe_split,
+        "group_kfold_docs": group_kfold_docs,
+        "bm25_docs": bm25_docs,
+        "hybrid_rag_fusion": hybrid_rag_fusion,
+        "fuzzy_token_join": fuzzy_token_join,
+        "hamming_topk_q": hamming_topk_q,
+        "hamming_topk_batch_q": hamming_topk_batch_q,
+        "doc_embeddings": doc_embeddings,
+        "curation_keep_best": curation_keep_best,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_stats": text_stats,
+        "lang_id": lang_id,
+        "doc_fingerprints": doc_fingerprints,
+        "ann_topk_cosine": ann_topk_cosine,
+        "cosine_neardup": cosine_neardup,
+        "events_sessionize": events_sessionize,
+        "media_metadata": media_metadata,
+        "carriers_by_threshold": carriers_by_threshold,
+        "pairwise_viz_stats": pairwise_viz_stats,
+        "knn_lsh_recall": knn_lsh_recall,
+        "point_lookup": point_lookup,
+        "vector_scan": vector_scan,
+        "vector_stats": vector_stats,
+        "vector_mean": vector_mean,
+        "knn_degrees": knn_degrees,
+        "gated_degrees": gated_degrees,
+        "degree_histogram": degree_histogram,
+        "carrier_selection": carrier_selection,
+        "topk_degree_pool": topk_degree_pool,
+        "crc4_table": crc4_table,
+        "majority_vote_events": majority_vote_events,
+        "robust_vote_events": robust_vote_events,
+        "sample_keyed": sample_keyed,
+        "sample_stratified": sample_stratified,
+        "pca_invariants": pca_invariants,
+        "lsh_edges_exactness": lsh_edges_exactness,
+        "dedup_minhash_agree": dedup_minhash_agree,
+        "rag_pipeline": rag_pipeline,
+        "ivf_drift_contract": ivf_drift_contract,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
         # -- above and by ivf_recall/lsh_recall/knn_lsh_recall) --
         "pca_projection": pca_projection,
