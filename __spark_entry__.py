@@ -3292,6 +3292,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return containment_pairs(corpus, prs, threshold=0.5)
 
+    def containment_rare_shingle(spark, sf):  # excerpt discovery (round 13)
+        # VERDICT r12 #3: containment_pairs' default MinHash-banded
+        # candidates inherit Jaccard's recall geometry, so the asymmetric
+        # excerpt-in-long-doc pairs the measure exists for essentially
+        # never surface.  Plant a 20-token excerpt sliced out of a
+        # 100x-longer 2000-token host (pair Jaccard = 20/2000 = 0.01); the
+        # band path yields ZERO candidates for it (pinned by
+        # tests/test_dedup_text_similarity.py), while the shared-rare-
+        # shingle join recovers it exactly.  Base docs ride along to prove
+        # discovery also runs over real text.
+        from vectordb_watermark_spark.functions.text import tokens
+        from vectordb_watermark_spark.operators.dedup import containment_pairs
+
+        base = _docs(spark, sf).select("doc_id", "text").filter(
+            F.col("doc_id") < 240
+        )
+        host_text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(2000)),
+                lambda i: F.concat(F.lit("w"), F.lpad(i.cast("string"), 4, "0")),
+            ),
+            " ",
+        )
+        host = spark.range(1).select(
+            F.lit(9000001).cast("long").alias("doc_id"), host_text.alias("text")
+        )
+        exc = host.select(
+            F.lit(9000002).cast("long").alias("doc_id"),
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 41, 20)).alias("text"),
+        )
+        corpus = base.unionByName(host).unionByName(exc)
+        return containment_pairs(corpus, threshold=0.9, candidates="rare_shingle")
+
     def trending_types_events(spark, sf):  # per-cycle change view (round 12)
         from vectordb_watermark_spark.operators.analytics import trending_types
 
@@ -3406,6 +3439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_docs": containment_docs,
         "trending_types_events": trending_types_events,
         "stickiness_events": stickiness_events,
+        # -- new in round 13 (below the driver window; full-green locally via
+        # -- tools/check_oracle.py, leads the round-14 rotation) --
+        "containment_rare_shingle": containment_rare_shingle,
         # -- r11 window (driver-green in round 11, CORRECTNESS_r11.json) --
         "events_cube": events_cube,
         "set_ops_users": set_ops_users,
@@ -5868,6 +5904,61 @@ SELECT node, pr FROM p3""",
             )
             SELECT a, b, cont_a_in_b, cont_b_in_a, jaccard FROM scored
             WHERE cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5""",
+        # full rare-shingle DISCOVERY chain recomputed in SQL: 8-token
+        # shingles -> document-frequency cut (2..5) -> shared-shingle join
+        # -> containment verify (operators/dedup.rare_shingle_candidates)
+        "containment_rare_shingle": f"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 240
+            ),
+            host AS (
+              SELECT CAST(9000001 AS BIGINT) AS doc_id,
+                     array_to_string(
+                       list_transform(generate_series(1, 2000),
+                                      i -> 'w' || lpad(CAST(i AS VARCHAR), 4, '0')),
+                       ' ') AS text
+            ),
+            exc AS (
+              SELECT CAST(9000002 AS BIGINT) AS doc_id,
+                     array_to_string(({T.sql_tokens('text')})[41:60], ' ') AS text
+              FROM host
+            ),
+            corpus AS (
+              SELECT doc_id, text FROM base
+              UNION ALL SELECT doc_id, text FROM host
+              UNION ALL SELECT doc_id, text FROM exc
+            ),
+            tk AS (SELECT doc_id, {toks} AS l FROM corpus),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(l[i:i+7], ' ') AS g
+              FROM tk, LATERAL unnest(generate_series(1, len(l) - 7)) AS t(i)
+              WHERE len(l) >= 8
+            ),
+            rare AS (
+              SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 5
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM grams x JOIN rare r ON x.g = r.g JOIN grams y ON y.g = r.g
+              WHERE x.doc_id < y.doc_id
+            ),
+            ts AS (SELECT doc_id, {toks_set} AS toks FROM corpus),
+            scored AS (
+              SELECT c.a, c.b,
+                     round(CASE WHEN len(x.toks) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(x.toks) ELSE 0.0 END, 6) AS cont_a_in_b,
+                     round(CASE WHEN len(y.toks) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(y.toks) ELSE 0.0 END, 6) AS cont_b_in_a,
+                     round(CASE WHEN len(list_distinct(x.toks || y.toks)) > 0
+                           THEN CAST(len(list_intersect(x.toks, y.toks)) AS DOUBLE)
+                                / len(list_distinct(x.toks || y.toks))
+                           ELSE 0.0 END, 6) AS jaccard
+              FROM cand c JOIN ts x ON c.a = x.doc_id JOIN ts y ON c.b = y.doc_id
+            )
+            SELECT a, b, cont_a_in_b, cont_b_in_a, jaccard FROM scored
+            WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9""",
         "trending_types_events": """
             WITH counts AS (
               SELECT date_trunc('day', ts) AS b, event_type, count(*) AS n

@@ -1355,8 +1355,19 @@ def _doc_ngrams(
     lowercase whitespace tokens.  Pure Catalyst: ``transform`` over a
     ``sequence`` of start offsets + ``slice`` — no UDF, no shuffle.  Docs
     shorter than ``n`` tokens emit nothing (guarded: Spark's ``sequence``
-    DESCENDS when start > stop, so the branch is required, not cosmetic)."""
-    toks = tokens(F.lower(F.col(text_col)))
+    DESCENDS when start > stop, so the branch is required, not cosmetic).
+
+    The token array is BOUND ONCE in a projection before the lambda:
+    higher-order functions are interpreted (CodegenFallback), and any
+    expression inside the lambda body re-evaluates per element — with the
+    regex tokenization inline, an n-token document re-tokenized itself n
+    times (O(n^2) in document length; measured 129 s -> 21 s on the
+    containment A/B corpus whose planted hosts are 2 000 tokens long)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -1366,7 +1377,7 @@ def _doc_ngrams(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("s")).select(
+    return base.select("id", F.explode(grams).alias("s")).select(
         "id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")
     )
 
@@ -1699,6 +1710,70 @@ def scrub_repeated_lines(
     )
 
 
+def rare_shingle_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    max_df: int = 5,
+) -> DataFrame:
+    """``(a, b)`` candidate pairs sharing at least one RARE ``shingle_k``-token
+    shingle — the containment-recall candidate source MinHash banding
+    structurally lacks.
+
+    A banded-MinHash candidate collides only at Jaccard ≳ the band
+    S-curve threshold, so an excerpt quoted inside a 100x longer document
+    (Jaccard ~0.01, containment ~1.0) essentially never surfaces.  But the
+    excerpt shares its exact token-shingle SEQUENCE with the host, and a
+    shingle that is rare corpus-wide (document frequency between 2 and
+    ``max_df``) pins the pair directly — the low-DF prefix-filtering idea
+    from the set-similarity-join literature (PPJoin/AllPairs family),
+    applied to w-shingles (Broder 1997) instead of set prefixes.
+
+    Scale shape: distinct ``(id, shingle)`` is one shuffle; the DF tally a
+    second; the final equi-join on the shingle key has fan-out bounded by
+    ``max_df`` per key, so at most ``C(max_df, 2)`` pairs per shingle —
+    never all-pairs, and common boilerplate shingles (DF > ``max_df``)
+    are dropped before the join rather than exploding it.  Raising
+    ``max_df`` trades candidate volume for recall of many-way copies.
+
+    Tokenization is the oracle-pinned lowercase-whitespace projection
+    (:func:`_doc_ngrams`), so a DuckDB twin reproduces candidates exactly.
+    """
+    if shingle_k < 2:
+        raise ValueError("shingle_k must be >= 2 (unigrams are not shingles)")
+    if max_df < 2:
+        raise ValueError("max_df must be >= 2 (a DF-1 shingle pins no pair)")
+    # grams is referenced by BOTH the DF tally and the key join, and rare by
+    # both sides of the pair join — persist through the module's bounded LRU
+    # (same ownership contract as the minhash signature groups) so one
+    # action does not tokenize+explode the corpus four times.  The DF cut
+    # stays a groupBy+join (NOT a window count over g): partial aggregation
+    # collapses hot boilerplate shingles map-side, where a window would
+    # shuffle every occurrence of a hot key to one partition.
+    grams = (
+        _doc_ngrams(df, id_col, text_col, shingle_k)
+        .select("id", "g")
+        .distinct()
+        .persist()
+    )
+    rare = grams.join(
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("g"),
+        "g",
+    ).persist()
+    pairs = (
+        rare.select("g", F.col("id").alias("a"))
+        .join(rare.select("g", F.col("id").alias("b")), "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return _register_caches(pairs, grams, rare)
+
+
 def containment_pairs(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -1707,6 +1782,9 @@ def containment_pairs(
     threshold: float = 0.8,
     auto_rows: int | None = JACCARD_AUTO_ROWS,
     total: int | None = None,
+    candidates: str = "minhash",
+    shingle_k: int = 8,
+    max_df: int = 5,
 ) -> DataFrame:
     """Asymmetric token-set CONTAINMENT for candidate pairs ->
     ``(a, b, cont_a_in_b, cont_b_in_a, jaccard)``, kept when EITHER
@@ -1719,14 +1797,24 @@ def containment_pairs(
     the duplication that leaks.  Broder's containment companion to the
     resemblance the MinHash stack estimates.
 
-    Same shapes and candidate discipline as :func:`jaccard_pairs`
-    (``pairs=None`` auto-routes through the banded MinHash candidates
-    above ``auto_rows``; note MinHash bands recall JACCARD-similar
-    pairs — for strongly asymmetric sizes pass candidates from a
-    dedicated source, e.g. a shared-rare-shingle join, since a 0.01-
-    Jaccard containment pair rarely collides in a band).  All three
-    scores are 6-dp rounded once, like the shared Jaccard expression.
+    Same shapes and candidate discipline as :func:`jaccard_pairs` when
+    ``candidates="minhash"`` (``pairs=None`` auto-routes through the
+    banded MinHash candidates above ``auto_rows`` — recalls
+    JACCARD-similar pairs only).  ``candidates="rare_shingle"`` routes
+    ``pairs=None`` through :func:`rare_shingle_candidates` instead — the
+    discovery path built FOR the asymmetric excerpt-in-long-doc pairs
+    this measure exists for, which a 0.01-Jaccard pair's band collision
+    essentially never surfaces (measured: the planted-excerpt contract in
+    the gate has ZERO band candidates for the excerpt↔host pair; the
+    rare-shingle path recovers it exactly).  All three scores are 6-dp
+    rounded once, like the shared Jaccard expression.
     """
+    if candidates not in ("minhash", "rare_shingle"):
+        raise ValueError(f"unknown candidate source {candidates!r}")
+    if pairs is None and candidates == "rare_shingle":
+        pairs = rare_shingle_candidates(
+            df, id_col, text_col, shingle_k=shingle_k, max_df=max_df
+        )
     pairs = _auto_candidates(
         df, pairs, id_col, text_col, auto_rows, total, threshold=0.0,
         min_agree=None,
