@@ -91,6 +91,69 @@ def main() -> None:
     out["skew_sec"] = round(time.time() - t0, 2)
     out["skew_ratio_ppm"] = ks["skew_ratio_ppm"]
 
+    # --- round-13 additions (VERDICT r12 #5): the r12 analytics ops not
+    # --- yet probed at the 5M-event scale --------------------------------
+    from vectordb_watermark_spark.operators.analytics import (
+        funnel_timing,
+        roc_auc_by,
+        stickiness,
+        trending_types,
+    )
+
+    t0 = time.time()
+    tt = trending_types(ev, granularity="day").collect()
+    out["trending_sec"] = round(time.time() - t0, 2)
+    out["trending_rows"] = len(tt)
+
+    t0 = time.time()
+    st = stickiness(ev, window_days=7).collect()
+    out["stickiness_sec"] = round(time.time() - t0, 2)
+    out["stickiness_days"] = len(st)
+
+    t0 = time.time()
+    ab = roc_auc_by(
+        ev.select(
+            "event_type",
+            F.when(F.col("value") > 50, 1).otherwise(0).alias("label"),
+            F.floor(F.col("value") * 10 + 0.5).cast("long").alias("score"),
+        ),
+        slice_col="event_type",
+    ).collect()
+    out["auc_by_sec"] = round(time.time() - t0, 2)
+    out["auc_by_slices"] = len(ab)
+
+    t0 = time.time()
+    ft = funnel_timing(
+        # integer event time (epoch ns) — the contract funnel_timing pins
+        ev.withColumn(
+            "ts_ns", (F.unix_timestamp("ts") * F.lit(1_000_000_000)).cast("long")
+        ),
+        ["view", "click", "purchase"],
+        ts_col="ts_ns",
+    ).collect()
+    out["funnel_timing_sec"] = round(time.time() - t0, 2)
+    out["funnel_timing_rows"] = len(ft)
+
+    # within-session funnel: gap-sessionize (lag + cumsum per user), then
+    # the same funnel operator keyed on the composite (user, session)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = ev.withColumn(
+        "gap", F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ).withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+        ).over(w),
+    )
+    t0 = time.time()
+    sf_ = funnel(
+        sess, ["view", "click", "purchase"], user_col=["user_id", "session_id"]
+    ).collect()
+    out["session_funnel_sec"] = round(time.time() - t0, 2)
+    out["session_funnel_rows"] = {r["step_type"]: r["n_users"] for r in sf_}
+
     from vectordb_watermark_spark.operators.analytics import rate_anomalies
     from vectordb_watermark_spark.operators.partitioning import join_cardinality
 
