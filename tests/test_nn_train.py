@@ -122,6 +122,54 @@ def test_schedule_and_adam_shapes():
     assert state["w"].shape == (3, 3) and (state["w"] < 1.0).all()
 
 
+def test_warm_start_resumes_from_checkpoint():
+    """init_state (round 13): epochs=0 is an identity pass-through of the
+    provided weights (the plumbing contract), a warm start begins near the
+    donor's quality instead of chance, and a mismatched layout is rejected
+    before any training."""
+    import pytest
+
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((1500, 64))
+    a = train_reference_codec(X, epochs=6, batch_size=256, seed=3, msg_len=8)
+
+    b0 = train_reference_codec(
+        X, epochs=0, batch_size=256, seed=4, msg_len=8, init_state=a["ckpt"]
+    )
+    for part in ("enc", "dec"):
+        for k, v in a["ckpt"][part].items():
+            assert np.array_equal(b0["ckpt"][part][k], v), (part, k)
+
+    b = train_reference_codec(
+        X, epochs=2, batch_size=256, seed=4, msg_len=8, init_state=a["ckpt"]
+    )
+    # resumes near the donor's quality, not from chance (0.5); generous
+    # margin for the fresh noise/delta schedule restart
+    assert b["history"][0]["val_ber"] < a["best_val_ber"] + 0.05
+
+    with pytest.raises(ValueError):
+        train_reference_codec(
+            X, epochs=1, msg_len=8,
+            init_state={"enc": {}, "dec": {}},
+        )
+
+    # delta_growth=False pins training AND validation to the base delta —
+    # the deploy-calibrated polish mode (the reference's in-training ramp
+    # is a train/infer mismatch: state_dict carries no delta_scale)
+    from vectordb_watermark_spark.plans.codec import adaptive_model_params
+
+    fixed = train_reference_codec(
+        X, epochs=3, batch_size=256, seed=5, msg_len=8,
+        init_state=a["ckpt"], delta_growth=False,
+    )
+    base = adaptive_model_params(64, 8)["delta_scale"]
+    assert all(h["delta_scale"] == base for h in fixed["history"])
+    ramped = train_reference_codec(
+        X, epochs=3, batch_size=256, seed=5, msg_len=8, init_state=a["ckpt"]
+    )
+    assert all(h["delta_scale"] > base for h in ramped["history"])
+
+
 def test_training_learns_and_checkpoint_roundtrips(tmp_path):
     """End-to-end: val BER drops from chance, the best checkpoint passes
     structural validation, saves to npz, and reloads through TorchCodec."""

@@ -456,6 +456,7 @@ class TorchCodec:
         if self._state is not None:
             return self._state
         path = str(self.checkpoint_path)
+        meta_delta = None
         if path.endswith(".npz"):
             # torch-free checkpoint twin: flat npz with enc/<key>, dec/<key>
             z = np.load(path)
@@ -464,6 +465,18 @@ class TorchCodec:
                 part, _, name = k.partition("/")
                 if part in ckpt and name:
                     ckpt[part][name] = z[k]
+                elif k == "meta/delta_scale":
+                    # engine extension the torch state_dict format cannot
+                    # express: the delta the best checkpoint was SELECTED at.
+                    # The reference trains with an in-run delta ramp
+                    # (trainer.py:300-302, up to 1.5x base) but re-derives
+                    # the adaptive BASE delta at inference (watermark.py:
+                    # 12-40) — a train/infer mismatch measured at 2.6x BER
+                    # degradation on the 256-d fixture (0.048 -> 0.127).
+                    # A carried calibration deploys the artifact at exactly
+                    # the conditions it was validated under; meta-less
+                    # checkpoints keep the reference behavior bit for bit.
+                    meta_delta = float(z[k])
         else:
             try:
                 import torch
@@ -482,6 +495,15 @@ class TorchCodec:
                 for part in ("enc", "dec")
             }
         self.params = validate_checkpoint(ckpt, self.dim, self.msg_len)
+        if meta_delta is not None:
+            # bounded by the trainer's own ramp cap — reject corrupt meta
+            base = adaptive_model_params(self.dim, self.msg_len)["delta_scale"]
+            if not (0.0 < meta_delta <= 1.5 * base + 1e-12):
+                raise ValueError(
+                    f"meta/delta_scale {meta_delta} outside (0, 1.5*base] "
+                    f"for dim {self.dim} (base {base})"
+                )
+            self.params = {**self.params, "delta_scale": meta_delta}
         self._state = {
             part: {k: np.asarray(v, dtype=np.float64) for k, v in ckpt[part].items()}
             for part in ("enc", "dec")
