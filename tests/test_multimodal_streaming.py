@@ -2554,3 +2554,72 @@ def test_incremental_components_cross_cluster_merge(spark, tmp_path):
         for r in resolve_components(spark, store).collect()
     }
     assert got_c == truth
+
+
+def test_incremental_shingles_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming rare-shingle containment (round 13): resolve ==
+    one-shot containment_pairs(candidates='rare_shingle') for ANY batch
+    split; a checkpoint-retried batch is idempotent; hot (boilerplate)
+    shingles are suppressed from future rows — the bounded-state lever."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordb_watermark_spark.operators.dedup import containment_pairs
+    from vectordb_watermark_spark.streaming.curation import (
+        ingest_shingles_batch,
+        resolve_containment_store,
+    )
+
+    host_toks = [f"w{i:04d}" for i in range(1, 401)]
+    host = " ".join(host_toks)
+    excerpt = " ".join(host_toks[40:60])
+    boiler = " ".join(f"b{j}" for j in range(12))  # 12-token boilerplate
+    rows = [(1, host), (2, excerpt)]
+    rows += [(100 + i, f"{boiler} uniq{i}a uniq{i}b uniq{i}c") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(store, splits):
+        for k, pred in enumerate(splits):
+            ingest_shingles_batch(docs.filter(pred), str(store), k)
+        return {
+            (r["a"], r["b"], r["cont_b_in_a"])
+            for r in resolve_containment_store(
+                spark, str(store), docs, threshold=0.9
+            ).collect()
+        }
+
+    want = {
+        (r["a"], r["b"], r["cont_b_in_a"])
+        for r in containment_pairs(
+            docs, threshold=0.9, candidates="rare_shingle"
+        ).collect()
+    }
+    assert want  # the planted excerpt pair is discoverable
+
+    got3 = run(tmp_path / "s3", [F.col("doc_id") % 3 == k for k in range(3)])
+    assert got3 == want
+    got2 = run(tmp_path / "s2", [F.col("doc_id") % 2 == k for k in range(2)])
+    assert got2 == want
+
+    # retry idempotence: re-ingest batch 1 of the 3-split store
+    ingest_shingles_batch(
+        docs.filter(F.col("doc_id") % 3 == 1), str(tmp_path / "s3"), 1
+    )
+    again = {
+        (r["a"], r["b"], r["cont_b_in_a"])
+        for r in resolve_containment_store(
+            spark, str(tmp_path / "s3"), docs, threshold=0.9
+        ).collect()
+    }
+    assert again == want
+
+    # bounded state: the 20-doc boilerplate shingle (df 20 > max_df 5)
+    # is hot-listed and suppressed — its rows stop accumulating
+    store_rows = spark.read.parquet(str(tmp_path / "s3" / "rows"))
+    bg = " ".join(f"b{j}" for j in range(8))  # the first 8-token boiler gram
+    n_boiler = store_rows.filter(F.col("g") == bg).count()
+    assert n_boiler <= 5 + 20 // 3 + 1  # <= max_df + one batch of rows
+
+    # config-drift pin: different (k, max_df) against the same store raises
+    with pytest.raises(ValueError):
+        ingest_shingles_batch(docs.limit(5), str(tmp_path / "s3"), 9, max_df=9)

@@ -2920,4 +2920,6 @@ SELECT node, pr FROM p3""",
     # additive counts: the streamed rate store resolves to exactly the
     # batch anomaly table — one twin for both
     out["stream_rates_events"] = out["rate_anomalies_events"]
+    # round 13: the rare-shingle store resolve equals the one-shot chain
+    out["stream_containment_docs"] = out["containment_rare_shingle"]
     return out

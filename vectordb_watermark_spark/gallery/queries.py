@@ -3277,6 +3277,55 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = base.unionByName(host).unionByName(exc)
         return containment_pairs(corpus, threshold=0.9, candidates="rare_shingle")
 
+    def stream_containment_docs(spark, sf):  # streaming twin (round 13)
+        # the containment_rare_shingle planted corpus INGESTED through the
+        # incremental rare-shingle store in 3 micro-batches (doc_id % 3 —
+        # DF is additive and hot-crossing monotone, so the split is
+        # arbitrary) must resolve hash-identically to the one-shot
+        # discovery chain — pinned by the SAME DuckDB oracle.
+        import os
+        import shutil
+
+        from vectordb_watermark_spark.functions.text import tokens
+        from vectordb_watermark_spark.streaming.curation import (
+            ingest_shingles_batch,
+            resolve_containment_store,
+        )
+
+        base = _docs(spark, sf).select("doc_id", "text").filter(
+            F.col("doc_id") < 240
+        )
+        host_text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(2000)),
+                lambda i: F.concat(F.lit("w"), F.lpad(i.cast("string"), 4, "0")),
+            ),
+            " ",
+        )
+        host = spark.range(1).select(
+            F.lit(9000001).cast("long").alias("doc_id"), host_text.alias("text")
+        )
+        exc = host.select(
+            F.lit(9000002).cast("long").alias("doc_id"),
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 41, 20)).alias("text"),
+        )
+        corpus = base.unionByName(host).unionByName(exc)
+
+        scratch = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".scratch"
+        )
+        os.makedirs(scratch, exist_ok=True)
+        store = os.path.join(
+            scratch, f"oracle_shingle_store_{os.path.basename(str(sf))}"
+        )
+        shutil.rmtree(store, ignore_errors=True)
+        for k in range(3):
+            ingest_shingles_batch(
+                corpus.filter(F.col("doc_id") % 3 == k), store, k
+            )
+        out = resolve_containment_store(spark, store, corpus, threshold=0.9)
+        return out
+
     def trending_types_events(spark, sf):  # per-cycle change view (round 12)
         from vectordb_watermark_spark.operators.analytics import trending_types
 
@@ -3395,6 +3444,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tools/check_oracle.py, leads the round-14 rotation) --
         "containment_rare_shingle": containment_rare_shingle,
         "learned_codec_eval": learned_codec_eval,
+        "stream_containment_docs": stream_containment_docs,
         # -- r11 window (driver-green in round 11, CORRECTNESS_r11.json) --
         "events_cube": events_cube,
         "set_ops_users": set_ops_users,

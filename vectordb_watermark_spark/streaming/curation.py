@@ -1494,3 +1494,190 @@ def resolve_rate_anomalies(
         .agg(F.sum("n").cast("long").alias("n"))
     )
     return anomalies_from_counts(counts, threshold=threshold)
+
+
+def _batch_dirs(spark, root: str, sub: str, exclude: int | None = None) -> list[str]:
+    """Existing ``{root}/{sub}/batch=stream-N`` directories, minus the
+    excluded batch id (a retried batch's own partial output is not
+    history)."""
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    base = jp(f"{root}/{sub}")
+    if not fs.exists(base):
+        return []
+    skip = None if exclude is None else f"batch=stream-{int(exclude)}"
+    return [
+        st.getPath().toString()
+        for st in fs.listStatus(base)
+        if st.getPath().getName().startswith("batch=stream-")
+        and st.getPath().getName() != skip
+    ]
+
+
+def ingest_shingles_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    max_df: int = 5,
+) -> None:
+    """Rare-shingle store maintenance, one micro-batch — the streaming twin
+    of :func:`~vectordb_watermark_spark.operators.dedup.rare_shingle_candidates`
+    (the asymmetric-containment discovery path, round 13).
+
+    Layout: the batch's distinct ``(g, id)`` shingle rows land under
+    ``rows/batch=stream-N``; shingles whose CUMULATIVE document frequency
+    crosses ``max_df`` at this batch land under ``hot/batch=stream-N``
+    and are suppressed from every future batch's rows at ingest — the
+    bounded-state lever: a boilerplate shingle accumulates at most
+    ``max_df`` + one batch of rows ever, no matter how many documents
+    carry it, and the hot tally itself is one row per hot shingle.
+
+    Both writes are overwrite-scoped per batch and history reads exclude
+    the batch's own prior attempt, so a checkpoint-retried micro-batch is
+    idempotent.  (``shingle_k``, ``max_df``) are pinned in the store on
+    first ingest (config-drift guard, same policy as the rate monitor's
+    granularity pin).  :func:`resolve_containment_store` equals the
+    one-shot ``containment_pairs(candidates='rare_shingle')`` over
+    everything ingested REGARDLESS of how documents were split into
+    batches — document frequency is additive and hot-crossing is
+    monotone, so there is no ordering contract.
+    """
+    if not batch_df.take(1):
+        return
+    from vectordb_watermark_spark.operators.dedup import _doc_ngrams
+
+    spark = batch_df.sparkSession
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    pin_path = f"{store_path}/pin"
+    if fs.exists(jp(pin_path)):
+        pin = spark.read.parquet(pin_path).collect()[0]
+        if (pin["shingle_k"], pin["max_df"]) != (shingle_k, max_df):
+            raise ValueError(
+                f"incremental shingle store at {store_path!r} was built "
+                f"with (shingle_k={pin['shingle_k']}, max_df={pin['max_df']}),"
+                f" batch offered ({shingle_k}, {max_df}) — mixed parameters "
+                "would silently corrupt the candidate geometry"
+            )
+    else:
+        spark.createDataFrame(
+            [(shingle_k, max_df)], "shingle_k int, max_df int"
+        ).coalesce(1).write.mode("overwrite").parquet(pin_path)
+
+    grams = (
+        _doc_ngrams(batch_df, id_col, text_col, shingle_k)
+        .select("id", "g")
+        .distinct()
+    )
+    hot_dirs = _batch_dirs(spark, store_path, "hot", exclude=batch_id)
+    if hot_dirs:
+        grams = grams.join(
+            spark.read.parquet(*hot_dirs).select("g"), "g", "left_anti"
+        )
+    grams = grams.persist()
+    grams.write.mode("overwrite").parquet(
+        f"{store_path}/rows/batch=stream-{int(batch_id)}"
+    )
+    # cumulative DF for THIS batch's shingles only (semi-join keeps the
+    # history scan proportional to the batch, not the corpus)
+    row_dirs = _batch_dirs(spark, store_path, "rows", exclude=batch_id)
+    cum = grams
+    if row_dirs:
+        cum = cum.unionByName(
+            spark.read.parquet(*row_dirs).join(
+                grams.select("g").distinct(), "g", "left_semi"
+            )
+        )
+    newly_hot = (
+        cum.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("g")
+    )
+    newly_hot.write.mode("overwrite").parquet(
+        f"{store_path}/hot/batch=stream-{int(batch_id)}"
+    )
+    grams.unpersist()
+
+
+def incremental_shingles(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 8,
+    max_df: int = 5,
+):
+    """Streaming wrapper over :func:`ingest_shingles_batch` — returns the
+    DataStreamWriter (call ``.start()``)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_shingles_batch(
+            batch_df, store_path, batch_id, id_col=id_col, text_col=text_col,
+            shingle_k=shingle_k, max_df=max_df,
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(handle)
+    )
+
+
+def resolve_containment_store(
+    spark,
+    store_path: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Resolve the live rare-shingle store into verified containment pairs
+    over ``docs`` — hash-identical to the one-shot
+    ``containment_pairs(docs, candidates='rare_shingle')`` at every point
+    in the stream's life (oracle-pinned by ``stream_containment_docs``).
+
+    Hot shingles are excluded wholesale (their pre-crossing rows still
+    sit in old batch directories — suppression is forward-only), the DF
+    cut re-applies [2, max_df] over the live rows, and the shared-shingle
+    pair join + containment verify reuse the batch operator's exact
+    expressions.
+    """
+    from vectordb_watermark_spark.operators.dedup import containment_pairs
+
+    row_dirs = _batch_dirs(spark, store_path, "rows")
+    if not row_dirs:
+        return containment_pairs(
+            docs.limit(0), docs.limit(0).selectExpr(
+                f"{id_col} as a", f"{id_col} as b"
+            ),
+            id_col=id_col, text_col=text_col, threshold=threshold,
+        )
+    pin = spark.read.parquet(f"{store_path}/pin").collect()[0]
+    rows = spark.read.parquet(*row_dirs)
+    hot_dirs = _batch_dirs(spark, store_path, "hot")
+    if hot_dirs:
+        rows = rows.join(
+            spark.read.parquet(*hot_dirs).select("g"), "g", "left_anti"
+        )
+    live = rows.join(
+        rows.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= pin["max_df"]))
+        .select("g"),
+        "g",
+    )
+    pairs = (
+        live.select("g", F.col("id").alias("a"))
+        .join(live.select("g", F.col("id").alias("b")), "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return containment_pairs(
+        docs, pairs, id_col=id_col, text_col=text_col, threshold=threshold
+    )
