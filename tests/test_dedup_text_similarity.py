@@ -2921,6 +2921,42 @@ def test_rare_shingle_recovers_excerpt_band_path_misses(spark):
     }
 
 
+def test_containment_default_path_recovers_planted_excerpt(spark):
+    """VERDICT r13 #2: the DEFAULT candidate source is rare_shingle, so a
+    bare containment_pairs(df, threshold=...) call — no candidates kwarg,
+    no pairs — recovers the planted excerpt pair even when auto_rows
+    would have routed the old minhash default through banding (which the
+    A/B measured at 0% planted recall).  auto_rows=0 forces the
+    above-threshold scale route to prove the default never falls back to
+    the blind band path."""
+    from vectordb_watermark_spark.operators.dedup import containment_pairs
+
+    host_toks = [f"w{i:04d}" for i in range(1, 2001)]
+    host = " ".join(host_toks)
+    excerpt = " ".join(host_toks[40:60])
+    decoys = [
+        (100 + i, " ".join(f"d{i}x{j}" for j in range(40))) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(1, host), (2, excerpt)] + decoys, "doc_id long, text string"
+    )
+
+    found = {
+        (r["a"], r["b"]): r
+        for r in containment_pairs(df, threshold=0.9, auto_rows=0).collect()
+    }
+    assert set(found) == {(1, 2)}
+    assert found[(1, 2)]["cont_b_in_a"] == 1.0
+    assert found[(1, 2)]["jaccard"] == 0.01
+
+    # the old default stays reachable for the Jaccard-adjacent use — and
+    # above auto_rows it is exactly the band path that misses the excerpt
+    band_found = containment_pairs(
+        df, threshold=0.9, auto_rows=0, candidates="minhash"
+    ).collect()
+    assert (1, 2) not in {(r["a"], r["b"]) for r in band_found}
+
+
 def test_rare_shingle_df_cut_drops_boilerplate(spark):
     """Shingles shared by more than max_df docs are boilerplate, dropped
     BEFORE the join (the fan-out bound that keeps the candidate join from

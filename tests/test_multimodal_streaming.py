@@ -2623,3 +2623,34 @@ def test_incremental_shingles_matches_batch_and_is_idempotent(spark, tmp_path):
     # config-drift pin: different (k, max_df) against the same store raises
     with pytest.raises(ValueError):
         ingest_shingles_batch(docs.limit(5), str(tmp_path / "s3"), 9, max_df=9)
+
+    # OVERLAPPING batches (ADVICE r13): a doc re-ingested in a second
+    # micro-batch must count ONCE toward document frequency — without the
+    # (id, g) dedup the host+excerpt rows double, shifting their shared
+    # shingles' DF and (at the hot boundary) suppressing real candidates.
+    got_overlap = run(
+        tmp_path / "s_overlap",
+        [F.col("doc_id") <= 110, F.col("doc_id") >= 2],  # docs 2..110 in both
+    )
+    assert got_overlap == want
+
+    # hot-boundary sharpness under re-ingestion: df exactly max_df stays
+    # rare even when every doc is ingested twice (double-count would read
+    # 2*max_df > max_df and hot-suppress the pair's shingles)
+    five = spark.createDataFrame(
+        [(i, "shared eight token run pinning exactly five documents "
+              f"tail{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    st = str(tmp_path / "s_boundary")
+    ingest_shingles_batch(five, st, 0)
+    ingest_shingles_batch(five, st, 1)  # full re-ingestion, new batch id
+    assert not spark.read.parquet(f"{st}/hot").take(1)  # df 5 == max_df: not hot
+    # 8 of 9 tokens shared -> containment 8/9 ~ 0.889 each way
+    res = resolve_containment_store(spark, st, five, threshold=0.8)
+    one_shot = containment_pairs(five, threshold=0.8, candidates="rare_shingle")
+    assert (
+        {(r["a"], r["b"]) for r in res.collect()}
+        == {(r["a"], r["b"]) for r in one_shot.collect()}
+        == {(a, b) for a in range(5) for b in range(5) if a < b}
+    )

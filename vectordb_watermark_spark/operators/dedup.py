@@ -1782,7 +1782,7 @@ def containment_pairs(
     threshold: float = 0.8,
     auto_rows: int | None = JACCARD_AUTO_ROWS,
     total: int | None = None,
-    candidates: str = "minhash",
+    candidates: str = "rare_shingle",
     shingle_k: int = 8,
     max_df: int = 5,
 ) -> DataFrame:
@@ -1797,17 +1797,20 @@ def containment_pairs(
     the duplication that leaks.  Broder's containment companion to the
     resemblance the MinHash stack estimates.
 
-    Same shapes and candidate discipline as :func:`jaccard_pairs` when
-    ``candidates="minhash"`` (``pairs=None`` auto-routes through the
-    banded MinHash candidates above ``auto_rows`` — recalls
-    JACCARD-similar pairs only).  ``candidates="rare_shingle"`` routes
-    ``pairs=None`` through :func:`rare_shingle_candidates` instead — the
-    discovery path built FOR the asymmetric excerpt-in-long-doc pairs
-    this measure exists for, which a 0.01-Jaccard pair's band collision
-    essentially never surfaces (measured: the planted-excerpt contract in
-    the gate has ZERO band candidates for the excerpt↔host pair; the
-    rare-shingle path recovers it exactly).  All three scores are 6-dp
-    rounded once, like the shared Jaccard expression.
+    ``pairs=None`` with the default ``candidates="rare_shingle"`` routes
+    discovery through :func:`rare_shingle_candidates` — the path built
+    FOR the asymmetric excerpt-in-long-doc pairs this measure exists
+    for.  The default is rare_shingle (VERDICT r13 #2) because the
+    operator's own A/B (CONTAINMENT_AB.json) measured the banded-MinHash
+    alternative at 0/100 planted-excerpt recall with 6.5M candidates at
+    sf0.1 while rare_shingle recovered 98/100 with 575 candidates,
+    cheaper — a 0.01-Jaccard pair's band collision essentially never
+    surfaces.  ``candidates="minhash"`` remains available for the
+    Jaccard-adjacent use (near-identical doc pairs where resemblance and
+    containment coincide): it applies :func:`jaccard_pairs`' candidate
+    discipline — all-pairs below ``auto_rows``, banded MinHash above.
+    All three scores are 6-dp rounded once, like the shared Jaccard
+    expression.
     """
     if candidates not in ("minhash", "rare_shingle"):
         raise ValueError(f"unknown candidate source {candidates!r}")

@@ -1542,8 +1542,12 @@ def ingest_shingles_batch(
     granularity pin).  :func:`resolve_containment_store` equals the
     one-shot ``containment_pairs(candidates='rare_shingle')`` over
     everything ingested REGARDLESS of how documents were split into
-    batches — document frequency is additive and hot-crossing is
-    monotone, so there is no ordering contract.
+    batches — document frequency is additive over distinct documents and
+    hot-crossing is monotone, so there is no ordering contract.  Batches
+    need NOT be disjoint by document: both the cumulative hot tally here
+    and the resolve-time DF cut dedup ``(id, g)`` first, so a document
+    re-ingested across batches counts once, exactly as the one-shot twin
+    counts it (ADVICE r13).
     """
     if not batch_df.take(1):
         return
@@ -1582,7 +1586,10 @@ def ingest_shingles_batch(
         f"{store_path}/rows/batch=stream-{int(batch_id)}"
     )
     # cumulative DF for THIS batch's shingles only (semi-join keeps the
-    # history scan proportional to the batch, not the corpus)
+    # history scan proportional to the batch, not the corpus); the
+    # (id, g) distinct after the union makes DF count DOCUMENTS, not
+    # ingestion events — a doc re-ingested across batches must not
+    # double-count toward hot-crossing (ADVICE r13)
     row_dirs = _batch_dirs(spark, store_path, "rows", exclude=batch_id)
     cum = grams
     if row_dirs:
@@ -1590,7 +1597,7 @@ def ingest_shingles_batch(
             spark.read.parquet(*row_dirs).join(
                 grams.select("g").distinct(), "g", "left_semi"
             )
-        )
+        ).distinct()
     newly_hot = (
         cum.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1658,7 +1665,11 @@ def resolve_containment_store(
             id_col=id_col, text_col=text_col, threshold=threshold,
         )
     pin = spark.read.parquet(f"{store_path}/pin").collect()[0]
-    rows = spark.read.parquet(*row_dirs)
+    # (id, g) distinct across batch directories: a doc ingested in more
+    # than one micro-batch lands its rows in each batch dir, and raw-row
+    # DF would double-count it — the one-shot twin dedups (id, g)
+    # corpus-wide, so the resolve must too (ADVICE r13)
+    rows = spark.read.parquet(*row_dirs).select("id", "g").distinct()
     hot_dirs = _batch_dirs(spark, store_path, "hot")
     if hot_dirs:
         rows = rows.join(
