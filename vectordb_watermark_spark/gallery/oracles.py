@@ -2922,4 +2922,79 @@ SELECT node, pr FROM p3""",
     out["stream_rates_events"] = out["rate_anomalies_events"]
     # round 13: the rare-shingle store resolve equals the one-shot chain
     out["stream_containment_docs"] = out["containment_rare_shingle"]
+    # round 14 (VERDICT r13 #3): the BPE trainer's merge loop IS
+    # SQL-expressible — a recursive CTE carries the whole word-frequency
+    # state as one list-of-structs row per iteration.  Greedy
+    # left-to-right non-overlapping merge application maps exactly onto
+    # string replace() over symbol strings wrapped as ' a  b  c '
+    # (every symbol owns its delimiters, so adjacent matches never share
+    # characters and multi-char symbols never false-match across
+    # boundaries); the argmax tie-break is the same (-count, a, b)
+    # struct sort as tokenizer.learn_merges.  Training state after the
+    # final merge == the encoder's per-word output (all corpus words are
+    # in-vocab at min_word_count=1), so per-doc fertility needs no
+    # second encode pass.  num_merges=100 / min_pair_count=2 mirror the
+    # gallery query; the CTE stops early with it when no pair reaches 2.
+    _syms = "string_split(substring({s}, 2, length({s}) - 2), '  ')"
+    _sw, _ss = _syms.format(s="w.s"), _syms.format(s="w.s")
+    out["bpe_token_counts"] = f"""
+        WITH RECURSIVE
+        wf AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS f FROM (
+            SELECT unnest({toks}) AS word FROM documents
+          ) GROUP BY word
+        ),
+        bpe(i, st) AS (
+          SELECT 0, (SELECT list({{'w': word, 'f': f,
+                        's': ' ' || array_to_string(
+                               list_transform(range(1, length(word) + 1),
+                                              k -> word[k]), '  ') || ' '}}
+                      ORDER BY word) FROM wf)
+          UNION ALL
+          SELECT i + 1,
+                 list_transform(st, w -> {{'w': w.w, 'f': w.f,
+                   's': replace(w.s, ' ' || best.a || '  ' || best.b || ' ',
+                                ' ' || best.a || best.b || ' ')}})
+          FROM (
+            SELECT i, st,
+                   list_sort(list_transform(
+                     list_filter(pk, (x, j) -> j = 1 OR pk[j-1] <> x),
+                     q -> {{'negc': -list_sum(list_transform(
+                              list_filter(pf, x -> x.a = q.a AND x.b = q.b),
+                              x -> x.f)),
+                            'a': q.a, 'b': q.b}}))[1] AS best
+            FROM (
+              SELECT i, st, pf,
+                     list_sort(list_transform(pf, x -> {{'a': x.a, 'b': x.b}})) AS pk
+              FROM (
+                SELECT i, st,
+                       flatten(list_transform(st, w ->
+                         list_transform(
+                           list_filter(list_zip({_sw}, {_ss}[2:]),
+                                       p -> p[2] IS NOT NULL),
+                           p -> {{'a': p[1], 'b': p[2], 'f': w.f}}))) AS pf
+                FROM bpe WHERE i < 100
+              )
+            )
+          ) WHERE best IS NOT NULL AND -best.negc >= 2
+        ),
+        fin AS (SELECT st FROM bpe ORDER BY i DESC LIMIT 1),
+        wsym AS (
+          SELECT w.w AS word,
+                 CAST(len({_syms.format(s="w.s")}) AS BIGINT) AS n_sym
+          FROM (SELECT unnest(st) AS w FROM fin)
+        ),
+        docw AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+        agg AS (
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(s.n_sym) AS BIGINT) AS n_bpe_tokens
+          FROM docw d JOIN wsym s USING (word) GROUP BY d.doc_id
+        )
+        SELECT doc_id,
+               coalesce(a.n_words, CAST(0 AS BIGINT)) AS n_words,
+               coalesce(a.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+               round(CASE WHEN coalesce(a.n_words, 0) > 0
+                     THEN CAST(a.n_bpe_tokens AS DOUBLE) / a.n_words
+                     ELSE 0.0 END, 6) AS tokens_per_word
+        FROM documents LEFT JOIN agg a USING (doc_id)"""
     return out
