@@ -794,6 +794,77 @@ def test_benchmark_overlap_flags_planted_contamination(spark):
     assert 2 not in got
 
 
+def test_bloom_benchmark_overlap_equals_exact(spark, docs):
+    """The Bloom pre-probe is a pure pre-filter: result == benchmark_overlap
+    row for row, at the default parameters AND at adversarially small ones
+    (bits_per_element=1, n_hashes=1 -> FPR near saturation) — false
+    positives must die in the exact verify join, false negatives are
+    impossible by construction (build and probe share one position
+    expression)."""
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 220))
+    want = {
+        (r["doc_id"], r["n_overlap"])
+        for r in D.benchmark_overlap(corpus, bench, min_overlap=5).collect()
+    }
+    assert want  # the corpus genuinely overlaps the held-out "benchmark"
+    got = {
+        (r["doc_id"], r["n_overlap"])
+        for r in D.bloom_benchmark_overlap(corpus, bench, min_overlap=5).collect()
+    }
+    assert got == want
+    # saturated filter: nearly every probe is a Bloom hit, the verify join
+    # still reduces to the exact answer
+    got_sat = {
+        (r["doc_id"], r["n_overlap"])
+        for r in D.bloom_benchmark_overlap(
+            corpus, bench, min_overlap=5, bits_per_element=1, n_hashes=1
+        ).collect()
+    }
+    assert got_sat == want
+    # partition invariance
+    got_rep = {
+        (r["doc_id"], r["n_overlap"])
+        for r in D.bloom_benchmark_overlap(
+            corpus.repartition(7), bench.repartition(3), min_overlap=5
+        ).collect()
+    }
+    assert got_rep == want
+
+
+def test_bloom_benchmark_overlap_planted_and_guards(spark):
+    """Planted-contamination contract (the zero-FN property observable at
+    the operator level): a doc sharing a long span with a benchmark doc is
+    flagged with the same count as the exact operator; an unrelated doc is
+    not flagged; invalid parameters raise."""
+    import pytest
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix text then the quick brown fox jumps over the lazy dog tonight suffix"),
+            (2, "completely different words about spark shuffles and parquet footers"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in D.bloom_benchmark_overlap(corpus, bench, min_overlap=5).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in D.benchmark_overlap(corpus, bench, min_overlap=5).collect()
+    }
+    assert got == exact and 1 in got and 2 not in got
+    with pytest.raises(ValueError):
+        D.bloom_benchmark_overlap(corpus, bench, bits_per_element=0)
+    with pytest.raises(ValueError):
+        D.bloom_benchmark_overlap(corpus, bench, n_hashes=0)
+
+
 def test_pack_sequences_budget_and_determinism(spark, docs):
     """Packing contract: every pack's total is < budget + max_doc_tokens,
     pack ids are stable under repartitioning, and oversized docs still get

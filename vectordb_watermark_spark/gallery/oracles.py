@@ -2922,6 +2922,9 @@ SELECT node, pr FROM p3""",
     out["stream_rates_events"] = out["rate_anomalies_events"]
     # round 13: the rare-shingle store resolve equals the one-shot chain
     out["stream_containment_docs"] = out["containment_rare_shingle"]
+    # round 14: the Bloom pre-probe is exact after verify (zero false
+    # negatives by construction) — the plain decontamination twin pins it
+    out["bloom_decontam_docs"] = out["decontaminate_docs"]
     # round 14 (VERDICT r13 #3): the BPE trainer's merge loop IS
     # SQL-expressible — a recursive CTE carries the whole word-frequency
     # state as one list-of-structs row per iteration.  Greedy

@@ -1213,6 +1213,19 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.filter(F.col("doc_id") >= 20), bench, min_overlap=5
         )
 
+    def bloom_decontam_docs(spark, sf):  # Bloom-prefiltered decontam (r14)
+        # same inputs and EXACT same answer as decontaminate_docs — the
+        # Bloom bit-array probe only pre-filters (zero false negatives by
+        # construction; false positives die in the exact verify join), so
+        # the two rows share one DuckDB twin, pinning the equality
+        from vectordb_watermark_spark.operators.dedup import bloom_benchmark_overlap
+
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") < 20)
+        return bloom_benchmark_overlap(
+            d.filter(F.col("doc_id") >= 20), bench, min_overlap=5
+        )
+
     def doc_fingerprints(spark, sf):
         d = _docs(spark, sf)
         return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -3340,9 +3353,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 183 gate
-    # entries (179 oracled) and a 50-slot window the honest guarantee is a
-    # FOUR-round period (ceil(179/50) = 4; the full local
+    # recomposed so the LEAST-recently-verified oracles lead — with 184 gate
+    # entries (180 oracled) and a 50-slot window the honest guarantee is a
+    # FOUR-round period (ceil(180/50) = 4; the full local
     # tools/check_oracle.py run covers every oracle every round regardless of
     # window position, so a regression is still caught same-round — the window
     # only bounds how stale the INDEPENDENT driver evidence can get).
@@ -3420,6 +3433,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_percentiles": doc_length_percentiles,
         "embedding_dim_stats": embedding_dim_stats,
         # ---- 50-query window line ------------------------------------------
+        # -- new in round 14 (below the driver window; green in the full
+        # -- local check_oracle run; leads the round-15 rotation) --
+        "bloom_decontam_docs": bloom_decontam_docs,
         # -- rest of the r11 block (driver-green r11) --
         "lexical_diversity": lexical_diversity,
         "gopher_quality_flags": gopher_quality_flags,

@@ -1097,6 +1097,126 @@ def benchmark_overlap(
     )
 
 
+def _bloom_positions_sql(h: str, m: str, n_hashes: int) -> str:
+    """SQL expression: the ``n_hashes`` Bloom bit positions of shingle-hash
+    column ``h`` in a filter of ``m`` bits — double hashing (Kirsch &
+    Mitzenmacher 2006: ``pos_i = h1 + i*h2 mod m`` is FPR-equivalent to i
+    independent hashes).  ``h2`` is reduced mod m BEFORE the multiply so
+    ``h + i*h2`` never overflows int64 (h is 32-bit, i*h2 <= n_hashes*m).
+    Shared verbatim by the build and probe sides — the zero-false-negative
+    guarantee is this expression being identical in both."""
+    h2 = f"pmod(xxhash64({h}), {m})"
+    return (
+        f"transform(sequence(0, {n_hashes - 1}), "
+        f"i -> pmod({h} + i * ({h2}), {m}))"
+    )
+
+
+def bloom_benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_overlap: int = 1,
+    bits_per_element: int = 10,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """:func:`benchmark_overlap` behind a Bloom-filter pre-probe — the
+    100 TB decontamination shape when the benchmark suite itself is large.
+
+    ``benchmark_overlap`` broadcasts the DISTINCT benchmark shingle-hash
+    set and hash-joins the corpus against it.  Fine while eval suites are
+    thousands of documents; but a full contamination sweep (every public
+    benchmark + their train splits, Brown et al. 2020 style 13-gram
+    overlap) carries 10^8+ distinct shingles — ~1 GB of 64-bit hashes
+    plus JVM hash-table overhead per executor.  This operator compresses
+    that set into a Bloom bit array (``bits_per_element`` = 10 and
+    ``n_hashes`` = 7 give ~0.8% FPR) — 10^8 shingles become a ~125 MB
+    long-array broadcast — and the probe is pure shift/AND bit arithmetic
+    in whole-stage codegen: no join build, no shuffle on the corpus side.
+
+    EXACTNESS: the Bloom pass only PRE-FILTERS ``(doc, shingle)`` pairs;
+    survivors are re-verified against the true benchmark set, so the
+    result EQUALS ``benchmark_overlap`` row for row.  False negatives are
+    impossible by construction (a true benchmark shingle's probe positions
+    are exactly the positions its build set) — the gate row pins equality
+    by sharing ``decontaminate_docs``' DuckDB twin.  False positives only
+    cost verify work: the exact join's corpus side shrinks from every
+    ``(doc, shingle)`` row to true hits + ~0.8% noise.
+
+    The whole build is in-plan (two aggregations over the tiny benchmark
+    side, no driver collect): the bit-length ``m`` is a 1-row broadcast
+    scalar, set bits fold through a map-side-combined ``bit_or`` groupBy,
+    and the final array assembles via a zero-filled ``sequence`` lookup.
+    """
+    if bits_per_element < 1 or n_hashes < 1:
+        raise ValueError("bits_per_element and n_hashes must be >= 1")
+    from vectordb_watermark_spark.functions.text import shingle_hashes
+
+    b = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingle_hashes(F.lower(F.col(text_col)), width))
+            ).alias("h")
+        )
+        .distinct()
+    )
+    # m: one row, broadcast everywhere m is needed (never 0 -> pmod safe)
+    m_df = b.agg(
+        F.greatest(
+            F.count(F.lit(1)) * bits_per_element, F.lit(64)
+        ).cast("long").alias("m")
+    )
+    pos = b.crossJoin(F.broadcast(m_df)).select(
+        F.explode(F.expr(_bloom_positions_sql("h", "m", n_hashes))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("long").alias("widx"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+    )
+    filt = (
+        words.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "w"))
+            ).alias("wm")
+        )
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "m",
+            F.expr(
+                "transform(sequence(0L, (m + 63) div 64 - 1), "
+                "i -> coalesce(wm[i], 0L))"
+            ).alias("bloom"),
+        )
+    )
+
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(shingle_hashes(F.lower(F.col(text_col)), width))
+        ).alias("h"),
+    )
+    hit = (
+        f"forall({_bloom_positions_sql('h', 'm', n_hashes)}, "
+        f"p -> (shiftright(element_at(bloom, cast(p div 64 as int) + 1), "
+        f"cast(p % 64 as int)) & 1) = 1)"
+    )
+    cand = d.crossJoin(F.broadcast(filt)).filter(F.expr(hit)).select("id", "h")
+    return (
+        cand.join(F.broadcast(b), "h")
+        .groupBy("id")
+        .agg(F.count_distinct("h").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
 def semantic_contamination(
     docs: DataFrame,
     benchmark: DataFrame,
