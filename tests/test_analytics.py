@@ -1030,3 +1030,59 @@ def test_stickiness(spark):
     assert all(r["stickiness_ppm"] == 1000000 for r in one)
     with pytest.raises(ValueError, match="window_days"):
         stickiness(ev, window_days=0)
+
+
+def test_temperature_mix(spark):
+    """mT5-style alpha-sampling: exact budget, alpha=1 identity at the
+    corpus total, monotone flattening as alpha drops, deterministic
+    upsampling (every copy index 1..reps present), partition invariance,
+    guards."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectordb_watermark_spark.operators.quality import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small", "t") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def mix(alpha, total=1000, d=df):
+        out = temperature_mix(d, alpha=alpha, total_out=total)
+        per = {
+            r["source"]: r["n"]
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        return out, per
+
+    # exact budget + largest-remainder apportionment matches the formula
+    out, per = mix(0.2)
+    assert sum(per.values()) == 1000
+    w = 900**0.2 + 100**0.2
+    assert abs(per["small"] - 1000 * 100**0.2 / w) <= 1  # floor/remainder
+    # alpha=1 at the corpus total reproduces the natural mix exactly
+    _, nat = mix(1.0)
+    assert nat == {"big": 900, "small": 100}
+    # flattening is monotone: smaller alpha gives the small source more
+    _, p05 = mix(0.5)
+    _, p00 = mix(0.0)
+    assert 100 < per["small"] < p00["small"] and per["small"] < p05["small"] + 200
+    assert p00["small"] == 500  # alpha=0 -> uniform per source
+    # upsampled rows carry contiguous copy indices 1..reps
+    copies = (
+        out.filter(F.col("source") == "small")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("reps"), F.collect_list("copy").alias("cs"))
+        .collect()
+    )
+    assert copies and all(sorted(r["cs"]) == list(range(1, r["reps"] + 1)) for r in copies)
+    # deterministic under repartitioning
+    a = sorted(map(tuple, temperature_mix(df.repartition(7), alpha=0.2, total_out=1000).collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, alpha=-0.1)
+    with pytest.raises(ValueError, match="total_out"):
+        temperature_mix(df, total_out=0)

@@ -2925,6 +2925,50 @@ SELECT node, pr FROM p3""",
     # round 14: the Bloom pre-probe is exact after verify (zero false
     # negatives by construction) — the plain decontamination twin pins it
     out["bloom_decontam_docs"] = out["decontaminate_docs"]
+    # round 14: temperature_mix — the whole derivation (n^alpha shares,
+    # 9-dp-cushioned largest-remainder apportionment, keyed-hash repeat
+    # assignment, generate_series expansion) recomputed in DuckDB
+    _tm_hash = sql_keyed_hash_hex("'tempmix'", "d.doc_id")
+    out["temperature_mix_docs"] = f"""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        tot AS (
+          SELECT CAST(1000 AS BIGINT) AS t, sum(pow(n, 0.3)) AS w FROM per
+        ),
+        scored AS (
+          SELECT source, n, t,
+                 CAST(floor(round(t * pow(n, 0.3) / w, 9)) AS BIGINT) AS base,
+                 round(round(t * pow(n, 0.3) / w, 9)
+                       - floor(round(t * pow(n, 0.3) / w, 9)), 9) AS frac
+          FROM per, tot
+        ),
+        targets AS (
+          SELECT source, n,
+                 base + CASE WHEN row_number()
+                          OVER (ORDER BY frac DESC, source ASC)
+                        <= t - (SELECT sum(base) FROM scored)
+                        THEN 1 ELSE 0 END AS target
+          FROM scored
+        ),
+        ranked AS (
+          SELECT d.doc_id, d.source, tg.n, tg.target,
+                 row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {_tm_hash} ASC, d.doc_id ASC
+                 ) AS rk
+          FROM documents d JOIN targets tg USING (source)
+        ),
+        reps AS (
+          SELECT doc_id, source,
+                 CAST(floor(CAST(target AS DOUBLE) / n) AS BIGINT)
+                 + CASE WHEN rk <= target % n THEN 1 ELSE 0 END AS r
+          FROM ranked
+        )
+        SELECT doc_id, source, CAST(u.c AS BIGINT) AS copy
+        FROM reps, LATERAL unnest(generate_series(1, r)) AS u(c)
+        WHERE r >= 1"""
     # round 14 (VERDICT r13 #3): the BPE trainer's merge loop IS
     # SQL-expressible — a recursive CTE carries the whole word-frequency
     # state as one list-of-structs row per iteration.  Greedy

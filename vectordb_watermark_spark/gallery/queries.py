@@ -1213,6 +1213,15 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d.filter(F.col("doc_id") >= 20), bench, min_overlap=5
         )
 
+    def temperature_mix_docs(spark, sf):  # mT5-style alpha-sampling (r14)
+        # temperature-based source resampling to a 1000-doc budget:
+        # largest-remainder apportionment of n^alpha shares + keyed-hash
+        # repeat assignment — deterministic upsampling/downsampling per
+        # source, the multilingual-LM mixing recipe
+        from vectordb_watermark_spark.operators.quality import temperature_mix
+
+        return temperature_mix(_docs(spark, sf), alpha=0.3, total_out=1000)
+
     def bloom_decontam_docs(spark, sf):  # Bloom-prefiltered decontam (r14)
         # same inputs and EXACT same answer as decontaminate_docs — the
         # Bloom bit-array probe only pre-filters (zero false negatives by
@@ -3353,9 +3362,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering note: the driver's correctness gate checks the FIRST 50 entries
     # in dict order.  Rotation policy (COVERAGE.md): each round the window is
-    # recomposed so the LEAST-recently-verified oracles lead — with 184 gate
-    # entries (180 oracled) and a 50-slot window the honest guarantee is a
-    # FOUR-round period (ceil(180/50) = 4; the full local
+    # recomposed so the LEAST-recently-verified oracles lead — with 185 gate
+    # entries (181 oracled) and a 50-slot window the honest guarantee is a
+    # FOUR-round period (ceil(181/50) = 4; the full local
     # tools/check_oracle.py run covers every oracle every round regardless of
     # window position, so a regression is still caught same-round — the window
     # only bounds how stale the INDEPENDENT driver evidence can get).
@@ -3436,6 +3445,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 14 (below the driver window; green in the full
         # -- local check_oracle run; leads the round-15 rotation) --
         "bloom_decontam_docs": bloom_decontam_docs,
+        "temperature_mix_docs": temperature_mix_docs,
         # -- rest of the r11 block (driver-green r11) --
         "lexical_diversity": lexical_diversity,
         "gopher_quality_flags": gopher_quality_flags,

@@ -831,3 +831,107 @@ def rebalance_classes(
         .drop("__rk")
     )
     return out.drop("target") if per_class is None else out
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    total_out: int | None = None,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-based source resampling — the multi-source mixing rule
+    of the mT5 / XLM-R / multilingual-LM data recipes: source ``i`` gets
+    output share ``n_i^alpha / sum_j n_j^alpha``.  ``alpha = 1`` keeps the
+    natural mix, ``alpha = 0`` is uniform-per-source, and the standard
+    ``0.2-0.7`` range lifts low-resource sources without letting a giant
+    crawl drown them.
+
+    Returns ``(id, source, copy)``: each input row appears ``reps`` times
+    (``copy`` = 1..reps) where per-source target counts are apportioned by
+    exact largest-remainder (floor + the ``leftover`` largest fractional
+    parts, ties to the lexicographically first source — never off by one
+    from rounding) and distributed within a source as ``target div n``
+    repeats for every row plus one extra for the ``target mod n`` rows
+    with the lowest keyed hash.  Oversampled sources (target > n) repeat
+    rows — mT5's low-resource upsampling — deterministically.
+
+    Every step is a pure function of (counts, alpha, salt): re-running,
+    repartitioning, or adding executors cannot change the sample, and the
+    whole derivation has a DuckDB SQL twin.  Scale shape: one map-side
+    source tally, apportionment over the tiny source table (window over
+    sources, broadcast back), one per-source-partition window for ranks,
+    map-side ``explode`` for repeats — the corpus never globally sorts or
+    shuffles beyond the per-source rank.
+
+    ``total_out`` defaults to the corpus row count (resample in place);
+    pass the token/document budget of the training run to size the mix.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if total_out is not None and total_out < 1:
+        raise ValueError(f"total_out must be >= 1, got {total_out}")
+    from pyspark.sql.window import Window
+
+    from vectordb_watermark_spark.functions.hashing import keyed_hash_hex
+
+    per = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("__corpus"),
+        F.sum(F.pow(F.col("n").cast("double"), F.lit(float(alpha)))).alias("__w"),
+    )
+    t_expr = (
+        F.lit(int(total_out)).cast("long")
+        if total_out is not None
+        else F.col("__corpus").cast("long")
+    )
+    # exact largest-remainder apportionment; the 9-dp rounding before
+    # floor/frac is the cross-engine cushion for the pow() doubles (same
+    # shared-libm discipline as the ln-based oracles)
+    exact = F.round(
+        t_expr.cast("double")
+        * F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+        / F.col("__w"),
+        9,
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n",
+        t_expr.alias("__t"),
+        F.floor(exact).cast("long").alias("__base"),
+        F.round(exact - F.floor(exact), 9).alias("__frac"),
+    )
+    wsrc = Window.orderBy(F.col("__frac").desc(), F.col(source_col).asc())
+    wall = Window.partitionBy(F.lit(1))
+    targets = scored.select(
+        source_col,
+        "n",
+        (
+            F.col("__base")
+            + (
+                F.row_number().over(wsrc)
+                <= (F.col("__t") - F.sum("__base").over(wall))
+            ).cast("long")
+        ).alias("__target"),
+    )
+    wrk = Window.partitionBy(source_col).orderBy(
+        keyed_hash_hex(salt, F.col("id")), F.col("id")
+    )
+    reps = F.expr("__target div n") + (
+        F.row_number().over(wrk) <= F.col("__target") % F.col("n")
+    ).cast("long")
+    base = df.select(F.col(id_col).alias("id"), F.col(source_col)).join(
+        F.broadcast(targets), source_col
+    )
+    return (
+        base.withColumn("__reps", reps)
+        .filter(F.col("__reps") >= 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col(source_col),
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__reps"))).alias(
+                "copy"
+            ),
+        )
+    )
