@@ -840,6 +840,7 @@ def temperature_mix(
     id_col: str = "doc_id",
     total_out: int | None = None,
     salt: str = "tempmix",
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Temperature-based source resampling — the multi-source mixing rule
     of the mT5 / XLM-R / multilingual-LM data recipes: source ``i`` gets
@@ -867,6 +868,10 @@ def temperature_mix(
 
     ``total_out`` defaults to the corpus row count (resample in place);
     pass the token/document budget of the training run to size the mix.
+    ``total_rows`` (the INPUT row count, when the caller knows it — a
+    catalog statistic at scale) short-circuits the range-partitioned
+    rank to a single window below ``topk.SMALL_TOTAL``, the same
+    adaptivity contract as the other samplers.
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
@@ -915,17 +920,37 @@ def temperature_mix(
             ).cast("long")
         ).alias("__target"),
     )
-    wrk = Window.partitionBy(source_col).orderBy(
-        keyed_hash_hex(salt, F.col("id")), F.col("id")
+    # Within-source rank WITHOUT a per-source window: a web corpus is
+    # source-skewed (one crawl can be 90% of rows), and
+    # Window.partitionBy(source) would single-task that source's whole
+    # sort.  Instead: the engine's range-partitioned global_row_number
+    # over (source, hash, id) — sources sort contiguously, so
+    # within-source rank = global rank minus the cumulative count of
+    # lexicographically-earlier sources (a window over the TINY source
+    # table, broadcast back).  total<=SMALL_TOTAL short-circuits to one
+    # plain window inside global_row_number, same as the other samplers.
+    from vectordb_watermark_spark.operators.topk import global_row_number
+
+    woff = Window.orderBy(F.col(source_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    targets = targets.withColumn(
+        "__off", F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long")
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(source_col))
+        .join(F.broadcast(targets), source_col)
+        .withColumn("__h", keyed_hash_hex(salt, F.col("id")))
+    )
+    ranked = global_row_number(
+        base, order_cols=[source_col, "__h", "id"], out_col="__grn",
+        total=total_rows,
     )
     reps = F.expr("__target div n") + (
-        F.row_number().over(wrk) <= F.col("__target") % F.col("n")
+        (F.col("__grn") - F.col("__off")) <= F.col("__target") % F.col("n")
     ).cast("long")
-    base = df.select(F.col(id_col).alias("id"), F.col(source_col)).join(
-        F.broadcast(targets), source_col
-    )
     return (
-        base.withColumn("__reps", reps)
+        ranked.withColumn("__reps", reps)
         .filter(F.col("__reps") >= 1)
         .select(
             F.col("id").alias(id_col),
