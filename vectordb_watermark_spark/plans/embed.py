@@ -159,8 +159,17 @@ def embed_watermark(
         # distance-gated degrees (knn.gated_in_degrees): long edges from
         # off-manifold (attacked/destroyed) vectors are pruned and such
         # vectors are excluded from the carrier pool — the same rule at
-        # embed and extract, so clean blind re-derivation stays exact
-        degrees = K.gated_in_degrees(df, edges, id_col, k=k).cache()
+        # embed and extract, so clean blind re-derivation stays exact.
+        # localCheckpoint (not cache): every downstream action (selection
+        # count/windows, encode join, merge, and the extract side's decode +
+        # tally when chained) re-analyzes the full lineage under a cache —
+        # graph features -> Arrow kNN probe -> tau windows -> degree groupBy
+        # — and that Catalyst work is a measured 0.4-0.9 s driver gap per
+        # action at bench scale (tools/wm_jobs_profile.py).  The checkpoint
+        # truncates the plan to a LogicalRDD; the degrees table is (id,
+        # degree) rows — tiny relative to the vectors at any scale — and its
+        # loss on executor failure merely recomputes this embed call.
+        degrees = K.gated_in_degrees(df, edges, id_col, k=k).localCheckpoint(eager=False)
     # one count job: select_carriers needs N anyway, and the carrier count is
     # a deterministic function of it — no second action over the carrier set
     n = degrees.count()

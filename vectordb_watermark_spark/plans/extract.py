@@ -307,8 +307,13 @@ def extract_watermark(
         edges = K.knn_edges(gdf, id_col, "gfeat", k=k, method=knn_method)
         # same gated-degree rule as embed (knn.gated_in_degrees): destroyed
         # vectors can't flood the low-degree pool, so the re-derived carrier
-        # set stays on the intact manifold under attack
-        degrees = K.gated_in_degrees(df, edges, id_col, k=k).cache()
+        # set stays on the intact manifold under attack.  localCheckpoint
+        # (not cache) for the same reason as the embed side: the decode
+        # semi-join and vote tally re-analyze the carrier lineage on every
+        # action; truncating it removes the measured per-action Catalyst gap
+        # (tools/wm_jobs_profile.py) at the cost of recomputing this extract
+        # on executor loss — acceptable for a tiny (id, degree) table.
+        degrees = K.gated_in_degrees(df, edges, id_col, k=k).localCheckpoint(eager=False)
     carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
     # (select_carriers issues its own count when total is unknown; the count
     # doubles as the cache materialization barrier for `degrees`)
