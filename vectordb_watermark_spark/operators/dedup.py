@@ -841,19 +841,20 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = _cut(
+        # the previous label rides along as __old so convergence is a plain
+        # filter+count over the checkpointed rows — the former formulation
+        # re-joined new labels against old labels every round, paying one
+        # extra join+shuffle per iteration just to count changes
+        stepped = _cut(
             labels.join(prop, "id", "left")
             .select(
                 "id",
+                F.col("comp").alias("__old"),
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
             )
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "old"), "id")
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("comp") != F.col("__old")).count()
+        labels = stepped.select("id", "comp")
         if changed == 0:
             break
     return labels
