@@ -841,25 +841,21 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("ncomp"))
         )
-        # convergence is OBSERVED during the checkpoint materialization
-        # itself (Observation metrics fire on the eager checkpoint action,
-        # local and reliable alike) — zero extra jobs and zero extra passes
-        # per round.  The former formulation re-joined new labels against
-        # old labels and ran a separate count job every round.
-        from pyspark.sql import Observation
-
-        obs = Observation()
+        # the previous label rides along as __old so convergence is a plain
+        # filter+count over the checkpointed rows — the former formulation
+        # re-joined new labels against old labels every round, paying one
+        # extra join+shuffle per iteration just to count changes
         stepped = _cut(
             labels.join(prop, "id", "left")
             .select(
                 "id",
+                F.col("comp").alias("__old"),
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias("__chg"),
             )
-            .observe(obs, F.count(F.when(F.col("__chg"), 1)).alias("changed"))
         )
+        changed = stepped.filter(F.col("comp") != F.col("__old")).count()
         labels = stepped.select("id", "comp")
-        if obs.get["changed"] == 0:
+        if changed == 0:
             break
     return labels
 

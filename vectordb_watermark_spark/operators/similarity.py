@@ -871,21 +871,18 @@ def _ivf_train(
     )
     centroids = [list(map(float, r["v"])) for r in seeds]
 
-    # per-index avg in ONE map-side-combined aggregation: the former
-    # posexplode shape pushed rows x dim exploded rows through TWO shuffles
-    # (avg by (centroid, pos), then collect_list by centroid) per Lloyd
-    # iteration; dim is a known small constant, so dim avg expressions over
-    # v[i] aggregate in place — one tiny shuffle of (partitions x centroids)
-    # partial rows, no explode, one job instead of a two-exchange chain
-    dim = len(centroids[0])
     for _ in range(n_iters):
         assigned = _ivf_assign_pass(base, centroids)
         means = (
-            assigned.groupBy("centroid")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            assigned.select("centroid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pairs"))
+            .select("centroid", F.transform("pairs", lambda p: p.getField("m")).alias("mean"))
             .collect()
         )
-        new = {r["centroid"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        new = {r["centroid"]: list(map(float, r["mean"])) for r in means}
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     return centroids
 
