@@ -96,7 +96,8 @@ def main() -> None:
 
         gdf = with_graph_features(updated, codec).cache()
         edges = K.knn_edges(gdf, "id", "gfeat", k=16, method="broadcast")
-        degrees = K.gated_in_degrees(updated, edges, "id", k=16).cache()
+        # mirror plans/extract.py: lineage truncated at the degree table
+        degrees = K.gated_in_degrees(updated, edges, "id", k=16).localCheckpoint(eager=False)
         carriers = select_carriers(degrees, key="bench-key", rate=0.1)
         decoded = X.decode_carriers(updated, carriers, codec)
         from pyspark.sql import Window
