@@ -314,9 +314,11 @@ def extract_watermark(
         # (tools/wm_jobs_profile.py) at the cost of recomputing this extract
         # on executor loss — acceptable for a tiny (id, degree) table.
         degrees = K.gated_in_degrees(df, edges, id_col, k=k).localCheckpoint(eager=False)
-    carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col)
-    # (select_carriers issues its own count when total is unknown; the count
-    # doubles as the cache materialization barrier for `degrees`)
+    # count here and pass total: degrees is already lineage-truncated above
+    # (or caller-materialized), so the count is one cheap pass and
+    # select_carriers must not re-checkpoint what is already checkpointed
+    n = degrees.count()
+    carriers = select_carriers(degrees, key=key, rate=rate, id_col=id_col, total=n)
 
     decoded = decode_carriers(df, carriers, codec, id_col, vec_col)
     total, n_valid, valid_counts = collect_vote_tallies(decoded)
