@@ -352,6 +352,10 @@ def k_core(
         .distinct()
         .localCheckpoint()
     )
+    # edge count carried across rounds: the fixed-point test needs ONE fresh
+    # count per round (the previous round's count is already known), not a
+    # recount of both frames
+    n_cur = cur.count()
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("node"))
@@ -366,10 +370,11 @@ def k_core(
             .select("a", "b")
             .localCheckpoint()
         )
-        if nxt.count() == cur.count():
-            cur = nxt
-            break
+        n_nxt = nxt.count()
         cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
     deg = (
         cur.select(F.col("a").alias("node"))
         .unionAll(cur.select(F.col("b").alias("node")))

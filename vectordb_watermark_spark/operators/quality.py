@@ -710,20 +710,33 @@ def check_ref_integrity(
     express single-table — one left-anti join on the key (broadcast when
     the parent is dimension-sized, AQE decides), counts only."""
     pk = parent_key or child_key
-    n_child = child.count()
-    orphans = (
+    # ONE pass over the child instead of two (count + anti-join count):
+    # a left join against the distinct parent keys marks hits, and both
+    # tallies fold into a single aggregate — at scale this halves the
+    # child-table scans.  NULL child keys count toward n_child but are
+    # never orphans (a NULL key joins nothing), matching the previous
+    # filter-then-anti-join semantics.
+    row = (
         child.select(F.col(child_key).alias("__k"))
-        .filter(F.col("__k").isNotNull())
         .join(
-            parent.select(F.col(pk).alias("__k")).distinct(),
+            parent.select(F.col(pk).alias("__k"))
+            .distinct()
+            .withColumn("__hit", F.lit(True)),
             "__k",
-            "left_anti",
+            "left",
         )
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.count(
+                F.when(F.col("__k").isNotNull() & F.col("__hit").isNull(), 1)
+            ).alias("orphans"),
+        )
+        .collect()[0]
     )
+    n_child, orphans = int(row["n_child"]), int(row["orphans"])
     spark = child.sparkSession
     return spark.createDataFrame(
-        [(int(n_child), int(orphans), orphans == 0)],
+        [(n_child, orphans, orphans == 0)],
         "n_child long, n_orphans long, passed boolean",
     )
 
@@ -750,13 +763,24 @@ def table_diff(
     if compare_cols is None:
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
-    for side, df in (("left", left), ("right", right)):
-        dup = df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-        if dup.count():
-            raise ValueError(
-                f"table_diff: duplicate keys on the {side} side — keys must "
-                f"be unique for a row-level diff"
-            )
+    # one fused dup guard instead of one job per side: both key sets scan
+    # in a single union + groupBy, and the offending side rides in the row
+    dup = (
+        left.select(*[F.col(k) for k in keys], F.lit("left").alias("__side"))
+        .unionByName(
+            right.select(*[F.col(k) for k in keys], F.lit("right").alias("__side"))
+        )
+        .groupBy("__side", *keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"table_diff: duplicate keys on the {dup[0]['__side']} side — "
+            f"keys must be unique for a row-level diff"
+        )
     l = left.select(
         *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
         F.lit(True).alias("__in_l"),
