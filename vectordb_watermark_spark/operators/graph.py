@@ -298,10 +298,16 @@ def triangle_count(
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # materialize the oriented edge list: it feeds BOTH wedge-join sides
+    # and the closing join (three references), and its own lineage already
+    # evaluates the input edges three times (canon + the two degree
+    # annotations) — without a cut, an expensive edge source (a kNN probe)
+    # re-executes up to nine times in one count.  One edge-sized
+    # checkpoint makes every downstream reference a LogicalRDD scan.
     oriented = annotated.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
     wedges = o1.join(o2, "u").filter(F.col("x") != F.col("y"))
