@@ -106,6 +106,12 @@ def pagerank(
                 "pagerank: weight_col has null/negative weights — edge "
                 "weights must be nonnegative"
             )
+    # the edge projection is read by EVERY iteration's contribution join
+    # and dangling check (plus the out-degree tally and possibly the node
+    # derivation) — without a persist an expensive edge source (a kNN
+    # probe) re-executes 2x per iteration.  Materialized by the out-degree
+    # count below; released with the other loop-static tables.
+    e = e.persist()
     if nodes is None:
         node_df = (
             e.select(F.col("src").alias("node"))
@@ -240,7 +246,7 @@ def pagerank(
         else:
             pr = new_pr
 
-    for cached in (node_df, tele, outdeg):
+    for cached in (node_df, tele, outdeg, e):
         cached.unpersist()
     return pr
 
