@@ -34,7 +34,14 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # codecs resolved up front, mirroring bench.py (symmetric across reps)
     _codecs: dict = {}
+    for _path in ("/root/testdata/sf0.001", sf_dir):
+        _dim = len(
+            spark.read.parquet(f"{_path}/embeddings.parquet")
+            .select("embedding").first()[0]
+        )
+        _codecs[_path] = OrthogonalCodec(_dim, "bench-key")
 
     def wm_roundtrip(sf_path=None):
         df = (
@@ -42,18 +49,13 @@ def main() -> None:
             .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
         )
         df = df.cache()
-        path = sf_path or sf_dir
-        if path not in _codecs:
-            _codecs[path] = OrthogonalCodec(len(df.select("emb").first()[0]), "bench-key")
-        codec = _codecs[path]
+        codec = _codecs[sf_path or sf_dir]
         res = embed_watermark(df, "SPARK-GRAFT-2026", "bench-key", rate=0.1,
                               knn_method="broadcast", codec=codec)
-        updated = res.updated.cache()
-        updated.count()
+        updated = res.updated.localCheckpoint(eager=True)
         out = extract_watermark(updated, "bench-key", res.nonce_hex, rate=0.1,
                                 knn_method="broadcast", codec=codec)
         assert out.success, out.error
-        updated.unpersist()
         df.unpersist()
 
     wm_roundtrip("/root/testdata/sf0.001")  # warm

@@ -929,7 +929,22 @@ def gated_in_degrees(
     """
     if min_out is None:
         min_out = max(1, (k + 1) // 2)
-    edges = edges.cache()
+    # localCheckpoint (not cache): the edge table is referenced TWICE below —
+    # the tau histogram subplan and the gate filter — and a cache does not
+    # truncate the ANALYZED plan, so every downstream action re-analyzed the
+    # full kNN lineage (graph-feature kernel -> Arrow probe) twice over
+    # (measured 2.2 s of pre-job Catalyst gap per wm embed at bench scale,
+    # tools/wm_jobs_profile.py).  The checkpoint truncates both references to
+    # one LogicalRDD; storage cost is identical to the cache it replaces
+    # (the same N*k edge rows, executor-local), evaluation count is identical
+    # (one materialization on the first action), and a lost executor
+    # recomputes by rerunning the degree derivation — the same documented
+    # tradeoff as the degrees checkpoint in plans/embed.py.  Plan-keyed cache
+    # reuse is not lost: each knn_edges_broadcast call stages a fresh build
+    # tag, so no two calls ever shared a cache entry here anyway.
+    # Interleaved same-session A/B (6 reps/arm, r15): cache best 4.613 s /
+    # median 5.298 s vs checkpoint best 4.290 s / median 4.937 s.
+    edges = edges.localCheckpoint(eager=False)
     # tau stays in-plan (gate_tau_plan, broadcast 1-row cross join): no
     # driver collect, so the whole degree derivation is ONE Spark job when
     # materialized — the collect-based edge_gate_threshold forced an extra
