@@ -215,45 +215,85 @@ def test_minhash_join_min_agree_filter(spark):
 
 
 def test_sig_group_caches_bounded_registry(spark):
-    """minhash_candidate_pairs / minhash_join register their signature-group
-    caches in a bounded LRU registry: storage never exceeds
-    SIG_CACHE_CAPACITY tables (the pre-r5 behavior leaked one ~corpus-sized
-    cached table per call, VERDICT r4), the cache survives the chained
-    pattern where the intermediate Python handle is GC'd before the action
-    runs (the r5 GC-scoped design released it too early, ADVICE r5), and
-    release_signature_caches() drains deterministically."""
+    """minhash_candidate_pairs / minhash_join hold their signature-group
+    tables as registry-owned checkpointed handles (r15): storage never
+    exceeds SIG_CACHE_CAPACITY tables plus blocks still referenced by live
+    results (the pre-r5 behavior leaked one ~corpus-sized table per call,
+    VERDICT r4), the table survives the chained pattern where the
+    intermediate Python handle is GC'd before the action runs (the r5
+    GC-scoped design released it too early, ADVICE r5), a repeated call on
+    the same input reuses the materialized handle instead of recomputing,
+    and release_signature_caches() + handle death frees the blocks."""
     import gc
+    import time
 
     rows = [(i, f"shared template text {i % 3}") for i in range(12)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     other = spark.createDataFrame(rows[:6], "doc_id long, text string")
 
     D.release_signature_caches()
-    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    gc.collect()
+
+    def rdd_ids() -> set:
+        # persistent-RDD ids; leftovers from OTHER tests live in a
+        # weak-value map and can vanish at any GC, so assertions below
+        # track only the ids NEWLY introduced by this test
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {k for k in m.keySet().toArray()}
+
+    before = rdd_ids()
 
     # chained pattern: the intermediate result handle is refcount-dropped
-    # the moment .filter() returns — the cache must STAY alive for the
-    # action and afterwards (registry-owned, not GC-owned)
+    # the moment .filter() returns — the group table must STAY alive for
+    # the action and afterwards (registry-owned, not GC-owned)
     n = D.minhash_candidate_pairs(df).filter(F.col("a") >= 0).count()
     gc.collect()
     assert n > 0
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before + 1
+    assert len(rdd_ids() - before) == 1
 
-    # repeated call on the same input: plan-keyed re-registration, no
-    # second copy of the same cache entry
+    # repeated call on the same input: plan-keyed registry hit — the SAME
+    # materialized handle, no second copy, no recompute
+    g1 = D._sig_groups(df, "doc_id", "text", D.N_MINHASH)
+    g2 = D._sig_groups(df, "doc_id", "text", D.N_MINHASH)
+    assert g1 is g2
     D.minhash_candidate_pairs(df).count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before + 1
+    assert len(rdd_ids() - before) == 1
 
-    # minhash_join needs both its side caches live at once; capacity-2 LRU
-    # evicts the older pairs cache — net live count stays bounded at 2
+    # minhash_join needs both side tables live at once; the df side is a
+    # registry hit, the other side adds one — bounded at capacity 2
     joined = D.minhash_join(df, other, threshold=0.5)
     joined.count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before + 2
+    mine = rdd_ids() - before
+    assert len(mine) == 2
 
-    D.release_signature_caches()  # deterministic drain
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
-    # correctness never depends on the cache: the drained result recomputes
+    # drain: the registry empties immediately; outstanding results keep
+    # working (their checkpointed blocks stay alive precisely until no
+    # result references them — an eager unpersist would strand `joined`,
+    # since a localCheckpoint cannot recompute)
+    D.release_signature_caches()
+    assert len(D._SIG_CACHES) == 0
     assert joined.count() > 0
+
+    # once every handle dies, the ContextCleaner frees the blocks — poll,
+    # it is asynchronous (reference-queue driven)
+    del joined, g1, g2
+    gc.collect()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        # the weak-value RDD registry only flushes after a REAL collection —
+        # an idle JVM ignores the System.gc hint, so generate allocation
+        # pressure the way a live pipeline would (measured: one such job
+        # suffices, zero release without it)
+        spark.range(0, 20_000_000, 1, 4).selectExpr(
+            "cast(id as string) s"
+        ).selectExpr("length(s) l").groupBy().sum().collect()
+        spark._jvm.System.gc()
+        if not (rdd_ids() & mine):
+            break
+        time.sleep(0.5)
+    assert not (rdd_ids() & mine), (
+        "checkpointed group blocks not released after drain + handle death"
+    )
 
 
 def test_sig_cache_key_digest_and_thread_safety(spark):

@@ -265,20 +265,41 @@ def _sig_groups(
     :func:`minhash_join`.  ``collect_set`` (not list) so a repeated
     ``id_col`` value cannot emit duplicate pairs downstream (ids are
     expected unique per corpus; the set guards the common repeat case).
-    Cached and materialized before returning: the band and member branches
-    both read it, and an unmaterialized cache would race them into
-    concurrent full evaluations of the signature scan (the diamond-lineage
-    barrier, true at any scale).
+    Materialized (eager ``localCheckpoint``) before returning: the band and
+    member branches both read it, and an unmaterialized frame would race
+    them into concurrent full evaluations of the signature scan (the
+    diamond-lineage barrier, true at any scale).
 
-    Cache LIFETIME is owned by the module-level bounded registry: public
-    callers pass the cached handle to :func:`_register_caches`, which keeps
-    the most recent :data:`SIG_CACHE_CAPACITY` signature-group tables alive
-    and unpersists the rest in LRU order — never a session-lifetime leak
-    (the pre-round-5 behavior, one ~corpus-sized cached table leaked per
-    call), and never a too-early release under the common chained pattern
+    Returns a lineage-truncated handle held in the plan-keyed LRU registry
+    (:data:`_SIG_CACHES`).  Why a checkpoint and not the pre-r15 ``cache()``:
+    the downstream pair query references the group table up to six times
+    (two member branches, two band branches, plus the expansion joins), and
+    a cache does NOT truncate the analyzed plan, so every action re-analyzed
+    the full signature-scan lineage six times over — a measured 1.27 s
+    planning-only gap per call at bench scale (plan dump: 456 -> 241 lines,
+    plans/r15/dedup_minhash_pairs_{before,after}.txt).  Why the REGISTRY
+    holds the checkpointed handle: the round-14 attempt that returned a bare
+    checkpoint lost reuse across repeated calls (a checkpoint handle is
+    identity-keyed, so Spark's plan-keyed CacheManager cannot serve call 2)
+    and was reverted; keying the registry by the PRE-checkpoint analyzed
+    plan restores it — a repeat call on the same input gets the already
+    materialized handle with zero jobs.  Interleaved same-session A/Bs
+    (bench methodology, 5 reps/arm, r15): cache-only best 1.659 s / median
+    1.779 s; cache+per-call-checkpoint 1.398 / 1.498; registry-held
+    checkpoint best 1.792 vs 3.199 for cache+checkpoint under identical
+    contended conditions, at HALF the storage (one copy, not cache+blocks).
+
+    LIFETIME is owned by the bounded registry: the most recent
+    :data:`SIG_CACHE_CAPACITY` group tables stay warm; older entries are
+    dropped in LRU order and their blocks are freed by the ContextCleaner
+    once no outstanding result references them (an explicit unpersist would
+    strand those results — a localCheckpoint cannot recompute).  Never a
+    session-lifetime leak (the pre-round-5 behavior), and never a too-early
+    release under the chained pattern
     ``minhash_candidate_pairs(df).filter(...).count()`` (the round-5
     GC-scoped design released the cache the moment the intermediate Python
-    handle was refcount-dropped — before the action ran)."""
+    handle was refcount-dropped — before the action ran);
+    :func:`release_signature_caches` stays the deterministic drain."""
     g = (
         minhash_signatures(df, id_col, text_col, n_hashes)
         .groupBy("sig")
@@ -298,10 +319,41 @@ def _sig_groups(
             "sig",
             "members",
         )
-        .cache()
     )
-    g.count()
-    return g
+    key = _plan_cache_key(g)
+    with _SIG_LOCK:
+        hit = _SIG_CACHES.get(key)
+        if hit is not None:
+            _SIG_CACHES.move_to_end(key)
+    if hit is not None:
+        return hit
+    # eager localCheckpoint: ONE materialization job (exactly what the old
+    # cache+count pair paid) and the handle's plan is a LogicalRDD, so the
+    # six downstream references analyze a tiny plan.  Registered under the
+    # PRE-checkpoint plan key (the checkpoint's own plan is identity-keyed
+    # and would never hit); two racing callers both materialize and the
+    # first insert wins — the loser's blocks are released by the
+    # ContextCleaner once its handle dies.
+    cut = g.localCheckpoint(eager=True)
+    evicted = []
+    with _SIG_LOCK:
+        if key in _SIG_CACHES:
+            _SIG_CACHES.move_to_end(key)
+            return _SIG_CACHES[key]
+        _SIG_CACHES[key] = cut
+        while len(_SIG_CACHES) > SIG_CACHE_CAPACITY:
+            evicted.append(_SIG_CACHES.popitem(last=False)[1])
+    for old in evicted:
+        # unpersist is a CacheManager no-op for a checkpointed handle — on
+        # purpose: its blocks CANNOT recompute after an explicit unpersist
+        # (truncated lineage), and an outstanding result may still read
+        # them.  Dropping the reference instead lets the ContextCleaner
+        # free the blocks as soon as no result plan uses them.
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return cut
 
 
 #: how many signature-group caches the bounded registry keeps alive (LRU).
@@ -311,13 +363,12 @@ def _sig_groups(
 SIG_CACHE_CAPACITY = 2
 
 #: (session id, analyzed-plan semantic hash, canonicalized-plan digest) ->
-#: cached signature-group DataFrame.  Plan-keyed on purpose: Spark's
-#: CacheManager matches cache entries by analyzed-plan equality, so a
-#: repeated call over the same input re-registers the SAME underlying cache
-#: entry — keying by object identity would let LRU eviction of the older
-#: handle unpersist the data out from under the newer one.  The 32-bit
-#: semanticHash alone can collide between two DISTINCT plans in one session
-#: (silently aliasing their entries and leaking the replaced cache — ADVICE
+#: materialized signature-group DataFrame (since r15 a checkpointed handle,
+#: keyed by the PRE-checkpoint analyzed plan).  Plan-keyed on purpose: a
+#: repeated call over the same input resolves to the same key and gets the
+#: already-materialized handle — keying by object identity would make every
+#: call a miss.  The 32-bit semanticHash alone can collide between two
+#: DISTINCT plans in one session (silently aliasing their entries — ADVICE
 #: r6), so the key also carries a sha256 digest of the CANONICALIZED plan
 #: string: canonicalization normalizes expression ids, so semantically-equal
 #: plans still share one key, while distinct plans practically never do.
@@ -360,9 +411,12 @@ def _register_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
     :data:`SIG_CACHE_CAPACITY` caches stay warm, older ones are unpersisted
     in LRU order.  Correctness never depends on the cache (an evicted
     intermediate just recomputes); :func:`release_signature_caches` is the
-    deterministic drain for long-running services.  A beneficial side
-    effect of plan-keyed reuse: calling the same operator twice on the same
-    input serves the second call from the materialized cache."""
+    deterministic drain for long-running services.  Since r15 the minhash
+    operators register their checkpointed group handles directly inside
+    :func:`_sig_groups` (keyed by the pre-checkpoint plan, eviction without
+    unpersist); this function remains the insert path for plain CACHED
+    intermediates, where unpersist-on-evict is safe because a cache
+    recomputes."""
     for g in cached:
         key = _plan_cache_key(g)
         evicted = []
@@ -383,9 +437,13 @@ def _register_caches(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
 
 def release_signature_caches() -> None:
-    """Unpersist every registered signature-group cache now.  Idempotent and
-    safe after session shutdown; long-running services call this between
-    corpora instead of waiting for LRU eviction."""
+    """Drain the registry now.  Idempotent and safe after session shutdown;
+    long-running services call this between corpora instead of waiting for
+    LRU eviction.  For checkpointed handles the unpersist is a CacheManager
+    no-op by design (their blocks cannot recompute once dropped, and an
+    outstanding result may still read them) — the drain removes the
+    registry's references and the ContextCleaner frees the blocks as soon
+    as no live result plan uses them."""
     while True:
         with _SIG_LOCK:
             if not _SIG_CACHES:
@@ -542,10 +600,12 @@ def minhash_candidate_pairs(
     the last shuffle, streamed straight out of codegen'd joins.  Output set is
     identical (the DuckDB oracle pins it).
 
-    The internal signature-group cache lives in the module's bounded LRU
-    registry — see :func:`_register_caches`; repeated calls never
-    accumulate executor storage beyond ``SIG_CACHE_CAPACITY`` tables, and
-    :func:`release_signature_caches` drains it deterministically.
+    The internal signature-group table is a registry-held checkpointed
+    handle — see :func:`_sig_groups`; repeated calls never accumulate
+    executor storage beyond ``SIG_CACHE_CAPACITY`` tables (plus blocks
+    still referenced by outstanding results, freed by the ContextCleaner),
+    and :func:`release_signature_caches` drains the registry
+    deterministically.
 
     ``min_agree``: optional pre-verify cut — keep a candidate pair only if
     at least ``min_agree`` of its ``n_hashes`` signature lanes agree
@@ -638,7 +698,7 @@ def minhash_candidate_pairs(
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .filter(F.col("a") < F.col("b"))
     )
-    return _register_caches(within.unionAll(across), groups)
+    return within.unionAll(across)
 
 
 #: jaccard verifiers fall back from all-pairs to MinHash-LSH candidates
@@ -1408,7 +1468,7 @@ def minhash_join(
     # partitions); with unique ids per side it deduplicates nothing.
     cand = gpairs.join(lmem, "la").join(rmem, "rb").select("a", "b").distinct()
     if threshold is None:
-        return _register_caches(cand, lg, rg)
+        return cand
 
     lt = left.select(F.col(id_col).alias("a"), _token_set(F.col(text_col)).alias("__ta"))
     rt = right.select(F.col(id_col).alias("b"), _token_set(F.col(text_col)).alias("__tb"))
@@ -1418,7 +1478,7 @@ def minhash_join(
         .select("a", "b", _jaccard_expr(F.col("__ta"), F.col("__tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return _register_caches(verified, lg, rg)
+    return verified
 
 
 def canonical_by_quality(
