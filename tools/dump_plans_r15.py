@@ -129,3 +129,55 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def dump_pagerank(suffix: str | None = None, only: set | None = None) -> None:
+    """Capture the REAL first-iteration pagerank plan (VERDICT r14 #9: graph
+    evidence must be plan dumps, not timing only).  pagerank checkpoints
+    each iteration's scores, so the returned frame is a bare LogicalRDD and
+    explain() of the result shows nothing; instead a localCheckpoint spy
+    captures the pre-checkpoint iteration frame while the gate query
+    knn_pagerank runs unmodified."""
+    import sys
+
+    suffix = suffix or (sys.argv[1] if len(sys.argv) > 1 else "before")
+    only = set(sys.argv[2:]) if only is None else only
+    if only and "knn_pagerank" not in only:
+        return
+    import io
+    from contextlib import redirect_stdout
+
+    # the classic subclass overrides localCheckpoint — patch it, not the base
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    import __spark_entry__ as E
+    from vectordb_watermark_spark import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("plan-dump", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    captured: list = []
+    real_lc = _DF.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self)
+        return real_lc(self, eager=eager)
+
+    _DF.localCheckpoint = spy
+    try:
+        E.queries()["knn_pagerank"](spark, sf_dir)
+    finally:
+        _DF.localCheckpoint = real_lc
+    # captured[0] = initial scores, captured[1] = iteration-1 update frame
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        captured[1].explain("formatted")
+    with open(os.path.join(OUT_DIR, f"knn_pagerank_{suffix}.txt"), "w") as f:
+        f.write(buf.getvalue())
+    print("dumped knn_pagerank (iteration-1 plan)")
+
+
+if __name__ == "__main__" and "knn_pagerank" in sys.argv[2:]:
+    dump_pagerank()

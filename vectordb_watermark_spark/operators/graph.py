@@ -149,8 +149,14 @@ def pagerank(
         tele = reset.crossJoin(F.broadcast(tot)).select(
             "node", (F.col("w") / F.col("s")).alias("t")
         )
-    tele = tele.persist()
-    tele.count()
+    # the node ⋈ teleport join is STATIC across iterations — hoisted out of
+    # the loop (it used to be re-planned and re-executed once per iteration
+    # inside every new_pr, plus once for the initial scores).  One persisted
+    # (node, t) table now serves the initial scores and all n_iter updates;
+    # it is materialized by the initial localCheckpoint below and released
+    # with the other loop-static tables.  Replaces the former tele persist +
+    # count pair — one job fewer before the loop, one join fewer per round.
+    base = node_df.join(tele, "node").persist()
 
     if weight_col is None:
         outdeg = (
@@ -172,7 +178,7 @@ def pagerank(
     # eager localCheckpoint: truncates lineage AND materializes in one
     # action (the old persist + count() pair cost an extra job per
     # iteration for nothing — VERDICT r11 #4)
-    pr = node_df.join(tele, "node").select(
+    pr = base.select(
         "node", _rounded(F.col("t")).alias("pr")
     ).localCheckpoint()
 
@@ -217,11 +223,10 @@ def pagerank(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
         )
         new_pr = (
-            node_df.join(tele, "node")
-            .join(contrib, node_df["node"] == contrib["cnode"], "left")
+            base.join(contrib, base["node"] == contrib["cnode"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
-                node_df["node"].alias("node"),
+                base["node"].alias("node"),
                 _rounded(
                     (1.0 - damping) * F.col("t")
                     + damping * (
@@ -246,7 +251,7 @@ def pagerank(
         else:
             pr = new_pr
 
-    for cached in (node_df, tele, outdeg, e):
+    for cached in (node_df, base, outdeg, e):
         cached.unpersist()
     return pr
 
