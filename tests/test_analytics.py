@@ -622,6 +622,22 @@ def test_table_diff(spark):
         table_diff(l.unionByName(l), r, "id")
 
 
+def test_table_diff_mixed_key_types(spark):
+    """Union-incompatible key types must not preempt the duplicate-key
+    guard with an unrelated union error (ADVICE r14): the guard falls back
+    to per-side checks, and both the ValueError and the diff itself still
+    work across an int-vs-string key."""
+    from vectordb_watermark_spark.operators.quality import table_diff
+
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    r = spark.createDataFrame([("1", "a"), ("2", "B")], "id string, s string")
+    [d] = table_diff(l, r, "id").collect()
+    assert (d["n_only_left"], d["n_only_right"], d["n_changed"], d["n_equal"]) \
+        == (0, 0, 1, 1)
+    with pytest.raises(ValueError, match="duplicate keys on the right"):
+        table_diff(l, r.unionByName(r), "id")
+
+
 def test_funnel_timing(spark):
     from vectordb_watermark_spark.operators.analytics import funnel_timing
 

@@ -1036,14 +1036,19 @@ def test_ivf_reader_during_maintenance_soak(spark, tmp_path):
                 # message forms matched below, and (rarely, under heavy
                 # host load) an AnalysisException whose PATH_NOT_FOUND
                 # message is lost through the py4j bridge (repr() is just
-                # 'AnalysisException()') — identified by errorClass/type
-                # rather than text.
+                # 'AnalysisException()') — identified by errorClass, or by
+                # type ONLY when the message was lost (an AnalysisException
+                # that still carries a message is a real reader regression
+                # and must fail the soak — ADVICE r14).
                 cls = getattr(e, "getErrorClass", lambda: None)() or ""
                 if (
                     "exist" in str(e)
                     or "Path" in str(e)
                     or "PATH_NOT_FOUND" in cls
-                    or type(e).__name__ == "AnalysisException"
+                    or (
+                        type(e).__name__ == "AnalysisException"
+                        and not str(e).strip()
+                    )
                 ):
                     continue
                 errors.append(repr(e))

@@ -764,18 +764,42 @@ def table_diff(
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
     # one fused dup guard instead of one job per side: both key sets scan
-    # in a single union + groupBy, and the offending side rides in the row
-    dup = (
-        left.select(*[F.col(k) for k in keys], F.lit("left").alias("__side"))
-        .unionByName(
-            right.select(*[F.col(k) for k in keys], F.lit("right").alias("__side"))
+    # in a single union + groupBy, and the offending side rides in the row.
+    # The fusion requires union-compatible key types; when the two sides'
+    # key columns differ in type (the diff join itself still works through
+    # implicit casts), fall back to the per-side guards rather than letting
+    # an unrelated union AnalysisException preempt the intended duplicate-
+    # key ValueError (ADVICE r14).  A lossy cast-to-common-type would be
+    # wrong here: e.g. float keys -0.0 and 0.0 are one join key but two
+    # distinct strings, so a casted guard could miss a real duplicate.
+    same_key_types = [left.schema[k].dataType for k in keys] == [
+        right.schema[k].dataType for k in keys
+    ]
+    if same_key_types:
+        dup = (
+            left.select(*[F.col(k) for k in keys], F.lit("left").alias("__side"))
+            .unionByName(
+                right.select(*[F.col(k) for k in keys], F.lit("right").alias("__side"))
+            )
+            .groupBy("__side", *keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
         )
-        .groupBy("__side", *keys)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(1)
-        .collect()
-    )
+    else:
+        dup = []
+        for side, frame in (("left", left), ("right", right)):
+            if (
+                frame.select(*[F.col(k) for k in keys])
+                .groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            ):
+                dup = [{"__side": side}]
+                break
     if dup:
         raise ValueError(
             f"table_diff: duplicate keys on the {dup[0]['__side']} side — "

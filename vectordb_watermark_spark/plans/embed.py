@@ -167,8 +167,13 @@ def embed_watermark(
         # — and that Catalyst work is a measured 0.4-0.9 s driver gap per
         # action at bench scale (tools/wm_jobs_profile.py).  The checkpoint
         # truncates the plan to a LogicalRDD; the degrees table is (id,
-        # degree) rows — tiny relative to the vectors at any scale — and its
-        # loss on executor failure merely recomputes this embed call.
+        # degree) rows — tiny relative to the vectors at any scale.
+        # Fault-tolerance tradeoff (ADVICE r14): unlike a cache, lost
+        # localCheckpoint blocks are NOT rebuilt from lineage — the running
+        # job aborts and the CALLER must rerun embed_watermark.  Acceptable
+        # for a short-lived batch embed; a cluster with decommissioning
+        # executors can pass a precomputed ``degrees`` (or use
+        # connected_components-style reliable checkpointing upstream).
         degrees = K.gated_in_degrees(df, edges, id_col, k=k).localCheckpoint(eager=False)
     # one count job: select_carriers needs N anyway, and the carrier count is
     # a deterministic function of it — no second action over the carrier set

@@ -311,8 +311,11 @@ def extract_watermark(
         # (not cache) for the same reason as the embed side: the decode
         # semi-join and vote tally re-analyze the carrier lineage on every
         # action; truncating it removes the measured per-action Catalyst gap
-        # (tools/wm_jobs_profile.py) at the cost of recomputing this extract
-        # on executor loss — acceptable for a tiny (id, degree) table.
+        # (tools/wm_jobs_profile.py).  Fault-tolerance tradeoff (ADVICE
+        # r14): lost blocks are NOT rebuilt from lineage — the job aborts
+        # and the CALLER reruns extract_watermark; acceptable for a tiny
+        # (id, degree) table and a short-lived extract, and callers on
+        # decommissioning clusters can pass ``degrees`` precomputed.
         degrees = K.gated_in_degrees(df, edges, id_col, k=k).localCheckpoint(eager=False)
     # count here and pass total: degrees is already lineage-truncated above
     # (or caller-materialized), so the count is one cheap pass and
