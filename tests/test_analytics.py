@@ -832,6 +832,71 @@ def test_compact_transition_pairs(spark, tmp_path):
     assert final[("b", "a")] == truth[("b", "a")][0] + 1
 
 
+def test_transitions_in_stream_cadence_fold(spark, tmp_path):
+    """The compact_every cadence form: folding with exclude=k inside batch
+    k's handler keeps resolve exact, bounds the dir count, preserves the
+    state dir a retry of batch k replays against, and a full retry of
+    batch k (re-ingest + re-fold) changes nothing."""
+    from vectordb_watermark_spark.operators.analytics import event_transitions
+    from vectordb_watermark_spark.streaming.curation import (
+        _latest_state_dir,
+        compact_transition_pairs,
+        ingest_transitions_batch,
+        resolve_transitions,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batches = [
+        [(0, _ts(1), 1, "a"), (1, _ts(2), 1, "b")],
+        [(2, _ts(3), 1, "a"), (3, _ts(4), 2, "a")],
+        [(4, _ts(5), 2, "b"), (5, _ts(6), 1, "b")],
+        [(6, _ts(7), 1, "a"), (7, _ts(8), 2, "a")],
+    ]
+    store = str(tmp_path / "ctrc")
+    all_rows: list = []
+    # cadence: fold below the in-flight batch after each ingest from batch 2
+    for k, rows in enumerate(batches):
+        ingest_transitions_batch(spark.createDataFrame(rows, schema), store, k)
+        all_rows += rows
+        if k >= 2:
+            compact_transition_pairs(spark, store, exclude=k)
+
+    def pair_dirs() -> list[str]:
+        import os
+
+        return sorted(
+            d for d in os.listdir(f"{store}/pairs") if d.startswith("batch=")
+        )
+
+    truth = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(
+            spark.createDataFrame(all_rows, schema)
+        ).collect()
+    }
+    resolved = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert resolved == truth
+    # bounded: batches 0..2 folded into one dir + batch 3's own dir
+    assert pair_dirs() == ["batch=stream-2", "batch=stream-3"]
+    # the state dir a retry of batch 3 would replay against survived
+    assert _latest_state_dir(spark, store, 3) is not None
+    # full retry of batch 3: re-ingest the same rows, re-run the fold —
+    # overwrite-scoped dirs + exclude semantics make it a no-op overall
+    ingest_transitions_batch(
+        spark.createDataFrame(batches[3], schema), store, 3
+    )
+    compact_transition_pairs(spark, store, exclude=3)
+    retried = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in resolve_transitions(spark, store).collect()
+    }
+    assert retried == truth
+    assert pair_dirs() == ["batch=stream-2", "batch=stream-3"]
+
+
 def test_class_margins(spark):
     from vectordb_watermark_spark.operators.analytics import class_margins
 

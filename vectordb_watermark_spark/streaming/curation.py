@@ -1011,6 +1011,7 @@ def incremental_transitions(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    compact_every: int | None = None,
 ):
     """Streaming first-order transition-matrix maintenance: the exact
     streaming twin of
@@ -1041,14 +1042,29 @@ def incremental_transitions(
     would have been counted against a different predecessor by the batch
     twin.  State size is one row per DISTINCT USER — entity cardinality,
     not event volume; pairs grow one (small) matrix per batch and
-    resolve sums them (compact by rewriting ``pairs/`` on the usual
-    maintenance cadence if batch count grows large).
+    resolve sums them.
+
+    ``compact_every=K`` folds the accumulated pair dirs every K batches
+    (inside the ``foreachBatch``, AFTER the batch's own writes, excluding
+    the in-flight batch — :func:`compact_transition_pairs` documents why
+    that is retry-safe), bounding both the ``resolve_transitions``
+    directory listing and its multi-dir parquet read at O(K) dirs instead
+    of O(total batches).  Measured (r15, local fs, best-of-5 resolves):
+    per-resolve cost is flat to ~32 dirs (0.33 s), 2.2x at 128 dirs
+    (0.72 s), and 0.20 s folded back to one dir — and local-fs listing is
+    the CHEAP case; at object-store listing latencies the crossover is
+    far earlier, so wire a cadence for any long-lived store.  ``None``
+    keeps the historical behavior (maintenance compaction between runs).
     """
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ingest_transitions_batch(
             batch_df, store_path, batch_id,
             user_col=user_col, type_col=type_col, ts_col=ts_col, id_col=id_col,
         )
+        if compact_every and (int(batch_id) + 1) % int(compact_every) == 0:
+            compact_transition_pairs(
+                batch_df.sparkSession, store_path, exclude=int(batch_id)
+            )
 
     return (
         stream.writeStream.outputMode("append")
@@ -1265,17 +1281,34 @@ def resolve_psi(spark, store_path: str) -> DataFrame:
     return _psi_from_grids(nb, nc, n_bins)
 
 
-def compact_transition_pairs(spark, store_path: str) -> int:
+def compact_transition_pairs(
+    spark, store_path: str, exclude: int | None = None
+) -> int:
     """Fold an :func:`incremental_transitions` store's per-batch pair
-    dirs into one summed dir (named after the highest batch id seen, so
+    dirs into one summed dir (named after the highest folded batch id, so
     ``_latest_state_dir`` ordering and future ingests are unaffected) —
     the maintenance the sink's docstring defers.  Integer-exact: the
     folded counts are the same sums :func:`resolve_transitions` computes.
     Returns the number of batch dirs folded (0 = nothing to do).
 
-    Run it BETWEEN stream runs, like the component-store compactor: a
-    concurrently ingesting sink could write a new pair dir after the
-    listing and lose it in the delete pass."""
+    ``exclude=None`` (fold everything) is the BETWEEN-runs form, like the
+    component-store compactor: a concurrently ingesting sink could write
+    a new pair dir after the listing and lose it in the delete pass.
+
+    ``exclude=k`` folds only batches BELOW ``k`` and is retry-safe from
+    INSIDE micro-batch ``k``'s own ``foreachBatch`` (the in-stream cadence
+    ``incremental_transitions(..., compact_every=...)`` uses): batch
+    ``k``'s pair/state dirs are untouched, so a checkpoint-retried batch
+    still overwrites exactly its own contribution and still finds a state
+    dir strictly below ``k`` to replay against; re-running the fold on
+    retry is a no-op (one folded dir remains below ``k``).
+
+    Crash exposure (both forms, documented tradeoff): the fold stages the
+    summed counts first, then deletes the source dirs, then renames the
+    staging dir into place — a hard crash between the deletes and the
+    rename leaves the counts ONLY in the staged ``pairs/.fold_*`` dir
+    (complete recovery copy: rename it to the target ``batch=stream-N``
+    to repair).  No window double-counts."""
     jp = spark._jvm.org.apache.hadoop.fs.Path
     fs = jp(store_path).getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jp(f"{store_path}/pairs")):
@@ -1284,7 +1317,9 @@ def compact_transition_pairs(spark, store_path: str) -> int:
     for st in fs.listStatus(jp(f"{store_path}/pairs")):
         name = st.getPath().getName()
         if name.startswith("batch=stream-"):
-            dirs[int(name.rsplit("-", 1)[1])] = st.getPath().toString()
+            k = int(name.rsplit("-", 1)[1])
+            if exclude is None or k < exclude:
+                dirs[k] = st.getPath().toString()
     if len(dirs) < 2:
         return 0
     top = max(dirs)
@@ -1300,16 +1335,22 @@ def compact_transition_pairs(spark, store_path: str) -> int:
     for k, d in dirs.items():
         fs.delete(jp(d), True)
     fs.rename(jp(staging), jp(f"{store_path}/pairs/batch=stream-{top}"))
-    # state: only the NEWEST dir is ever read again (each ingest takes the
-    # max id below its own) — drop the dead ones in the same pass
+    # state: each ingest reads the newest state dir below its own batch id,
+    # so with ``exclude=k`` everything except the newest state BELOW k (a
+    # retry of k replays against it) and the dirs at/above k is dead; in
+    # the between-runs form only the global newest survives
     if fs.exists(jp(f"{store_path}/state")):
         sdirs = {}
         for st in fs.listStatus(jp(f"{store_path}/state")):
             name = st.getPath().getName()
             if name.startswith("batch=stream-"):
                 sdirs[int(name.rsplit("-", 1)[1])] = st.getPath().toString()
+        live = {k for k in sdirs if exclude is not None and k >= exclude}
+        below = [k for k in sdirs if exclude is None or k < exclude]
+        if below:
+            live.add(max(below))
         for k, d in sdirs.items():
-            if k != max(sdirs):
+            if k not in live:
                 fs.delete(jp(d), True)
     return len(dirs)
 
