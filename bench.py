@@ -10,6 +10,32 @@ kNN graph + degrees + carrier selection, relational aggregates/joins
 (TPC-H-ish q1/q3/q5), event-time rollups, dedup (MinHash-LSH, SimHash), text
 analysis, and similarity search.  Everything runs on local[$SPARK_GRAFT_CPUS]
 with AQE on — the same plans that would ship to a real cluster.
+
+Round 15 additions (VERDICT r14 #3), reported as extra ``scale_*`` entries in
+``queries``:
+
+- The sf0.1 inputs are small enough (2k vectors / 5k docs / 600k lineitem)
+  that every historical row is dominated by fixed per-query cost — the r14
+  scaling block measured 8-vs-32-core ratios of ~1.0 across the suite, so
+  data-path optimizations were invisible.  The ``scale_*`` tier rows expand
+  the parquet inputs IN-PLAN (deterministic keyed-hash replication, inside
+  the timed body — nothing precomputed, nothing cached across runs) to a
+  size where executor compute dominates, and materialize through the noop
+  sink (guide §1.4) so the optimizer cannot prune the work being timed.
+- ``value`` stays the sum of the FIFTEEN historical rows (identical
+  methodology to every earlier round, so round-over-round totals remain
+  comparable); the ``scale_*`` rows ride in ``queries`` next to them but are
+  not folded into the total, because they time a different (generated,
+  larger) input.  OPTIMIZATION_r15.md records both sums.
+- One measurement-bug fix (guide §1.4, disclosed in OPTIMIZATION_r15.md):
+  the ``knn_degrees`` row used ``.count()`` as its action, and Spark 4's
+  unique-key join elimination reduces count-over-``in_degrees`` (a left
+  join against a groupBy whose key is provably unique) to a bare parquet
+  count — the kNN probe never ran in that row's timing (verified via the
+  optimized count plan: no Join, no MapInArrow).  The row now materializes
+  through the noop sink.  Historical knn_degrees numbers (r13 ~0.34 s,
+  r14 ~0.36 s) measured the degenerate plan and remain in the old BENCH
+  files for reference.
 """
 
 from __future__ import annotations
@@ -132,13 +158,20 @@ def main() -> None:
     ):
         qs[_name](spark, warm_sf).count()
 
+    def noop(df):
+        # guide §1.4: computes every column of every row, prunes nothing
+        df.write.format("noop").mode("overwrite").save()
+
     def knn_degrees_broadcast():
         df = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
         )
         edges = K.knn_edges_broadcast(df, k=16)
-        K.in_degrees(df, edges).count()
+        # noop, NOT count: count-over-in_degrees is join-eliminated by the
+        # optimizer (unique groupBy key) and timed a bare parquet count in
+        # rounds <= 14 — see the module docstring
+        noop(K.in_degrees(df, edges))
 
     def carrier_sel():
         df = (
@@ -174,7 +207,124 @@ def main() -> None:
 
     run("semdedup", semdedup)
 
-    total = round(sum(timings.values()), 3)
+    # ---- scale tier (round 15, VERDICT r14 #3) ------------------------------
+    # Data-bound rows at a generated, larger input: the parquet tables are
+    # expanded IN-PLAN inside the timed body (explode over a sequence +
+    # deterministic keyed-hash perturbation — no rand(), no precomputed or
+    # cached input, recomputed from the parquet files every invocation) and
+    # materialized through the noop sink so the optimizer cannot prune the
+    # timed work.  Replication factors are constants (work per row of the
+    # base input), NOT tuned to the local core count; partitioning derives
+    # from $SPARK_GRAFT_CPUS so the generation parallelizes at any width.
+    n_gen_part = int(cpus) * 2
+
+    def _expand(df, rep: int):
+        # repartition BEFORE the explode: the base parquet is a single tiny
+        # file (1-2 input splits), and without the spread every generated
+        # row would sit in those few map tasks
+        return df.repartition(n_gen_part).withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
+        )
+
+    def _jitter(sid):
+        # deterministic per-(replica, element) multiplicative noise — keeps
+        # replicas distinct without changing the corpus geometry
+        return F.transform(
+            F.col("emb"),
+            lambda x, i: (
+                x * (F.lit(1.0) + F.lit(1e-3)
+                     * ((F.pmod(F.xxhash64(sid, i), F.lit(1024)) / F.lit(1024.0))
+                        - F.lit(0.5)))
+            ).cast("float"),
+        )
+
+    def scale_knn_degrees(probe_rep=50, build_rep=16):
+        # the watermark engine's data path at scale: exact kNN probe
+        # (Arrow batches -> blocked GEMM) of 100k generated vectors against
+        # a 32k build side, then the degree aggregation
+        base = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+        )
+        probe = _expand(base, probe_rep).select(
+            (F.col("id") * probe_rep + F.col("__r")).alias("id"),
+            _jitter(F.col("id") * probe_rep + F.col("__r")).alias("emb"),
+        )
+        build = _expand(base, build_rep).select(
+            (F.col("id") * build_rep + F.col("__r")).alias("id"),
+            _jitter((F.col("id") * build_rep + F.col("__r")) * F.lit(7919)).alias("emb"),
+        )
+        edges = K.knn_edges_broadcast(probe, k=16, build_df=build)
+        noop(K.in_degrees(probe, edges))
+
+    def scale_minhash_signatures(doc_rep=150):
+        # the LSH dedup pipeline's dominant linear cost at corpus scale:
+        # shingle + 16-lane MinHash over 750k generated docs.  Every token
+        # carries a constant per-replica suffix, so each replica is an
+        # independent copy of the base corpus (near-dup structure preserved
+        # within a replica, no cross-replica collisions — the band join at
+        # generated scale is latency-bound on this box and quadratic in
+        # replica overlap, so the kernel is the scalable row; the full pair
+        # pipeline stays covered at base scale by dedup_minhash_pairs)
+        from vectordb_watermark_spark.operators.dedup import minhash_signatures
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        big = _expand(docs, doc_rep).select(
+            (F.col("doc_id") * doc_rep + F.col("__r")).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    t, F.lit("_"),
+                    F.pmod(F.xxhash64(F.lit("rep"), F.col("__r")), F.lit(997)).cast("string"),
+                ),
+            )).alias("text"),
+        )
+        noop(minhash_signatures(big))
+
+    def scale_q1_pricing(rep=600):
+        # the relational path at scale: q1-shaped filter + hash aggregate
+        # over 360M generated lineitem rows (pure codegen arithmetic)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        )
+        big = _expand(li, rep).select(
+            "l_returnflag", "l_linestatus", "l_shipdate",
+            (F.col("l_quantity") + F.col("__r") % 7).alias("l_quantity"),
+            (F.col("l_extendedprice")
+             * (F.lit(1.0) + F.col("__r") / F.lit(10000.0))).alias("l_extendedprice"),
+            "l_discount", "l_tax",
+        )
+        noop(
+            big.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax"))).alias("sum_charge"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    # warm each tier row at a small replication first (codegen + kernels),
+    # same steady-state rule as the historical rows
+    scale_knn_degrees(4, 2)
+    scale_minhash_signatures(2)
+    scale_q1_pricing(2)
+    run("scale_knn_degrees", scale_knn_degrees)
+    run("scale_minhash_signatures", scale_minhash_signatures)
+    run("scale_q1_pricing", scale_q1_pricing)
+
+    # value = the FIFTEEN historical rows only (methodology unchanged since
+    # r13, so cross-round totals stay comparable); the scale_* tier rows are
+    # reported per-query above but time a different (generated) input — both
+    # sums are recorded in OPTIMIZATION_r15.md
+    total = round(
+        sum(v for k, v in timings.items() if not k.startswith("scale_")), 3
+    )
     print(json.dumps({
         "metric": "total_bench_seconds",
         "value": total,
