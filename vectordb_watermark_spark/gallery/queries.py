@@ -3380,90 +3380,63 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracle.py run covers every oracle every round regardless of
     # window position, so a regression is still caught same-round — the window
     # only bounds how stale the INDEPENDENT driver evidence can get).
-    # Round-14 window (VERDICT r13 #1): the 28 never-driver-gated rows lead —
-    # the 25 remaining round-12 additions (calibration_events …
-    # stickiness_events) plus the 3 round-13 additions
-    # (containment_rare_shingle, learned_codec_eval,
-    # stream_containment_docs); all 28 were judge-verified hash-exact in the
-    # r13 independent re-gate.  Then bpe_token_counts (oracled for the first
-    # time in round 14 — the recursive-CTE BPE twin — so never gated WITH an
-    # oracle), then the first 21 rows of the r11-window block (driver-green
-    # r11 — the stalest remaining driver evidence).  Zero overlap with r13's
-    # 50.  Below the line, least-recently-verified first: the rest of the
-    # r11 block, then the r12 window block (driver-green r12), then the r13
-    # window block (driver-green r13, most recent).  The 4 rows-only entries
-    # stay at the very bottom permanently: in-window they record only a weak
-    # rows-only check, and their contracts are pinned by the hash-verified
-    # contract rows (knn_lsh_recall, ivf_recall, lsh_recall, pca_invariants,
+    # Round-15 window (VERDICT r14 #1): touched-queries-first overrides the
+    # staleness rule this round — the 25 head rows are every query whose
+    # operator changed in the r14 optimization phase (q3 semi-join reorder,
+    # connected-components fold consumers, pagerank/triangle persists, the
+    # selection-checkpoint family) or in round 15 (gated-degree edge
+    # checkpoint, registry-held minhash sig-group handles, table_diff guard
+    # fallback, transitions compaction cadence), plus the two r14-new rows
+    # never driver-gated (bloom_decontam_docs, temperature_mix_docs).  None
+    # of these shapes has independent driver hash evidence until this
+    # window.  The remaining 25 slots are the stalest evidence: the full
+    # r11-block remainder (driver-green r11) + the r12-block head.  Below
+    # the line, least-recently-verified first: the rest of the r12 block,
+    # the r13 window block, then the r14 window block (driver-green r14,
+    # most recent).  The 4 rows-only entries stay at the very bottom
+    # permanently: in-window they record only a weak rows-only check, and
+    # their contracts are pinned by the hash-verified contract rows
+    # (knn_lsh_recall, ivf_recall, lsh_recall, pca_invariants,
     # lsh_edges_exactness) — standing rationale in COVERAGE.md;
     # tools/registry_guard.py pins the set.
     return {
-        # -- r14 window head: the 28 never-driver-gated rows (25 round-12
-        # -- remainder + 3 round-13 additions) --
-        "calibration_events": calibration_events,
-        "ece_events": ece_events,
-        "key_skew_lineitem": key_skew_lineitem,
-        "rm3_docs": rm3_docs,
-        "mmr_contract": mmr_contract,
-        "stream_transitions_events": stream_transitions_events,
-        "ann_ndcg_eval": ann_ndcg_eval,
-        "compact_contract": compact_contract,
-        "session_funnel_events": session_funnel_events,
-        "rate_anomalies_events": rate_anomalies_events,
-        "funnel_window_events": funnel_window_events,
-        "join_cardinality_q": join_cardinality_q,
-        "ref_integrity_q": ref_integrity_q,
-        "table_diff_q": table_diff_q,
-        "funnel_timing_events": funnel_timing_events,
-        "rebalance_classes_q": rebalance_classes_q,
-        "stream_psi_embeddings": stream_psi_embeddings,
-        "roc_auc_by_events": roc_auc_by_events,
-        "class_margins_q": class_margins_q,
-        "k_core_q": k_core_q,
-        "stream_kmv_docs": stream_kmv_docs,
-        "stream_rates_events": stream_rates_events,
-        "containment_docs": containment_docs,
-        "trending_types_events": trending_types_events,
-        "stickiness_events": stickiness_events,
-        "containment_rare_shingle": containment_rare_shingle,
-        "learned_codec_eval": learned_codec_eval,
-        "stream_containment_docs": stream_containment_docs,
-        # -- oracled for the first time in round 14 --
-        "bpe_token_counts": bpe_token_counts,
-        # -- window fill: first 21 rows of the r11 block (driver-green r11,
-        # -- CORRECTNESS_r11.json — stalest driver evidence) --
-        "events_cube": events_cube,
-        "set_ops_users": set_ops_users,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
-        "events_running_window": events_running_window,
-        "events_pivot": events_pivot,
-        "events_value_quantiles": events_value_quantiles,
-        "events_json_extract": events_json_extract,
-        "events_user_rollup": events_user_rollup,
+        # -- r15 window head: every query whose operator changed in the r14
+        # -- optimization phase or in round 15 — driver-unverified in its
+        # -- current shape until this window (VERDICT r14 #1) --
         "watermark_roundtrip": watermark_roundtrip,
-        "ivf_recall": ivf_recall,
-        "lsh_recall": lsh_recall,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_profit_by_nation_year": q9_profit_by_nation_year,
-        "q11_important_stock": q11_important_stock,
-        "q16_parts_supplier_counts": q16_parts_supplier_counts,
-        "q20_excess_inventory": q20_excess_inventory,
-        "pq_drift_contract": pq_drift_contract,
-        "q21_suppliers_waiting": q21_suppliers_waiting,
-        "doc_length_percentiles": doc_length_percentiles,
-        "embedding_dim_stats": embedding_dim_stats,
-        # ---- 50-query window line ------------------------------------------
-        # -- new in round 14 (below the driver window; green in the full
-        # -- local check_oracle run; leads the round-15 rotation) --
+        "gated_degrees": gated_degrees,
+        "table_diff_q": table_diff_q,
+        "stream_transitions_events": stream_transitions_events,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_minhash_agree": dedup_minhash_agree,
+        "crawl_dedup_join": crawl_dedup_join,
+        "corpus_curation": corpus_curation,
+        "curation_keep_best": curation_keep_best,
+        "dedup_components": dedup_components,
+        "knn_pagerank": knn_pagerank,
+        "knn_pagerank_weighted": knn_pagerank_weighted,
+        # -- r14-optimization-phase shapes (q3 semi-join, CC-fold consumers,
+        # -- triangle checkpoint, selection family) --
+        "q3_shipping_priority": q3_shipping_priority,
+        "semdedup_contract": semdedup_contract,
+        "stream_components_docs": stream_components_docs,
+        "neardup_safe_split": neardup_safe_split,
+        "group_split_docs": group_split_docs,
+        "group_kfold_docs": group_kfold_docs,
+        "triangle_count_knn": triangle_count_knn,
+        "carrier_selection": carrier_selection,
+        "semi_join_carriers": semi_join_carriers,
+        "sample_weighted": sample_weighted,
+        "carriers_by_threshold": carriers_by_threshold,
+        # -- oracled in round 14 below the line — first driver gating --
         "bloom_decontam_docs": bloom_decontam_docs,
         "temperature_mix_docs": temperature_mix_docs,
-        # -- rest of the r11 block (driver-green r11) --
+        # -- window fill: the r11-block remainder (driver-green r11,
+        # -- CORRECTNESS_r11.json — the stalest driver evidence) --
         "lexical_diversity": lexical_diversity,
         "gopher_quality_flags": gopher_quality_flags,
         "tfidf_top_terms_by_source": tfidf_top_terms_by_source,
         "ann_batch_exactness": ann_batch_exactness,
-        "semdedup_contract": semdedup_contract,
         "text_normalize": text_normalize,
         "lm_quality_buckets": lm_quality_buckets,
         "doc_chunks": doc_chunks,
@@ -3478,36 +3451,28 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_eval": codec_eval,
         "source_mix": source_mix,
         "source_capped_sample": source_capped_sample,
-        "corpus_curation": corpus_curation,
-        "dedup_components": dedup_components,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "embedding_quantize": embedding_quantize,
         "knn_join_tables": knn_join_tables,
         "paraphrase_candidates": paraphrase_candidates,
         "sketch_distinct_tokens": sketch_distinct_tokens,
         "top_tokens": top_tokens,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "crawl_dedup_join": crawl_dedup_join,
-        # -- r12 window (driver-green in round 12, CORRECTNESS_r12.json —
-        # -- most recently independently verified, so rotates last) --
+        # -- last slot: head of the r12 block (driver-green r12) --
         "pq_tagged_contract": pq_tagged_contract,
+        # ---- 50-query window line ------------------------------------------
+        # -- rest of the r12 block (driver-green r12 — stalest below the line) --
         "ann_delete_contract": ann_delete_contract,
-        "group_split_docs": group_split_docs,
         "opq_contract": opq_contract,
         "whitening_contract": whitening_contract,
-        "knn_pagerank": knn_pagerank,
         "audio_spectral_contract": audio_spectral_contract,
         "embedding_binarize": embedding_binarize,
         "zorder_contract": zorder_contract,
-        "neardup_safe_split": neardup_safe_split,
-        "group_kfold_docs": group_kfold_docs,
         "bm25_docs": bm25_docs,
         "hybrid_rag_fusion": hybrid_rag_fusion,
         "fuzzy_token_join": fuzzy_token_join,
         "hamming_topk_q": hamming_topk_q,
         "hamming_topk_batch_q": hamming_topk_batch_q,
         "doc_embeddings": doc_embeddings,
-        "curation_keep_best": curation_keep_best,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_simhash": dedup_simhash,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -3518,7 +3483,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": cosine_neardup,
         "events_sessionize": events_sessionize,
         "media_metadata": media_metadata,
-        "carriers_by_threshold": carriers_by_threshold,
         "pairwise_viz_stats": pairwise_viz_stats,
         "knn_lsh_recall": knn_lsh_recall,
         "point_lookup": point_lookup,
@@ -3526,9 +3490,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stats": vector_stats,
         "vector_mean": vector_mean,
         "knn_degrees": knn_degrees,
-        "gated_degrees": gated_degrees,
         "degree_histogram": degree_histogram,
-        "carrier_selection": carrier_selection,
         "topk_degree_pool": topk_degree_pool,
         "crc4_table": crc4_table,
         "majority_vote_events": majority_vote_events,
@@ -3537,11 +3499,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "pca_invariants": pca_invariants,
         "lsh_edges_exactness": lsh_edges_exactness,
-        "dedup_minhash_agree": dedup_minhash_agree,
         "rag_pipeline": rag_pipeline,
         "ivf_drift_contract": ivf_drift_contract,
-        # -- r13 window block (driver-green in round 13,
-        # -- CORRECTNESS_r13.json — most recently verified, so rotates last) --
+        # -- r13 window block (driver-green r13) --
         "token_heavy_hitters": token_heavy_hitters,
         "dup_ngram_spans": dup_ngram_spans,
         "span_scrubbed_docs": span_scrubbed_docs,
@@ -3549,7 +3509,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": pq_recall,
         "corpus_snapshot_diff": corpus_snapshot_diff,
         "corpus_snapshot_stats": corpus_snapshot_stats,
-        "semi_join_carriers": semi_join_carriers,
         "anti_join_subset": anti_join_subset,
         "attack_gaussian": attack_gaussian,
         "attack_subset": attack_subset,
@@ -3557,9 +3516,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_truncate_pad": attack_truncate_pad,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_signatures": dedup_minhash_signatures,
-        "sample_weighted": sample_weighted,
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
         "q4_order_priority": q4_order_priority,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -3580,8 +3537,6 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stream_docs": bm25_stream_docs,
         "semantic_decontam": semantic_decontam,
         "profile_docs": profile_docs,
-        "knn_pagerank_weighted": knn_pagerank_weighted,
-        "stream_components_docs": stream_components_docs,
         "line_scrub_docs": line_scrub_docs,
         "audio_neardup_pipeline": audio_neardup_pipeline,
         "funnel_events": funnel_events,
@@ -3590,10 +3545,59 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval_q": ndcg_eval_q,
         "roc_auc_events": roc_auc_events,
         "psi_drift_embeddings": psi_drift_embeddings,
-        "triangle_count_knn": triangle_count_knn,
         "expectations_docs": expectations_docs,
+        # -- r14 window block (driver-green r14 — most recently verified,
+        # -- so rotates last; table_diff_q / stream_transitions_events /
+        # -- watermark_roundtrip moved to the head: touched again in r15) --
+        "calibration_events": calibration_events,
+        "ece_events": ece_events,
+        "key_skew_lineitem": key_skew_lineitem,
+        "rm3_docs": rm3_docs,
+        "mmr_contract": mmr_contract,
+        "ann_ndcg_eval": ann_ndcg_eval,
+        "compact_contract": compact_contract,
+        "session_funnel_events": session_funnel_events,
+        "rate_anomalies_events": rate_anomalies_events,
+        "funnel_window_events": funnel_window_events,
+        "join_cardinality_q": join_cardinality_q,
+        "ref_integrity_q": ref_integrity_q,
+        "funnel_timing_events": funnel_timing_events,
+        "rebalance_classes_q": rebalance_classes_q,
+        "stream_psi_embeddings": stream_psi_embeddings,
+        "roc_auc_by_events": roc_auc_by_events,
+        "class_margins_q": class_margins_q,
+        "k_core_q": k_core_q,
+        "stream_kmv_docs": stream_kmv_docs,
+        "stream_rates_events": stream_rates_events,
+        "containment_docs": containment_docs,
+        "trending_types_events": trending_types_events,
+        "stickiness_events": stickiness_events,
+        "containment_rare_shingle": containment_rare_shingle,
+        "learned_codec_eval": learned_codec_eval,
+        "stream_containment_docs": stream_containment_docs,
+        "bpe_token_counts": bpe_token_counts,
+        "events_cube": events_cube,
+        "set_ops_users": set_ops_users,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_running_window": events_running_window,
+        "events_pivot": events_pivot,
+        "events_value_quantiles": events_value_quantiles,
+        "events_json_extract": events_json_extract,
+        "events_user_rollup": events_user_rollup,
+        "ivf_recall": ivf_recall,
+        "lsh_recall": lsh_recall,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q11_important_stock": q11_important_stock,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
+        "q20_excess_inventory": q20_excess_inventory,
+        "pq_drift_contract": pq_drift_contract,
+        "q21_suppliers_waiting": q21_suppliers_waiting,
+        "doc_length_percentiles": doc_length_percentiles,
+        "embedding_dim_stats": embedding_dim_stats,
         # -- rows-only (raw result sets of the ops whose contracts are pinned
-        # -- above and by ivf_recall/lsh_recall/knn_lsh_recall; set pinned by
+        # -- by hash-verified sibling rows; set pinned by
         # -- tools/registry_guard.py) --
         "pca_projection": pca_projection,
         "knn_lsh_edges": knn_lsh_edges,
